@@ -1,0 +1,52 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_1_11_2_with_comments_spark import queries as q
+from flink_1_11_2_with_comments_spark.session import DEFAULT_SF_DIR, get_spark
+
+# Headline set: relational core + heavy joins/aggs + pipeline ops.
+HEADLINE = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    specs = q.all_specs()
+    names = [n for n in HEADLINE if n in specs]
+    # warm the JVM + file listing once so timings measure query execution
+    specs[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        n = df.count()  # full materialization of the result
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
