@@ -43,6 +43,10 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # numpy array
+        return tuple(_norm(x) for x in v.tolist())
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     if isinstance(v, bytearray):
         return bytes(v)
     # numpy scalars → python
