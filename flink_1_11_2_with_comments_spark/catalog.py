@@ -27,6 +27,13 @@ WATERMARKS: dict[str, tuple[str, str]] = {
 }
 
 
+# columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (nanosAsLong) and we convert to microsecond timestamps here. The data
+# has zero sub-microsecond residue (verified), so this is lossless and
+# matches DuckDB's read exactly.
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (BatchExecTableSourceScan.scala:45 analogue).
 
@@ -35,7 +42,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path — the reference needed explicit Supports*PushDown contracts
     (flink-table-common/.../abilities/) for the same thing.
     """
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            # integer div: nanos exceed 2^53, double division loses 1µs
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,

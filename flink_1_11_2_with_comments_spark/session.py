@@ -51,6 +51,9 @@ def get_spark(app_name: str = "flink_1_11_2_with_comments_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and
+        # convert in catalog.load_table (Spark has no nanosecond timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
