@@ -1,1 +1,171 @@
-"""Placeholder — populated in later milestones."""
+"""Batch-expressible streaming semantics — SURVEY §2.4/§2.9 windows.
+
+Flink's TUMBLE/HOP/SESSION group windows evaluated over the events
+table in batch mode. These exercise the exact same Catalyst
+TimeWindow/SessionWindow expressions the streaming queries use (the
+assigner logic is identical; only state management differs), so the
+DuckDB oracle checks the window semantics themselves. The streaming
+execution path is covered by tests/test_streaming.py.
+
+Reference: rt/window/assigners/{Tumbling,Sliding,Session}WindowAssigner
+.java; StreamExecGroupWindowAggregate.scala:33; window auxiliaries
+TUMBLE_START/TUMBLE_END FlinkSqlOperatorTable.java:778-810.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import dsum, sql_dsum, t
+from ..streaming.windows import hop, session, tumble, window_bounds
+
+
+@register(
+    "window_tumble_agg",
+    f"""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+             AS window_start,
+           to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT))
+             AS window_end,
+           event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="TUMBLE(ts, 1 hour) group-window aggregate + TUMBLE_START/END — "
+        "TumblingWindowAssigner; oracle recomputes the bucket arithmetic "
+        "independently.",
+)
+def window_tumble_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy(tumble("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+            .select(*window_bounds(), "event_type", "n", "total"))
+
+
+@register(
+    "window_hop_agg",
+    f"""
+    WITH hopped AS (
+      SELECT to_timestamp(CAST((floor(epoch(ts) / 1800) - j) * 1800 AS BIGINT))
+               AS window_start,
+             value
+      FROM events CROSS JOIN (VALUES (0), (1)) offsets(j)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n, {sql_dsum('value')} AS total
+    FROM hopped
+    GROUP BY 1, 2
+    """,
+    doc="HOP(ts, slide 30 min, size 1 hour): every event lands in "
+        "size/slide = 2 windows — SlidingWindowAssigner. Oracle replays the "
+        "assignment via an explicit 2-way expansion (what Catalyst's window "
+        "expression does internally via Expand).",
+)
+def window_hop_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy(hop("ts", "1 hour", "30 minutes"))
+            .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+            .select(*window_bounds(), "n", "total"))
+
+
+@register(
+    "window_session_agg",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 10 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n, {sql_dsum('value')} AS total
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    doc="SESSION(ts, gap 10 min) per user — SessionWindowAssigner / merging "
+        "windows. Oracle derives sessions via the classic lag+cumsum "
+        "sessionization, independently of Spark's session_window merge.",
+)
+def window_session_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy(session("ts", "10 minutes"), "user_id")
+            .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n", "total"))
+
+
+@register(
+    "window_tumble_join",
+    """
+    WITH a AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS w,
+             COUNT(*) AS clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), b AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS w,
+             COUNT(*) AS purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT a.w AS window_start, clicks, purchases
+    FROM a JOIN b ON a.w = b.w
+    """,
+    doc="Window join: two streams joined on the same window — "
+        "JoinedStreams.java:63 / window coGroup; expressed as equi-join of "
+        "two windowed aggregates (the Spark-supported streaming shape).",
+)
+def window_tumble_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    clicks = (e.where(F.col("event_type") == "click")
+              .groupBy(tumble("ts", "1 hour").alias("window"))
+              .agg(F.count("*").alias("clicks"))
+              .select(F.col("window.start").alias("w"), "clicks"))
+    purchases = (e.where(F.col("event_type") == "purchase")
+                 .groupBy(tumble("ts", "1 hour").alias("window"))
+                 .agg(F.count("*").alias("purchases"))
+                 .select(F.col("window.start").alias("w2"), "purchases"))
+    return (clicks.join(purchases, clicks.w == purchases.w2)
+            .select(F.col("w").alias("window_start"), "clicks", "purchases"))
+
+
+@register(
+    "interval_join_batch",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.ts AS click_ts, b.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Interval join (batch shape): purchase within 30 min after click, "
+        "same user — StreamExecIntervalJoin.scala:54 / RowTimeIntervalJoin. "
+        "Streaming execution of the identical plan: tests/test_streaming.py.",
+)
+def interval_join_batch(spark, sf_dir):
+    from ..streaming.joins import interval_join
+    e = t(spark, sf_dir, "events")
+    clicks = (e.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id"), F.col("ts").alias("click_ts")))
+    purchases = (e.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts")))
+    joined = interval_join(
+        clicks, purchases,
+        on=clicks.user_id == purchases.p_user_id,
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="30 minutes")
+    return joined.select("click_id", "purchase_id", "click_ts", "purchase_ts")

@@ -1,0 +1,157 @@
+"""Streaming-execution tests: the same operators the batch oracle
+validates, run through Structured Streaming micro-batches.
+
+Mirrors the reference's runtime/stream ITCases + harness tests
+(SURVEY §5.2-5.3): replay deterministic fixtures through the real
+streaming engine, drain with processAllAvailable, compare against the
+batch-computed expectation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_11_2_with_comments_spark.catalog import load_table
+from flink_1_11_2_with_comments_spark.sources.replay import (
+    replay_as_stream, write_stream_to_memory)
+from flink_1_11_2_with_comments_spark.streaming import (
+    deduplicate, interval_join, session, tumble)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_stream_factory(spark, events):
+    def make():
+        return replay_as_stream(events, n_batches=4, order_by="ts")
+    return make
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumble_window_stream(spark, events, events_stream_factory):
+    """TUMBLE agg through streaming == the batch computation."""
+    stream = events_stream_factory().withWatermark("ts", "10 minutes")
+    agg = (stream.groupBy(tumble("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("n"), F.sum("value").alias("total")))
+    got = write_stream_to_memory(agg, "tumble_out", output_mode="complete")
+
+    expected = (events.groupBy(tumble("ts", "1 hour"), "event_type")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("total")))
+    cols = ["window", "event_type", "n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(expected, cols)
+
+
+def test_tumble_append_mode_respects_watermark(spark, events,
+                                               events_stream_factory):
+    """Append mode emits only watermark-closed windows — late/open windows
+    held back, the same watermark-gated emission as WindowOperator's
+    event-time trigger (EventTimeTriggers.java)."""
+    stream = events_stream_factory().withWatermark("ts", "10 minutes")
+    agg = (stream.groupBy(tumble("ts", "1 hour"))
+           .agg(F.count("*").alias("n")))
+    got = write_stream_to_memory(agg, "tumble_append", output_mode="append")
+    full = (events.groupBy(tumble("ts", "1 hour"))
+            .agg(F.count("*").alias("n")))
+    got_rows = set(_sorted_rows(got, ["window", "n"]))
+    full_rows = set(_sorted_rows(full, ["window", "n"]))
+    # emitted windows must be correct, and the final (unclosed) window
+    # is the only one allowed to be missing
+    assert got_rows.issubset(full_rows)
+    missing = full_rows - got_rows
+    assert len(missing) <= 1
+
+
+def test_session_window_stream(spark, events, events_stream_factory):
+    """SESSION windows through streaming == batch session_window."""
+    stream = events_stream_factory().withWatermark("ts", "10 minutes")
+    agg = (stream.groupBy(session("ts", "10 minutes"), "user_id")
+           .agg(F.count("*").alias("n")))
+    got = write_stream_to_memory(agg, "session_out", output_mode="complete")
+    expected = (events.groupBy(session("ts", "10 minutes"), "user_id")
+                .agg(F.count("*").alias("n")))
+    cols = ["session_window", "user_id", "n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(expected, cols)
+
+
+def test_streaming_dedup_keep_first(spark, events, events_stream_factory):
+    """dropDuplicates on a stream keeps exactly one row per key."""
+    stream = events_stream_factory()
+    got = write_stream_to_memory(
+        deduplicate(stream, ["user_id"]), "dedup_out", output_mode="append")
+    n_keys = events.select("user_id").distinct().count()
+    assert got.count() == n_keys
+    assert got.select("user_id").distinct().count() == n_keys
+
+
+def test_streaming_dedup_within_watermark(spark, events,
+                                          events_stream_factory):
+    """dropDuplicatesWithinWatermark: bounded dedup state (the TTL'd
+    variant — StateTtlConfig / idle-state-retention analogue)."""
+    stream = events_stream_factory().withWatermark("ts", "10 minutes")
+    got = write_stream_to_memory(
+        deduplicate(stream, ["user_id"], within_watermark=True),
+        "dedup_wm_out", output_mode="append")
+    n_keys = events.select("user_id").distinct().count()
+    # state may expire between far-apart events → at least one row per
+    # key, never zero, and never fewer than exact dedup
+    assert got.select("user_id").distinct().count() == n_keys
+    assert got.count() >= n_keys
+
+
+def test_interval_join_stream(spark, events, events_stream_factory):
+    """Stream-stream interval join == batch interval join (inner joins
+    emit on match; the time bound sizes the join state exactly like
+    RowTimeIntervalJoin's relative-window cleanup)."""
+    def sides(df):
+        clicks = (df.where(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("user_id").alias("c_uid"),
+                          F.col("ts").alias("click_ts")))
+        purchases = (df.where(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             F.col("user_id").alias("p_uid"),
+                             F.col("ts").alias("purchase_ts")))
+        return clicks, purchases
+
+    sc, sp = sides(events_stream_factory())
+    sc = sc.withWatermark("click_ts", "10 minutes")
+    sp = sp.withWatermark("purchase_ts", "10 minutes")
+    joined = interval_join(sc, sp, on=sc.c_uid == sp.p_uid,
+                           left_ts="click_ts", right_ts="purchase_ts",
+                           lower="0 seconds", upper="30 minutes")
+    got = write_stream_to_memory(
+        joined.select("click_id", "purchase_id"), "ij_out", "append")
+
+    bc, bp = sides(events)
+    expected = interval_join(bc, bp, on=bc.c_uid == bp.p_uid,
+                             left_ts="click_ts", right_ts="purchase_ts",
+                             lower="0 seconds", upper="30 minutes") \
+        .select("click_id", "purchase_id")
+    assert (_sorted_rows(got, ["click_id", "purchase_id"])
+            == _sorted_rows(expected, ["click_id", "purchase_id"]))
+
+
+def test_update_mode_group_agg(spark, events, events_stream_factory):
+    """Unbounded streaming group agg in update mode — the reference's
+    StreamExecGroupAggregate with retraction (GroupAggFunction.java:43);
+    Spark re-emits updated rows per micro-batch, final state must equal
+    the batch aggregate."""
+    stream = events_stream_factory()
+    agg = (stream.groupBy("event_type")
+           .agg(F.count("*").alias("n")))
+    got = write_stream_to_memory(agg, "upd_out", output_mode="update")
+    # update mode appends every revision; the latest revision per key
+    # must match the batch result
+    latest = (got.groupBy("event_type").agg(F.max("n").alias("n")))
+    expected = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    assert (_sorted_rows(latest, ["event_type", "n"])
+            == _sorted_rows(expected, ["event_type", "n"]))
