@@ -169,3 +169,103 @@ def interval_join_batch(spark, sf_dir):
         left_ts="click_ts", right_ts="purchase_ts",
         lower="0 seconds", upper="30 minutes")
     return joined.select("click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
+@register(
+    "asof_join_batch",
+    """
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    doc="Temporal/as-of join (event time): newest purchase version at or "
+        "before each click — StreamExecTemporalJoin.scala:51 / "
+        "TemporalRowTimeJoinOperator.java:72. Spark impl: union + "
+        "last_value(ignorenulls) running window (one shuffle, no row "
+        "explosion — streaming/asof.py). Oracle: DuckDB's native ASOF JOIN.",
+)
+def asof_join_batch(spark, sf_dir):
+    from ..streaming.asof import asof_join
+    e = t(spark, sf_dir, "events")
+    clicks = (e.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    purchases = (e.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("value").alias("last_purchase_value")))
+    return asof_join(clicks, purchases, on=["user_id"],
+                     left_ts="click_ts", right_ts="p_ts",
+                     right_payload=["last_purchase_value"]) \
+        .select("click_id", "user_id", "click_ts", "last_purchase_value")
+
+
+@register(
+    "cep_funnel",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id, c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           v.ts AS start_ts, p.ts AS end_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+     AND p.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+    doc="CEP / MATCH_RECOGNIZE: view followedBy click followedBy purchase "
+        "within 6 h, all-matches semantics — flink-cep Pattern.java:50 "
+        "begin/followedBy/within; StreamExecMatch.scala:68. Spark impl: NFA "
+        "over per-key ordered events (streaming/cep.py); oracle: the "
+        "equivalent relational triple join.",
+)
+def cep_funnel(spark, sf_dir):
+    from ..streaming.cep import Step, match_recognize_batch
+    e = t(spark, sf_dir, "events")
+    sub = e.where(F.col("event_type").isin("view", "click", "purchase"))
+    steps = [
+        Step("view", lambda ev: ev["event_type"] == "view"),
+        Step("click", lambda ev: ev["event_type"] == "click"),
+        Step("purchase", lambda ev: ev["event_type"] == "purchase"),
+    ]
+    out = match_recognize_batch(sub, ["user_id"], "ts", steps,
+                                within="6 hours")
+    return out.select("user_id", "view_id", "click_id", "purchase_id",
+                      "start_ts", "end_ts")
+
+
+@register(
+    "count_window_batch",
+    f"""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    )
+    SELECT user_id, rn // 5 AS window_seq,
+           COUNT(*) AS n, {sql_dsum('value')} AS total,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM numbered
+    GROUP BY user_id, rn // 5
+    HAVING COUNT(*) = 5
+    """,
+    doc="Count window (batch analogue, event-time order): every 5 events per "
+        "user — KeyedStream.countWindow (KeyedStream.java:589), "
+        "CountTumblingWindowAssigner. Streaming arrival-order impl: "
+        "streaming/count_window.py (tests/test_stateful.py).",
+)
+def count_window_batch(spark, sf_dir):
+    from pyspark.sql import Window as W
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w) - 1)
+            .withColumn("window_seq", (F.col("rn") / 5).cast("bigint"))
+            .groupBy("user_id", "window_seq")
+            .agg(F.count("*").alias("n"), dsum("value").alias("total"),
+                 F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+            .where(F.col("n") == 5))

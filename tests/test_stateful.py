@@ -1,0 +1,174 @@
+"""Custom stateful operator tests — the applyInPandasWithState layer
+(SURVEY §2.9 keyed state/timers, §2.5 streaming TopN, §2.3 temporal
+join, count windows, CEP).
+
+Pattern mirrors the reference's harness tests
+(GroupAggregateHarnessTest, OverWindowHarnessTest, flink-cep tests):
+drive deterministic fixtures through the streaming operator across
+several micro-batches, compare with the batch-computed expectation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from flink_1_11_2_with_comments_spark.catalog import load_table
+from flink_1_11_2_with_comments_spark.sources.replay import (
+    replay_as_stream, write_stream_to_memory)
+from flink_1_11_2_with_comments_spark.streaming.cep import (
+    Step, match_recognize_batch, match_recognize_stream)
+from flink_1_11_2_with_comments_spark.streaming.count_window import (
+    count_tumbling_window)
+from flink_1_11_2_with_comments_spark.streaming.state import keyed_process
+from flink_1_11_2_with_comments_spark.streaming.topn import streaming_topn
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events").cache()
+
+
+def test_streaming_topn(spark, events):
+    """Final emitted top-k per key == batch top-k (AppendOnlyTopNFunction:
+    every micro-batch refreshes the key's top-k; the last emission per
+    key must equal the batch answer)."""
+    stream = replay_as_stream(events, n_batches=3, order_by="ts")
+    out = streaming_topn(stream, ["event_type"], "value", k=3,
+                         payload_cols=["value"])
+    got = write_stream_to_memory(out, "topn_out", output_mode="update")
+    # latest emission per (key, rank): the memory sink appends each
+    # update; take the max value per key+rank — values only grow as
+    # better candidates arrive
+    latest = (got.groupBy("event_type", "rank")
+              .agg(F.max("value").alias("value")))
+
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    expected = (events.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 3)
+                .select("event_type", "rank", "value"))
+    assert (sorted(map(tuple, latest.collect()))
+            == sorted(map(tuple, expected.collect())))
+
+
+def test_count_tumbling_window(spark, events):
+    """Count windows fill across micro-batch boundaries; with a
+    time-ordered replay the arrival order equals event-time order, so
+    the result must equal the batch analogue."""
+    ordered = events.orderBy("ts", "event_id")
+    stream = replay_as_stream(ordered, n_batches=3, order_by="ts")
+    # one partition per key arrives time-ordered only if replay is
+    # time-split; within a micro-batch pandas preserves file order
+    out = count_tumbling_window(stream, ["user_id"], size=5,
+                                value_col="value")
+    got = write_stream_to_memory(out, "cw_out", output_mode="append")
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = (events.withColumn("rn", F.row_number().over(w) - 1)
+                .withColumn("window_seq", (F.col("rn") / 5).cast("bigint"))
+                .groupBy("user_id", "window_seq")
+                .agg(F.count("*").alias("n"))
+                .where(F.col("n") == 5))
+    # compare window counts per key (totals depend on intra-batch order,
+    # which time-ordered replay makes deterministic too)
+    assert (sorted(map(tuple, got.select("user_id", "window_seq", "n").collect()))
+            == sorted(map(tuple, expected.collect())))
+    # and sums must match when order is deterministic
+    got_totals = got.agg(F.round(F.sum("total"), 6).alias("s")).collect()[0].s
+    exp_totals = (events.withColumn("rn", F.row_number().over(w) - 1)
+                  .withColumn("ws", (F.col("rn") / 5).cast("bigint"))
+                  .groupBy("user_id", "ws")
+                  .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+                  .where(F.col("n") == 5)
+                  .agg(F.round(F.sum("total"), 6).alias("s")).collect()[0].s)
+    assert abs(got_totals - exp_totals) < 1e-6
+
+
+def test_keyed_process_running_count(spark, events):
+    """KeyedProcessFunction analogue: per-key running count kept in
+    ValueState across micro-batches (GroupAggFunction.java:43 shape)."""
+    import pandas as pd
+
+    def fn(key, rows, state):
+        if rows is None:
+            return None
+        n = state.get("n", 0) + len(rows)
+        state.put("n", n)
+        return pd.DataFrame([{"user_id": key[0], "n": n}])
+
+    stream = replay_as_stream(events, n_batches=3, order_by="ts")
+    out = keyed_process(stream, ["user_id"], fn, "user_id bigint, n bigint",
+                        output_mode="update")
+    got = write_stream_to_memory(out, "kp_out", output_mode="update")
+    final = got.groupBy("user_id").agg(F.max("n").alias("n"))
+    expected = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    assert (sorted(map(tuple, final.collect()))
+            == sorted(map(tuple, expected.collect())))
+
+
+def test_cep_stream_matches_batch(spark, events):
+    """Streaming NFA (watermark-gated) finds the same matches as the
+    batch NFA, modulo patterns still open at end-of-stream."""
+    steps = [
+        Step("view", lambda ev: ev["event_type"] == "view"),
+        Step("click", lambda ev: ev["event_type"] == "click"),
+    ]
+    sub = events.where(F.col("event_type").isin("view", "click"))
+
+    batch = match_recognize_batch(sub, ["user_id"], "ts", steps,
+                                  within="30 minutes")
+    batch_rows = set(map(tuple, batch.select("view_id", "click_id").collect()))
+
+    stream = replay_as_stream(sub, n_batches=3, order_by="ts") \
+        .withWatermark("ts", "1 minute")
+    out = match_recognize_stream(stream, ["user_id"], "ts", steps,
+                                 within="30 minutes")
+    got = write_stream_to_memory(out, "cep_out", output_mode="append")
+    got_rows = set(map(tuple, got.select("view_id", "click_id").collect()))
+
+    # streaming emits only watermark-complete matches: subset, and at
+    # least the matches fully inside the watermarked prefix
+    assert got_rows.issubset(batch_rows)
+    assert len(batch_rows) == 0 or len(got_rows) >= len(batch_rows) - 5
+    assert len(got_rows) > 0 or len(batch_rows) == 0
+
+
+def test_temporal_join_proctime(spark, events):
+    """Proc-time temporal join: probe rows join the latest build version
+    seen so far (TemporalProcessTimeJoinOperator.java:40)."""
+    import pandas as pd
+    from flink_1_11_2_with_comments_spark.streaming.asof import (
+        temporal_join_proctime)
+
+    ordered = events.orderBy("ts", "event_id")
+    stream = replay_as_stream(ordered, n_batches=3, order_by="ts")
+    probe = (stream.where(F.col("event_type") == "click")
+             .select("user_id", F.lit("p").alias("__side"), "ts",
+                     F.col("event_id").cast("double").alias("probe_id"),
+                     F.lit(None).cast("double").alias("build_value")))
+    build = (stream.where(F.col("event_type") == "purchase")
+             .select("user_id", F.lit("b").alias("__side"), "ts",
+                     F.lit(None).cast("double").alias("probe_id"),
+                     F.col("value").alias("build_value")))
+    out = temporal_join_proctime(probe, build, ["user_id"],
+                                 ["probe_id"], ["build_value"],
+                                 order_col="ts")
+    got = write_stream_to_memory(out, "tj_out", output_mode="append")
+
+    # time-ordered replay → proc-time order == event-time order, so the
+    # expected result is the event-time as-of join (inner)
+    from flink_1_11_2_with_comments_spark.streaming.asof import asof_join
+    clicks = (events.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("c_ts"),
+                      F.col("event_id").cast("double").alias("probe_id")))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("value").alias("build_value")))
+    expected = asof_join(clicks, purchases, ["user_id"], "c_ts", "p_ts",
+                         ["build_value"], how="inner") \
+        .select("probe_id", "build_value")
+    assert (sorted(map(tuple, got.select("probe_id", "build_value").collect()))
+            == sorted(map(tuple, expected.collect())))
