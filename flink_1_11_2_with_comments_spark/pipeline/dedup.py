@@ -1,0 +1,154 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these):
+- exact: hash-groupBy on a content digest — one shuffle keyed by the
+  digest; at 100 TB the digest (16 bytes) shuffles, not the text.
+- MinHash+LSH: per-doc signature (H md5-derived min-hashes) computed
+  in a single explode+groupBy; banding turns O(n²) pairing into a
+  self-join on band keys — only near-duplicates collide, so the join
+  output is ~linear in the duplicate count.
+- SimHash: 32-bit signature from token-hash bit votes; candidate
+  pairs via Hamming distance on a 4-byte key (bucketable by prefix).
+- n-gram Jaccard: exact verification on LSH/SimHash candidates (or
+  small corpora) via shingle-set joins.
+
+All hashing is md5-derived → replayable in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_int_expr(c: Column, salt: str | Column = "") -> Column:
+    """First 60 bits of md5 as a non-negative bigint — portable across
+    engines (DuckDB: CAST('0x'||substring(md5(...),1,15) AS BIGINT))."""
+    salted = F.concat(salt if isinstance(salt, Column) else F.lit(salt), c)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_int(col: Column | str, salt: str = "") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_int_expr(c, salt)
+
+
+def shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles (distinct): the unit set for Jaccard/MinHash."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, sep)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        sep, *[F.element_at(toks, i + j) for j in range(n)])
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized content: keep the lowest id per digest.
+
+    Normalization: lowercase + whitespace collapse (the standard
+    exact-dup definition for web corpora).
+    """
+    digest = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (df.withColumn("content_hash", digest)
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: (id, hash_idx, minhash).
+
+    One explode (doc × shingles) + one groupBy — the signature for a
+    100 TB corpus is a single shuffle of (id, h, min) partials with
+    map-side combine; no pairwise work yet.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
+    hashes = exploded.select(
+        id_col, "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"))
+    hashed = hashes.withColumn(
+        "hv", md5_int_expr(F.concat(F.col("h").cast("string"),
+                                    F.lit("|"), F.col("shingle"))))
+    return (hashed.groupBy(id_col, "h")
+            .agg(F.min("hv").alias("minhash")))
+
+
+def lsh_bands(signatures: DataFrame, id_col: str,
+              rows_per_band: int = 2) -> DataFrame:
+    """Group signature rows into bands: (id, band, band_key).
+
+    band_key is the md5 of the band's concatenated minhashes — docs
+    sharing any band_key are candidate pairs (classic banding).
+    """
+    banded = signatures.withColumn(
+        "band", (F.col("h") / rows_per_band).cast("int"))
+    return (banded.groupBy(id_col, "band")
+            .agg(F.md5(F.concat_ws(",", F.sort_array(
+                F.collect_list(F.concat_ws(":", "h", "minhash")))))
+                .alias("band_key")))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join bands on (band, band_key) → distinct candidate pairs a<b."""
+    a = bands.select(F.col(id_col).alias("a_id"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("b_id"),
+                     F.col("band").alias("band2"),
+                     F.col("band_key").alias("band_key2"))
+    return (a.join(b, (a.band == b.band2) & (a.band_key == b.band_key2)
+                   & (a.a_id < b.b_id))
+            .select("a_id", "b_id").distinct())
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                  text_col: str, shingle_n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for given (a_id, b_id) pairs."""
+    sh = df.select(F.col(id_col),
+                   F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b_id"),
+                     F.col("shingle").alias("shingle_b"))
+    b_sh = b_sh.withColumnRenamed("b_id", "b_id2")
+    inter = (pairs.join(a_sh, "a_id")
+             .join(b_sh, (F.col("b_id") == F.col("b_id2"))
+                   & (F.col("shingle") == F.col("shingle_b")))
+             .groupBy("a_id", "b_id")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("a_id"),
+                               F.col("sz").alias("a_sz")), "a_id")
+            .join(sizes.select(F.col(id_col).alias("b_id"),
+                               F.col("sz").alias("b_sz")), "b_id")
+            .select("a_id", "b_id",
+                    (F.col("n_inter")
+                     / (F.col("a_sz") + F.col("b_sz") - F.col("n_inter")))
+                    .alias("jaccard")))
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per doc: token-hash bit votes, sign → bit.
+
+    Pure relational: tokens explode once, bits via a 32-row sequence
+    explode, one groupBy — scales the same way MinHash does.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"))
+    hashed = toks.withColumn("hv", md5_int_expr(F.col("tok")) % F.lit(2**32))
+    bits = hashed.select(
+        id_col, "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
+    votes = bits.withColumn(
+        "vote",
+        F.when(F.expr("(hv >> bit) & 1") == 1, 1).otherwise(-1))
+    return (votes.groupBy(id_col, "bit")
+            .agg(F.sum("vote").alias("v"))
+            .withColumn("bitval",
+                        F.when(F.col("v") > 0,
+                               F.expr("CAST(1 AS BIGINT) << bit"))
+                        .otherwise(F.lit(0).cast("bigint")))
+            .groupBy(id_col)
+            .agg(F.sum("bitval").alias("simhash")))

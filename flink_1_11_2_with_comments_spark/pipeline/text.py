@@ -1,0 +1,94 @@
+"""Text-analysis operators over the documents table.
+
+All pure Column expressions: tokenization, quality scoring,
+language-ID and fingerprinting run inside whole-stage codegen — at
+100 TB these are a single scan with no shuffle and no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic, replayable in any SQL engine (see pipeline/__init__)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+}
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def token_stats(text: Column | str) -> dict[str, Column]:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (chars/4 heuristic, the common rule of thumb) + char classes."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    return {
+        "n_tokens": F.size(toks).cast("bigint"),
+        "n_chars": F.length(c).cast("bigint"),
+        "est_bpe_tokens": F.ceil(F.length(c) / 4).cast("bigint"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+        "avg_token_len": ((F.length(c) - F.size(toks) + 1)
+                          / F.size(toks)).cast("double"),
+    }
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality scoring: length / punctuation / stopword / repetition
+    ratios — the standard web-scale corpus filters."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return {
+        "len_chars": F.length(c).cast("bigint"),
+        "punct_ratio": (n_punct / F.length(c)).cast("double"),
+        "stopword_ratio": (n_stop / n_tok).cast("double"),
+        "dup_token_ratio": ((n_tok - F.size(F.array_distinct(toks)))
+                            / n_tok).cast("double"),
+        "quality_ok": ((F.length(c) >= 50) & (n_tok >= 10)
+                       & ((n_stop / n_tok) < 0.5)),
+    }
+
+
+def language_id(text: Column | str) -> Column:
+    """Language-ID: stopword-marker scoring, argmax with deterministic
+    tie-break (lexicographic), 'und' (undetermined) when all zero."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append((lang, score))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate descending-lexicographic so earlier langs win ties with >
+    for lang, score in reversed(scores):
+        take = score > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Document fingerprint: polynomial rolling hash over tokens.
+
+    h = fold(h * 31 + md5_int(token) % 1000003) % mod — md5-based so
+    the DuckDB oracle replays it exactly; order-sensitive (a true
+    sequence fingerprint, not a bag hash).
+    """
+    from .dedup import md5_int_expr
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        tokens(c),
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: (acc * 31 + md5_int_expr(tok) % 1000003) % mod)

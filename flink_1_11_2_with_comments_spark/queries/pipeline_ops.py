@@ -1,1 +1,476 @@
-"""Placeholder — populated in later milestones."""
+"""Training-data pipeline operators — queries + oracles.
+
+Every hash here is md5-derived so the DuckDB oracle replays the
+Spark computation bit-for-bit (engine-native hash() functions are
+not portable). Doubles follow the decimal-accumulate rule from
+queries/_util.py. Thresholds are calibrated to the synthetic corpus
+(unigram Jaccard median 0.6 / p99 0.93; cosine max ≈ 0.44).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import t
+
+MD5I = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           (length(text) - len(string_split(text, ' ')) + 1)
+             * 1.0 / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens, char count, BPE-estimate "
+        "(chars/4), distinct tokens, mean token length — pure expressions, "
+        "single scan, no shuffle (pipeline/text.py token_stats).",
+)
+def text_token_stats(spark, sf_dir):
+    from ..pipeline.text import token_stats
+    d = t(spark, sf_dir, "documents")
+    stats = token_stats("text")
+    return d.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS len_chars,
+           (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]',
+                                                 '', 'g')))
+             * 1.0 / length(text) AS punct_ratio,
+           len(list_filter(string_split(text, ' '),
+               tok -> list_contains(['the','and','of','to','a','in','is'], tok)))
+             * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
+           (len(string_split(text, ' '))
+            - len(list_distinct(string_split(text, ' '))))
+             * 1.0 / len(string_split(text, ' ')) AS dup_token_ratio
+    FROM documents
+    """,
+    doc="Quality scoring: length, punctuation ratio, stopword ratio, "
+        "repeated-token ratio — the standard corpus filters "
+        "(pipeline/text.py quality_features).",
+)
+def text_quality(spark, sf_dir):
+    from ..pipeline.text import quality_features
+    d = t(spark, sf_dir, "documents")
+    q = quality_features("text")
+    return d.select("doc_id",
+                    q["len_chars"].alias("len_chars"),
+                    q["punct_ratio"].alias("punct_ratio"),
+                    q["stopword_ratio"].alias("stopword_ratio"),
+                    q["dup_token_ratio"].alias("dup_token_ratio"))
+
+
+@register(
+    "text_langid",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), t ->
+          list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+        len(list_filter(string_split(text,' '), t ->
+          list_contains(['the','and','of','to','a','in','is'], t))) AS s_en,
+        len(list_filter(string_split(text,' '), t ->
+          list_contains(['el','la','de','que','los','es'], t))) AS s_es,
+        len(list_filter(string_split(text,' '), t ->
+          list_contains(['le','la','les','des','est','une'], t))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_fr >= greatest(s_de, s_en, s_es) AND s_fr > 0 THEN 'fr'
+                WHEN s_es >= greatest(s_de, s_en) AND s_es > 0 THEN 'es'
+                WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """,
+    doc="Language-ID: stopword-marker n-gram heuristic, deterministic "
+        "argmax (pipeline/text.py language_id). Oracle re-derives the same "
+        "argmax relationally.",
+)
+def text_langid(spark, sf_dir):
+    from ..pipeline.text import language_id
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform(string_split(text, ' '),
+                 tok -> {MD5I.format(x='tok')} % 1000003)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprint: order-sensitive polynomial rolling hash over "
+        "md5-derived token codes (pipeline/text.py fingerprint) — replayed "
+        "by the oracle via list_reduce.",
+)
+def text_fingerprint(spark, sf_dir):
+    from ..pipeline.text import fingerprint
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: md5 of normalized content, keep lowest id — "
+        "hash-groupBy, shuffles 16-byte digests not documents "
+        "(pipeline/dedup.py exact_dedup).",
+)
+def dedup_exact(spark, sf_dir):
+    from ..pipeline.dedup import exact_dedup
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+      FROM documents WHERE doc_id < 100
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           ROUND(n_inter * 1.0 / (x.sz + y.sz - n_inter), 9) AS jaccard
+    FROM inter JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+    WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.9
+    """,
+    doc="n-gram Jaccard near-dup pairs (unigram shingles, ≥0.9): shingle "
+        "inverted-index self-join — the exact-verification stage of the "
+        "dedup pipeline (pipeline/dedup.py jaccard_pairs).",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from ..pipeline.dedup import jaccard_pairs, shingles
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    ids = d.select("doc_id")
+    pairs = (ids.select(F.col("doc_id").alias("a_id"))
+             .join(ids.select(F.col("doc_id").alias("b_id")),
+                   F.col("a_id") < F.col("b_id")))
+    j = jaccard_pairs(d, pairs, "doc_id", "text", shingle_n=1)
+    return (j.withColumn("jaccard", F.round("jaccard", 9))
+            .where(F.col("jaccard") >= 0.9))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+      FROM documents WHERE doc_id < 250
+    ), hashes AS (
+      SELECT doc_id, h,
+             MIN({MD5I.format(x="concat(CAST(h AS VARCHAR), '|', shingle)")})
+               AS minhash
+      FROM toks CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+      GROUP BY doc_id, h
+    ), bands AS (
+      SELECT doc_id, h // 4 AS band,
+             md5(string_agg(concat(CAST(h AS VARCHAR), ':',
+                                   CAST(minhash AS VARCHAR)), ','
+                            ORDER BY concat(CAST(h AS VARCHAR), ':',
+                                            CAST(minhash AS VARCHAR))))
+               AS band_key
+      FROM hashes GROUP BY doc_id, h // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.a_id
+      JOIN toks tb ON tb.doc_id = c.b_id AND tb.shingle = ta.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.a_id, i.b_id,
+           ROUND(n_inter * 1.0 / (x.sz + y.sz - n_inter), 9) AS jaccard
+    FROM inter i JOIN sz x ON i.a_id = x.doc_id
+                 JOIN sz y ON i.b_id = y.doc_id
+    WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.9
+    """,
+    doc="MinHash+LSH dedup: 8 md5-derived min-hashes, 2 bands × 4 rows, "
+        "band-key self-join for candidates, exact Jaccard ≥0.9 verification "
+        "(pipeline/dedup.py minhash_signature/lsh_bands/lsh_candidate_pairs). "
+        "The oracle replays the entire pipeline in SQL.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from ..pipeline.dedup import (jaccard_pairs, lsh_bands,
+                                  lsh_candidate_pairs, minhash_signature)
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    sigs = minhash_signature(d, "doc_id", "text", num_hashes=8, shingle_n=1)
+    bands = lsh_bands(sigs, "doc_id", rows_per_band=4)
+    cand = lsh_candidate_pairs(bands, "doc_id")
+    j = jaccard_pairs(d, cand, "doc_id", "text", shingle_n=1)
+    return (j.withColumn("jaccard", F.round("jaccard", 9))
+            .where(F.col("jaccard") >= 0.9))
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN ({MD5I.format(x='tok')} % 4294967296 >> b) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM toks CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash (32-bit) signatures: md5-derived token hashes, per-bit "
+        "votes, sign → bit (pipeline/dedup.py simhash32). Hamming-distance "
+        "pairing on the 4-byte signature is the candidate stage; oracle "
+        "replays the signature computation.",
+)
+def dedup_simhash(spark, sf_dir):
+    from ..pipeline.dedup import simhash32
+    d = t(spark, sf_dir, "documents")
+    return simhash32(d, "doc_id", "text")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 250
+    ), bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN ({MD5I.format(x='tok')} % 4294967296 >> b) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM toks CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+      GROUP BY doc_id, b
+    ), sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+               AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    doc="SimHash near-dup candidates: Hamming distance ≤ 8 on 32-bit "
+        "signatures — at scale the signature prefix buckets the self-join.",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    from ..pipeline.dedup import simhash32
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    sigs = simhash32(d, "doc_id", "text")
+    a = sigs.select(F.col("doc_id").alias("a_id"),
+                    F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("b_id"),
+                    F.col("simhash").alias("sig_b"))
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+            .where(F.col("hamming") <= 8)
+            .select("a_id", "b_id", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_CTE = """
+    WITH z AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings {filter}
+    )
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    _COSINE_CTE.format(filter="") + """
+    , q AS (SELECT pos, x AS qx FROM z WHERE vec_id = 0)
+    , agg AS (
+      SELECT z.vec_id,
+             SUM(CAST(z.x * q.qx AS DECIMAL(38,10))) AS dot_d,
+             SUM(CAST(z.x * z.x AS DECIMAL(38,10))) AS na_d,
+             SUM(CAST(q.qx * q.qx AS DECIMAL(38,10))) AS nb_d
+      FROM z JOIN q ON z.pos = q.pos
+      WHERE z.vec_id <> 0
+      GROUP BY z.vec_id
+    )
+    SELECT vec_id,
+           ROUND(CAST(dot_d AS DOUBLE)
+                 / (sqrt(CAST(na_d AS DOUBLE)) * sqrt(CAST(nb_d AS DOUBLE))),
+                 9) AS cosine
+    FROM agg
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k (k=10, query = stored vector 0): the ANN "
+        "baseline — position-explode + exact decimal dot products "
+        "(pipeline/similarity.py cosine_topk).",
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    from ..pipeline.similarity import cosine_topk
+    e = t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, "vec_id", "embedding", query_id=0, k=10)
+
+
+@register(
+    "dedup_embedding_cosine",
+    _COSINE_CTE.format(filter="WHERE vec_id <= 200") + """
+    , pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM(CAST(a.x * b.x AS DECIMAL(38,10))) AS dot_d,
+             SUM(CAST(a.x * a.x AS DECIMAL(38,10))) AS na_d,
+             SUM(CAST(b.x * b.x AS DECIMAL(38,10))) AS nb_d
+      FROM z a JOIN z b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           ROUND(CAST(dot_d AS DOUBLE)
+                 / (sqrt(CAST(na_d AS DOUBLE)) * sqrt(CAST(nb_d AS DOUBLE))),
+                 9) AS cosine
+    FROM pairs
+    WHERE ROUND(CAST(dot_d AS DOUBLE)
+                / (sqrt(CAST(na_d AS DOUBLE)) * sqrt(CAST(nb_d AS DOUBLE))),
+                9) >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs (≥0.3 on this corpus): all-pairs "
+        "form; at scale the LSH buckets (ann_lsh_buckets) pre-filter the "
+        "pairing (pipeline/similarity.py cosine_pairs).",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from ..pipeline.similarity import cosine_pairs
+    e = t(spark, sf_dir, "embeddings")
+    return cosine_pairs(e, "vec_id", "embedding", threshold=0.3, max_id=200)
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    WITH z AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), contrib AS (
+      SELECT vec_id, j,
+             SUM(CAST(x * ((({MD5I.format(
+                 x="concat(CAST(j AS VARCHAR), '|', CAST(i AS VARCHAR))")}
+                  % 2001) - 1000) / 1000.0) AS DECIMAL(38,10))) AS s
+      FROM z CROSS JOIN (SELECT unnest(range(16)) AS j) js
+      GROUP BY vec_id, j
+    )
+    SELECT vec_id,
+           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+             AS bucket
+    FROM contrib GROUP BY vec_id
+    """,
+    doc="Hyperplane-LSH bucket keys (16 md5-derived planes): the ANN scale "
+        "path — bucket collisions replace all-pairs search "
+        "(pipeline/similarity.py lsh_buckets). Recall vs brute force is "
+        "pinned by tests/test_pipeline.py.",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    from ..pipeline.similarity import lsh_buckets
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_buckets(e, "vec_id", "embedding", n_planes=16)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    WITH codes AS (
+      SELECT doc_id, text, length(text) AS n_bytes,
+             list_transform(string_split(text, ''), c -> unicode(c)) AS cs
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           list_sum(cs) * 1.0 / n_bytes AS byte_mean,
+           list_min(cs) AS byte_min, list_max(cs) AS byte_max,
+           CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) * 8
+             + CAST(concat('0x', substring(md5(text), 16, 1)) AS BIGINT) // 2
+             AS phash
+    FROM codes
+    """,
+    doc="Multimodal feature extraction: binary media column → per-item "
+        "features via Arrow-batched mapInPandas (pipeline/multimodal.py). "
+        "The 'decode' is the deterministic fake (real codecs stubbed — "
+        "NotImplementedError path tested in tests/test_pipeline.py); the "
+        "byte-level features + md5-based phash are oracle-replayable "
+        "because the fake media bytes are the utf-8 text.",
+)
+def multimodal_features(spark, sf_dir):
+    from ..pipeline.multimodal import extract_features, synthesize_media
+    d = t(spark, sf_dir, "documents")
+    media = synthesize_media(d)
+    return (extract_features(media, fake_decode=True)
+            .select("doc_id", "n_bytes", "byte_mean", "byte_min", "byte_max",
+                    "phash"))
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(length(text) % 64 + 1 AS INT) AS width,
+           CAST(length(text) % 48 + 1 AS INT) AS height,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="Multimodal metadata plumbing: typed width/height/bytes columns "
+        "beside the opaque binary (pipeline/multimodal.py synthesize_media) "
+        "— partition-prunable metadata without touching blobs.",
+)
+def multimodal_metadata(spark, sf_dir):
+    from ..pipeline.multimodal import synthesize_media
+    d = t(spark, sf_dir, "documents")
+    return synthesize_media(d).select("doc_id", "media_type", "width",
+                                      "height", "n_bytes")
