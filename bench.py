@@ -16,9 +16,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_1_11_2_with_comments_spark import queries as q
 from flink_1_11_2_with_comments_spark.session import DEFAULT_SF_DIR, get_spark
 
-# Headline set: relational core + heavy joins/aggs + pipeline ops.
+# Headline set: relational core + heavy joins/aggs + window/streaming
+# semantics + pipeline ops — one representative per operator family.
 HEADLINE = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q10",
+    "tpch_q13", "tpch_q18", "tpch_q21",
+    "join_inner_shuffle", "agg_grouping_sets",
+    "over_rows_unbounded_preceding", "rank_topn_per_group",
+    "window_hop_agg", "window_session_agg", "interval_join_batch",
+    "asof_join_batch",
+    "dedup_minhash_lsh", "dedup_simhash", "text_fingerprint",
+    "ann_bruteforce_topk",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Physical-plan quality assertions — the Spark mirror of the
+reference's plan tests (SURVEY §5.1: golden-file plan tests in
+flink-table-planner-blink/src/test/resources/).
+
+We do NOT golden-test Catalyst; we assert scale-critical properties:
+filters reach the parquet scan, column pruning happens, small dims
+broadcast, aggregates are partial+final, pipelines don't shuffle more
+than the operator requires. These are the properties that decide
+whether a plan survives a 100 TB input.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_11_2_with_comments_spark import queries as q
+
+SPECS = q.all_specs()
+
+
+def plan(spark, name, sf_dir):
+    df = SPECS[name].fn(spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return je.explainString(mode)
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    p = plan(spark, "tpch_q6", sf_dir)
+    # every predicate pushed into the scan
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
+        assert pushed in p, f"missing pushdown {pushed}"
+    # column pruning: only the 4 referenced columns are read
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp_ntz>") in p
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    p = plan(spark, "tpch_q3", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("BroadcastHashJoin") == 2, "both dims should broadcast"
+    assert "SortMergeJoin" not in p
+    # top-n goes through TakeOrderedAndProject, not global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q1_single_shuffle_agg(spark, sf_dir):
+    p = plan(spark, "tpch_q1", sf_dir)
+    # partial+final agg: exactly one data exchange before the sort
+    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") <= 2  # agg exchange + final sort
+    assert body.count("HashAggregate") == 2  # partial + final
+
+
+def test_join_reuses_partitioning(spark, sf_dir):
+    """join on o_orderkey then groupBy the same key: the aggregate must
+    not add a second shuffle of the joined data."""
+    p = plan(spark, "join_inner_shuffle", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    # 2 exchanges to co-partition the join inputs; the groupBy on the
+    # join key reuses that partitioning (no 3rd data exchange)
+    assert body.count("Exchange") <= 2, body
+
+
+def test_topn_uses_window_filter(spark, sf_dir):
+    p = plan(spark, "rank_topn_per_group", sf_dir)
+    assert "RunningWindowFunction" in p or "Window" in p
+    # rank filter applies before any further ops (rank-limit pushdown)
+    assert "WindowGroupLimit" in p or "rn" in p
+
+
+def test_asof_join_no_row_explosion(spark, sf_dir):
+    """The as-of join must be the union+window form: no Join node that
+    multiplies rows by version count."""
+    p = plan(spark, "asof_join_batch", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert "Union" in body
+    assert "Window" in body
+    assert "Join" not in body.replace("BroadcastNestedLoopJoin", "") \
+        or "BroadcastNestedLoopJoin" not in body
+
+
+def test_scalar_pipeline_stays_codegen(spark, sf_dir):
+    """Text analysis must be one codegen'd scan — no exchange, no
+    Python (BatchEvalPython) in the plan."""
+    for name in ("text_token_stats", "text_fingerprint", "text_langid"):
+        p = plan(spark, name, sf_dir)
+        body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+        assert "Exchange" not in body, f"{name} shuffles"
+        assert "BatchEvalPython" not in p, f"{name} fell off the JVM path"
+        # formatted mode marks whole-stage-codegen operators with '*'.
+        # Higher-order-function lambdas (fingerprint's fold) evaluate
+        # interpreted but still JVM-side; at least the scan path must
+        # be codegen'd.
+        assert "* " in body, f"{name} not codegen'd"
