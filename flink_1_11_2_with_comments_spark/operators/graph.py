@@ -1,0 +1,86 @@
+"""Batch graph algorithms — SURVEY §2.11 (Gelly, low priority) and
+the DataSet iteration model (DataSet.iterate/iterateDelta,
+DataSet.java:1131,1179).
+
+Reference: flink-libraries/flink-gelly/.../library/
+{ConnectedComponents,PageRank}. Gelly runs these as delta iterations
+inside the engine; Spark's equivalent is a driver-side loop over
+DataFrames — each iteration is one join+aggregate stage, and
+checkpoint/persist truncates the lineage so the plan doesn't grow
+unboundedly (the scale concern for iteration on Spark).
+
+Determinism: rank sums accumulate in DECIMAL and round to 9 digits
+per iteration so results replay exactly in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,10)"
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation: component id = min node id reachable.
+
+    edges: (src bigint, dst bigint), treated as undirected. Returns
+    (node, component). Converges in O(diameter) iterations; each
+    iteration = one shuffle on node id. At scale, persist each label
+    frame and use the large-star/small-star variant to cut rounds.
+    """
+    undirected = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = undirected.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+
+    for _ in range(max_iter):
+        neighbor_min = (undirected
+                        .join(labels, undirected.src == labels.node)
+                        .groupBy(F.col("dst").alias("node2"))
+                        .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == F.col("node2"), "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("nbr_min", "component"))
+                              .alias("component")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank: rank = (1-d) + d·Σ contrib(in-nbrs).
+
+    edges: (src, dst) directed. Simple variant (dangling mass
+    dropped), rank rounded to 9 digits per iteration for
+    engine-exact replay. Each iteration: one join + one aggregate.
+    """
+    out_deg = edges.groupBy(F.col("src").alias("n")) \
+        .agg(F.count("*").alias("deg"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+
+    for _ in range(iterations):
+        contribs = (edges
+                    .join(ranks, edges.src == ranks.node)
+                    .join(out_deg, edges.src == out_deg.n)
+                    .select(F.col("dst"),
+                            (F.col("rank") / F.col("deg")).alias("contrib")))
+        summed = (contribs.groupBy(F.col("dst").alias("node2"))
+                  .agg(F.sum(F.col("contrib").cast(DEC)).cast("double")
+                       .alias("inflow")))
+        ranks = (nodes.join(summed, nodes.node == F.col("node2"), "left")
+                 .select("node",
+                         F.round(F.lit(1.0) - damping
+                                 + damping * F.coalesce("inflow", F.lit(0.0)),
+                                 9).alias("rank")))
+    return ranks

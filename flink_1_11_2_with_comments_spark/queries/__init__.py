@@ -46,6 +46,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import streaming_batch  # noqa: F401
     from . import pipeline_ops  # noqa: F401
     from . import udf_surface  # noqa: F401
+    from . import graph_ops  # noqa: F401
     return dict(_REGISTRY)
 
 

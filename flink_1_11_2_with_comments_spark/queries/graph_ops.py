@@ -1,0 +1,107 @@
+"""Graph operator queries — SURVEY §2.11 (Gelly / DataSet iterations).
+
+The graph is derived from the star schema: supplier→nation,
+customer→nation, nation→region edges over disjoint node-id ranges.
+Connected components = the five region clusters; PageRank mass flows
+customers/suppliers → nations → regions.
+
+Oracles: connected components via a recursive CTE (min reachable
+label — the declarative fixpoint of the same label propagation);
+PageRank via three unrolled iterations of identical decimal math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import t
+
+_EDGE_SQL = """
+      SELECT CAST(n_nationkey + 2000 AS BIGINT) AS src,
+             CAST(n_regionkey + 1000 AS BIGINT) AS dst FROM nation
+      UNION ALL
+      SELECT CAST(s_suppkey + 3000 AS BIGINT), CAST(s_nationkey + 2000 AS BIGINT)
+      FROM supplier
+      UNION ALL
+      SELECT CAST(c_custkey + 4000 AS BIGINT), CAST(c_nationkey + 2000 AS BIGINT)
+      FROM customer WHERE c_custkey <= 300
+"""
+
+
+def _edges(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    supp = t(spark, sf_dir, "supplier")
+    cust = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    e1 = nation.select((F.col("n_nationkey") + 2000).cast("bigint").alias("src"),
+                       (F.col("n_regionkey") + 1000).cast("bigint").alias("dst"))
+    e2 = supp.select((F.col("s_suppkey") + 3000).cast("bigint").alias("src"),
+                     (F.col("s_nationkey") + 2000).cast("bigint").alias("dst"))
+    e3 = cust.select((F.col("c_custkey") + 4000).cast("bigint").alias("src"),
+                     (F.col("c_nationkey") + 2000).cast("bigint").alias("dst"))
+    return e1.unionAll(e2).unionAll(e3)
+
+
+@register(
+    "graph_connected_components",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL}),
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM undirected
+      UNION
+      SELECT u.dst, r.lbl FROM reach r JOIN undirected u ON u.src = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+    doc="Connected components via min-label propagation (driver-loop "
+        "iterative joins) — Gelly ConnectedComponents / DataSet.iterateDelta "
+        "(DataSet.java:1179). The five region clusters emerge as components. "
+        "Oracle: recursive-CTE transitive closure of the same fixpoint.",
+)
+def graph_connected_components(spark, sf_dir):
+    from ..operators.graph import connected_components
+    return connected_components(_edges(spark, sf_dir))
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    ctes = [f"edges AS ({_EDGE_SQL})",
+            """deg AS (SELECT src AS n, COUNT(*) AS deg FROM edges GROUP BY src)""",
+            """nodes AS (SELECT DISTINCT src AS node FROM edges
+                 UNION SELECT DISTINCT dst FROM edges)""",
+            "r0 AS (SELECT node, 1.0 AS rank FROM nodes)"]
+    for i in (1, 2, 3):
+        ctes.append(f"""
+    r{i} AS (
+      SELECT nodes.node,
+             ROUND(0.15 + 0.85 * COALESCE(s.inflow, 0.0), 9) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(p.rank / deg.deg AS DECIMAL(38,10))) AS DOUBLE)
+                 AS inflow
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN deg ON e.src = deg.n
+        GROUP BY e.dst
+      ) s ON nodes.node = s.node
+    )""")
+        prev = f"r{i}"
+    return ("WITH " + ",\n".join(ctes)
+            + "\n    SELECT node, rank FROM r3")
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    doc="PageRank, 3 fixed iterations, damping 0.85 (simple variant, "
+        "dangling mass dropped) — Gelly PageRank / DataSet.iterate "
+        "(DataSet.java:1131). Decimal-summed contributions rounded per "
+        "iteration make the ranks engine-exact; oracle unrolls the same "
+        "three iterations in SQL.",
+)
+def graph_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+    return pagerank(_edges(spark, sf_dir), iterations=3, damping=0.85)

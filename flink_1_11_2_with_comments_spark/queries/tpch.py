@@ -774,3 +774,94 @@ def tpch_q22(spark, sf_dir):
              F.round(F.sum(F.col("c_acctbal").cast("decimal(30,10)")), 2)
              .cast("double").alias("totacctbal"))
         .orderBy("cntrycode"))
+
+
+@register(
+    "tpch_q2",
+    """
+    WITH part_suppliers AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ), regional AS (
+      SELECT pk, sk, s_acctbal, s_name, n_name
+      FROM part_suppliers
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part
+    JOIN regional ON p_partkey = pk
+    WHERE p_size = 15 AND p_type = 'LARGE'
+      AND s_acctbal = (SELECT MIN(r2.s_acctbal) FROM regional r2
+                       WHERE r2.pk = p_partkey)
+    ORDER BY s_acctbal, p_partkey, s_name
+    """,
+    doc="Minimum-cost supplier (Q2 adapted: partsupp absent → lineitem as "
+        "the part↔supplier bridge, supply cost → s_acctbal, min-cost → "
+        "min-acctbal). Shape preserved: correlated MIN subquery over a "
+        "4-way dimension join, decorrelated by Catalyst to an aggregate "
+        "+ join (SURVEY §4.1 decorrelation).",
+)
+def tpch_q2(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    ps = li.select(F.col("l_partkey").alias("pk"),
+                   F.col("l_suppkey").alias("sk")).distinct()
+    regional = (ps.join(F.broadcast(supp), ps.sk == supp.s_suppkey)
+                .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+                .select("pk", "sk", "s_acctbal", "s_name", "n_name"))
+    min_bal = regional.groupBy(F.col("pk").alias("mpk")) \
+        .agg(F.min("s_acctbal").alias("min_bal"))
+    return (part.join(regional, part.p_partkey == regional.pk)
+            .join(min_bal, (F.col("pk") == F.col("mpk"))
+                  & (F.col("s_acctbal") == F.col("min_bal")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+            .orderBy("s_acctbal", "p_partkey", "s_name"))
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH stock AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_quantity * p_retailprice
+                                AS DECIMAL(30,10))), 2) AS DOUBLE) AS value
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, value
+    FROM stock
+    WHERE value > (SELECT SUM(value) * 0.001 FROM stock)
+    ORDER BY value DESC, ps_partkey
+    """,
+    doc="Important stock (Q11 adapted: partsupp absent → shipped quantity × "
+        "retail price as inventory value). Shape preserved: grouped "
+        "aggregate filtered by a scalar-subquery fraction of the total.",
+)
+def tpch_q11(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    stock = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+             .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+             .groupBy("l_partkey")
+             .agg(dsum(F.col("l_quantity") * F.col("p_retailprice"))
+                  .alias("value")))
+    thresh = stock.agg((F.sum("value") * 0.001).alias("th"))
+    return (stock.join(F.broadcast(thresh))
+            .where(F.col("value") > F.col("th"))
+            .select(F.col("l_partkey").alias("ps_partkey"), "value")
+            .orderBy(F.desc("value"), "ps_partkey"))

@@ -172,3 +172,54 @@ def test_temporal_join_proctime(spark, events):
         .select("probe_id", "build_value")
     assert (sorted(map(tuple, got.select("probe_id", "build_value").collect()))
             == sorted(map(tuple, expected.collect())))
+
+
+def test_streaming_over_agg_rows_bounded(spark, events):
+    """Streaming ROWS BETWEEN 2 PRECEDING running sum == the batch
+    window result for every emitted row (watermark-gated emission;
+    the unemittable tail past the final watermark is the only
+    permitted difference) — RowTimeRowsBoundedPrecedingFunction."""
+    from flink_1_11_2_with_comments_spark.streaming.over_agg import (
+        rows_bounded_preceding_sum)
+
+    stream = replay_as_stream(events, n_batches=6, order_by="ts") \
+        .withWatermark("ts", "1 minute")
+    out = rows_bounded_preceding_sum(
+        stream, ["user_id"], "ts", "event_id", "value", n_rows=3)
+    got = write_stream_to_memory(out, "over_out", output_mode="append")
+
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    expected = events.select(
+        "user_id", "event_id", "ts",
+        F.round(F.sum("value").over(w), 6).alias("running_sum"))
+
+    got_rows = {(r.user_id, r.event_id): r.running_sum for r in got.collect()}
+    exp_rows = {(r.user_id, r.event_id): r.running_sum
+                for r in expected.collect()}
+    assert len(got_rows) > 0
+    # every emitted row must carry the exact batch-window value
+    mismatches = {k: (v, exp_rows.get(k)) for k, v in got_rows.items()
+                  if abs(v - exp_rows.get(k, float("nan"))) > 1e-6}
+    assert not mismatches, list(mismatches.items())[:5]
+    # emission must cover most rows (only the final-watermark tail may lag)
+    assert len(got_rows) >= len(exp_rows) * 0.8
+
+
+def test_broadcast_state_pattern(spark, events):
+    """Broadcast state / control-stream pattern (DataStream.connect +
+    BroadcastState): a small control table joined into every
+    micro-batch — Spark shape: stream-static broadcast join."""
+    control = spark.createDataFrame(
+        [("click", 2.0), ("purchase", 10.0), ("view", 1.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double")
+    stream = replay_as_stream(events, n_batches=3, order_by="ts")
+    scored = (stream.join(F.broadcast(control), "event_type")
+              .select("event_id", "event_type",
+                      (F.col("value") * F.col("weight")).alias("scored")))
+    got = write_stream_to_memory(scored, "bcast_out", output_mode="append")
+    assert got.count() == events.count()
+    z = got.where(F.col("event_type") == "error") \
+        .agg(F.sum("scored")).collect()[0][0]
+    assert z == 0.0
