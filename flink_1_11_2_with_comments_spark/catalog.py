@@ -34,6 +34,17 @@ WATERMARKS: dict[str, tuple[str, str]] = {
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _convert_nano_ts(df: DataFrame, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            # integer div: nanos exceed 2^53, double division loses 1µs
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (BatchExecTableSourceScan.scala:45 analogue).
 
@@ -42,15 +53,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path — the reference needed explicit Supports*PushDown contracts
     (flink-table-common/.../abilities/) for the same thing.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in NANO_TS_COLUMNS.get(name, ()):
-        if isinstance(df.schema[col].dataType, LongType):
-            # integer div: nanos exceed 2^53, double division loses 1µs
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-    return df
+    return _convert_nano_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
 def register_views(spark: SparkSession, sf_dir: str,
@@ -72,3 +75,52 @@ def watermarked(df: DataFrame, table: str) -> DataFrame:
         col, delay = WATERMARKS[table]
         return df.withWatermark(col, delay)
     return df
+
+
+class TableEnvironment:
+    """TableEnvironment facade — SURVEY §3.1/§3.2.
+
+    The reference's entry point (TableEnvironmentImpl.java:663
+    sqlQuery / :683 executeSql) boils down to: a catalog of named
+    tables, registered functions, and a SQL front door. Spark already
+    is that; this class pins the API shape so reference users can
+    port call sites mechanically:
+
+        env = TableEnvironment(spark, sf_dir)
+        env.sql_query("SELECT SPLIT_INDEX(c_name, '#', 1) FROM customer")
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 tables: tuple[str, ...] = TPCH_TABLES):
+        from .functions.scalar import register_sql_functions
+        self.spark = spark
+        self.sf_dir = sf_dir
+        register_views(spark, sf_dir, tables)
+        register_sql_functions(spark)
+
+    def sql_query(self, sql: str) -> DataFrame:
+        """Table tableEnv.sqlQuery(...) — pure query, returns a Table."""
+        return self.spark.sql(sql)
+
+    def execute_sql(self, sql: str) -> DataFrame:
+        """tableEnv.executeSql(...) — DDL/DML passthrough (eagerly
+        executed by Spark for DDL, lazily for queries)."""
+        return self.spark.sql(sql)
+
+    def from_path(self, name: str) -> DataFrame:
+        """tableEnv.from("name") — catalog lookup."""
+        return self.spark.table(name)
+
+    def create_temporary_view(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def scan_stream(self, name: str) -> DataFrame:
+        """Unbounded scan of a catalog table with its DDL watermark
+        (StreamExecTableSourceScan + WATERMARK clause)."""
+        raw_schema = self.spark.read.parquet(
+            f"{self.sf_dir}/{name}.parquet").schema
+        # file-stream sources take a directory; glob-filter to the table
+        df = (self.spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", f"{name}.parquet")
+              .parquet(self.sf_dir))
+        return watermarked(_convert_nano_ts(df, name), name)

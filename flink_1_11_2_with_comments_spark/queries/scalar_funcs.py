@@ -390,3 +390,43 @@ def fn_sql_udf_surface(spark, sf_dir):
                IS_DIGIT(v) AS all_digits
         FROM _sql_udf_vals
     """)
+
+
+@register(
+    "fn_string_extras",
+    """
+    SELECT v,
+           bin(CAST(n AS BIGINT)) AS as_bin,
+           hex(CAST(n AS BIGINT)) AS as_hex,
+           substring(v, 1, 2) || 'XY' || substring(v, 5) AS overlaid,
+           regexp_extract(url, '://([^/:?#]+)', 1) AS url_host,
+           regexp_extract(url, '[?]([^#]*)', 1) AS url_query,
+           array_to_string(
+             list_sort(list_transform(string_split(kv, ','),
+               p -> string_split(p, '=')[1] || ':' || string_split(p, '=')[2])),
+             '|') AS map_entries
+    FROM (VALUES ('abcdef', 5, 'http://h.com:8080/p?q=1#f', 'a=1,b=2'),
+                 ('zzzzzz', 255, 'https://x.org/a/b?k=v&m=n#top', 'x=9,y=8,z=7'))
+      s(v, n, url, kv)
+    """,
+    doc="Remaining string built-ins: BIN HEX OVERLAY PARSE_URL STR_TO_MAP — "
+        "FlinkSqlOperatorTable custom block / SqlFunctionUtils.java. "
+        "STR_TO_MAP compared as sorted entries (map ordering is undefined "
+        "in both engines); PARSE_URL replayed via regex in the oracle.",
+)
+def fn_string_extras(spark, sf_dir):
+    rows = [("abcdef", 5, "http://h.com:8080/p?q=1#f", "a=1,b=2"),
+            ("zzzzzz", 255, "https://x.org/a/b?k=v&m=n#top", "x=9,y=8,z=7")]
+    df = spark.createDataFrame(rows, "v string, n int, url string, kv string")
+    m = F.str_to_map("kv", F.lit(","), F.lit("="))
+    entries = F.transform(
+        F.sort_array(F.map_keys(m)),
+        lambda k: F.concat_ws(":", k, F.element_at(m, k)))
+    return df.select(
+        "v",
+        F.bin(F.col("n").cast("bigint")).alias("as_bin"),
+        F.hex(F.col("n").cast("bigint")).alias("as_hex"),
+        F.expr("overlay(v PLACING 'XY' FROM 3 FOR 2)").alias("overlaid"),
+        F.parse_url("url", F.lit("HOST")).alias("url_host"),
+        F.parse_url("url", F.lit("QUERY")).alias("url_query"),
+        F.array_join(entries, "|").alias("map_entries"))

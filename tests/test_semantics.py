@@ -1,0 +1,157 @@
+"""Event-time semantics — SURVEY §2.9: timers, late-data dropping,
+dynamic session gaps, watermark progression. The harness-test layer
+(WindowOperatorTest.java:113 analogue): element-level control over
+time, asserting the operator's time behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_11_2_with_comments_spark.sources.replay import (
+    replay_as_stream, write_stream_to_memory)
+from flink_1_11_2_with_comments_spark.streaming.state import keyed_process
+
+
+BASE_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), BASE_TS + dt.timedelta(seconds=s), int(k), float(v))
+         for i, (s, k, v) in enumerate(rows)],
+        "event_id bigint, ts timestamp, user_id bigint, value double")
+
+
+def test_late_rows_dropped_beyond_watermark(spark):
+    """Rows later than the watermark are dropped before stateful ops —
+    the allowed-lateness boundary (WindowOperator.java:317: elements
+    past maxTimestamp+allowedLateness go to the side output / are
+    dropped; Spark has no side output, rows just drop)."""
+    # Spark ≥3.4 filters late rows with the PREVIOUS batch's watermark
+    # (watermarkForLateEvents lags eviction by one batch), so the
+    # late row must arrive two batches after the window expired:
+    # batch 1: seconds 0..9 + 30 → eviction watermark 25s
+    # batch 2: second 35 (on time) → late-filter watermark now 25s
+    # batch 3: second 1 (late → DROPPED) + second 45 (on time)
+    b1 = _mk_events(spark, [(s, 1, 1.0) for s in range(10)] + [(30, 1, 1.0)])
+    b2 = _mk_events(spark, [(35, 1, 1.0)])
+    b3 = _mk_events(spark, [(1, 1, 100.0), (45, 1, 1.0)])
+    import tempfile
+    base = tempfile.mkdtemp(prefix="late_")
+
+    import glob
+    import os
+    import shutil
+    import time
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir)
+    now = time.time() - 10
+    for i, part in enumerate([b1, b2, b3], start=1):
+        tmp = os.path.join(base, f"s{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(data_dir, f"batch_{i:04d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(data_dir)
+              .withWatermark("ts", "5 seconds"))
+    # late-row dropping applies to EVENT-TIME-WINDOWED state: a plain
+    # groupBy(key) agg has no event-time notion and late rows still
+    # count (documented delta in SCALE.md) — window the aggregation.
+    agg = (stream.groupBy(F.window("ts", "10 seconds"), "user_id")
+           .agg(F.sum("value").alias("total")))
+    got = write_stream_to_memory(agg, "late_out", output_mode="update")
+    w0 = (got.where(F.col("window.start") == "2024-01-01 00:00:00")
+          .agg(F.max("total")).collect()[0][0])
+    # update mode re-emits revisions; the [0,10) window must never
+    # have absorbed the late 100.0
+    # the [0,10) window saw 10 on-time rows of 1.0; the late 100.0
+    # targeting the already-expired window must be dropped (expiry is
+    # window.end < watermark — rows late within a live window still
+    # count, the allowed-lateness analogue)
+    assert w0 == 10.0, w0
+
+
+def test_event_time_timer_fires(spark):
+    """EventTimeTimeout: a key with no new data is invoked once the
+    watermark passes its registered timer — KeyedProcessFunction.onTimer
+    (KeyedStream.java:354) semantics."""
+    b1 = _mk_events(spark, [(0, 1, 1.0), (1, 1, 2.0)])
+    b2 = _mk_events(spark, [(60, 2, 5.0)])  # advances watermark past key 1
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+    base = tempfile.mkdtemp(prefix="timer_")
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir)
+    now = time.time() - 10
+    for i, part in enumerate([b1, b2], start=1):
+        tmp = os.path.join(base, f"s{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    os.path.join(data_dir, f"b{i:04d}.parquet"))
+        os.utime(os.path.join(data_dir, f"b{i:04d}.parquet"),
+                 (now + i, now + i))
+
+    def fn(key, rows, state):
+        if state.timed_out:
+            return pd.DataFrame([{"user_id": key[0], "kind": "timer",
+                                  "n": state.get("n", 0)}])
+        n = state.get("n", 0) + len(rows)
+        state.put("n", n)
+        # fire once the watermark passes 10s after epoch start
+        state.register_event_timer(
+            int(dt.datetime(2024, 1, 1, 0, 0, 10).timestamp() * 1000))
+        return pd.DataFrame([{"user_id": key[0], "kind": "data", "n": n}])
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(data_dir)
+              .withWatermark("ts", "1 second"))
+    out = keyed_process(stream, ["user_id"], fn,
+                        "user_id bigint, kind string, n bigint",
+                        output_mode="update", timeout="EventTimeTimeout")
+    got = write_stream_to_memory(out, "timer_out", output_mode="update")
+    rows = {(r.user_id, r.kind): r.n for r in got.collect()}
+    assert rows.get((1, "data")) == 2
+    assert (1, "timer") in rows, rows  # fired without new key-1 data
+    assert rows[(1, "timer")] == 2  # state visible in onTimer
+
+
+def test_dynamic_session_gap(spark):
+    """DynamicEventTimeSessionWindows: per-row gap via a Column —
+    'error' events get a 2 s gap, others 20 s."""
+    rows = [(0, 1, 1.0), (5, 1, 1.0), (22, 1, 1.0)]
+    df = _mk_events(spark, rows) \
+        .withColumn("event_type",
+                    F.when(F.col("event_id") == 0, "error").otherwise("view"))
+    gap = F.when(F.col("event_type") == "error", "2 seconds") \
+        .otherwise("20 seconds")
+    sess = (df.groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count("*").alias("n")).collect())
+    # event 0 (gap 2s) closes alone; events at 5s and 22s chain via 20s gap
+    sizes = sorted(r.n for r in sess)
+    assert sizes == [1, 2], sess
+
+
+def test_watermark_gates_append_emission(spark):
+    """Append-mode window emission is watermark-gated: after draining,
+    watermark = max(ts) - delay; only windows entirely below it emit
+    (EventTimeTriggers.afterEndOfWindow analogue). The still-open
+    window holds back."""
+    b1 = _mk_events(spark, [(0, 1, 1.0), (50, 2, 1.0)])
+    stream = replay_as_stream(b1, n_batches=1)
+    agg = (stream.withWatermark("ts", "1 second")
+           .groupBy(F.window("ts", "10 seconds"))
+           .agg(F.count("*").alias("n")))
+    got = write_stream_to_memory(agg, "wm_out", output_mode="append")
+    rows = got.collect()
+    # watermark = 50-1 = 49s: window [0,10) emits, [50,60) stays open
+    assert len(rows) == 1 and rows[0].window.start == BASE_TS
