@@ -99,8 +99,14 @@ class TableEnvironment:
         register_sql_functions(spark)
 
     def sql_query(self, sql: str) -> DataFrame:
-        """Table tableEnv.sqlQuery(...) — pure query, returns a Table."""
-        return self.spark.sql(sql)
+        """Table tableEnv.sqlQuery(...) — pure query, returns a Table.
+
+        Accepts the Flink SQL dialect: TUMBLE/HOP/SESSION group
+        windows and their _START/_END auxiliaries are translated to
+        Spark window expressions first (plans/flink_sql.py).
+        """
+        from .plans.flink_sql import translate_flink_sql
+        return self.spark.sql(translate_flink_sql(sql))
 
     def execute_sql(self, sql: str) -> DataFrame:
         """tableEnv.executeSql(...) — DDL/DML passthrough (eagerly

@@ -1,0 +1,85 @@
+"""Flink-SQL dialect front-end: group-window syntax → Spark SQL.
+
+The reference's SQL surface includes group-window functions in GROUP
+BY (FlinkSqlOperatorTable.java:778-810):
+
+    GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+    SELECT TUMBLE_START(ts, INTERVAL '1' HOUR), ...
+
+Spark expresses the same thing as window(ts, '1 hour') + window.start.
+Per SURVEY §7 (M3 decision), a lightweight SQL-rewrite front-end is
+simpler and more robust than Catalyst extensions — this module is
+that rewrite: a token-level translation of the window constructs,
+leaving everything else to Spark's parser.
+
+Handled: TUMBLE/HOP/SESSION in GROUP BY, their _START/_END
+auxiliaries in SELECT, PROCTIME() → current_timestamp(). Explicitly
+NOT handled (raise): MATCH_RECOGNIZE (use streaming/cep.py),
+FOR SYSTEM_TIME AS OF (use streaming/asof.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+_INTERVAL = r"INTERVAL\s+'([^']+)'\s+(\w+)"
+
+
+def _iv(qty: str, unit: str) -> str:
+    unit = unit.lower()
+    if not unit.endswith("s"):
+        unit += "s"
+    return f"{qty} {unit}"
+
+
+def translate_flink_sql(sql: str) -> str:
+    """Rewrite Flink group-window SQL into Spark SQL."""
+    up = sql.upper()
+    if "MATCH_RECOGNIZE" in up:
+        raise NotImplementedError(
+            "MATCH_RECOGNIZE: use streaming.cep.match_recognize_batch/stream")
+    if "FOR SYSTEM_TIME AS OF" in up:
+        raise NotImplementedError(
+            "temporal table syntax: use streaming.asof.asof_join")
+
+    out = sql
+
+    # auxiliaries first (longer tokens): TUMBLE_START(ts, INTERVAL..) etc.
+    for fn, win_args, field in [
+        ("TUMBLE_START", 2, "start"), ("TUMBLE_END", 2, "end"),
+        ("HOP_START", 3, "start"), ("HOP_END", 3, "end"),
+        ("SESSION_START", 2, "start"), ("SESSION_END", 2, "end"),
+    ]:
+        pattern = re.compile(
+            rf"{fn}\s*\(\s*(\w+)\s*,\s*{_INTERVAL}"
+            + (rf"\s*,\s*{_INTERVAL}" if win_args == 3 else "")
+            + r"\s*\)", re.IGNORECASE)
+
+        def repl(m, field=field, win_args=win_args, fn=fn):
+            if fn.startswith("SESSION"):
+                return f"session_window.{field}"
+            return f"window.{field}"
+
+        out = pattern.sub(repl, out)
+
+    # TUMBLE(ts, INTERVAL 'n' UNIT) → window(ts, 'n units')
+    out = re.sub(
+        rf"TUMBLE\s*\(\s*(\w+)\s*,\s*{_INTERVAL}\s*\)",
+        lambda m: f"window({m.group(1)}, '{_iv(m.group(2), m.group(3))}')",
+        out, flags=re.IGNORECASE)
+    # HOP(ts, INTERVAL slide, INTERVAL size) → window(ts, size, slide)
+    out = re.sub(
+        rf"HOP\s*\(\s*(\w+)\s*,\s*{_INTERVAL}\s*,\s*{_INTERVAL}\s*\)",
+        lambda m: (f"window({m.group(1)}, '{_iv(m.group(4), m.group(5))}',"
+                   f" '{_iv(m.group(2), m.group(3))}')"),
+        out, flags=re.IGNORECASE)
+    # SESSION(ts, INTERVAL gap) → session_window(ts, 'gap')
+    out = re.sub(
+        rf"SESSION\s*\(\s*(\w+)\s*,\s*{_INTERVAL}\s*\)",
+        lambda m: (f"session_window({m.group(1)},"
+                   f" '{_iv(m.group(2), m.group(3))}')"),
+        out, flags=re.IGNORECASE)
+    # PROCTIME() → current_timestamp() (micro-batch approximation)
+    out = re.sub(r"PROCTIME\s*\(\s*\)", "current_timestamp()", out,
+                 flags=re.IGNORECASE)
+    return out

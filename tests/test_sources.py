@@ -118,3 +118,86 @@ def test_table_environment_facade(spark):
 def test_available_formats(spark):
     fmts = available_formats(spark)
     assert {"parquet", "csv", "json", "orc"}.issubset(set(fmts))
+
+
+def test_datagen_rate_source(spark):
+    """DataGen connector → rate source: schema (timestamp, value) and
+    monotonically increasing values."""
+    from flink_1_11_2_with_comments_spark.sources.connectors import (
+        blackhole_sink, datagen_source)
+    src = datagen_source(spark, rows_per_second=500)
+    assert [f.name for f in src.schema.fields] == ["timestamp", "value"]
+    q = blackhole_sink(src).start()
+    try:
+        import time
+        time.sleep(2.5)
+        assert q.isActive
+        progressed = any(p["numInputRows"] > 0 for p in q.recentProgress)
+    finally:
+        q.stop()
+    assert progressed or q.lastProgress is not None
+
+
+def test_kafka_gated_error(spark):
+    """Kafka connector raises a clear configuration error when the
+    package is absent (import-try gating, not a JVM stack bomb)."""
+    from flink_1_11_2_with_comments_spark.sources.connectors import (
+        kafka_source)
+    import pytest as _pytest
+    with _pytest.raises(Exception) as ei:
+        kafka_source(spark, "localhost:9092", "t").writeStream \
+            .format("noop").start()
+    msg = str(ei.value)
+    assert "kafka" in msg.lower()
+
+
+def test_flink_sql_dialect(spark):
+    """Flink TUMBLE/HOP/SESSION SQL runs through the translation
+    front-end (plans/flink_sql.py) — SQL-string parity for the
+    reference's group-window queries."""
+    from flink_1_11_2_with_comments_spark.catalog import TableEnvironment
+    env = TableEnvironment(spark, SF)
+    df = env.sql_query("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS w_end,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+    """)
+    rows = df.collect()
+    assert len(rows) > 100
+    assert all((r.w_end - r.w_start).total_seconds() == 3600 for r in rows)
+
+    hop = env.sql_query("""
+        SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS ws,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+    """)
+    # hop windows ≈ 2× the event count spread over windows
+    assert hop.agg(F.sum("n")).collect()[0][0] == \
+        env.from_path("events").count() * 2
+
+    sess = env.sql_query("""
+        SELECT user_id, SESSION_START(ts, INTERVAL '10' MINUTE) AS ss,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY SESSION(ts, INTERVAL '10' MINUTE), user_id
+    """)
+    assert sess.count() > 0
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        env.sql_query("SELECT * FROM t MATCH_RECOGNIZE (PATTERN (A B))")
+
+
+def test_stream_sort_complete_mode(spark, orders):
+    """In-memory stream sort (StreamSortOperator.java:52): full-history
+    sort in complete mode over an aggregation."""
+    stream = replay_as_stream(orders, n_batches=2, order_by="o_orderdate")
+    agg = (stream.groupBy("o_orderstatus")
+           .agg(F.count("*").alias("n"))
+           .orderBy(F.desc("n")))
+    got = write_stream_to_memory(agg, "sort_out", output_mode="complete")
+    rows = got.collect()
+    assert [r.n for r in rows] == sorted((r.n for r in rows), reverse=True)
