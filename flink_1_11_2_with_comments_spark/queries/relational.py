@@ -677,3 +677,98 @@ def setop_except_all(spark, sf_dir):
     a = li.where(F.col("l_quantity") > 49).select(F.col("l_suppkey").alias("k"))
     b = li.where(F.col("l_discount") > 0.09).select(F.col("l_suppkey").alias("k"))
     return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# NULL semantics (reference ITCases use nullData3/4/5 fixtures —
+# TestData.scala:110-138 — to pin NULL behavior; VALUES-based here)
+# ---------------------------------------------------------------------------
+
+_NULLS = ("(VALUES (1, 10), (2, NULL), (NULL, 30), (NULL, NULL), (5, 50))"
+          " t(k, v)")
+
+
+@register(
+    "null_join_semantics",
+    f"""
+    WITH t AS (SELECT * FROM {_NULLS}),
+         u AS (SELECT * FROM (VALUES (1, 'a'), (NULL, 'n'), (5, 'e')) u(k2, tag))
+    SELECT t.k, t.v, u.tag
+    FROM t JOIN u ON t.k = u.k2
+    """,
+    doc="NULL join keys never match (SQL equality is null-rejecting) — "
+        "pinned against the oracle; rows with NULL k on either side drop.",
+)
+def null_join_semantics(spark, sf_dir):
+    from pyspark.sql import functions as F
+    t_ = spark.createDataFrame(
+        [(1, 10), (2, None), (None, 30), (None, None), (5, 50)],
+        "k int, v int")
+    u = spark.createDataFrame([(1, "a"), (None, "n"), (5, "e")],
+                              "k2 int, tag string")
+    return t_.join(u, t_.k == u.k2).select("k", "v", "tag")
+
+
+@register(
+    "null_not_in",
+    f"""
+    WITH t AS (SELECT * FROM {_NULLS})
+    SELECT k, v FROM t
+    WHERE k NOT IN (SELECT k2 FROM (VALUES (2), (NULL)) s(k2))
+    """,
+    doc="NOT IN with a NULL in the subquery: three-valued logic makes "
+        "every row UNKNOWN → empty result. The classic SQL trap; Spark's "
+        "null-aware anti join (NOT IN) must reproduce it exactly "
+        "(vs left_anti, which would keep rows).",
+)
+def null_not_in(spark, sf_dir):
+    t_ = spark.createDataFrame(
+        [(1, 10), (2, None), (None, 30), (None, None), (5, 50)],
+        "k int, v int")
+    t_.createOrReplaceTempView("_null_t")
+    return spark.sql("""
+        SELECT k, v FROM _null_t
+        WHERE k NOT IN (SELECT k2 FROM VALUES (2), (NULL) s(k2))
+    """)
+
+
+@register(
+    "null_aggregates",
+    f"""
+    WITH t AS (SELECT * FROM {_NULLS})
+    SELECT COUNT(*) AS n_rows, COUNT(v) AS n_vals, COUNT(k) AS n_keys,
+           SUM(v) AS sum_v, MIN(v) AS min_v,
+           COUNT(DISTINCT k) AS d_keys
+    FROM t
+    """,
+    doc="Aggregates ignore NULLs (COUNT(col) vs COUNT(*), SUM skips, "
+        "DISTINCT counts non-null) — aggfunctions null paths.",
+)
+def null_aggregates(spark, sf_dir):
+    from pyspark.sql import functions as F
+    t_ = spark.createDataFrame(
+        [(1, 10), (2, None), (None, 30), (None, None), (5, 50)],
+        "k int, v int")
+    return t_.agg(
+        F.count("*").alias("n_rows"), F.count("v").alias("n_vals"),
+        F.count("k").alias("n_keys"),
+        F.sum("v").alias("sum_v"), F.min("v").alias("min_v"),
+        F.countDistinct("k").alias("d_keys"))
+
+
+@register(
+    "null_distinct_groupby",
+    f"""
+    WITH t AS (SELECT * FROM {_NULLS})
+    SELECT k, COUNT(*) AS n, SUM(v) AS sv FROM t GROUP BY k
+    """,
+    doc="GROUP BY treats NULL as one group (unlike join equality) — "
+        "the NULL row groups together; DISTINCT keeps a single NULL.",
+)
+def null_distinct_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+    t_ = spark.createDataFrame(
+        [(1, 10), (2, None), (None, 30), (None, None), (5, 50)],
+        "k int, v int")
+    return t_.groupBy("k").agg(F.count("*").alias("n"),
+                               F.sum("v").alias("sv"))
