@@ -17,6 +17,9 @@ All hashing is md5-derived → replayable in the DuckDB oracle.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +94,41 @@ def lsh_bands(signatures: DataFrame, id_col: str,
                 .alias("band_key")))
 
 
+def minhash_lsh_bands(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 8, rows_per_band: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """Wide-format MinHash banding: (id, band, band_key) in ONE shuffle.
+
+    Equivalent to minhash_signature → lsh_bands (same md5-derived
+    hash family, same band keys) but computes all H min-hashes as H
+    aggregate columns of a single groupBy(id): the shuffle carries one
+    H-column row per (id, shingle) with map-side combine, instead of
+    H× exploded rows plus a second collect_list shuffle. This is the
+    production path for 100 TB corpora; the long-format functions
+    remain as the inspectable per-hash API.
+    """
+    sh = df.select(F.col(id_col),
+                   F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    hv = [md5_int_expr(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+          .alias(f"hv{h}") for h in range(num_hashes)]
+    mins = (sh.select(id_col, *hv)
+            .groupBy(id_col)
+            .agg(*[F.min(f"hv{h}").alias(f"m{h}")
+                   for h in range(num_hashes)]))
+    n_bands = num_hashes // rows_per_band
+    def band_key(b: int):
+        items = [F.concat_ws(":", F.lit(str(h)),
+                             F.col(f"m{h}").cast("string"))
+                 for h in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        # same sorted-item concatenation as lsh_bands' collect_list path
+        return F.md5(F.array_join(F.sort_array(F.array(*items)), ","))
+    bands = F.array(*[F.struct(F.lit(b).cast("int").alias("band"),
+                               band_key(b).alias("band_key"))
+                      for b in range(n_bands)])
+    return (mins.select(id_col, F.explode(bands).alias("bk"))
+            .select(id_col, "bk.band", "bk.band_key"))
+
+
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     """Self-join bands on (band, band_key) → distinct candidate pairs a<b."""
     a = bands.select(F.col(id_col).alias("a_id"), "band", "band_key")
@@ -131,24 +169,23 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per doc: token-hash bit votes, sign → bit.
 
-    Pure relational: tokens explode once, bits via a 32-row sequence
-    explode, one groupBy — scales the same way MinHash does.
+    Pure relational and ONE shuffle: each distinct token contributes a
+    32-column vote vector, summed per doc in a single groupBy with
+    map-side combine; the signature is then a row-local expression.
+    (The naive formulation explodes 32× and shuffles twice — at 100 TB
+    the vote rows dominate; here the shuffle carries one 32-int row
+    per (doc, token).)
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"))
     hashed = toks.withColumn("hv", md5_int_expr(F.col("tok")) % F.lit(2**32))
-    bits = hashed.select(
-        id_col, "hv",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
-    votes = bits.withColumn(
-        "vote",
-        F.when(F.expr("(hv >> bit) & 1") == 1, 1).otherwise(-1))
-    return (votes.groupBy(id_col, "bit")
-            .agg(F.sum("vote").alias("v"))
-            .withColumn("bitval",
-                        F.when(F.col("v") > 0,
-                               F.expr("CAST(1 AS BIGINT) << bit"))
-                        .otherwise(F.lit(0).cast("bigint")))
-            .groupBy(id_col)
-            .agg(F.sum("bitval").alias("simhash")))
+    votes = [F.when(F.expr(f"(hv >> {b}) & 1") == 1, 1).otherwise(-1)
+             .alias(f"vote{b}") for b in range(32)]
+    tallied = (hashed.select(id_col, *votes)
+               .groupBy(id_col)
+               .agg(*[F.sum(f"vote{b}").alias(f"v{b}") for b in range(32)]))
+    bitvals = [F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint"))
+               .otherwise(F.lit(0).cast("bigint")) for b in range(32)]
+    simhash = functools.reduce(operator.add, bitvals)
+    return tallied.select(id_col, simhash.alias("simhash"))

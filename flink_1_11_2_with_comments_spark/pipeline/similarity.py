@@ -1,63 +1,100 @@
 """Similarity search over embedding columns (array<float>).
 
 Scale design:
-- Brute-force cosine top-k: the baseline — per-row dot products
-  stay JVM-side (position-explode + decimal-sum for oracle-exact
-  determinism, or zip_with/aggregate for peak throughput); a query
-  against N vectors is one scan, no shuffle except the final top-k.
+- Brute-force cosine top-k: the baseline — per-row dot products are
+  pure JVM expressions (`zip_with` product + `aggregate` decimal sum:
+  no explode, NO shuffle until the final top-k). Decimal accumulation
+  keeps results order-independent and bit-identical to the DuckDB
+  oracle (decimal addition is exact, hence associative).
 - LSH hyperplane bucketing: the scale path — deterministic
-  md5-derived hyperplanes, 16-bit bucket key; candidates collide in
-  buckets, turning all-pairs search into a bucket-local join.
-  A production IVF variant replaces the hyperplanes with k-means
-  centroids; the plumbing (bucket → local search) is identical.
+  md5-derived hyperplanes, 16-bit bucket key computed per row with
+  zero shuffles; candidates collide in buckets, turning all-pairs
+  search into a bucket-local join. The IVF variant (ivf_assign /
+  ivf_topk) replaces hyperplanes with sampled centroids; the plumbing
+  (bucket → local search) is identical.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import md5_int_expr
 
-DEC = "decimal(38,10)"
+DEC = "decimal(18,10)"
+
+
+def _dec_sum(arr: Column) -> Column:
+    """Exact sequential decimal sum of an array<decimal> — associative,
+    so equal to any engine's SUM over the same values.
+
+    Precision 18 (not 38) on purpose, for two reasons: (1) Spark types
+    decimal(p,s) + decimal(p,s) as decimal(p+1,s) capped at 38 — at
+    p=38 the cap forces scale loss (each partial sum rounds to scale
+    9), while at p=18 the sum keeps scale 10 exactly, matching any
+    engine's exact decimal SUM of the same values; (2) precision ≤ 18
+    stays in Spark's Long-backed compact Decimal representation —
+    ~10× faster than the BigDecimal path. 8 integer digits bounds
+    |dot| < 1e8: plenty for unit-magnitude embedding coordinates.
+    """
+    return F.aggregate(arr, F.lit(0).cast(DEC),
+                       lambda acc, v: (acc + v).cast(DEC))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """vec·vec as exact decimal: products in double (IEEE-exact), each
+    cast to decimal(38,10), summed exactly. Whole-row JVM expression —
+    no explode, no shuffle."""
+    prods = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
+    return _dec_sum(prods)
 
 
 def _dots(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    """dot, |a|², |b|² via position explode + exact decimal sums.
-
-    Decimal accumulation keeps the result order-independent and
-    bit-identical across engines (see queries/_util.py) — floats are
-    cast to double exactly, products are IEEE-deterministic.
-    """
-    z = pairs.select(
-        "*",
-        F.posexplode(F.arrays_zip(F.col(a_col).alias("x"),
-                                  F.col(b_col).alias("y")))
-        .alias("pos", "p"))
-    px = F.col("p.x").cast("double")
-    py = F.col("p.y").cast("double")
+    """cosine(a, b) per row. Pure projection (scan-side, codegen'd);
+    the previous position-explode + groupBy formulation shuffled
+    dims× the input — this one shuffles nothing."""
     keys = [c for c in pairs.columns if c not in (a_col, b_col)]
-    return (z.groupBy(*keys)
-            .agg(F.sum((px * py).cast(DEC)).alias("dot_d"),
-                 F.sum((px * px).cast(DEC)).alias("na_d"),
-                 F.sum((py * py).cast(DEC)).alias("nb_d"))
-            .withColumn("cosine",
-                        F.round(F.col("dot_d").cast("double")
-                                / (F.sqrt(F.col("na_d").cast("double"))
-                                   * F.sqrt(F.col("nb_d").cast("double"))), 9))
-            .drop("dot_d", "na_d", "nb_d"))
+    a, b = F.col(a_col), F.col(b_col)
+    return pairs.select(
+        *keys,
+        F.round(dot_product(a, b).cast("double")
+                / (F.sqrt(dot_product(a, a).cast("double"))
+                   * F.sqrt(dot_product(b, b).cast("double"))),
+                9).alias("cosine"))
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str,
+               prefix: str) -> DataFrame:
+    """(id, vec, |vec|) with the norm computed ONCE per vector — linear
+    work hoisted out of the O(n²) pairing (where Catalyst would
+    otherwise re-evaluate it per candidate pair, inside the join
+    condition AND the output projection)."""
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"v{prefix}"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)).cast("double"))
+        .alias(f"n{prefix}"))
 
 
 def cosine_topk(embeddings: DataFrame, id_col: str, vec_col: str,
                 query_id: int, k: int = 10) -> DataFrame:
-    """Brute-force cosine top-k against one stored vector."""
-    q = (embeddings.where(F.col(id_col) == query_id)
-         .select(F.col(vec_col).alias("qvec")))
-    cand = (embeddings.where(F.col(id_col) != query_id)
+    """Brute-force cosine top-k against one stored vector: one scan +
+    TakeOrderedAndProject (per-partition heap, driver merges k·P)."""
+    q = _with_norm(embeddings.where(F.col(id_col) == query_id),
+                   id_col, vec_col, "b").select("vb", "nb")
+    cand = (_with_norm(embeddings.where(F.col(id_col) != query_id),
+                       id_col, vec_col, "a")
             .crossJoin(F.broadcast(q)))
-    scored = _dots(cand.select(id_col, vec_col, "qvec"), vec_col, "qvec")
-    return (scored.orderBy(F.desc("cosine"), id_col).limit(k)
-            .select(id_col, "cosine"))
+    scored = cand.select(
+        F.col("a_id").alias(id_col),
+        F.round(dot_product(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb")), 9).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
 def cosine_pairs(embeddings: DataFrame, id_col: str, vec_col: str,
@@ -67,13 +104,18 @@ def cosine_pairs(embeddings: DataFrame, id_col: str, vec_col: str,
 
     All-pairs form for small/bucketed inputs; at scale feed this the
     bucket-local pairs from lsh_buckets instead of a full cross join.
+    Per-pair work is exactly one dot product (norms precomputed per
+    side), so the n² stage does the minimum possible arithmetic.
     """
     e = embeddings if max_id is None else embeddings.where(
         F.col(id_col) <= max_id)
-    a = e.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-    b = e.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    a = _with_norm(e, id_col, vec_col, "a")
+    b = _with_norm(e, id_col, vec_col, "b")
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    scored = _dots(pairs, "va", "vb")
+    scored = pairs.select(
+        "a_id", "b_id",
+        F.round(dot_product(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb")), 9).alias("cosine"))
     return scored.where(F.col("cosine") >= threshold) \
         .select("a_id", "b_id", "cosine")
 
@@ -84,21 +126,19 @@ def lsh_buckets(embeddings: DataFrame, id_col: str, vec_col: str,
 
     Plane j, dim i has weight (md5_int(j|i) % 2001 - 1000)/1000 —
     deterministic pseudo-random in [-1, 1], replayable in SQL. Bucket
-    bit j = sign(vec · plane_j); key = 16-bit int.
+    bit j = sign(vec · plane_j); key = 16-bit int. Computed entirely
+    row-local (`transform` with index + decimal `aggregate`): the
+    bucket assignment of a 100 TB embedding table is a map-only scan —
+    the earlier explode formulation shuffled dims × planes × rows.
     """
-    z = embeddings.select(
-        id_col, F.posexplode(vec_col).alias("i", "x"))
-    planes = z.select(
-        id_col, "i", "x",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"))
-    w = ((md5_int_expr(F.concat_ws("|", F.col("j"), F.col("i")))
-          % 2001) - 1000) / 1000.0
-    contrib = planes.withColumn(
-        "c", (F.col("x").cast("double") * w).cast(DEC))
-    return (contrib.groupBy(id_col, "j")
-            .agg(F.sum("c").alias("s"))
-            .withColumn("bit", F.when(F.col("s") > 0,
-                                      F.expr("CAST(1 AS BIGINT) << j"))
-                        .otherwise(F.lit(0).cast("bigint")))
-            .groupBy(id_col)
-            .agg(F.sum("bit").cast("bigint").alias("bucket")))
+    def plane_dot(j: int) -> Column:
+        def weighted(x: Column, i: Column) -> Column:
+            w = ((md5_int_expr(F.concat_ws("|", F.lit(str(j)), i))
+                  % 2001) - 1000) / 1000.0
+            return (x.cast("double") * w).cast(DEC)
+        return _dec_sum(F.transform(F.col(vec_col), weighted))
+
+    bits = [F.when(plane_dot(j) > 0, F.lit(1 << j).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")) for j in range(n_planes)]
+    bucket = functools.reduce(operator.add, bits)
+    return embeddings.select(id_col, bucket.alias("bucket"))

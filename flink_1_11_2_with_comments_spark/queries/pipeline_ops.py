@@ -229,15 +229,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """,
     doc="MinHash+LSH dedup: 8 md5-derived min-hashes, 2 bands × 4 rows, "
         "band-key self-join for candidates, exact Jaccard ≥0.9 verification "
-        "(pipeline/dedup.py minhash_signature/lsh_bands/lsh_candidate_pairs). "
+        "(pipeline/dedup.py minhash_lsh_bands/lsh_candidate_pairs). "
         "The oracle replays the entire pipeline in SQL.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    from ..pipeline.dedup import (jaccard_pairs, lsh_bands,
-                                  lsh_candidate_pairs, minhash_signature)
+    from ..pipeline.dedup import (jaccard_pairs, lsh_candidate_pairs,
+                                  minhash_lsh_bands)
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
-    sigs = minhash_signature(d, "doc_id", "text", num_hashes=8, shingle_n=1)
-    bands = lsh_bands(sigs, "doc_id", rows_per_band=4)
+    bands = minhash_lsh_bands(d, "doc_id", "text",
+                              num_hashes=8, rows_per_band=4, shingle_n=1)
     cand = lsh_candidate_pairs(bands, "doc_id")
     j = jaccard_pairs(d, cand, "doc_id", "text", shingle_n=1)
     return (j.withColumn("jaccard", F.round("jaccard", 9))
