@@ -1,0 +1,94 @@
+"""IVF (inverted-file) approximate nearest neighbour search.
+
+The scale path for ANN beyond hyperplane LSH (similarity.lsh_buckets):
+partition the vector space into cells around centroids, assign every
+vector to its nearest centroid (the inverted file), then answer a
+query by probing only the n_probe nearest cells — search cost drops
+from O(N) to O(N · n_probe / n_cells) per query.
+
+Centroids here are the deterministic seed set (vec_id < n_cells) so
+every stage is exactly replayable in the DuckDB oracle; a production
+deployment would run a few Lloyd iterations (each = one broadcast
+join + groupBy-avg over the corpus) to refine them — the plumbing
+below (assign → probe → cell-local scoring) is identical either way.
+
+All distances go through the exact-decimal dot products of
+pipeline/similarity.py, so assignment and ranking are bit-stable
+across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import dot_product
+
+
+def _with_sq_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.col(vec_col)
+    return df.select(id_col, vec_col,
+                     dot_product(v, v).cast("double").alias("n2"))
+
+
+def ivf_centroids(embeddings: DataFrame, id_col: str, vec_col: str,
+                  n_cells: int) -> DataFrame:
+    """Deterministic seed centroids: (cell, cvec, cn2)."""
+    return (_with_sq_norm(embeddings.where(F.col(id_col) < n_cells),
+                          id_col, vec_col)
+            .select(F.col(id_col).alias("cell"),
+                    F.col(vec_col).alias("cvec"),
+                    F.col("n2").alias("cn2")))
+
+
+def ivf_assign(embeddings: DataFrame, id_col: str, vec_col: str,
+               n_cells: int = 16) -> DataFrame:
+    """Assign each vector to its nearest centroid by squared L2
+    distance (ties → lowest cell id): the inverted file.
+
+    One broadcast of n_cells centroids + a map-side argmin per row —
+    zero shuffles over the corpus except the tiny row_number window
+    (at 100 TB, replace with min_by(cell, struct(dist2, cell)) in the
+    same broadcast-join projection to keep it fully shuffle-free).
+    """
+    e = _with_sq_norm(embeddings, id_col, vec_col)
+    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    scored = (e.crossJoin(F.broadcast(cents))
+              .select(id_col,
+                      "cell",
+                      (F.col("n2") + F.col("cn2")
+                       - 2 * dot_product(F.col(vec_col), F.col("cvec"))
+                       .cast("double")).alias("dist2")))
+    w = Window.partitionBy(id_col).orderBy("dist2", "cell")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(id_col, "cell"))
+
+
+def ivf_topk(embeddings: DataFrame, id_col: str, vec_col: str,
+             query_id: int, n_cells: int = 16, n_probe: int = 4,
+             k: int = 10) -> DataFrame:
+    """IVF query: probe the n_probe cells nearest the query vector,
+    cosine-rank only vectors assigned to those cells."""
+    e = _with_sq_norm(embeddings, id_col, vec_col)
+    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    q = (e.where(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("qvec"), F.col("n2").alias("qn2")))
+    probe = (cents.crossJoin(F.broadcast(q))
+             .select("cell",
+                     (F.col("cn2") + F.col("qn2")
+                      - 2 * dot_product(F.col("cvec"), F.col("qvec"))
+                      .cast("double")).alias("dist2"))
+             .orderBy("dist2", "cell").limit(n_probe)
+             .select("cell"))
+    assign = ivf_assign(embeddings, id_col, vec_col, n_cells)
+    cand = (assign.join(F.broadcast(probe), "cell")
+            .where(F.col(id_col) != query_id)
+            .join(e, id_col)
+            .crossJoin(F.broadcast(q)))
+    scored = cand.select(
+        id_col,
+        F.round(dot_product(F.col(vec_col), F.col("qvec")).cast("double")
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))), 9)
+        .alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)

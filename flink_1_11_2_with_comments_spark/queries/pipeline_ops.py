@@ -474,3 +474,80 @@ def multimodal_metadata(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return synthesize_media(d).select("doc_id", "media_type", "width",
                                       "height", "n_bytes")
+
+
+_IVF_CTE = _COSINE_CTE.format(filter="") + """
+    , n2 AS (
+      SELECT vec_id, SUM(CAST(x * x AS DECIMAL(18,10))) AS n2
+      FROM z GROUP BY vec_id
+    ), cdot AS (
+      SELECT a.vec_id, b.vec_id AS cell,
+             SUM(CAST(a.x * b.x AS DECIMAL(18,10))) AS dot
+      FROM z a JOIN z b ON a.pos = b.pos AND b.vec_id < 16
+      GROUP BY 1, 2
+    ), dist AS (
+      SELECT c.vec_id, c.cell,
+             CAST(x.n2 AS DOUBLE) + CAST(y.n2 AS DOUBLE)
+               - 2 * CAST(c.dot AS DOUBLE) AS dist2
+      FROM cdot c JOIN n2 x ON c.vec_id = x.vec_id
+                  JOIN n2 y ON c.cell = y.vec_id
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell) AS rn
+        FROM dist) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_ivf_assign",
+    _IVF_CTE + """
+    SELECT vec_id, cell FROM assigned
+    """,
+    doc="IVF inverted-file build: assign every vector to its nearest of 16 "
+        "deterministic seed centroids by exact squared-L2 (pipeline/ivf.py "
+        "ivf_assign) — broadcast centroids + map-side argmin, the ANN "
+        "index-build stage.",
+)
+def ann_ivf_assign(spark, sf_dir):
+    from ..pipeline.ivf import ivf_assign
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_assign(e, "vec_id", "embedding", n_cells=16)
+
+
+@register(
+    "ann_ivf_topk",
+    _IVF_CTE + """
+    , probe AS (
+      SELECT cell FROM dist WHERE vec_id = 0
+      ORDER BY dist2, cell LIMIT 4
+    ), qdot AS (
+      SELECT a.vec_id, SUM(CAST(a.x * q.x AS DECIMAL(18,10))) AS dot
+      FROM z a JOIN z q ON a.pos = q.pos AND q.vec_id = 0
+      GROUP BY 1
+    )
+    SELECT a.vec_id,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))),
+                 9) AS cosine
+    FROM assigned a
+    JOIN probe p ON a.cell = p.cell
+    JOIN qdot d ON a.vec_id = d.vec_id
+    JOIN n2 x ON a.vec_id = x.vec_id
+    JOIN n2 y ON y.vec_id = 0
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+    doc="IVF ANN query: probe the 4 cells nearest the query vector, "
+        "cosine-rank only vectors assigned to those cells (pipeline/ivf.py "
+        "ivf_topk) — search cost O(N·n_probe/n_cells) vs brute force O(N); "
+        "recall vs ann_bruteforce_topk pinned in tests/test_pipeline.py.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    from ..pipeline.ivf import ivf_topk
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, "vec_id", "embedding", query_id=0,
+                    n_cells=16, n_probe=4, k=10)

@@ -269,3 +269,146 @@ def count_window_batch(spark, sf_dir):
             .agg(F.count("*").alias("n"), dsum("value").alias("total"),
                  F.min("value").alias("vmin"), F.max("value").alias("vmax"))
             .where(F.col("n") == 5))
+
+
+_EVICT_W = """
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+               AS window_start
+      FROM events
+    )
+"""
+
+
+@register(
+    "evictor_count_window",
+    _EVICT_W + f"""
+    , r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, window_start
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM w
+    )
+    SELECT user_id, window_start, COUNT(*) AS n_kept,
+           {sql_dsum('value')} AS total
+    FROM r WHERE rn <= 3 GROUP BY 1, 2
+    """,
+    doc="CountEvictor(3) on TUMBLE(ts, 1h): keep only the last 3 elements "
+        "(event-time order) per window before aggregating — "
+        "windowing/evictors/CountEvictor.java; evict-before-apply "
+        "WindowOperator.java:317 (streaming/evictors.py count_evictor_agg; "
+        "streaming execution: tests/test_stateful.py).",
+)
+def evictor_count_window(spark, sf_dir):
+    from ..streaming.evictors import count_evictor_agg
+    e = t(spark, sf_dir, "events")
+    return count_evictor_agg(e, ["user_id"], "ts", "value", "1 hour", 3)
+
+
+@register(
+    "evictor_time_window",
+    _EVICT_W + f"""
+    , m AS (
+      SELECT *, MAX(ts) OVER (PARTITION BY user_id, window_start) AS mx
+      FROM w
+    )
+    SELECT user_id, window_start, COUNT(*) AS n_kept,
+           {sql_dsum('value')} AS total
+    FROM m WHERE ts > mx - INTERVAL 20 MINUTE GROUP BY 1, 2
+    """,
+    doc="TimeEvictor(20 min) on TUMBLE(ts, 1h): evict elements older than "
+        "max-element-ts − 20min at fire time — "
+        "windowing/evictors/TimeEvictor.java (streaming/evictors.py "
+        "time_evictor_agg).",
+)
+def evictor_time_window(spark, sf_dir):
+    from ..streaming.evictors import time_evictor_agg
+    e = t(spark, sf_dir, "events")
+    return time_evictor_agg(e, ["user_id"], "ts", "value", "1 hour",
+                            "20 minutes")
+
+
+@register(
+    "evictor_delta_window",
+    _EVICT_W + f"""
+    , l AS (
+      SELECT *, LAST_VALUE(value) OVER (
+                  PARTITION BY user_id, window_start
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS lastv
+      FROM w
+    )
+    SELECT user_id, window_start, COUNT(*) AS n_kept,
+           {sql_dsum('value')} AS total
+    FROM l WHERE abs(value - lastv) < 8.0 GROUP BY 1, 2
+    """,
+    doc="DeltaEvictor(8.0, |v - v_last|) on TUMBLE(ts, 1h): evict elements "
+        "whose delta against the window's last element exceeds the "
+        "threshold — windowing/evictors/DeltaEvictor.java "
+        "(streaming/evictors.py delta_evictor_agg).",
+)
+def evictor_delta_window(spark, sf_dir):
+    from ..streaming.evictors import delta_evictor_agg
+    e = t(spark, sf_dir, "events")
+    return delta_evictor_agg(e, ["user_id"], "ts", "value", "1 hour", 8.0)
+
+
+@register(
+    "cep_quantified",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), clicks AS (
+      SELECT user_id, event_id, ts, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS grp
+      FROM s WHERE event_type = 'click'
+    ), runs AS (
+      SELECT user_id, grp, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+             COUNT(*) AS n_clicks,
+             MIN(event_id) AS b_first_id, MAX(event_id) AS b_last_id
+      FROM clicks GROUP BY 1, 2
+    )
+    SELECT r.user_id,
+           v.event_id AS view_id, r.b_first_id AS click_first_id,
+           r.b_last_id AS click_last_id, r.n_clicks,
+           p.event_id AS purchase_id,
+           v.ts AS start_ts, p.ts AS end_ts
+    FROM runs r
+    JOIN s v ON v.user_id = r.user_id AND v.rn = r.first_rn - 1
+            AND v.event_type = 'view'
+    JOIN s p ON p.user_id = r.user_id AND p.rn = r.last_rn + 1
+            AND p.event_type = 'purchase'
+    """,
+    doc="Quantified CEP: view NEXT click+ (greedy, consecutive) NEXT "
+        "purchase, SKIP_PAST_LAST_EVENT — Pattern.java:352 oneOrMore + "
+        ":156 next + AfterMatchSkipStrategy. NFA with quantifier support "
+        "(streaming/cep.py QStep/match_pattern_batch); oracle: "
+        "gaps-and-islands run detection (maximal click runs bracketed by "
+        "an adjacent view and purchase). event_id in oracle uses MIN/MAX "
+        "per run = first/last because event ids are time-ordered.",
+)
+def cep_quantified(spark, sf_dir):
+    from ..streaming.cep import QStep, match_pattern_batch
+    e = t(spark, sf_dir, "events")
+    steps = [
+        QStep("a", lambda ev: ev["event_type"] == "view"),
+        QStep("b", lambda ev: ev["event_type"] == "click",
+              min_times=1, max_times=None, contiguity="strict",
+              greedy=True),
+        QStep("c", lambda ev: ev["event_type"] == "purchase",
+              contiguity="strict"),
+    ]
+    out = match_pattern_batch(e, ["user_id"], "ts", steps,
+                              after_match="skip_past_last")
+    return out.select(
+        "user_id", F.col("a_first_id").alias("view_id"),
+        F.col("b_first_id").alias("click_first_id"),
+        F.col("b_last_id").alias("click_last_id"),
+        F.col("b_n").alias("n_clicks"),
+        F.col("c_first_id").alias("purchase_id"),
+        "start_ts", "end_ts")

@@ -38,6 +38,151 @@ class Step:
     predicate: Callable[[dict], bool]
 
 
+@dataclasses.dataclass
+class QStep:
+    """Quantified pattern step — Pattern.times/oneOrMore/next surface
+    (pattern/Pattern.java:291 times, :352 oneOrMore, :156 next).
+
+    min_times/max_times bound the repetition (max_times=None =
+    unbounded oneOrMore); contiguity='strict' is Pattern.next (the
+    repetition and the step after it must be adjacent events),
+    'relaxed' is followedBy; greedy prefers longer repetitions.
+    """
+    name: str
+    predicate: Callable[[dict], bool]
+    min_times: int = 1
+    max_times: int | None = 1
+    contiguity: str = "relaxed"
+    greedy: bool = True
+
+
+def _find_q_matches(events: list[dict], steps: list[QStep],
+                    ts_col: str, within_ms: int | None):
+    """All matches of quantified steps, in preference order per start
+    position (greedy: longer repetitions first). A match is a list of
+    (step, [events]).
+
+    Repetitions are CONSECUTIVE events (Flink's `.times(n)` /
+    `.oneOrMore().consecutive()`); the step's anchor follows its
+    contiguity: 'strict' = Pattern.next (must start right after the
+    previous step's last event), 'relaxed' = followedBy (may skip).
+    """
+    matches: list[list[tuple[QStep, list[dict]]]] = []
+    n_steps = len(steps)
+    n_ev = len(events)
+
+    def within_ok(first_ev, ev) -> bool:
+        if first_ev is None or within_ms is None:
+            return True
+        return (ev[ts_col] - first_ev[ts_col]).total_seconds() * 1000 \
+            <= within_ms
+
+    def step_reps(step: QStep, start: int, first_ev):
+        """Yield (rep_events, next_idx) for one step, preference order."""
+        anchors = ([start] if step.contiguity == "strict"
+                   else range(start, n_ev))
+        for a in anchors:
+            if a >= n_ev:
+                return
+            if not (step.predicate(events[a])
+                    and within_ok(first_ev, events[a])):
+                if step.contiguity == "strict":
+                    return
+                continue
+            run = [a]
+            j = a + 1
+            while ((step.max_times is None or len(run) < step.max_times)
+                   and j < n_ev and step.predicate(events[j])
+                   and within_ok(first_ev or events[a], events[j])):
+                run.append(j)
+                j += 1
+            lengths = (range(len(run), step.min_times - 1, -1)
+                       if step.greedy
+                       else range(step.min_times, len(run) + 1))
+            for ln in lengths:
+                if ln <= len(run):
+                    yield [events[i] for i in run[:ln]], run[ln - 1] + 1
+            if step.contiguity == "strict":
+                return
+
+    def walk(partial, next_idx, step_i, first_ev):
+        if step_i == n_steps:
+            matches.append(partial)
+            return
+        for reps, nxt in step_reps(steps[step_i], next_idx, first_ev):
+            walk(partial + [(steps[step_i], reps)], nxt, step_i + 1,
+                 first_ev or reps[0])
+
+    walk([], 0, 0, None)
+    return matches
+
+
+def _select_matches(matches, id_col: str, after_match: str):
+    """After-match skip strategy (AfterMatchSkipStrategy.java):
+    'all' = NO_SKIP; 'skip_past_last' = SKIP_PAST_LAST_EVENT —
+    earliest-start preferred match wins, overlapping later starts
+    are discarded."""
+    if after_match == "all":
+        return matches
+    def bounds(m):
+        evs = [e for _, reps in m for e in reps]
+        return evs[0][id_col], evs[-1][id_col]
+    # stable sort by start event only: per start, preference order
+    # from _find_q_matches (greedy-first) is preserved and the first
+    # candidate wins
+    picked, last_end = [], None
+    for m in sorted(matches, key=lambda m: bounds(m)[0]):
+        s, e = bounds(m)
+        if last_end is None or s > last_end:
+            picked.append(m)
+            last_end = e
+    return picked
+
+
+def match_pattern_batch(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    steps: list[QStep],
+    within: str | None = None,
+    after_match: str = "all",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Quantified batch CEP: one row per match with, per step, the
+    first/last matched event id and the repetition count."""
+    within_ms = _interval_ms(within) if within else None
+    key_fields = ", ".join(f"{k} bigint" for k in keys)
+    step_fields = ", ".join(
+        f"{s.name}_first_id bigint, {s.name}_last_id bigint, "
+        f"{s.name}_n bigint" for s in steps)
+    out_schema = (f"{key_fields}, {step_fields}, "
+                  f"start_ts timestamp, end_ts timestamp")
+    cols = ([*keys,
+             *[c for s in steps
+               for c in (f"{s.name}_first_id", f"{s.name}_last_id",
+                         f"{s.name}_n")],
+             "start_ts", "end_ts"])
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        events = pdf.to_dict("records")
+        out = []
+        found = _find_q_matches(events, steps, ts_col, within_ms)
+        for m in _select_matches(found, id_col, after_match):
+            row = {k: m[0][1][0][k] for k in keys}
+            for s, reps in m:
+                row[f"{s.name}_first_id"] = reps[0][id_col]
+                row[f"{s.name}_last_id"] = reps[-1][id_col]
+                row[f"{s.name}_n"] = len(reps)
+            all_evs = [e for _, reps in m for e in reps]
+            row["start_ts"] = all_evs[0][ts_col]
+            row["end_ts"] = all_evs[-1][ts_col]
+            out.append(row)
+        return pd.DataFrame(out, columns=cols)
+
+    return df.groupBy(*keys).applyInPandas(per_key, out_schema)
+
+
 def _find_matches(events: list[dict], steps: list[Step], ts_col: str,
                   within_ms: int | None) -> list[list[dict]]:
     """All relaxed-contiguity matches of steps over time-ordered events."""

@@ -115,3 +115,26 @@ def test_multimodal_stub_contract(spark, documents):
     from pyspark.errors import PythonException
     with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
         extract_features(media, fake_decode=False).collect()
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF (16 cells, probe 4) must recover a solid fraction of the
+    exact top-10 — and exactly match brute force restricted to the
+    probed cells."""
+    from flink_1_11_2_with_comments_spark.pipeline.ivf import (
+        ivf_assign, ivf_topk)
+    from flink_1_11_2_with_comments_spark.pipeline.similarity import (
+        cosine_topk)
+    e = load_table(spark, SF, "embeddings")
+    exact = [r.vec_id for r in
+             cosine_topk(e, "vec_id", "embedding", query_id=0, k=10)
+             .collect()]
+    approx = [r.vec_id for r in
+              ivf_topk(e, "vec_id", "embedding", query_id=0,
+                       n_cells=16, n_probe=4, k=10).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3, (exact, approx, overlap)
+    # sanity: every IVF result vector is assigned to a probed cell
+    assign = {r.vec_id: r.cell
+              for r in ivf_assign(e, "vec_id", "embedding", 16).collect()}
+    assert all(v in assign for v in approx)

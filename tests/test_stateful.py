@@ -223,3 +223,75 @@ def test_broadcast_state_pattern(spark, events):
     z = got.where(F.col("event_type") == "error") \
         .agg(F.sum("scored")).collect()[0][0]
     assert z == 0.0
+
+
+def test_evictor_stream_matches_batch(spark, events):
+    """Streaming CountEvictor window agg (evict-before-apply at
+    watermark fire) equals the batch evictor on watermark-complete
+    windows — WindowOperator + CountEvictor contract."""
+    from flink_1_11_2_with_comments_spark.streaming.evictors import (
+        count_evictor_agg, evicted_window_agg_stream)
+
+    batch = count_evictor_agg(events, ["user_id"], "ts", "value",
+                              "1 hour", 3)
+    batch_rows = {(r.user_id, r.window_start, r.n_kept, r.total)
+                  for r in batch.collect()}
+
+    stream = replay_as_stream(events, n_batches=3, order_by="ts") \
+        .withWatermark("ts", "1 minute")
+    out = evicted_window_agg_stream(stream, ["user_id"], "ts", "value",
+                                    3600, "count", 3)
+    got = write_stream_to_memory(out, "evict_out", output_mode="append")
+    got_rows = {(r.user_id, r.window_start, r.n_kept, r.total)
+                for r in got.collect()}
+
+    assert got_rows.issubset(batch_rows)
+    # the watermark lags one micro-batch (computed from the previous
+    # batch's max event time) and no trigger fires after the last
+    # file, so with 3 time-split batches roughly the last third of
+    # windows stays buffered — everything watermark-complete must
+    # have fired with exactly the batch values (subset above)
+    assert len(got_rows) >= len(batch_rows) // 2
+    assert len(got_rows) > 0
+
+
+def test_quantified_cep_greedy_backtracking(spark):
+    """QStep NFA: greedy oneOrMore with strict contiguity matches the
+    maximal run and backtracks when the follow-up step fails."""
+    import datetime as dt
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_batch)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # key 1: A B B B C -> one match, 3 Bs
+        (1, 1, base, "A"), (1, 2, base + dt.timedelta(minutes=1), "B"),
+        (1, 3, base + dt.timedelta(minutes=2), "B"),
+        (1, 4, base + dt.timedelta(minutes=3), "B"),
+        (1, 5, base + dt.timedelta(minutes=4), "C"),
+        # key 2: A B B X C -> strict contiguity broken, no match
+        (2, 6, base, "A"), (2, 7, base + dt.timedelta(minutes=1), "B"),
+        (2, 8, base + dt.timedelta(minutes=2), "B"),
+        (2, 9, base + dt.timedelta(minutes=3), "X"),
+        (2, 10, base + dt.timedelta(minutes=4), "C"),
+        # key 3: two disjoint matches; skip_past_last keeps both
+        (3, 11, base, "A"), (3, 12, base + dt.timedelta(minutes=1), "B"),
+        (3, 13, base + dt.timedelta(minutes=2), "C"),
+        (3, 14, base + dt.timedelta(minutes=3), "A"),
+        (3, 15, base + dt.timedelta(minutes=4), "B"),
+        (3, 16, base + dt.timedelta(minutes=5), "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string")
+    steps = [
+        QStep("a", lambda ev: ev["event_type"] == "A"),
+        QStep("b", lambda ev: ev["event_type"] == "B",
+              min_times=1, max_times=None, contiguity="strict"),
+        QStep("c", lambda ev: ev["event_type"] == "C",
+              contiguity="strict"),
+    ]
+    out = match_pattern_batch(df, ["user_id"], "ts", steps,
+                              after_match="skip_past_last")
+    got = sorted((r.user_id, r.a_first_id, r.b_first_id, r.b_last_id,
+                  r.b_n, r.c_first_id) for r in out.collect())
+    assert got == [(1, 1, 2, 4, 3, 5),
+                   (3, 11, 12, 12, 1, 13), (3, 14, 15, 15, 1, 16)]
