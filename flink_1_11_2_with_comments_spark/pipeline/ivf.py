@@ -19,7 +19,7 @@ across engines and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import dot_product
@@ -46,23 +46,34 @@ def ivf_assign(embeddings: DataFrame, id_col: str, vec_col: str,
     """Assign each vector to its nearest centroid by squared L2
     distance (ties → lowest cell id): the inverted file.
 
-    One broadcast of n_cells centroids + a map-side argmin per row —
-    zero shuffles over the corpus except the tiny row_number window
-    (at 100 TB, replace with min_by(cell, struct(dist2, cell)) in the
-    same broadcast-join projection to keep it fully shuffle-free).
+    Fully shuffle-free over the corpus: the n_cells centroids are
+    folded into ONE array row (a trivial 16-row aggregate), broadcast,
+    and the argmin runs as a per-row `aggregate` over that array
+    inside the scan projection — assigning a 100 TB embedding table
+    is a map-only pass, no window/groupBy shuffle of the corpus.
+    Ties break to the lowest cell id (array is cell-sorted and the
+    fold replaces only on strictly smaller distance), matching the
+    oracle's ROW_NUMBER ... ORDER BY dist2, cell.
     """
     e = _with_sq_norm(embeddings, id_col, vec_col)
-    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
-    scored = (e.crossJoin(F.broadcast(cents))
-              .select(id_col,
-                      "cell",
-                      (F.col("n2") + F.col("cn2")
-                       - 2 * dot_product(F.col(vec_col), F.col("cvec"))
-                       .cast("double")).alias("dist2")))
-    w = Window.partitionBy(id_col).orderBy("dist2", "cell")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(id_col, "cell"))
+    carr = (ivf_centroids(embeddings, id_col, vec_col, n_cells)
+            .agg(F.sort_array(F.collect_list(
+                F.struct("cell", "cvec", "cn2"))).alias("cents")))
+
+    def closer(acc, c):
+        d = (F.col("n2") + c["cn2"]
+             - 2 * dot_product(F.col(vec_col), c["cvec"]).cast("double"))
+        return F.when(d < acc["dist2"],
+                      F.struct(c["cell"].alias("cell"),
+                               d.alias("dist2"))).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(F.lit(-1).cast("bigint").alias("cell"),
+                 F.lit(float("inf")).alias("dist2")),
+        closer)
+    return (e.crossJoin(F.broadcast(carr))
+            .select(id_col, best["cell"].alias("cell")))
 
 
 def ivf_topk(embeddings: DataFrame, id_col: str, vec_col: str,
