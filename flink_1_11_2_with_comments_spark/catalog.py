@@ -102,10 +102,15 @@ class TableEnvironment:
         """Table tableEnv.sqlQuery(...) — pure query, returns a Table.
 
         Accepts the Flink SQL dialect: TUMBLE/HOP/SESSION group
-        windows and their _START/_END auxiliaries are translated to
-        Spark window expressions first (plans/flink_sql.py).
+        windows, their _START/_END auxiliaries, and proc-time
+        FOR SYSTEM_TIME AS OF are translated to Spark SQL first
+        (plans/flink_sql.py); MATCH_RECOGNIZE queries are parsed and
+        routed to the CEP engine (plans/match_recognize.py).
         """
         from .plans.flink_sql import translate_flink_sql
+        if "MATCH_RECOGNIZE" in sql.upper():
+            from .plans.match_recognize import match_recognize
+            return match_recognize(self.spark, sql)
         return self.spark.sql(translate_flink_sql(sql))
 
     def execute_sql(self, sql: str) -> DataFrame:

@@ -13,9 +13,16 @@ that rewrite: a token-level translation of the window constructs,
 leaving everything else to Spark's parser.
 
 Handled: TUMBLE/HOP/SESSION in GROUP BY, their _START/_END
-auxiliaries in SELECT, PROCTIME() → current_timestamp(). Explicitly
-NOT handled (raise): MATCH_RECOGNIZE (use streaming/cep.py),
-FOR SYSTEM_TIME AS OF (use streaming/asof.py).
+auxiliaries in SELECT, PROCTIME() → current_timestamp(), and the
+lookup-join clause `FOR SYSTEM_TIME AS OF x.proctime` (the proc-time
+temporal join, StreamExecLookupJoin.scala:38 — joining against the
+dimension's CURRENT version, which in micro-batch Spark is exactly
+the stream-static join over the table as-read this batch, so the
+clause erases to a plain join). Event-time `FOR SYSTEM_TIME AS OF
+x.<rowtime>` still raises: point-in-time versioned semantics need
+streaming/asof.asof_join (no SQL-only rewrite is correct for it).
+MATCH_RECOGNIZE is parsed by plans/match_recognize.py (routed from
+TableEnvironment.sql_query), not here.
 """
 
 from __future__ import annotations
@@ -32,17 +39,26 @@ def _iv(qty: str, unit: str) -> str:
     return f"{qty} {unit}"
 
 
+# `FOR SYSTEM_TIME AS OF o.proctime` / `... AS OF PROCTIME()`
+_SYSTEM_TIME_PROC = re.compile(
+    r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"(?:\w+\.(?:proctime|proc_time)\b|PROCTIME\s*\(\s*\))",
+    re.IGNORECASE)
+
+
 def translate_flink_sql(sql: str) -> str:
     """Rewrite Flink group-window SQL into Spark SQL."""
     up = sql.upper()
     if "MATCH_RECOGNIZE" in up:
         raise NotImplementedError(
-            "MATCH_RECOGNIZE: use streaming.cep.match_recognize_batch/stream")
-    if "FOR SYSTEM_TIME AS OF" in up:
-        raise NotImplementedError(
-            "temporal table syntax: use streaming.asof.asof_join")
+            "MATCH_RECOGNIZE: TableEnvironment.sql_query routes it to "
+            "plans.match_recognize; direct API: streaming.cep")
 
-    out = sql
+    # proc-time lookup join: join against the current version = plain join
+    out = _SYSTEM_TIME_PROC.sub("", sql)
+    if "FOR SYSTEM_TIME AS OF" in out.upper():
+        raise NotImplementedError(
+            "event-time temporal table syntax: use streaming.asof.asof_join")
 
     # auxiliaries first (longer tokens): TUMBLE_START(ts, INTERVAL..) etc.
     for fn, win_args, field in [

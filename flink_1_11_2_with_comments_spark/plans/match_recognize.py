@@ -1,0 +1,218 @@
+"""SQL MATCH_RECOGNIZE front-end → quantified CEP engine.
+
+The reference exposes CEP both as the DataStream Pattern API and as
+SQL MATCH_RECOGNIZE (flink-table-planner-blink/.../physical/stream/
+StreamExecMatch.scala:68; parser flink-sql-parser SqlMatchRecognize).
+Spark has no MATCH_RECOGNIZE; per SURVEY §7 the SQL surface is a
+front-end parse, with execution in streaming/cep.py's NFA
+(match_pattern_batch / QStep).
+
+Supported subset (raise on anything else, loudly):
+
+    SELECT * FROM <table>
+    MATCH_RECOGNIZE (
+      [PARTITION BY k [, k...]]
+      ORDER BY ts [, id]
+      MEASURES <m> AS alias [, ...]
+      [ONE ROW PER MATCH]
+      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+      PATTERN ( V[q] V[q] ... ) [WITHIN INTERVAL 'n' UNIT]
+      DEFINE V AS <conjunction of V.col <op> literal> [, ...]
+    )
+
+- quantifiers: none (exactly once), `+`, `{n}`, `{m,n}`, `{m,}`
+  (`*`/`?` need min_times=0 — not supported, raise).
+- measures: FIRST(V.<id>), LAST(V.<id>), bare V.<id> (SQL-standard
+  "final" semantics = last row of V), COUNT(V.*).
+- pattern concatenation is consecutive rows (SQL standard); the match
+  may begin at any row — first step anchors relaxed, the rest strict.
+- default after-match strategy is SKIP PAST LAST ROW (SQL standard,
+  same default as the reference).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.cep import QStep, match_pattern_batch
+
+_MR = re.compile(
+    r"SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((?P<body>.*)\)\s*"
+    r"(?:AS\s+\w+\s*)?$",
+    re.IGNORECASE | re.DOTALL)
+
+_CLAUSE = re.compile(
+    r"(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
+    r"AFTER\s+MATCH|PATTERN|WITHIN|DEFINE)",
+    re.IGNORECASE)
+
+_QUANT = re.compile(r"^(\w+)(\+|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?$")
+
+_COND = re.compile(
+    r"^(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*"
+    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)$")
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _split_clauses(body: str) -> dict[str, str]:
+    """Split the MATCH_RECOGNIZE body into its clauses by keyword."""
+    parts = _CLAUSE.split(body)
+    out: dict[str, str] = {}
+    for i in range(1, len(parts), 2):
+        key = re.sub(r"\s+", " ", parts[i].upper())
+        out[key] = parts[i + 1].strip().rstrip(",").strip()
+    return out
+
+
+def _parse_predicate(cond: str, var: str):
+    """Conjunction of `V.col op literal` → python predicate over a row
+    dict. TRUE → always-true (an undefined catch-all variable)."""
+    cond = cond.strip()
+    if cond.upper() == "TRUE":
+        return lambda ev: True
+    tests = []
+    for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+        m = _COND.match(part.strip())
+        if not m or m.group(1).upper() != var.upper():
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE DEFINE subset: `{part.strip()}` "
+                f"(want {var}.col <op> literal [AND ...])")
+        col, op, lit = m.group(2), m.group(3), m.group(4)
+        val = lit[1:-1] if lit.startswith("'") else (
+            float(lit) if "." in lit else int(lit))
+        tests.append((col, _OPS[op], val))
+    return lambda ev, tests=tests: all(op(ev[c], v) for c, op, v in tests)
+
+
+def _parse_pattern(pat: str) -> list[tuple[str, int, int | None]]:
+    """`(A B+ C{2,4})` → [(name, min_times, max_times), ...]."""
+    pat = pat.strip()
+    if pat.startswith("(") and pat.endswith(")"):
+        pat = pat[1:-1]
+    steps = []
+    for tok in pat.strip().split():
+        m = _QUANT.match(tok)
+        if not m:
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE pattern subset: token `{tok}` "
+                "(supported: V, V+, V{n}, V{m,n}, V{m,})")
+        name, q = m.group(1), m.group(2)
+        if q is None:
+            steps.append((name, 1, 1))
+        elif q == "+":
+            steps.append((name, 1, None))
+        else:
+            nums = re.findall(r"\d+", q)
+            if "," not in q:
+                steps.append((name, int(nums[0]), int(nums[0])))
+            elif len(nums) == 2:
+                steps.append((name, int(nums[0]), int(nums[1])))
+            else:
+                steps.append((name, int(nums[0]), None))
+    return steps
+
+
+def match_recognize(spark: SparkSession, sql: str,
+                    df: DataFrame | None = None) -> DataFrame:
+    """Parse and execute a MATCH_RECOGNIZE query (subset above).
+
+    `df` overrides the FROM table (for streaming inputs); otherwise
+    the table is resolved from the Spark catalog.
+    """
+    m = _MR.match(sql.strip().rstrip(";").strip())
+    if not m:
+        raise NotImplementedError(
+            "MATCH_RECOGNIZE subset: SELECT * FROM <table> "
+            "MATCH_RECOGNIZE (...) [AS alias]")
+    table, body = m.group(1), m.group("body")
+    cl = _split_clauses(body)
+    if "ORDER BY" not in cl or "PATTERN" not in cl or "DEFINE" not in cl:
+        raise NotImplementedError(
+            "MATCH_RECOGNIZE needs ORDER BY, PATTERN and DEFINE")
+
+    keys = [c.strip() for c in cl.get("PARTITION BY", "").split(",")
+            if c.strip()]
+    order = [c.strip() for c in cl["ORDER BY"].split(",")]
+    ts_col = order[0]
+    id_col = order[1] if len(order) > 1 else "event_id"
+
+    defines: dict[str, str] = {}
+    for item in re.split(r",\s*(?=\w+\s+AS\s)", cl["DEFINE"],
+                         flags=re.IGNORECASE):
+        var, _, cond = re.split(r"\s+(AS)\s+", item.strip(),
+                                maxsplit=1, flags=re.IGNORECASE)
+        defines[var.upper()] = cond
+
+    steps = []
+    for i, (name, mn, mx) in enumerate(_parse_pattern(cl["PATTERN"])):
+        if mn < 1:
+            raise NotImplementedError(
+                "quantifiers with min 0 (`*`, `?`) are unsupported")
+        pred = _parse_predicate(defines.get(name.upper(), "TRUE"), name)
+        steps.append(QStep(
+            name, pred, min_times=mn, max_times=mx,
+            contiguity="relaxed" if i == 0 else "strict", greedy=True))
+
+    within = None
+    if "WITHIN" in cl:
+        wm = re.match(r"INTERVAL\s+'(\d+)'\s+(\w+)", cl["WITHIN"],
+                      re.IGNORECASE)
+        if not wm:
+            raise NotImplementedError(f"WITHIN subset: {cl['WITHIN']}")
+        unit = wm.group(2).lower()
+        within = f"{wm.group(1)} {unit if unit.endswith('s') else unit + 's'}"
+
+    after = cl.get("AFTER MATCH", "SKIP PAST LAST ROW").upper()
+    if "PAST LAST" in after:
+        after_match = "skip_past_last"
+    elif "NEXT ROW" in after:
+        after_match = "all"
+    else:
+        raise NotImplementedError(f"AFTER MATCH subset: {after}")
+
+    src = df if df is not None else spark.table(table)
+    matched = match_pattern_batch(src, keys, ts_col, steps,
+                                  within=within, after_match=after_match,
+                                  id_col=id_col)
+
+    # measures → the engine's fixed per-step outputs
+    sel = [F.col(k) for k in keys]
+    for item in re.split(r",\s*(?=[^,]+\s+AS\s)", cl.get("MEASURES", ""),
+                         flags=re.IGNORECASE):
+        if not item.strip():
+            continue
+        expr, _, alias = re.split(r"\s+(AS)\s+", item.strip(),
+                                  maxsplit=1, flags=re.IGNORECASE)
+        expr = expr.strip()
+        fm = re.match(rf"FIRST\s*\(\s*(\w+)\.{id_col}\s*\)$", expr,
+                      re.IGNORECASE)
+        lm = re.match(rf"LAST\s*\(\s*(\w+)\.{id_col}\s*\)$", expr,
+                      re.IGNORECASE)
+        cm = re.match(r"COUNT\s*\(\s*(\w+)\.\*\s*\)$", expr, re.IGNORECASE)
+        bm = re.match(rf"(\w+)\.{id_col}$", expr)
+        if fm:
+            col = f"{fm.group(1)}_first_id"
+        elif lm:
+            col = f"{lm.group(1)}_last_id"
+        elif cm:
+            col = f"{cm.group(1)}_n"
+        elif bm:  # SQL-standard final semantics: last row of the variable
+            col = f"{bm.group(1)}_last_id"
+        else:
+            raise NotImplementedError(
+                f"MEASURES subset: `{expr}` (want FIRST/LAST(V.{id_col}), "
+                f"V.{id_col}, COUNT(V.*))")
+        sel.append(F.col(col).alias(alias.strip()))
+    return matched.select(*sel)

@@ -412,3 +412,87 @@ def cep_quantified(spark, sf_dir):
         F.col("b_n").alias("n_clicks"),
         F.col("c_first_id").alias("purchase_id"),
         "start_ts", "end_ts")
+
+
+@register(
+    "match_recognize_sql",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), clicks AS (
+      SELECT user_id, event_id, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS grp
+      FROM s WHERE event_type = 'click'
+    ), runs AS (
+      SELECT user_id, grp, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+             COUNT(*) AS n_clicks,
+             MIN(event_id) AS b_first_id, MAX(event_id) AS b_last_id
+      FROM clicks GROUP BY 1, 2
+    )
+    SELECT r.user_id,
+           v.event_id AS view_id, r.b_first_id AS click_first_id,
+           r.b_last_id AS click_last_id, r.n_clicks,
+           p.event_id AS purchase_id
+    FROM runs r
+    JOIN s v ON v.user_id = r.user_id AND v.rn = r.first_rn - 1
+            AND v.event_type = 'view'
+    JOIN s p ON p.user_id = r.user_id AND p.rn = r.last_rn + 1
+            AND p.event_type = 'purchase'
+    """,
+    doc="SQL MATCH_RECOGNIZE surface (StreamExecMatch.scala:68; "
+        "SqlMatchRecognize parser): PATTERN (A B+ C) with FIRST/LAST/"
+        "COUNT measures and SKIP PAST LAST ROW, parsed by "
+        "plans/match_recognize.py into the quantified-CEP NFA. Oracle: "
+        "gaps-and-islands maximal click runs bracketed by adjacent "
+        "view/purchase (same derivation as cep_quantified).",
+)
+def match_recognize_sql(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS view_id,
+                   FIRST(B.event_id) AS click_first_id,
+                   LAST(B.event_id) AS click_last_id,
+                   COUNT(B.*) AS n_clicks,
+                   C.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )""")
+
+
+@register(
+    "flink_sql_lookup_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_totalprice > 400000
+    """,
+    doc="Proc-time lookup join SQL surface: JOIN dim FOR SYSTEM_TIME AS "
+        "OF o.proctime (StreamExecLookupJoin.scala:38) — the clause "
+        "erases to a plain join against the dimension's current version "
+        "(plans/flink_sql.py), which Catalyst then broadcasts.",
+)
+def flink_sql_lookup_join(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
+        FROM orders o
+        JOIN customer FOR SYSTEM_TIME AS OF o.proctime AS c
+          ON o.o_custkey = c.c_custkey
+        JOIN nation FOR SYSTEM_TIME AS OF o.proctime AS n
+          ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice > 400000""")

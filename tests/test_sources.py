@@ -201,3 +201,40 @@ def test_stream_sort_complete_mode(spark, orders):
     got = write_stream_to_memory(agg, "sort_out", output_mode="complete")
     rows = got.collect()
     assert [r.n for r in rows] == sorted((r.n for r in rows), reverse=True)
+
+
+def test_system_time_as_of_translation():
+    """Proc-time FOR SYSTEM_TIME AS OF erases to a plain join; the
+    event-time form still raises (needs streaming/asof.py)."""
+    import pytest
+    from flink_1_11_2_with_comments_spark.plans.flink_sql import (
+        translate_flink_sql)
+    out = translate_flink_sql(
+        "SELECT * FROM o JOIN dim FOR SYSTEM_TIME AS OF o.proctime AS d "
+        "ON o.k = d.k")
+    assert out == "SELECT * FROM o JOIN dim AS d ON o.k = d.k"
+    out = translate_flink_sql(
+        "SELECT * FROM o JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() AS d "
+        "ON o.k = d.k")
+    assert "SYSTEM_TIME" not in out
+    with pytest.raises(NotImplementedError):
+        translate_flink_sql(
+            "SELECT * FROM o JOIN dim FOR SYSTEM_TIME AS OF o.rowtime AS d "
+            "ON o.k = d.k")
+
+
+def test_match_recognize_parser_subset():
+    """Parser rejects out-of-subset constructs loudly, and quantifier
+    grammar maps to the right QStep bounds."""
+    import pytest
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        _parse_pattern, _parse_predicate)
+    assert _parse_pattern("(A B+ C{2,4} D{3} E{2,})") == [
+        ("A", 1, 1), ("B", 1, None), ("C", 2, 4), ("D", 3, 3),
+        ("E", 2, None)]
+    with pytest.raises(NotImplementedError):
+        _parse_pattern("(A B*)")  # min 0 unsupported
+    p = _parse_predicate("X.v >= 10 AND X.t = 'click'", "X")
+    assert p({"v": 10, "t": "click"}) and not p({"v": 9, "t": "click"})
+    with pytest.raises(NotImplementedError):
+        _parse_predicate("X.v > Y.v", "X")  # cross-variable condition
