@@ -55,6 +55,40 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def sssp(edges: DataFrame, source: int, max_iter: int = 10) -> DataFrame:
+    """Single-source shortest paths, Bellman-Ford as a driver loop —
+    Gelly SingleSourceShortestPaths (flink-libraries/flink-gelly/.../
+    library/SingleSourceShortestPaths.java), Flink's scatter-gather
+    iteration re-expressed as relax-join + min-aggregate rounds.
+
+    edges: (src bigint, dst bigint, weight double), directed. Returns
+    (node, distance) for reachable nodes. Each round = one shuffle
+    (join on frontier) + one min-agg; rounds ≤ graph depth. persist()
+    truncates lineage growth across rounds — the scale concern for
+    driver-side iteration.
+    """
+    dist = (edges.sparkSession
+            .createDataFrame([(source, 0.0)], "node bigint, distance double"))
+    for _ in range(max_iter):
+        relaxed = (edges.join(dist, edges.src == dist.node)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("distance") + F.col("weight"))
+                           .alias("distance")))
+        new_dist = (dist.unionAll(relaxed)
+                    .groupBy("node")
+                    .agg(F.min("distance").alias("distance"))
+                    .persist())
+        changed = (new_dist.join(dist.withColumnRenamed("distance", "old"),
+                                 "node", "left")
+                   .where(F.col("old").isNull()
+                          | (F.col("distance") != F.col("old")))
+                   .count())
+        dist = new_dist
+        if changed == 0:
+            break
+    return dist
+
+
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank: rank = (1-d) + d·Σ contrib(in-nbrs).

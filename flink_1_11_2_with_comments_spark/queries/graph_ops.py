@@ -105,3 +105,73 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark, sf_dir):
     from ..operators.graph import pagerank
     return pagerank(_edges(spark, sf_dir), iterations=3, damping=0.85)
+
+
+# Reversed (region → nation → supplier/customer) weighted DAG, plus
+# region→supplier shortcut edges so supplier distances have competing
+# paths and the min is non-trivial. Weights are deterministic small
+# integers derived from keys — path sums stay exact in double.
+_SSSP_EDGE_SQL = """
+      SELECT CAST(n_regionkey + 1000 AS BIGINT) AS src,
+             CAST(n_nationkey + 2000 AS BIGINT) AS dst,
+             CAST(n_nationkey % 3 + 1 AS DOUBLE) AS weight FROM nation
+      UNION ALL
+      SELECT CAST(s_nationkey + 2000 AS BIGINT),
+             CAST(s_suppkey + 3000 AS BIGINT),
+             CAST(s_suppkey % 4 + 1 AS DOUBLE) FROM supplier
+      UNION ALL
+      SELECT CAST(s_suppkey % 5 + 1000 AS BIGINT),
+             CAST(s_suppkey + 3000 AS BIGINT),
+             CAST(6 AS DOUBLE) FROM supplier
+      UNION ALL
+      SELECT CAST(c_nationkey + 2000 AS BIGINT),
+             CAST(c_custkey + 4000 AS BIGINT),
+             CAST(c_custkey % 5 + 1 AS DOUBLE) FROM customer
+      WHERE c_custkey <= 300
+"""
+
+
+def _sssp_edges(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    supp = t(spark, sf_dir, "supplier")
+    cust = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    e1 = nation.select(
+        (F.col("n_regionkey") + 1000).cast("bigint").alias("src"),
+        (F.col("n_nationkey") + 2000).cast("bigint").alias("dst"),
+        (F.col("n_nationkey") % 3 + 1).cast("double").alias("weight"))
+    e2 = supp.select(
+        (F.col("s_nationkey") + 2000).cast("bigint").alias("src"),
+        (F.col("s_suppkey") + 3000).cast("bigint").alias("dst"),
+        (F.col("s_suppkey") % 4 + 1).cast("double").alias("weight"))
+    e3 = supp.select(
+        (F.col("s_suppkey") % 5 + 1000).cast("bigint").alias("src"),
+        (F.col("s_suppkey") + 3000).cast("bigint").alias("dst"),
+        F.lit(6.0).alias("weight"))
+    e4 = cust.select(
+        (F.col("c_nationkey") + 2000).cast("bigint").alias("src"),
+        (F.col("c_custkey") + 4000).cast("bigint").alias("dst"),
+        (F.col("c_custkey") % 5 + 1).cast("double").alias("weight"))
+    return e1.unionAll(e2).unionAll(e3).unionAll(e4)
+
+
+@register(
+    "graph_sssp",
+    f"""
+    WITH RECURSIVE edges AS ({_SSSP_EDGE_SQL}),
+    paths(node, d) AS (
+      SELECT CAST(1000 AS BIGINT), CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT e.dst, p.d + e.weight FROM paths p JOIN edges e ON e.src = p.node
+    )
+    SELECT node, MIN(d) AS distance FROM paths GROUP BY node
+    """,
+    doc="Single-source shortest paths from region node 1000 over the "
+        "weighted reversed star DAG (+ shortcut edges so supplier "
+        "distances pick the cheaper of nation-path vs shortcut) — Gelly "
+        "SingleSourceShortestPaths via Bellman-Ford relax rounds "
+        "(operators/graph.sssp). Oracle: recursive-CTE path enumeration "
+        "+ MIN (safe: DAG, depth ≤ 2).",
+)
+def graph_sssp(spark, sf_dir):
+    from ..operators.graph import sssp
+    return sssp(_sssp_edges(spark, sf_dir), source=1000)

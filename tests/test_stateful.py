@@ -295,3 +295,37 @@ def test_quantified_cep_greedy_backtracking(spark):
                   r.b_n, r.c_first_id) for r in out.collect())
     assert got == [(1, 1, 2, 4, 3, 5),
                    (3, 11, 12, 12, 1, 13), (3, 14, 15, 15, 1, 16)]
+
+
+def test_streaming_over_agg_range_bounded(spark, events):
+    """Streaming RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND
+    CURRENT ROW running sum == the batch window result (peer-inclusive
+    frames; watermark-gated emission) —
+    RowTimeRangeBoundedPrecedingFunction."""
+    from flink_1_11_2_with_comments_spark.streaming.over_agg import (
+        range_bounded_preceding_sum)
+
+    stream = replay_as_stream(events, n_batches=6, order_by="ts") \
+        .withWatermark("ts", "1 minute")
+    out = range_bounded_preceding_sum(
+        stream, ["user_id"], "ts", "event_id", "value", preceding_sec=600)
+    got = write_stream_to_memory(out, "over_range_out",
+                                 output_mode="append")
+
+    events.createOrReplaceTempView("ev_range")
+    expected = spark.sql("""
+        SELECT user_id, event_id, ts,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                           AND CURRENT ROW), 6) AS running_sum
+        FROM ev_range""")
+
+    got_rows = {(r.user_id, r.event_id): r.running_sum for r in got.collect()}
+    exp_rows = {(r.user_id, r.event_id): r.running_sum
+                for r in expected.collect()}
+    assert len(got_rows) > 0
+    mismatches = {k: (v, exp_rows.get(k)) for k, v in got_rows.items()
+                  if abs(v - exp_rows.get(k, float("nan"))) > 1e-6}
+    assert not mismatches, list(mismatches.items())[:5]
+    assert len(got_rows) >= len(exp_rows) * 0.8
