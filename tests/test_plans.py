@@ -94,3 +94,55 @@ def test_scalar_pipeline_stays_codegen(spark, sf_dir):
         # interpreted but still JVM-side; at least the scan path must
         # be codegen'd.
         assert "* " in body, f"{name} not codegen'd"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: both fact tables written
+    bucketBy(8, key) sortBy(key) join WITHOUT any Exchange — the
+    pre-partitioned layout a 100 TB deployment uses for repeated
+    fact-fact joins (SCALE.md §Joins; reference analogue: batch
+    shuffle avoidance via FlinkRelDistribution trait matching)."""
+    from flink_1_11_2_with_comments_spark.queries._util import t
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (t(spark, sf_dir, "orders").write.mode("overwrite")
+     .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .saveAsTable("b_orders"))
+    (t(spark, sf_dir, "lineitem").write.mode("overwrite")
+     .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .saveAsTable("b_lineitem"))
+    # force the shuffle-join path (at this SF the small side would
+    # broadcast, which proves nothing about bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders").o_orderkey
+            == spark.table("b_lineitem").l_orderkey)
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p
+        assert "Bucketed: true" in p, p
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Explicit skew salting is semantics-preserving: salted inner and
+    left joins return exactly the rows of the plain joins."""
+    from flink_1_11_2_with_comments_spark.operators.skew import salted_join
+    from flink_1_11_2_with_comments_spark.queries._util import t
+    orders = t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey")
+    cust = t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey")
+    for how in ("inner", "left"):
+        plain = orders.join(cust, "custkey", how) \
+            .select("custkey", "o_orderkey", "c_name")
+        salted = salted_join(orders, cust, "custkey", how) \
+            .select("custkey", "o_orderkey", "c_name")
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
