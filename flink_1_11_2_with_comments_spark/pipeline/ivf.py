@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import dot_product
+from .similarity import DEC, dot_product
 
 
 def _with_sq_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -55,10 +55,17 @@ def ivf_assign(embeddings: DataFrame, id_col: str, vec_col: str,
     fold replaces only on strictly smaller distance), matching the
     oracle's ROW_NUMBER ... ORDER BY dist2, cell.
     """
+    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    return _fold_assign(embeddings, cents, id_col, vec_col)
+
+
+def _fold_assign(embeddings: DataFrame, cents: DataFrame, id_col: str,
+                 vec_col: str) -> DataFrame:
+    """Map-only argmin of squared-L2 against a (cell, cvec, cn2)
+    centroid set (see ivf_assign docstring)."""
     e = _with_sq_norm(embeddings, id_col, vec_col)
-    carr = (ivf_centroids(embeddings, id_col, vec_col, n_cells)
-            .agg(F.sort_array(F.collect_list(
-                F.struct("cell", "cvec", "cn2"))).alias("cents")))
+    carr = cents.agg(F.sort_array(F.collect_list(
+        F.struct("cell", "cvec", "cn2"))).alias("cents"))
 
     def closer(acc, c):
         d = (F.col("n2") + c["cn2"]
@@ -74,6 +81,43 @@ def ivf_assign(embeddings: DataFrame, id_col: str, vec_col: str,
         closer)
     return (e.crossJoin(F.broadcast(carr))
             .select(id_col, best["cell"].alias("cell")))
+
+
+def lloyd_centroids(embeddings: DataFrame, id_col: str, vec_col: str,
+                    n_cells: int = 16) -> DataFrame:
+    """One Lloyd (k-means) refinement of the seed centroids: centroid
+    = coordinate-wise mean of its assigned vectors.
+
+    The production IVF index build: each iteration is one map-only
+    assignment pass + one (cell, pos) aggregate over the corpus —
+    shuffle volume is dims × n_rows scalars, independent of n_cells.
+    Means accumulate in exact decimal then divide in double, so the
+    refined centroids replay bit-identically in the SQL oracle.
+    Empty cells drop out (standard k-means degeneracy; the reference
+    count here is n_cells=16 over uniform data, so all survive).
+    """
+    assign = ivf_assign(embeddings, id_col, vec_col, n_cells)
+    joined = assign.join(embeddings.select(id_col, vec_col), id_col)
+    pos = joined.select(
+        "cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    newc = (pos.groupBy("cell", "pos")
+            .agg((F.sum(F.col("x").cast("double").cast(DEC)).cast("double")
+                  / F.count("*")).alias("cx")))
+    return (newc.groupBy("cell")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"]).alias("cvec"))
+            .select("cell", "cvec",
+                    dot_product(F.col("cvec"), F.col("cvec"))
+                    .cast("double").alias("cn2")))
+
+
+def ivf_lloyd_assign(embeddings: DataFrame, id_col: str, vec_col: str,
+                     n_cells: int = 16) -> DataFrame:
+    """Inverted file after one Lloyd refinement: assign every vector
+    to its nearest REFINED centroid (same map-only fold)."""
+    cents = lloyd_centroids(embeddings, id_col, vec_col, n_cells)
+    return _fold_assign(embeddings, cents, id_col, vec_col)
 
 
 def ivf_topk(embeddings: DataFrame, id_col: str, vec_col: str,

@@ -551,3 +551,45 @@ def ann_ivf_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return ivf_topk(e, "vec_id", "embedding", query_id=0,
                     n_cells=16, n_probe=4, k=10)
+
+
+@register(
+    "ann_ivf_lloyd",
+    _IVF_CTE + """
+    , newc AS (
+      SELECT a.cell, z.pos,
+             CAST(SUM(CAST(z.x AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*)
+               AS cx
+      FROM assigned a JOIN z ON a.vec_id = z.vec_id
+      GROUP BY 1, 2
+    ), cn2_1 AS (
+      SELECT cell, SUM(CAST(cx * cx AS DECIMAL(18,10))) AS cn2
+      FROM newc GROUP BY cell
+    ), cdot1 AS (
+      SELECT z.vec_id, n.cell, SUM(CAST(z.x * n.cx AS DECIMAL(18,10))) AS dot
+      FROM z JOIN newc n ON z.pos = n.pos
+      GROUP BY 1, 2
+    ), dist1 AS (
+      SELECT d.vec_id, d.cell,
+             CAST(x.n2 AS DOUBLE) + CAST(c.cn2 AS DOUBLE)
+               - 2 * CAST(d.dot AS DOUBLE) AS dist2
+      FROM cdot1 d JOIN n2 x ON d.vec_id = x.vec_id
+                   JOIN cn2_1 c ON d.cell = c.cell
+    )
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cell) AS rn
+      FROM dist1) WHERE rn = 1
+    """,
+    doc="IVF index build with one Lloyd (k-means) refinement: seed "
+        "assignment, centroid = exact-decimal coordinate mean of its "
+        "cell, then re-assignment against the refined centroids "
+        "(pipeline/ivf.py lloyd_centroids / ivf_lloyd_assign). Each "
+        "iteration = one map-only fold + one (cell,pos) aggregate — "
+        "the corpus is never shuffled by vector id.",
+)
+def ann_ivf_lloyd(spark, sf_dir):
+    from ..pipeline.ivf import ivf_lloyd_assign
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_lloyd_assign(e, "vec_id", "embedding", n_cells=16)

@@ -138,3 +138,31 @@ def test_ivf_recall_vs_bruteforce(spark):
     assign = {r.vec_id: r.cell
               for r in ivf_assign(e, "vec_id", "embedding", 16).collect()}
     assert all(v in assign for v in approx)
+
+
+def test_lloyd_refinement_tightens_clusters(spark):
+    """One k-means iteration must not worsen (and here strictly
+    improves) the mean squared distance to the assigned centroid —
+    the defining property of Lloyd's algorithm."""
+    import pyspark.sql.functions as F
+    from flink_1_11_2_with_comments_spark.pipeline.ivf import (
+        ivf_centroids, lloyd_centroids, _with_sq_norm)
+    from flink_1_11_2_with_comments_spark.pipeline.similarity import (
+        dot_product)
+    from flink_1_11_2_with_comments_spark.queries._util import t
+
+    e = t(spark, SF, "embeddings")
+
+    def mean_dist2(cents):
+        ev = _with_sq_norm(e, "vec_id", "embedding")
+        d = (ev.crossJoin(F.broadcast(cents))
+             .select("vec_id",
+                     (F.col("n2") + F.col("cn2")
+                      - 2 * dot_product(F.col("embedding"), F.col("cvec"))
+                      .cast("double")).alias("dist2"))
+             .groupBy("vec_id").agg(F.min("dist2").alias("d")))
+        return d.agg(F.avg("d")).collect()[0][0]
+
+    seed = mean_dist2(ivf_centroids(e, "vec_id", "embedding", 16))
+    refined = mean_dist2(lloyd_centroids(e, "vec_id", "embedding", 16))
+    assert refined < seed, (refined, seed)
