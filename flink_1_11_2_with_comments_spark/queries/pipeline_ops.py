@@ -593,3 +593,22 @@ def ann_ivf_lloyd(spark, sf_dir):
     from ..pipeline.ivf import ivf_lloyd_assign
     e = t(spark, sf_dir, "embeddings")
     return ivf_lloyd_assign(e, "vec_id", "embedding", n_cells=16)
+
+
+@register(
+    "approx_sketches",
+    None,  # sketch outputs are engine-specific; bounded-error pytest instead
+    doc="Approximate aggregates for the 100 TB path: HLL++ distinct "
+        "(approx_count_distinct, constant memory vs Expand-based exact "
+        "distinct) and quantile sketch (approx_percentile) per order "
+        "priority. No oracle by design — DuckDB's sketches differ "
+        "bit-wise; tests/test_pipeline.py pins ≤2% error vs exact.",
+)
+def approx_sketches(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.approx_count_distinct("o_custkey", rsd=0.01)
+                 .alias("approx_custs"),
+                 F.percentile_approx("o_totalprice", 0.5, 10000)
+                 .alias("approx_median"))
+            .orderBy("o_orderpriority"))

@@ -496,3 +496,31 @@ def flink_sql_lookup_join(spark, sf_dir):
         JOIN nation FOR SYSTEM_TIME AS OF o.proctime AS n
           ON c.c_nationkey = n.n_nationkey
         WHERE o.o_totalprice > 400000""")
+
+
+@register(
+    "changelog_rowkind",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id <= 50
+    )
+    SELECT user_id, ts, event_id, '+I' AS rowkind, value
+    FROM v WHERE prev IS NULL
+    UNION ALL
+    SELECT user_id, ts, event_id, '-U', prev FROM v WHERE prev IS NOT NULL
+    UNION ALL
+    SELECT user_id, ts, event_id, '+U', value FROM v WHERE prev IS NOT NULL
+    """,
+    doc="Changelog materialization of a keyed upsert history: RowKind "
+        "+I/-U/+U rows (RowKind.java:35-58; retraction pairs exactly as "
+        "GroupAggFunction.java:43 emits UPDATE_BEFORE/UPDATE_AFTER) — "
+        "streaming/changelog.to_changelog_batch; streaming execution "
+        "parity in tests/test_stateful.py.",
+)
+def changelog_rowkind(spark, sf_dir):
+    from ..streaming.changelog import to_changelog_batch
+    e = t(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    return to_changelog_batch(e, ["user_id"], "ts", "event_id", "value")

@@ -166,3 +166,24 @@ def test_lloyd_refinement_tightens_clusters(spark):
     seed = mean_dist2(ivf_centroids(e, "vec_id", "embedding", 16))
     refined = mean_dist2(lloyd_centroids(e, "vec_id", "embedding", 16))
     assert refined < seed, (refined, seed)
+
+
+def test_approx_sketches_bounded_error(spark):
+    """approx_count_distinct (HLL++, rsd=1%) and percentile_approx
+    must land within 2% of the exact answers — the constant-memory
+    scale path for 100 TB distinct counts and quantiles."""
+    import pyspark.sql.functions as F
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    from flink_1_11_2_with_comments_spark.queries._util import t
+
+    got = {r.o_orderpriority: r for r in
+           all_specs()["approx_sketches"].fn(spark, SF).collect()}
+    exact = {r.o_orderpriority: r for r in
+             (t(spark, SF, "orders").groupBy("o_orderpriority")
+              .agg(F.countDistinct("o_custkey").alias("n"),
+                   F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+              .collect())}
+    assert set(got) == set(exact) and len(got) > 0
+    for k, e in exact.items():
+        assert abs(got[k].approx_custs - e.n) <= max(2, e.n * 0.02), k
+        assert abs(got[k].approx_median - e.med) <= abs(e.med) * 0.02, k

@@ -329,3 +329,31 @@ def test_streaming_over_agg_range_bounded(spark, events):
                   if abs(v - exp_rows.get(k, float("nan"))) > 1e-6}
     assert not mismatches, list(mismatches.items())[:5]
     assert len(got_rows) >= len(exp_rows) * 0.8
+
+
+def test_changelog_stream_matches_batch(spark, events):
+    """Streaming changelog (+I/-U/+U, watermark-gated) emits exactly
+    the batch changelog rows for every key whose history is final —
+    RowKind / retraction semantics (SURVEY §1.1)."""
+    from flink_1_11_2_with_comments_spark.streaming.changelog import (
+        to_changelog_batch, to_changelog_stream)
+
+    small = events.where(F.col("user_id") <= 20)
+    stream = replay_as_stream(small, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "1 minute")
+    out = to_changelog_stream(stream, ["user_id"], "ts", "event_id",
+                              "value")
+    got = write_stream_to_memory(out, "chlog_out", output_mode="append")
+
+    exp = to_changelog_batch(small, ["user_id"], "ts", "event_id",
+                             "value")
+    got_set = {(r.user_id, r.event_id, r.rowkind, round(r.value, 6))
+               for r in got.collect()}
+    exp_set = {(r.user_id, r.event_id, r.rowkind, round(r.value, 6))
+               for r in exp.collect()}
+    assert len(got_set) > 0
+    # everything emitted must be a real changelog row
+    assert got_set <= exp_set, list(got_set - exp_set)[:5]
+    # and emission covers most rows (the final-watermark tail may lag,
+    # and each unemittable source row costs TWO changelog rows here)
+    assert len(got_set) >= len(exp_set) * 0.75
