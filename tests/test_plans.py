@@ -146,3 +146,26 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
             .select("custkey", "o_orderkey", "c_name")
         assert salted.exceptAll(plain).count() == 0
         assert plain.exceptAll(salted).count() == 0
+
+
+def test_ivf_assign_corpus_is_map_only(spark, sf_dir):
+    """IVF cell assignment must not shuffle the corpus: the only
+    exchanges are on the 16-row centroid side (collect_list agg +
+    broadcast). The corpus branch is scan → project(fold) only."""
+    p = plan(spark, "ann_ivf_assign", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    # centroid fold: ≤2 tiny exchanges (16-row agg + broadcast);
+    # corpus: zero — scan feeds the broadcast join directly
+    assert body.count("Exchange") <= 2, body
+    assert "BroadcastNestedLoopJoin" in body, body
+
+
+def test_lsh_bucket_assignment_no_shuffle(spark, sf_dir):
+    """Hyperplane-LSH bucketing of the embedding table is a map-only
+    scan (higher-order transform/aggregate expressions, no explode,
+    no exchange) — the property that makes bucketing a 100 TB corpus
+    a single pass."""
+    p = plan(spark, "ann_lsh_buckets", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert "Exchange" not in body, body
+    assert "BatchEvalPython" not in p, "LSH fell off the JVM path"
