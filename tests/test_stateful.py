@@ -357,3 +357,65 @@ def test_changelog_stream_matches_batch(spark, events):
     # and emission covers most rows (the final-watermark tail may lag,
     # and each unemittable source row costs TWO changelog rows here)
     assert len(got_set) >= len(exp_set) * 0.75
+
+
+def test_cep_skip_past_last_equals_regex_semantics():
+    """Property: for a contiguous pattern (A B+ C strict), the NFA
+    under SKIP_PAST_LAST + greedy must agree exactly with Python's
+    regex engine (leftmost, greedy-with-backtracking, non-overlapping
+    continuation = the same after-match strategy). The reference has
+    no property-based tests (SURVEY §5.5); this goes beyond, fuzzing
+    the NFA against an independent matcher."""
+    import re
+    from hypothesis import given, settings, strategies as st
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, _all_q_matches)
+
+    steps = [
+        QStep("a", lambda e: e["t"] == "v"),
+        QStep("b", lambda e: e["t"] == "c", min_times=1, max_times=None,
+              contiguity="strict"),
+        QStep("c", lambda e: e["t"] == "p", contiguity="strict"),
+    ]
+
+    @given(st.text(alphabet="vcpx", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(seq):
+        events = [{"t": ch, "ts": i, "id": i} for i, ch in enumerate(seq)]
+        got = [(m[0][1][0]["id"], m[-1][1][-1]["id"])
+               for m in _all_q_matches(events, steps, "ts", None,
+                                       "skip_past_last", "id")]
+        exp = [(mo.start(), mo.end() - 1)
+               for mo in re.finditer("vc+p", seq)]
+        assert got == exp, (seq, got, exp)
+
+    check()
+
+
+def test_cep_negation_equals_bruteforce():
+    """Property: notFollowedBy under NO_SKIP equals the brute-force
+    pair enumeration (every v..p pair with no x strictly between)."""
+    from hypothesis import given, settings, strategies as st
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, _all_q_matches)
+
+    steps = [
+        QStep("a", lambda e: e["t"] == "v"),
+        QStep("x", lambda e: e["t"] == "x", negated=True),
+        QStep("c", lambda e: e["t"] == "p"),
+    ]
+
+    @given(st.text(alphabet="vcpx", max_size=25))
+    @settings(max_examples=300, deadline=None)
+    def check(seq):
+        events = [{"t": ch, "ts": i, "id": i} for i, ch in enumerate(seq)]
+        got = sorted((m[0][1][0]["id"], m[-1][1][-1]["id"])
+                     for m in _all_q_matches(events, steps, "ts", None,
+                                             "all", "id"))
+        exp = sorted((i, j)
+                     for i, a in enumerate(seq) if a == "v"
+                     for j in range(i + 1, len(seq)) if seq[j] == "p"
+                     and "x" not in seq[i + 1:j])
+        assert got == exp, (seq, got, exp)
+
+    check()

@@ -155,3 +155,53 @@ def test_update_mode_group_agg(spark, events, events_stream_factory):
     expected = events.groupBy("event_type").agg(F.count("*").alias("n"))
     assert (_sorted_rows(latest, ["event_type", "n"])
             == _sorted_rows(expected, ["event_type", "n"]))
+
+
+def test_outer_interval_join_stream(spark, events, events_stream_factory):
+    """Stream-stream LEFT OUTER interval join: matches equal the batch
+    join; null-extended rows appear only for clicks whose join window
+    the watermark has closed, and every one of them is a true
+    no-match row in the batch result (OuterJoinRecordStateViews /
+    StreamExecIntervalJoin outer semantics)."""
+    def sides(df):
+        clicks = (df.where(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("user_id").alias("c_uid"),
+                          F.col("ts").alias("click_ts")))
+        purchases = (df.where(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             F.col("user_id").alias("p_uid"),
+                             F.col("ts").alias("purchase_ts")))
+        return clicks, purchases
+
+    sc, sp = sides(events_stream_factory())
+    sc = sc.withWatermark("click_ts", "10 minutes")
+    sp = sp.withWatermark("purchase_ts", "10 minutes")
+    joined = interval_join(sc, sp, on=sc.c_uid == sp.p_uid,
+                           left_ts="click_ts", right_ts="purchase_ts",
+                           lower="0 seconds", upper="30 minutes",
+                           how="left_outer")
+    got = write_stream_to_memory(
+        joined.select("click_id", "purchase_id"), "oij_out", "append")
+
+    bc, bp = sides(events)
+    expected = interval_join(bc, bp, on=bc.c_uid == bp.p_uid,
+                             left_ts="click_ts", right_ts="purchase_ts",
+                             lower="0 seconds", upper="30 minutes",
+                             how="left_outer") \
+        .select("click_id", "purchase_id")
+
+    got_matched = {(r.click_id, r.purchase_id) for r in got.collect()
+                   if r.purchase_id is not None}
+    exp_matched = {(r.click_id, r.purchase_id) for r in expected.collect()
+                   if r.purchase_id is not None}
+    assert got_matched == exp_matched
+    exp_nulls = {r.click_id for r in expected.collect()
+                 if r.purchase_id is None}
+    got_nulls = {r.click_id for r in got.collect()
+                 if r.purchase_id is None}
+    # every emitted null-extension is a true batch no-match (the tail
+    # past the final watermark may be withheld — same as the
+    # reference's not-yet-cleaned state)
+    assert got_nulls <= exp_nulls
+    assert len(got_nulls) > 0
