@@ -29,8 +29,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     iteration = one shuffle on node id. At scale, persist each label
     frame and use the large-star/small-star variant to cut rounds.
     """
-    undirected = edges.select("src", "dst").union(
+    undirected = (edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src").persist())
     nodes = undirected.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
 
@@ -39,17 +40,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                         .join(labels, undirected.src == labels.node)
                         .groupBy(F.col("dst").alias("node2"))
                         .agg(F.min("component").alias("nbr_min")))
+        # persist BEFORE the convergence count so that one action both
+        # materializes the round and measures it — the old order
+        # recomputed every round twice
         new_labels = (labels.join(neighbor_min,
                                   labels.node == F.col("node2"), "left")
                       .select("node",
                               F.least("component",
                                       F.coalesce("nbr_min", "component"))
-                              .alias("component")))
+                              .alias("component"))
+                      .persist())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))
                    .count())
-        labels = new_labels.persist()
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     return labels
