@@ -263,3 +263,41 @@ def over_multi_window(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
         F.row_number().over(w1).alias("rn_supp"),
         F.count("*").over(w2).alias("part_lines"))
+
+
+@register(
+    "over_ignore_nulls",
+    """
+    WITH m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS mv
+      FROM events WHERE user_id <= 100
+    )
+    SELECT user_id, event_id, mv,
+           LAST_VALUE(mv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_filled,
+           FIRST_VALUE(mv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_seen
+    FROM m
+    """,
+    doc="FIRST_VALUE/LAST_VALUE with IGNORE NULLS (gap-filling, "
+        "last-observation-carried-forward) — FirstValueWithRetract/"
+        "LastValue agg functions' null handling (planner "
+        "functions/aggfunctions/FirstValueAggFunction.java).",
+)
+def over_ignore_nulls(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+    m = e.select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value")).alias("mv"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return m.select(
+        "user_id", "event_id", "mv",
+        F.last("mv", ignorenulls=True).over(w).alias("last_filled"),
+        F.first("mv", ignorenulls=True).over(w).alias("first_seen"))
