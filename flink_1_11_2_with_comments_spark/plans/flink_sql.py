@@ -60,21 +60,28 @@ def translate_flink_sql(sql: str) -> str:
         raise NotImplementedError(
             "event-time temporal table syntax: use streaming.asof.asof_join")
 
-    # auxiliaries first (longer tokens): TUMBLE_START(ts, INTERVAL..) etc.
+    # auxiliaries first (longer tokens): TUMBLE_START(ts, INTERVAL..)
+    # etc. *_ROWTIME is the window's event-time attribute = end − 1ms
+    # (Flink returns the max timestamp INSIDE the window —
+    # FlinkSqlOperatorTable.java:778-810 TUMBLE_ROWTIME et al.)
     for fn, win_args, field in [
         ("TUMBLE_START", 2, "start"), ("TUMBLE_END", 2, "end"),
+        ("TUMBLE_ROWTIME", 2, "rowtime"),
         ("HOP_START", 3, "start"), ("HOP_END", 3, "end"),
+        ("HOP_ROWTIME", 3, "rowtime"),
         ("SESSION_START", 2, "start"), ("SESSION_END", 2, "end"),
+        ("SESSION_ROWTIME", 2, "rowtime"),
     ]:
         pattern = re.compile(
             rf"{fn}\s*\(\s*(\w+)\s*,\s*{_INTERVAL}"
             + (rf"\s*,\s*{_INTERVAL}" if win_args == 3 else "")
             + r"\s*\)", re.IGNORECASE)
 
-        def repl(m, field=field, win_args=win_args, fn=fn):
-            if fn.startswith("SESSION"):
-                return f"session_window.{field}"
-            return f"window.{field}"
+        def repl(m, field=field, fn=fn):
+            win = "session_window" if fn.startswith("SESSION") else "window"
+            if field == "rowtime":
+                return f"({win}.end - INTERVAL 1 MILLISECOND)"
+            return f"{win}.{field}"
 
         out = pattern.sub(repl, out)
 

@@ -183,6 +183,17 @@ def match_recognize(spark: SparkSession, sql: str,
         raise NotImplementedError(f"AFTER MATCH subset: {after}")
 
     src = df if df is not None else spark.table(table)
+    # column pruning: ship only key/order/DEFINE-referenced columns
+    # into the per-key NFA (the parser knows the full referenced set,
+    # so the Arrow transfer carries nothing else)
+    cond_cols = {m.group(2)
+                 for cond in defines.values()
+                 for part in re.split(r"\s+AND\s+", cond,
+                                      flags=re.IGNORECASE)
+                 if (m := _COND.match(part.strip()))}
+    needed = [c for c in src.columns
+              if c in {*keys, ts_col, id_col, *cond_cols}]
+    src = src.select(*needed)
     matched = match_pattern_batch(src, keys, ts_col, steps,
                                   within=within, after_match=after_match,
                                   id_col=id_col)

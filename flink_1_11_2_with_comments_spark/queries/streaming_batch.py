@@ -226,7 +226,8 @@ def asof_join_batch(spark, sf_dir):
 def cep_funnel(spark, sf_dir):
     from ..streaming.cep import Step, match_recognize_batch
     e = t(spark, sf_dir, "events")
-    sub = e.where(F.col("event_type").isin("view", "click", "purchase"))
+    sub = e.where(F.col("event_type").isin("view", "click", "purchase")) \
+        .select("user_id", "event_id", "ts", "event_type")
     steps = [
         Step("view", lambda ev: ev["event_type"] == "view"),
         Step("click", lambda ev: ev["event_type"] == "click"),
@@ -394,7 +395,9 @@ def evictor_delta_window(spark, sf_dir):
 )
 def cep_quantified(spark, sf_dir):
     from ..streaming.cep import QStep, match_pattern_batch
-    e = t(spark, sf_dir, "events")
+    # project to the NFA-referenced columns: halves the Arrow transfer
+    e = t(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts", "event_type")
     steps = [
         QStep("a", lambda ev: ev["event_type"] == "view"),
         QStep("b", lambda ev: ev["event_type"] == "click",
@@ -551,7 +554,8 @@ def changelog_rowkind(spark, sf_dir):
 )
 def cep_not_followed_by(spark, sf_dir):
     from ..streaming.cep import QStep, match_pattern_batch
-    e = t(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+    e = (t(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+         .select("user_id", "event_id", "ts", "event_type"))
     steps = [
         QStep("a", lambda ev: ev["event_type"] == "view"),
         QStep("x", lambda ev: ev["event_type"] == "error", negated=True),

@@ -238,3 +238,20 @@ def test_match_recognize_parser_subset():
     assert p({"v": 10, "t": "click"}) and not p({"v": 9, "t": "click"})
     with pytest.raises(NotImplementedError):
         _parse_predicate("X.v > Y.v", "X")  # cross-variable condition
+
+
+def test_window_rowtime_auxiliary(spark):
+    """TUMBLE_ROWTIME = window end − 1ms (the window's event-time
+    attribute, FlinkSqlOperatorTable.java:778-810)."""
+    from flink_1_11_2_with_comments_spark.catalog import TableEnvironment
+    env = TableEnvironment(spark, SF)
+    df = env.sql_query("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+               TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rt,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+    """)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all((r.rt - r.ws).total_seconds() == 3599.999 for r in rows)
