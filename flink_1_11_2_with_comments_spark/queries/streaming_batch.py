@@ -14,6 +14,7 @@ TUMBLE_START/TUMBLE_END FlinkSqlOperatorTable.java:778-810.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import register
@@ -565,3 +566,44 @@ def cep_not_followed_by(spark, sf_dir):
                               after_match="all")
     return out.select("user_id", F.col("a_first_id").alias("view_id"),
                       F.col("c_first_id").alias("purchase_id"))
+
+
+@register(
+    "count_sliding_window_batch",
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), f AS (
+      SELECT user_id, rn,
+             COUNT(*) OVER w AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))) OVER w, 2)
+                  AS DOUBLE) AS total
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, rn // 5 AS fire_seq, n, total
+    FROM f WHERE rn % 5 = 0
+    """,
+    doc="Sliding count window countWindow(10, 5) "
+        "(CountSlidingWindowAssigner + ElementTriggers.count): every "
+        "5th element per key (ts,id order), aggregate the last ≤10 — "
+        "batch form is an OVER frame + modulo filter; the streaming "
+        "stateful form (streaming/count_window.count_sliding_window) "
+        "is tested for parity in tests/test_stateful.py.",
+)
+def count_sliding_window_batch(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w_ord.rowsBetween(-9, 0)
+    return (e.withColumn("rn", F.row_number().over(w_ord))
+            .withColumn("n", F.count("*").over(frame))
+            .withColumn("total",
+                        F.round(F.sum(F.col("value").cast("decimal(30,10)"))
+                                .over(frame), 2).cast("double"))
+            .where(F.col("rn") % 5 == 0)
+            .select("user_id", (F.col("rn") / 5).cast("bigint")
+                    .alias("fire_seq"), "n", "total"))

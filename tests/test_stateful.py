@@ -419,3 +419,35 @@ def test_cep_negation_equals_bruteforce():
         assert got == exp, (seq, got, exp)
 
     check()
+
+
+def test_count_sliding_window(spark, events):
+    """Sliding count window countWindow(10, 5): with time-ordered
+    replay, streamed firings equal the batch OVER-frame formulation
+    (CountSlidingWindowAssigner + ElementTriggers.count)."""
+    from flink_1_11_2_with_comments_spark.streaming.count_window import (
+        count_sliding_window)
+
+    ordered = events.orderBy("ts", "event_id")
+    stream = replay_as_stream(ordered, n_batches=3, order_by="ts")
+    out = count_sliding_window(stream, ["user_id"], size=10, slide=5,
+                               value_col="value")
+    got = write_stream_to_memory(out, "csw_out", output_mode="append")
+
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w_ord.rowsBetween(-9, 0)
+    expected = (events.withColumn("rn", F.row_number().over(w_ord))
+                .withColumn("n", F.count("*").over(frame))
+                .withColumn("total",
+                            F.round(F.sum("value").over(frame), 6))
+                .where(F.col("rn") % 5 == 0)
+                .select("user_id",
+                        (F.col("rn") / 5).cast("bigint").alias("fire_seq"),
+                        "n", "total"))
+    got_m = {(r.user_id, r.fire_seq): (r.n, r.total) for r in got.collect()}
+    exp_m = {(r.user_id, r.fire_seq): (r.n, r.total)
+             for r in expected.collect()}
+    assert set(got_m) == set(exp_m) and len(got_m) > 0
+    for k, (n, tot) in exp_m.items():
+        assert got_m[k][0] == n, k
+        assert abs(got_m[k][1] - tot) < 1e-5, k
