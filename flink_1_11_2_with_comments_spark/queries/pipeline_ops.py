@@ -612,3 +612,74 @@ def approx_sketches(spark, sf_dir):
                  F.percentile_approx("o_totalprice", 0.5, 10000)
                  .alias("approx_median"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "pipeline_end_to_end",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY h
+    ), feat AS (
+      SELECT d.doc_id, d.text,
+             length(d.text) AS len_chars,
+             len(string_split(d.text, ' ')) AS n_tok,
+             len(list_filter(string_split(d.text,' '), t ->
+               list_contains(['the','and','of','to','a','in','is'], t)))
+               AS s_en,
+             len(list_filter(string_split(d.text,' '), t ->
+               list_contains(['der','die','und','das','ist','nicht'], t)))
+               AS s_de,
+             len(list_filter(string_split(d.text,' '), t ->
+               list_contains(['el','la','de','que','los','es'], t))) AS s_es,
+             len(list_filter(string_split(d.text,' '), t ->
+               list_contains(['le','la','les','des','est','une'], t)))
+               AS s_fr
+      FROM documents d JOIN keep USING (doc_id)
+    ), filtered AS (
+      SELECT * FROM feat
+      WHERE len_chars >= 50 AND n_tok >= 10 AND s_en * 1.0 / n_tok < 0.5
+    ), lang AS (
+      SELECT doc_id, n_tok, len_chars,
+             CASE WHEN s_fr >= greatest(s_de, s_en, s_es) AND s_fr > 0
+                    THEN 'fr'
+                  WHEN s_es >= greatest(s_de, s_en) AND s_es > 0 THEN 'es'
+                  WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+                  WHEN s_de > 0 THEN 'de'
+                  ELSE 'und' END AS lang_pred
+      FROM filtered
+    )
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(len_chars) AS BIGINT) AS n_chars
+    FROM lang GROUP BY lang_pred ORDER BY lang_pred
+    """,
+    doc="End-to-end training-data pipeline: exact dedup (keep lowest id "
+        "per normalized digest) → quality gate (length/token/stopword "
+        "thresholds) → language-ID → per-language corpus stats. One "
+        "chained DataFrame plan — dedup shuffles digests once, every "
+        "per-document feature is scan-side, final agg is partial+final "
+        "(pipeline/dedup.exact_dedup + pipeline/text.quality_features/"
+        "language_id).",
+)
+def pipeline_end_to_end(spark, sf_dir):
+    from ..pipeline.dedup import exact_dedup
+    from ..pipeline.text import language_id, quality_features, token_stats
+    d = t(spark, sf_dir, "documents")
+    keep = exact_dedup(d, "text", "doc_id") \
+        .select(F.col("keep_id").alias("doc_id"))
+    kept = d.join(keep, "doc_id")
+    q = quality_features("text")
+    filtered = kept.where(q["quality_ok"])
+    lang = filtered.select(
+        language_id("text").alias("lang_pred"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.length("text").alias("len_chars"))
+    return (lang.groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.sum("len_chars").alias("n_chars"))
+            .orderBy("lang_pred"))

@@ -138,3 +138,33 @@ def range_bounded_preceding_sum(
         return pd.DataFrame(out) if out else None
 
     return keyed_process(df, keys, fn, out_schema, output_mode="append")
+
+
+def proctime_unbounded_preceding_sum(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """SUM(value) OVER (PARTITION BY keys ORDER BY proctime ROWS
+    UNBOUNDED PRECEDING), streamed —
+    ProcTimeUnboundedPrecedingFunction.java:46: a per-key running
+    accumulator over ARRIVAL order; no buffering, no watermark (proc
+    time never retracts), state = one scalar per key."""
+    key_fields = ", ".join(f"{k} bigint" for k in keys)
+    out_schema = f"{key_fields}, {id_col} bigint, running_sum double"
+
+    def fn(key, rows: pd.DataFrame | None, state: KeyedState):
+        if rows is None:
+            return None
+        acc = state.get("acc", 0.0)
+        out = []
+        for rec in rows.to_dict("records"):
+            acc += float(rec[value_col])
+            out.append({**{k: key[i] for i, k in enumerate(keys)},
+                        id_col: int(rec[id_col]),
+                        "running_sum": round(acc, 6)})
+        state.put("acc", acc)
+        return pd.DataFrame(out)
+
+    return keyed_process(df, keys, fn, out_schema, output_mode="append")

@@ -451,3 +451,33 @@ def test_count_sliding_window(spark, events):
     for k, (n, tot) in exp_m.items():
         assert got_m[k][0] == n, k
         assert abs(got_m[k][1] - tot) < 1e-5, k
+
+
+def test_streaming_over_agg_proctime_unbounded(spark, events):
+    """Proc-time ROWS UNBOUNDED PRECEDING running sum: with
+    time-ordered replay, arrival order == event order, so the stream
+    equals the batch cumulative sum for EVERY row (no watermark
+    gating — proc time is complete by construction) —
+    ProcTimeUnboundedPrecedingFunction."""
+    from flink_1_11_2_with_comments_spark.streaming.over_agg import (
+        proctime_unbounded_preceding_sum)
+
+    ordered = events.orderBy("ts", "event_id")
+    stream = replay_as_stream(ordered, n_batches=4, order_by="ts")
+    out = proctime_unbounded_preceding_sum(
+        stream, ["user_id"], "event_id", "value")
+    got = write_stream_to_memory(out, "pt_over_out",
+                                 output_mode="append")
+
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    expected = events.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_sum"))
+    got_m = {(r.user_id, r.event_id): r.running_sum for r in got.collect()}
+    exp_m = {(r.user_id, r.event_id): r.running_sum
+             for r in expected.collect()}
+    assert set(got_m) == set(exp_m) and len(got_m) > 0
+    bad = {k: (v, exp_m[k]) for k, v in got_m.items()
+           if abs(v - exp_m[k]) > 1e-5}
+    assert not bad, list(bad.items())[:5]
