@@ -367,6 +367,108 @@ def match_recognize_stream(
                          timeout="NoTimeout")
 
 
+def match_pattern_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    steps: list[QStep],
+    within: str | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming quantified CEP under SKIP_PAST_LAST_EVENT.
+
+    Per key: events are buffered with per-step predicate flags
+    computed at ingestion; when the watermark advances, the NFA runs
+    over the watermark-complete prefix and every emitted match evicts
+    the buffer THROUGH its last event — SKIP_PAST_LAST_EVENT discards
+    every partial match starting at or before the emitted match's end
+    (AfterMatchSkipStrategy), so dropping only the consumed events
+    would fabricate strict-contiguity adjacencies across the gap.
+    Late events (ts ≤ watermark at arrival) are dropped, matching the
+    reference's watermark-ordered NFA. A match whose final step is an
+    unbounded quantifier and ends exactly at the prefix boundary is
+    deferred — a later in-watermark event could extend the greedy run
+    (the reference's NFA equally waits for the first non-matching
+    event or the within timeout).
+    """
+    if steps and steps[-1].negated:
+        raise ValueError("notFollowedBy cannot be the last pattern step")
+    within_ms = _interval_ms(within) if within else None
+    pos_steps = [s for s in steps if not s.negated]
+    key_fields = ", ".join(f"{k} bigint" for k in keys)
+    step_fields = ", ".join(
+        f"{s.name}_first_id bigint, {s.name}_last_id bigint, "
+        f"{s.name}_n bigint" for s in pos_steps)
+    out_schema = (f"{key_fields}, {step_fields}, "
+                  f"start_ts timestamp, end_ts timestamp")
+    cols = ([*keys,
+             *[c for s in pos_steps
+               for c in (f"{s.name}_first_id", f"{s.name}_last_id",
+                         f"{s.name}_n")],
+             "start_ts", "end_ts"])
+
+    def fn(key, rows: pd.DataFrame | None, state: KeyedState):
+        import datetime as dt
+        buf = state.get("buf", [])
+        wm = state.watermark_ms()
+        if rows is not None:
+            for rec in rows.to_dict("records"):
+                if wm > 0 and rec[ts_col].timestamp() * 1000 <= wm:
+                    continue  # late beyond watermark: drop
+                buf.append([rec[ts_col].isoformat(), int(rec[id_col]),
+                            [bool(s.predicate(rec)) for s in steps]])
+        buf.sort()
+        events = [{id_col: rid, ts_col: dt.datetime.fromisoformat(t_),
+                   "__flags": fl} for t_, rid, fl in buf]
+        n_complete = sum(1 for e in events
+                         if e[ts_col].timestamp() * 1000 <= wm) \
+            if wm > 0 else 0
+        flag_steps = [dataclasses.replace(
+            s, predicate=lambda ev, i=i: ev["__flags"][i])
+            for i, s in enumerate(steps)]
+        out = []
+        idx = 0
+        last_end = None  # (ts_iso, id) of the last emitted match's end
+        while idx < n_complete:
+            found = _find_q_matches(events[:n_complete], flag_steps,
+                                    ts_col, within_ms, start_idx=idx,
+                                    first_only=True)
+            if not found:
+                break
+            m, end = found[0]
+            last_step, last_reps = m[-1]
+            open_ended = (end == n_complete
+                          and not last_step.negated
+                          and (last_step.max_times is None
+                               or len(last_reps) < last_step.max_times))
+            if open_ended:
+                break  # greedy run may extend with later events
+            row = {k: key[i] for i, k in enumerate(keys)}
+            all_evs = []
+            for s, reps in m:
+                row[f"{s.name}_first_id"] = reps[0][id_col]
+                row[f"{s.name}_last_id"] = reps[-1][id_col]
+                row[f"{s.name}_n"] = len(reps)
+                all_evs.extend(reps)
+            row["start_ts"] = all_evs[0][ts_col]
+            row["end_ts"] = all_evs[-1][ts_col]
+            out.append(row)
+            last_end = (buf[end - 1][0], buf[end - 1][1])
+            idx = end
+        if last_end is not None:
+            buf = [r for r in buf if (r[0], r[1]) > last_end]
+        if within_ms is not None and wm > 0:
+            cutoff = wm - within_ms
+            buf = [r for r in buf
+                   if dt.datetime.fromisoformat(r[0]).timestamp() * 1000
+                   >= cutoff]
+        state.put("buf", buf)
+        return pd.DataFrame(out, columns=cols) if out else None
+
+    return keyed_process(df, keys, fn, out_schema, output_mode="append",
+                         timeout="NoTimeout")
+
+
 def _interval_ms(interval: str) -> int:
     qty, unit = interval.split()
     mult = {"second": 1000, "seconds": 1000, "minute": 60000,
