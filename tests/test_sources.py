@@ -255,3 +255,31 @@ def test_window_rowtime_auxiliary(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all((r.rt - r.ws).total_seconds() == 3599.999 for r in rows)
+
+
+def test_queryable_state_reader(spark, tmp_path):
+    """Queryable state (KeyedStream.asQueryableState): point-lookup
+    into a running aggregation's keyed state via the statestore data
+    source — state contents must equal the aggregate itself."""
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.sources.replay import (
+        replay_as_stream, write_stream_to_memory)
+    from flink_1_11_2_with_comments_spark.streaming.queryable import (
+        read_keyed_state)
+
+    events = load_table(spark, SF, "events")
+    stream = replay_as_stream(events, n_batches=3, order_by="ts")
+    ckpt = str(tmp_path / "ckpt")
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (agg.writeStream.format("memory").queryName("qstate_out")
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    state = read_keyed_state(spark, ckpt)
+    got = {r.event_type: r["count"] for r in state.collect()}
+    exp = {r.event_type: r.n for r in
+           events.groupBy("event_type").agg(F.count("*").alias("n"))
+           .collect()}
+    assert got == exp
