@@ -430,3 +430,29 @@ def fn_string_extras(spark, sf_dir):
         F.parse_url("url", F.lit("HOST")).alias("url_host"),
         F.parse_url("url", F.lit("QUERY")).alias("url_query"),
         F.array_join(entries, "|").alias("map_entries"))
+
+
+@register(
+    "fn_cast_semantics",
+    """
+    SELECT doc_id,
+           TRY_CAST(substr(text, 1, 2) AS INTEGER) AS try_int,
+           TRY_CAST(CAST(doc_id AS VARCHAR) AS INTEGER) AS ok_int,
+           CAST(CAST(doc_id AS DOUBLE) AS BIGINT) AS narrow_back,
+           CAST(doc_id % 2 = 0 AS VARCHAR) AS bool_str
+    FROM documents WHERE doc_id <= 500
+    """,
+    doc="CAST semantics matrix: TRY_CAST null-on-failure (Flink 1.11 "
+        "CAST throws — SURVEY §2.8 'Type' note; Spark try_cast is the "
+        "documented match for the lenient path), round-trip numeric "
+        "narrowing, boolean→string. ANSI throw-on-bad-cast is the "
+        "session default on both engines.",
+)
+def fn_cast_semantics(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 500)
+    return d.select(
+        "doc_id",
+        F.expr("try_cast(substring(text, 1, 2) AS int)").alias("try_int"),
+        F.expr("try_cast(CAST(doc_id AS string) AS int)").alias("ok_int"),
+        F.col("doc_id").cast("double").cast("bigint").alias("narrow_back"),
+        (F.col("doc_id") % 2 == 0).cast("string").alias("bool_str"))

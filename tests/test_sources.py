@@ -283,3 +283,18 @@ def test_queryable_state_reader(spark, tmp_path):
            events.groupBy("event_type").agg(F.count("*").alias("n"))
            .collect()}
     assert got == exp
+
+
+def test_text_format_roundtrip(spark):
+    """writeAsText / readTextFile (DataStream.java:1010;
+    StreamExecutionEnvironment.readTextFile): line-oriented text
+    write→read preserves every line."""
+    from flink_1_11_2_with_comments_spark.queries._util import t
+    docs = t(spark, SF, "documents").select(
+        F.regexp_replace("text", "[\\r\\n]", " ").alias("value"))
+    back = write_read_roundtrip(docs, "text")
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = docs.agg(F.sum(F.length("value")).alias("s")).collect()[0].s
+    b = back.agg(F.sum(F.length("value")).alias("s")).collect()[0].s
+    assert a == b
