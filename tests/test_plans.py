@@ -169,3 +169,48 @@ def test_lsh_bucket_assignment_no_shuffle(spark, sf_dir):
     body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
     assert "Exchange" not in body, body
     assert "BatchEvalPython" not in p, "LSH fell off the JVM path"
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """Join strategy selection (BatchExecHashJoin / SortMergeJoin /
+    NestedLoop choice): the hinted queries must plan the hinted
+    strategy."""
+    p = plan(spark, "join_sort_merge", sf_dir)
+    assert "SortMergeJoin" in p, p
+    p = plan(spark, "join_shuffle_hash", sf_dir)
+    assert "ShuffledHashJoin" in p, p
+    p = plan(spark, "join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling (SCALE.md §Joins): a deliberately skewed
+    shuffle join finishes with the skew-split marker in the final
+    adaptive plan — organic skew needs zero code."""
+    import pyspark.sql.functions as F
+    left = (spark.range(60_000).select(
+        (F.col("id") % 3).alias("k"),          # 3 hot keys
+        F.col("id").alias("payload")))
+    right = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").alias("r"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = left.join(right, "k")
+        # the final adaptive plan is only materialized by an action on
+        # THIS Dataset's QueryExecution (count() would plan separately)
+        assert len(j.collect()) == 60_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -298,3 +298,20 @@ def test_text_format_roundtrip(spark):
     a = docs.agg(F.sum(F.length("value")).alias("s")).collect()[0].s
     b = back.agg(F.sum(F.length("value")).alias("s")).collect()[0].s
     assert a == b
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "gzip"])
+def test_compressed_parquet_roundtrip(spark, orders, codec):
+    """Compression codecs (flink-compress / format options): parquet
+    written with each codec reads back value-identical."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix=f"codec_{codec}_")
+    orders.write.mode("overwrite").option("compression", codec) \
+        .parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+                   .alias("s")).collect()[0].s
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+                 .alias("s")).collect()[0].s
+    assert a == b
