@@ -205,3 +205,28 @@ def test_outer_interval_join_stream(spark, events, events_stream_factory):
     # reference's not-yet-cleaned state)
     assert got_nulls <= exp_nulls
     assert len(got_nulls) > 0
+
+
+def test_unbounded_stream_stream_join(spark, events, events_stream_factory):
+    """Unbounded two-sided stream join (StreamingJoinOperator.java:38:
+    both sides materialized in state, no time bound): inner equi-join
+    of two streams equals the batch join once all batches drain."""
+    def sides(df):
+        clicks = (df.where(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("user_id").alias("c_uid")))
+        signups = (df.where(F.col("event_type") == "signup")
+                   .select(F.col("event_id").alias("signup_id"),
+                           F.col("user_id").alias("s_uid")))
+        return clicks, signups
+
+    sc, ss = sides(events_stream_factory())
+    joined = sc.join(ss, sc.c_uid == ss.s_uid) \
+        .select("click_id", "signup_id")
+    got = write_stream_to_memory(joined, "unb_join_out", "append")
+
+    bc, bs = sides(events)
+    expected = bc.join(bs, bc.c_uid == bs.s_uid) \
+        .select("click_id", "signup_id")
+    assert (_sorted_rows(got, ["click_id", "signup_id"])
+            == _sorted_rows(expected, ["click_id", "signup_id"]))
