@@ -155,3 +155,56 @@ def test_watermark_gates_append_emission(spark):
     rows = got.collect()
     # watermark = 50-1 = 49s: window [0,10) emits, [50,60) stays open
     assert len(rows) == 1 and rows[0].window.start == BASE_TS
+
+
+def test_late_data_side_output(spark):
+    """sideOutputLateData: rows behind the watermark are tagged and
+    divertible instead of silently dropped. Replay splits by event_id
+    (shuffled relative to ts), so later batches contain genuinely
+    late event times; expected late set recomputed offline from the
+    same split."""
+    from pyspark.sql import Window as W
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.sources.replay import (
+        replay_as_stream, write_stream_to_memory)
+    from flink_1_11_2_with_comments_spark.streaming.side_output import (
+        tag_late_rows)
+
+    events = (load_table(spark, "/root/testdata/sf0.001", "events")
+              .where(F.col("user_id") <= 30)
+              .withColumn("shuf",
+                          F.md5(F.col("event_id").cast("string"))))
+    n_batches = 4
+    stream = replay_as_stream(events, n_batches=n_batches,
+                              order_by="shuf") \
+        .withWatermark("ts", "1 minute")
+    out = tag_late_rows(stream, ["user_id"], "ts")
+    got = write_stream_to_memory(out, "late_out", output_mode="append")
+
+    assert got.count() == events.count()  # nothing silently dropped
+    late = {r.event_id for r in got.where("is_late").collect()}
+    assert len(late) > 0
+
+    # offline replay simulation: batch b gets ntile(b) by event_id;
+    # watermark before batch b = max ts of earlier batches − 1 min.
+    w = W.orderBy("shuf")
+    tagged = events.withColumn("b", F.ntile(n_batches).over(w))
+    rows = tagged.select("event_id", "ts", "b").collect()
+    import collections
+    max_ts = collections.defaultdict(lambda: None)
+    for r in rows:
+        cur = max_ts[r.b]
+        max_ts[r.b] = r.ts if cur is None or r.ts > cur else cur
+    expected_late = set()
+    running = None
+    for b in range(1, n_batches + 1):
+        if running is not None:
+            import datetime as dt
+            wm = running - dt.timedelta(minutes=1)
+            expected_late |= {r.event_id for r in rows
+                              if r.b == b and r.ts <= wm}
+        m = max_ts[b]
+        running = m if running is None or (m and m > running) else running
+    assert late == expected_late, (
+        len(late), len(expected_late),
+        sorted(late ^ expected_late)[:10])
