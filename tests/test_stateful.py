@@ -517,3 +517,77 @@ def test_quantified_cep_stream_matches_batch(spark, events):
     # tail past the final watermark stays open (small fixture:
     # a handful of matches live entirely in the last batches)
     assert len(got) >= len(exp) * 0.6, (len(got), len(exp))
+
+
+def test_delta_trigger_window(spark, events):
+    """GlobalWindow + PurgingTrigger(DeltaTrigger(25)): firing
+    sequence equals a sequential offline simulation exactly
+    (windowing/triggers/DeltaTrigger.java + PurgingTrigger.java)."""
+    from flink_1_11_2_with_comments_spark.streaming.triggers import (
+        delta_trigger_agg)
+
+    sub = events.where(F.col("user_id") <= 20)
+    ordered = sub.orderBy("ts", "event_id")
+    stream = replay_as_stream(ordered, n_batches=3, order_by="ts")
+    out = delta_trigger_agg(stream, ["user_id"], "value", threshold=25.0)
+    got = {(r.user_id, r.fire_id): (r.n, round(r.total, 5))
+           for r in write_stream_to_memory(
+               out, "dt_out", output_mode="append").collect()}
+
+    exp = {}
+    import collections
+    st = collections.defaultdict(lambda: [0, 0.0, None])  # n, sum, ref
+    for r in sub.orderBy("ts", "event_id").collect():
+        s = st[r.user_id]
+        s[0] += 1
+        s[1] += r.value
+        if s[2] is None:
+            s[2] = r.value
+            continue
+        if abs(r.value - s[2]) >= 25.0:
+            exp[(r.user_id, r.event_id)] = (s[0], round(s[1], 5))
+            st[r.user_id] = [0, 0.0, r.value]
+    assert len(got) > 0
+    assert got == exp, (len(got), len(exp))
+
+
+def test_punctuated_watermark_window(spark, events):
+    """Punctuated watermark: signup events are the markers that
+    advance per-key event time; window emission follows the
+    punctuated clock exactly (offline simulation), independent of
+    Spark's global bounded-delay watermark."""
+    from flink_1_11_2_with_comments_spark.streaming.triggers import (
+        punctuated_window_agg)
+
+    sub = (events.where(F.col("user_id") <= 20)
+           .withColumn("is_marker", F.col("event_type") == "signup"))
+    ordered = sub.orderBy("ts", "event_id")
+    stream = replay_as_stream(ordered, n_batches=3, order_by="ts")
+    out = punctuated_window_agg(stream, ["user_id"], 3600, "value",
+                                "is_marker")
+    got = {(r.user_id, r.window_start): (r.n, round(r.total, 5))
+           for r in write_stream_to_memory(
+               out, "pw_out", output_mode="append").collect()}
+
+    import collections, datetime as dt
+    wm = {}
+    wins = collections.defaultdict(dict)
+    exp = {}
+    for r in sub.orderBy("ts", "event_id").collect():
+        if r.is_marker:
+            if r.user_id not in wm or r.ts > wm[r.user_id]:
+                wm[r.user_id] = r.ts
+                for ws in sorted(wins[r.user_id]):
+                    if dt.datetime.fromtimestamp(ws + 3600) <= r.ts:
+                        n, s = wins[r.user_id].pop(ws)
+                        exp[(r.user_id,
+                             dt.datetime.fromtimestamp(ws))] = (
+                            n, round(s, 5))
+            continue
+        if r.user_id in wm and r.ts <= wm[r.user_id]:
+            continue
+        ws = int(r.ts.timestamp()) // 3600 * 3600
+        n, s = wins[r.user_id].get(ws, (0, 0.0))
+        wins[r.user_id][ws] = (n + 1, s + r.value)
+    assert len(got) > 0
+    assert got == exp, (len(got), len(exp))
