@@ -315,3 +315,56 @@ def test_compressed_parquet_roundtrip(spark, orders, codec):
     b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
                  .alias("s")).collect()[0].s
     assert a == b
+
+
+def test_chained_stateful_stages_via_foreachbatch(spark):
+    """Mid-pipeline updating composition (agg → join of two updating
+    aggregates) — the reference's retraction chains; Spark rejects it
+    as one continuous query, so the documented pattern (SURVEY §7)
+    is a foreachBatch checkpoint between stages: each micro-batch
+    folds new rows into persisted stage-1 state, recomputes the
+    downstream join from that state, and overwrites the result —
+    retraction-by-recomputation. Final result must equal the batch
+    composition."""
+    import tempfile, os
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.sources.replay import (
+        replay_as_stream)
+
+    events = load_table(spark, SF, "events").where(F.col("user_id") <= 50)
+    base = tempfile.mkdtemp(prefix="chain_")
+    raw_dir = os.path.join(base, "raw")
+    out_dir = os.path.join(base, "result")
+
+    def stage(df, epoch_id):
+        # stage-1 checkpoint: append this batch's raw rows (idempotent
+        # per epoch via subdir overwrite)
+        df.write.mode("overwrite").parquet(
+            os.path.join(raw_dir, str(epoch_id)))
+        acc = spark.read.parquet(os.path.join(raw_dir, "*"))
+        # stage 1: per (user, type) counts — an updating aggregate
+        s1 = acc.groupBy("user_id", "event_type") \
+            .agg(F.count("*").alias("n"))
+        # stage 2: join two updating aggregates of the same state
+        clicks = s1.where(F.col("event_type") == "click") \
+            .select("user_id", F.col("n").alias("clicks"))
+        views = s1.where(F.col("event_type") == "view") \
+            .select("user_id", F.col("n").alias("views"))
+        result = clicks.join(views, "user_id")
+        result.write.mode("overwrite").parquet(out_dir)
+
+    stream = replay_as_stream(events, n_batches=3, order_by="ts")
+    q = stream.writeStream.foreachBatch(stage).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.user_id, r.clicks, r.views)
+           for r in spark.read.parquet(out_dir).collect()}
+    s1 = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    exp = {(r.user_id, r.clicks, r.views) for r in
+           (s1.where("event_type = 'click'")
+            .select("user_id", F.col("n").alias("clicks"))
+            .join(s1.where("event_type = 'view'")
+                  .select("user_id", F.col("n").alias("views")),
+                  "user_id")).collect()}
+    assert got == exp and len(got) > 0
