@@ -153,7 +153,9 @@ def test_ivf_assign_corpus_is_map_only(spark, sf_dir):
     exchanges are on the 16-row centroid side (collect_list agg +
     broadcast). The corpus branch is scan → project(fold) only."""
     p = plan(spark, "ann_ivf_assign", sf_dir)
-    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    # split at the first node-detail header — the first node may be an
+    # InMemoryTableScan when another test cached the table
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     # centroid fold: ≤2 tiny exchanges (16-row agg + broadcast);
     # corpus: zero — scan feeds the broadcast join directly
     assert body.count("Exchange") <= 2, body
@@ -166,7 +168,7 @@ def test_lsh_bucket_assignment_no_shuffle(spark, sf_dir):
     no exchange) — the property that makes bucketing a 100 TB corpus
     a single pass."""
     p = plan(spark, "ann_lsh_buckets", sf_dir)
-    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     assert "Exchange" not in body, body
     assert "BatchEvalPython" not in p, "LSH fell off the JVM path"
 
