@@ -208,3 +208,25 @@ def test_late_data_side_output(spark):
     assert late == expected_late, (
         len(late), len(expected_late),
         sorted(late ^ expected_late)[:10])
+
+
+def test_async_lookup_preserves_order_within_partition(spark):
+    """AsyncDataStream.orderedWait semantics: the Arrow-batched lookup
+    (mapInPandas) emits results in input order within each partition —
+    ordered mode needs no extra machinery, unordered is a relaxation."""
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    c = (load_table(spark, "/root/testdata/sf0.001", "customer")
+         .orderBy("c_custkey")
+         .coalesce(1)
+         .select("c_custkey", "c_nationkey"))
+
+    def lookup(batches):
+        for pdf in batches:
+            out = pdf[["c_custkey"]].copy()
+            out["r"] = pdf["c_nationkey"] * 2
+            yield out
+
+    got = c.mapInPandas(lookup, "c_custkey bigint, r bigint") \
+        .collect()
+    ids = [r.c_custkey for r in got]
+    assert ids == sorted(ids) and len(ids) > 0
