@@ -34,3 +34,29 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_results_invariant_to_partitioning(spark):
+    """Parallel-safety of the decimal-accumulation discipline: the
+    same query at different shuffle-partition counts (different
+    aggregation orders, different partial-agg groupings) returns
+    BIT-IDENTICAL values. This is the property that makes results
+    reproducible on a 1000-executor cluster vs local[32]."""
+    sf = "/root/testdata/sf0.01"
+    specs = q.all_specs()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = specs["tpch_q1"].fn(spark, sf).collect()
+            results.append(sorted(tuple(r) for r in rows))
+        assert results[0] == results[1]
+        results = []
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = specs["graph_pagerank"].fn(spark, sf).collect()
+            results.append(sorted(tuple(r) for r in rows))
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
