@@ -125,6 +125,12 @@ class TableEnvironment:
     def create_temporary_view(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
 
+    def scan(self, name: str):
+        """tableEnv.scan("name") → fluent Table (Table API facade,
+        SURVEY §3.2; table.py maps Table.java:106-1072)."""
+        from .table import Table
+        return Table(self.spark.table(name))
+
     def scan_stream(self, name: str) -> DataFrame:
         """Unbounded scan of a catalog table with its DDL watermark
         (StreamExecTableSourceScan + WATERMARK clause)."""

@@ -368,3 +368,54 @@ def test_chained_stateful_stages_via_foreachbatch(spark):
                   .select("user_id", F.col("n").alias("views")),
                   "user_id")).collect()}
     assert got == exp and len(got) > 0
+
+
+
+def test_table_api_facade(spark):
+    """Fluent Table API (Table.java:106-1072 / PyFlink spellings):
+    chained select/filter/group_by/join/order_by/fetch equals the
+    DataFrame formulation, and set ops / renames behave."""
+    from pyspark.sql import functions as F
+    from flink_1_11_2_with_comments_spark.catalog import TableEnvironment
+
+    env = TableEnvironment(spark, "/root/testdata/sf0.001")
+    orders = env.scan("orders")
+    customer = env.scan("customer")
+
+    got = (orders
+           .filter("o_totalprice > 100000")
+           .join(customer, "o_custkey = c_custkey")
+           .group_by("c_mktsegment")
+           .select(F.count("*").alias("n"),
+                   F.round(F.sum(F.col("o_totalprice").cast(
+                       "decimal(30,2)")), 2).cast("double").alias("total"))
+           .order_by("c_mktsegment")
+           .fetch(3)
+           .to_df())
+
+    o = spark.table("orders").where("o_totalprice > 100000")
+    c = spark.table("customer")
+    exp = (o.join(c, o.o_custkey == c.c_custkey)
+           .groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")),
+                        2).cast("double").alias("total"))
+           .orderBy("c_mktsegment").limit(3))
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in exp.collect()]
+
+    # set ops + projection utilities
+    a = orders.select("o_orderkey").where("o_orderkey <= 10")
+    b = orders.select("o_orderkey").where("o_orderkey <= 5")
+    assert a.minus(b).to_df().count() == a.to_df().count() - b.to_df().count()
+    assert b.intersect(a).to_df().count() == b.to_df().count()
+    assert a.union_all(b).to_df().count() \
+        == a.to_df().count() + b.to_df().count()
+    renamed = orders.rename_columns("o_orderkey AS k").drop_columns(
+        "o_custkey")
+    cols = renamed.to_df().columns
+    assert "k" in cols and "o_orderkey" not in cols \
+        and "o_custkey" not in cols
+    added = orders.add_columns("o_totalprice * 2 AS dbl") \
+        .select("o_orderkey", "dbl")
+    assert added.to_df().columns == ["o_orderkey", "dbl"]
