@@ -131,3 +131,95 @@ class GroupedTable:
 
     def select(self, *agg_exprs) -> Table:
         return Table(self._df.groupBy(*self._keys).agg(*_cols(agg_exprs)))
+
+
+class _WindowDescriptor:
+    """Tumble/Slide/Session descriptor — Table API group-window
+    surface (Table.window(...) with Tumble.over(...).on(...).alias;
+    flink-table-api descriptors Tumble.java/Slide.java/Session.java).
+    Sizes are Spark interval strings ('1 hour')."""
+
+    def __init__(self, kind: str, size: str, slide: str | None = None,
+                 gap: str | None = None):
+        self._kind, self._size, self._slide, self._gap = \
+            kind, size, slide, gap
+        self._on: str | None = None
+        self._name = "w"
+
+    def on(self, ts_col: str) -> "_WindowDescriptor":
+        self._on = ts_col
+        return self
+
+    def alias(self, name: str) -> "_WindowDescriptor":
+        self._name = name
+        return self
+
+    def _column(self) -> Column:
+        if self._on is None:
+            raise ValueError("window descriptor needs .on(ts_col)")
+        if self._kind == "session":
+            return F.session_window(self._on, self._gap)
+        if self._kind == "slide":
+            return F.window(self._on, self._size, self._slide)
+        return F.window(self._on, self._size)
+
+
+class Tumble:
+    @staticmethod
+    def over(size: str) -> _WindowDescriptor:
+        return _WindowDescriptor("tumble", size)
+
+
+class Slide:
+    @staticmethod
+    def over(size: str):
+        d = _WindowDescriptor("slide", size)
+
+        class _Every:
+            @staticmethod
+            def every(slide: str) -> _WindowDescriptor:
+                d._slide = slide
+                return d
+        return _Every()
+
+
+class Session:
+    @staticmethod
+    def with_gap(gap: str) -> _WindowDescriptor:
+        return _WindowDescriptor("session", None, gap=gap)
+
+
+class WindowGroupedTable:
+    """table.window(w).group_by(w, keys...).select(aggs) —
+    WindowGroupedTable.java."""
+
+    def __init__(self, df: DataFrame, window: _WindowDescriptor,
+                 keys: list):
+        self._df, self._window, self._keys = df, window, keys
+
+    def select(self, *agg_exprs) -> Table:
+        w = self._window
+        out = (self._df
+               .groupBy(*_cols(self._keys), w._column().alias(w._name))
+               .agg(*_cols(agg_exprs))
+               .withColumn(f"{w._name}_start", F.col(f"{w._name}.start"))
+               .withColumn(f"{w._name}_end", F.col(f"{w._name}.end"))
+               .drop(w._name))
+        return Table(out)
+
+
+def _table_window(self: Table, window: _WindowDescriptor):
+    class _GB:
+        def __init__(self, df):
+            self._df = df
+
+        def group_by(self, *keys):
+            # the window alias itself may be listed among the keys
+            # (Flink's groupBy(w, ...)); drop it — it is implicit
+            real = [k for k in keys
+                    if not (isinstance(k, str) and k == window._name)]
+            return WindowGroupedTable(self._df, window, real)
+    return _GB(self._df)
+
+
+Table.window = _table_window  # Table.java:1050 (window group surface)

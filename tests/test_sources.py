@@ -419,3 +419,73 @@ def test_table_api_facade(spark):
     added = orders.add_columns("o_totalprice * 2 AS dbl") \
         .select("o_orderkey", "dbl")
     assert added.to_df().columns == ["o_orderkey", "dbl"]
+
+
+def test_datastream_api_facade(spark):
+    """DataStream facade (DataStream.java map/flatMap/filter/keyBy/
+    union; KeyedStream reduce/window): chained calls equal the
+    DataFrame formulations."""
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.datastream import DataStream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    ds = DataStream(events)
+
+    doubled = (ds.filter("event_type = 'click'")
+               .map(lambda r: {"user_id": r["user_id"],
+                               "v2": r["value"] * 2},
+                    "user_id bigint, v2 double")
+               .key_by("user_id")
+               .reduce(F.round(F.sum("v2"), 6).alias("total")))
+    exp = (events.where("event_type = 'click'")
+           .groupBy("user_id")
+           .agg(F.round(F.sum(F.col("value") * 2), 6).alias("total")))
+    assert sorted(map(tuple, doubled.to_df().collect())) \
+        == sorted(map(tuple, exp.collect()))
+
+    tripled = ds.flat_map(
+        lambda r: [{"eid": r["event_id"]}] * 3, "eid bigint")
+    assert tripled.to_df().count() == events.count() * 3
+
+    fn_filtered = ds.filter(lambda r: r["user_id"] % 2 == 0)
+    assert fn_filtered.to_df().count() == \
+        events.where("user_id % 2 = 0").count()
+
+    windowed = (ds.key_by("event_type")
+                .window("ts", "1 hour")
+                .aggregate(F.count("*").alias("n")))
+    exp_w = (events.groupBy("event_type", F.window("ts", "1 hour"))
+             .agg(F.count("*").alias("n")))
+    assert windowed.to_df().count() == exp_w.count()
+
+
+def test_table_window_descriptors(spark):
+    """Tumble/Slide/Session descriptors on the Table facade equal the
+    window() group-window queries."""
+    from flink_1_11_2_with_comments_spark.catalog import TableEnvironment
+    from flink_1_11_2_with_comments_spark.table import (
+        Session, Slide, Tumble)
+
+    env = TableEnvironment(spark, "/root/testdata/sf0.001")
+    events = env.scan("events")
+
+    t = (events.window(Tumble.over("1 hour").on("ts").alias("w"))
+         .group_by("w", "event_type")
+         .select(F.count("*").alias("n")).to_df())
+    exp = (spark.table("events")
+           .groupBy("event_type", F.window("ts", "1 hour"))
+           .agg(F.count("*").alias("n")))
+    assert t.count() == exp.count()
+    assert set(t.columns) == {"event_type", "n", "w_start", "w_end"}
+
+    s = (events.window(Slide.over("1 hour").every("30 minutes")
+                       .on("ts").alias("w"))
+         .group_by("w").select(F.count("*").alias("n")).to_df())
+    assert s.agg(F.sum("n")).collect()[0][0] \
+        == spark.table("events").count() * 2
+
+    g = (events.window(Session.with_gap("10 minutes").on("ts").alias("w"))
+         .group_by("w", "user_id")
+         .select(F.count("*").alias("n")).to_df())
+    assert g.agg(F.sum("n")).collect()[0][0] \
+        == spark.table("events").count()
