@@ -75,6 +75,27 @@ class DataStream:
     def key_by(self, *keys: str) -> "KeyedStream":  # :275
         return KeyedStream(self._df, list(keys))
 
+    # -- physical partitioning (DataSet.java:1230-1359 / DataStream
+    #    rebalance :368 area) ---------------------------------------
+    def rebalance(self, n: int | None = None) -> "DataStream":
+        return DataStream(self._df.repartition(n)
+                          if n else self._df.repartition())
+
+    def partition_by_hash(self, *keys: str) -> "DataStream":
+        return DataStream(self._df.repartition(*keys))
+
+    def partition_by_range(self, *keys: str) -> "DataStream":
+        return DataStream(self._df.repartitionByRange(*keys))
+
+    def sort_partition(self, *keys: str) -> "DataStream":
+        return DataStream(self._df.sortWithinPartitions(*keys))
+
+    def split(self, tags: dict[str, object]) -> dict[str, "DataStream"]:
+        """Side outputs / SplitStream (DataStream.java:231;
+        getSideOutput): tagged filter branches off one parent —
+        Catalyst reuses the shared subplan across branches."""
+        return {tag: self.filter(pred) for tag, pred in tags.items()}
+
     # -- sinks (DataStream.java:938-1234) ---------------------------
     def print(self, n: int = 20) -> None:
         self._df.show(n)

@@ -489,3 +489,29 @@ def test_table_window_descriptors(spark):
          .select(F.count("*").alias("n")).to_df())
     assert g.agg(F.sum("n")).collect()[0][0] \
         == spark.table("events").count()
+
+
+def test_datastream_partitioning_and_split(spark):
+    """partitionByHash/partitionByRange/rebalance/sortPartition
+    (DataSet.java:1230-1359) and side-output split (DataStream
+    .java:231): partition counts and branch contents behave."""
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.datastream import DataStream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    ds = DataStream(events)
+    assert ds.rebalance(4).to_df().rdd.getNumPartitions() == 4
+    assert ds.partition_by_hash("user_id").to_df() \
+        .rdd.getNumPartitions() > 0
+    rng = ds.partition_by_range("event_id").sort_partition("event_id")
+    ids = [r.event_id for r in rng.to_df().collect()]
+    assert ids == sorted(ids)  # range partitions + in-partition sort
+
+    branches = ds.split({
+        "clicks": "event_type = 'click'",
+        "errors": "event_type = 'error'",
+    })
+    n_click = branches["clicks"].to_df().count()
+    n_err = branches["errors"].to_df().count()
+    assert n_click == events.where("event_type = 'click'").count()
+    assert n_err == events.where("event_type = 'error'").count()
