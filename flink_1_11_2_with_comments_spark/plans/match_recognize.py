@@ -194,9 +194,21 @@ def match_recognize(spark: SparkSession, sql: str,
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)
-    matched = match_pattern_batch(src, keys, ts_col, steps,
-                                  within=within, after_match=after_match,
-                                  id_col=id_col)
+    if src.isStreaming:
+        # streaming MATCH_RECOGNIZE (StreamExecMatch): SQL standard
+        # fixes SKIP PAST LAST ROW semantics, which is what the
+        # streaming NFA implements; other strategies are batch-only
+        from ..streaming.cep import match_pattern_stream
+        if after_match != "skip_past_last":
+            raise NotImplementedError(
+                "streaming MATCH_RECOGNIZE supports SKIP PAST LAST ROW")
+        matched = match_pattern_stream(src, keys, ts_col, steps,
+                                       within=within, id_col=id_col)
+    else:
+        matched = match_pattern_batch(src, keys, ts_col, steps,
+                                      within=within,
+                                      after_match=after_match,
+                                      id_col=id_col)
 
     # measures → the engine's fixed per-step outputs
     sel = [F.col(k) for k in keys]

@@ -591,3 +591,38 @@ def test_punctuated_watermark_window(spark, events):
         wins[r.user_id][ws] = (n + 1, s + r.value)
     assert len(got) > 0
     assert got == exp, (len(got), len(exp))
+
+
+def test_match_recognize_sql_streaming(spark, events):
+    """SQL MATCH_RECOGNIZE over a STREAMING input: the parser routes
+    to the streaming NFA; every emission is a true batch-MR match."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS view_id,
+                   COUNT(B.*) AS n_clicks,
+                   C.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.view_id, r.n_clicks, r.purchase_id)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=6, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    out = match_recognize(spark, sql, df=stream)
+    got = {(r.user_id, r.view_id, r.n_clicks, r.purchase_id)
+           for r in write_stream_to_memory(
+               out, "mrs_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
