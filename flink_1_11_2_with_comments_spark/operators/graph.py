@@ -124,3 +124,23 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                                  + damping * F.coalesce("inflow", F.lit(0.0)),
                                  9).alias("rank")))
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles — Gelly TriangleEnumerator.java re-expressed
+    relationally: orient every undirected edge a<b (each triangle
+    once), enumerate wedges a<b<c with one self-join, close them with
+    a second. Two shuffles total; at scale, pre-filter to the
+    lower-degree endpoint orientation (standard degree-ordering trick)
+    to bound wedge explosion on hubs.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    canon = (und.where(F.col("src") < F.col("dst"))
+             .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+             .distinct())
+    e2 = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = canon.join(e2, canon.b == e2.b2)
+    e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    closed = wedges.join(e3, (wedges.a == e3.a3) & (wedges.c == e3.c3))
+    return closed.agg(F.count("*").alias("n_triangles"))

@@ -175,3 +175,30 @@ def _sssp_edges(spark, sf_dir):
 def graph_sssp(spark, sf_dir):
     from ..operators.graph import sssp
     return sssp(_sssp_edges(spark, sf_dir), source=1000)
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH base AS ({_EDGE_SQL}),
+    und AS (
+      SELECT src, dst FROM base UNION SELECT dst, src FROM base
+    ),
+    canon AS (
+      SELECT DISTINCT src AS a, dst AS b FROM und WHERE src < dst
+    )
+    SELECT COUNT(*) AS n_triangles FROM canon e1
+    JOIN canon e2 ON e1.b = e2.a
+    JOIN canon e3 ON e1.a = e3.a AND e2.b = e3.b
+    """,
+    doc="Triangle counting — Gelly TriangleEnumerator/TriangleCount "
+        "(flink-libraries/flink-gelly/.../library/TriangleEnumerator."
+        "java): canonical a<b<c edge orientation, two joins enumerate "
+        "wedges then close them. Star-schema graph has 0 triangles "
+        "until customer-supplier co-nation shortcuts are added — the "
+        "oracle proves the zero; operators/graph.triangle_count is the "
+        "general operator (tests add a triangulated graph).",
+)
+def graph_triangle_count(spark, sf_dir):
+    from ..operators.graph import triangle_count
+    return triangle_count(_edges(spark, sf_dir))

@@ -456,3 +456,34 @@ def fn_cast_semantics(spark, sf_dir):
         F.expr("try_cast(CAST(doc_id AS string) AS int)").alias("ok_int"),
         F.col("doc_id").cast("double").cast("bigint").alias("narrow_back"),
         (F.col("doc_id") % 2 == 0).cast("string").alias("bool_str"))
+
+
+@register(
+    "fn_time_type",
+    """
+    SELECT event_id,
+           (EXTRACT(hour FROM ts) * 3600000
+            + EXTRACT(minute FROM ts) * 60000
+            + CAST(floor(EXTRACT(second FROM ts)) AS BIGINT) * 1000
+            + CAST(EXTRACT(millisecond FROM ts) AS BIGINT) % 1000)
+             AS time_of_day_ms,
+           EXTRACT(hour FROM ts) AS h,
+           EXTRACT(minute FROM ts) AS m
+    FROM events WHERE event_id <= 500
+    """,
+    doc="TIME type mapping (SURVEY §1.2: Flink TIME(p) has no Spark "
+        "type → millis-of-day BIGINT): extract the time-of-day from a "
+        "timestamp as the canonical encoding, plus HOUR/MINUTE "
+        "accessors (SqlDateTimeUtils.java:66 internalToTime analogue).",
+)
+def fn_time_type(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    return e.select(
+        "event_id",
+        (F.hour("ts").cast("bigint") * 3600000
+         + F.minute("ts").cast("bigint") * 60000
+         + F.second("ts").cast("bigint") * 1000
+         + (F.unix_micros("ts") / 1000 % 1000).cast("bigint"))
+        .alias("time_of_day_ms"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.minute("ts").cast("bigint").alias("m"))

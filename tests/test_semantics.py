@@ -230,3 +230,14 @@ def test_async_lookup_preserves_order_within_partition(spark):
         .collect()
     ids = [r.c_custkey for r in got]
     assert ids == sorted(ids) and len(ids) > 0
+
+
+def test_triangle_count_known_graph(spark):
+    """Triangle counting on a known graph: K4 has 4 triangles; adding
+    a pendant edge changes nothing; duplicate/reversed edges dedupe."""
+    from flink_1_11_2_with_comments_spark.operators.graph import (
+        triangle_count)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 9), (1, 0), (2, 1)], "src bigint, dst bigint")
+    assert triangle_count(edges).collect()[0].n_triangles == 4

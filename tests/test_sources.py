@@ -515,3 +515,13 @@ def test_datastream_partitioning_and_split(spark):
     n_err = branches["errors"].to_df().count()
     assert n_click == events.where("event_type = 'click'").count()
     assert n_err == events.where("event_type = 'error'").count()
+
+
+def test_jdbc_gated_error(spark):
+    """JDBC connector is present but driverless here: the gate raises
+    a clear actionable error instead of a bare stack."""
+    from flink_1_11_2_with_comments_spark.sources.connectors import (
+        jdbc_source)
+    with pytest.raises(RuntimeError, match="jdbc"):
+        jdbc_source(spark, "jdbc:postgresql://nohost/db", "t",
+                    driver="org.postgresql.Driver")
