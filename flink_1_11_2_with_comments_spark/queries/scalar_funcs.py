@@ -487,3 +487,30 @@ def fn_time_type(spark, sf_dir):
         .alias("time_of_day_ms"),
         F.hour("ts").cast("bigint").alias("h"),
         F.minute("ts").cast("bigint").alias("m"))
+
+
+@register(
+    "fn_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_cont,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_cont,
+           quantile_disc(o_totalprice, 0.25) AS q1_disc,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact percentiles: PERCENTILE_CONT (linear interpolation) and "
+        "PERCENTILE_DISC — Calcite std aggregates available through "
+        "FlinkSqlOperatorTable. Rounded to 4 digits: the two engines "
+        "interpolate with differently-associated fp expressions.",
+)
+def fn_percentiles(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+                 .alias("median_cont"),
+                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+                 .alias("p90_cont"),
+                 F.expr("percentile_disc(0.25) WITHIN GROUP "
+                        "(ORDER BY o_totalprice)").alias("q1_disc"),
+                 F.count("*").alias("n")))
