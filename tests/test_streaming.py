@@ -230,3 +230,68 @@ def test_unbounded_stream_stream_join(spark, events, events_stream_factory):
         .select("click_id", "signup_id")
     assert (_sorted_rows(got, ["click_id", "signup_id"])
             == _sorted_rows(expected, ["click_id", "signup_id"]))
+
+
+def test_rocksdb_state_store_backend(spark, events, events_stream_factory):
+    """RocksDB state store (the reference's RocksDBKeyedStateBackend
+    equivalent, SCALE.md §Streaming): the same windowed aggregation
+    runs on RocksDBStateStoreProvider with identical results — the
+    state backend a 100 TB deployment uses when keyed state exceeds
+    executor heap."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = events_stream_factory().withWatermark("ts", "10 minutes")
+        agg = (stream.groupBy(F.window("ts", "1 hour"), "event_type")
+               .agg(F.count("*").alias("n"))
+               .select(F.col("window.start").alias("ws"),
+                       "event_type", "n"))
+        got = write_stream_to_memory(agg, "rocks_out", "complete")
+        exp = (events.groupBy(F.window("ts", "1 hour"), "event_type")
+               .agg(F.count("*").alias("n"))
+               .select(F.col("window.start").alias("ws"),
+                       "event_type", "n"))
+        assert (_sorted_rows(got, ["ws", "event_type"])
+                == _sorted_rows(exp, ["ws", "event_type"]))
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_multi_sink_fanout_shares_source(spark, events,
+                                         events_stream_factory):
+    """Common-subgraph multi-sink (StreamCommonSubGraphBasedOptimizer:
+    one scan feeding several sinks): foreachBatch persists the batch
+    once and fans out to N destinations — both outputs complete and
+    consistent."""
+    import tempfile, os
+    out_a = tempfile.mkdtemp(prefix="fan_a_")
+    out_b = tempfile.mkdtemp(prefix="fan_b_")
+
+    def fanout(df, epoch_id):
+        df.persist()
+        try:
+            (df.groupBy("event_type").agg(F.count("*").alias("n"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_a, str(epoch_id))))
+            (df.groupBy("user_id").agg(F.sum("value").alias("s"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_b, str(epoch_id))))
+        finally:
+            df.unpersist()
+
+    q = events_stream_factory().writeStream.foreachBatch(fanout).start()
+    q.processAllAvailable()
+    q.stop()
+    a = spark.read.parquet(os.path.join(out_a, "*"))
+    b = spark.read.parquet(os.path.join(out_b, "*"))
+    assert a.agg(F.sum("n")).collect()[0][0] == events.count()
+    assert b.count() > 0
