@@ -772,3 +772,35 @@ def null_distinct_groupby(spark, sf_dir):
         "k int, v int")
     return t_.groupBy("k").agg(F.count("*").alias("n"),
                                F.sum("v").alias("sv"))
+
+
+@register(
+    "agg_filter_clause",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                  FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
+             AS total_f,
+           COUNT(DISTINCT o_custkey)
+             FILTER (WHERE o_totalprice > 100000) AS custs_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Aggregate FILTER clause (Calcite std via FlinkSqlOperatorTable; "
+        "AggregateCall.filterArg in the Blink planner): per-aggregate "
+        "predicates without CASE rewriting, incl. filtered DISTINCT.",
+)
+def agg_filter_clause(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_all"),
+                 F.count(F.when(F.col("o_totalprice") > 200000, 1))
+                 .alias("n_big"),
+                 F.round(F.sum(F.when(F.col("o_orderstatus") == "F",
+                                      F.col("o_totalprice"))
+                               .cast("decimal(30,10)")), 2)
+                 .cast("double").alias("total_f"),
+                 F.countDistinct(
+                     F.when(F.col("o_totalprice") > 100000,
+                            F.col("o_custkey"))).alias("custs_big")))

@@ -607,3 +607,37 @@ def count_sliding_window_batch(spark, sf_dir):
             .where(F.col("rn") % 5 == 0)
             .select("user_id", (F.col("rn") / 5).cast("bigint")
                     .alias("fire_seq"), "n", "total"))
+
+
+@register(
+    "window_topn",
+    f"""
+    WITH w AS (
+      SELECT user_id,
+             to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+               AS window_start,
+             {sql_dsum('value')} AS total
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY total DESC, user_id) AS rnk
+      FROM w
+    )
+    SELECT window_start, user_id, total, rnk FROM r WHERE rnk <= 3
+    """,
+    doc="Window TopN: top-3 users by summed value per tumbling hour — "
+        "the canonical Flink pattern (window agg → Rank on window_start, "
+        "StreamExecRank over group-window output). One window shuffle + "
+        "one rank shuffle; WindowGroupLimit prunes per partition.",
+)
+def window_topn(spark, sf_dir):
+    from pyspark.sql import Window as W
+    e = t(spark, sf_dir, "events")
+    agg = (e.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+           .agg(dsum("value").alias("total"))
+           .select("user_id", F.col("w.start").alias("window_start"),
+                   "total"))
+    rw = W.partitionBy("window_start").orderBy(F.desc("total"), "user_id")
+    return (agg.withColumn("rnk", F.row_number().over(rw))
+            .where(F.col("rnk") <= 3)
+            .select("window_start", "user_id", "total", "rnk"))
