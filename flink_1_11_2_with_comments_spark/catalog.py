@@ -115,8 +115,38 @@ class TableEnvironment:
 
     def execute_sql(self, sql: str) -> DataFrame:
         """tableEnv.executeSql(...) — DDL/DML passthrough (eagerly
-        executed by Spark for DDL, lazily for queries)."""
+        executed by Spark for DDL, lazily for queries).
+
+        Accepts the reference's `WATERMARK FOR col AS col - INTERVAL
+        'n' UNIT` clause in CREATE TABLE (SqlCreateTable.java:56,
+        SqlWatermark.java:39): the clause is stripped for Spark's
+        parser and recorded in the WATERMARKS registry, which
+        scan_stream applies as withWatermark — DDL text from a
+        reference deployment runs unchanged.
+        """
+        import re as _re
+        wm = _re.search(
+            r",?\s*WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*"
+            r"INTERVAL\s+'(\d+)'\s+(\w+)", sql, _re.IGNORECASE)
+        if wm:
+            name_m = _re.search(r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+"
+                                r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
+                                sql, _re.IGNORECASE)
+            if name_m:
+                unit = wm.group(3).lower()
+                unit = unit if unit.endswith("s") else unit + "s"
+                WATERMARKS[name_m.group(1)] = (
+                    wm.group(1), f"{wm.group(2)} {unit}")
+            sql = sql[:wm.start()] + sql[wm.end():]
         return self.spark.sql(sql)
+
+    def explain_sql(self, sql: str, mode: str = "formatted") -> str:
+        """tableEnv.explainSql — the optimized physical plan text."""
+        df = self.sql_query(sql)
+        je = df._jdf.queryExecution()
+        m = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString(mode)
+        return je.explainString(m)
 
     def from_path(self, name: str) -> DataFrame:
         """tableEnv.from("name") — catalog lookup."""

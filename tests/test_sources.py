@@ -525,3 +525,27 @@ def test_jdbc_gated_error(spark):
     with pytest.raises(RuntimeError, match="jdbc"):
         jdbc_source(spark, "jdbc:postgresql://nohost/db", "t",
                     driver="org.postgresql.Driver")
+
+
+def test_ddl_watermark_clause(spark):
+    """Reference DDL with a WATERMARK clause runs unchanged: the
+    clause is stripped for Spark's parser and lands in the watermark
+    registry; scan_stream applies it (EventTimeWatermark in the
+    streaming plan)."""
+    from flink_1_11_2_with_comments_spark.catalog import (
+        WATERMARKS, TableEnvironment)
+    env = TableEnvironment(spark, SF)
+    env.execute_sql("""
+        CREATE TABLE IF NOT EXISTS wm_events (
+          event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          WATERMARK FOR ts AS ts - INTERVAL '7' MINUTE
+        ) USING parquet LOCATION '/tmp/wm_events_tbl'
+    """)
+    try:
+        assert WATERMARKS["wm_events"] == ("ts", "7 minutes")
+        plan = env.explain_sql(
+            "SELECT COUNT(*) AS n FROM events")
+        assert "Aggregate" in plan or "HashAggregate" in plan
+    finally:
+        WATERMARKS.pop("wm_events", None)
+        spark.sql("DROP TABLE IF EXISTS wm_events")
