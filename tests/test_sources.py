@@ -549,3 +549,24 @@ def test_ddl_watermark_clause(spark):
     finally:
         WATERMARKS.pop("wm_events", None)
         spark.sql("DROP TABLE IF EXISTS wm_events")
+
+
+def test_statement_set_multi_insert(spark):
+    """StatementSet: several INSERTs execute as one unit; both batch
+    targets land with the right contents."""
+    import tempfile, os
+    from flink_1_11_2_with_comments_spark.catalog import TableEnvironment
+    env = TableEnvironment(spark, SF)
+    base = tempfile.mkdtemp(prefix="stmtset_")
+    p1, p2 = os.path.join(base, "by_type"), os.path.join(base, "by_user")
+    (env.create_statement_set()
+     .add_insert(p1, "SELECT event_type, COUNT(*) AS n FROM events "
+                     "GROUP BY event_type")
+     .add_insert(p2, "SELECT user_id, COUNT(*) AS n FROM events "
+                     "GROUP BY user_id")
+     .execute())
+    n_events = spark.table("events").count()
+    assert spark.read.parquet(p1).agg(F.sum("n")).collect()[0][0] \
+        == n_events
+    assert spark.read.parquet(p2).agg(F.sum("n")).collect()[0][0] \
+        == n_events
