@@ -216,3 +216,14 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_pipeline_end_to_end_shuffle_budget(spark, sf_dir):
+    """The chained dedup → quality → language → stats pipeline stays
+    within its minimal shuffle budget: digest aggregate, keep-id join
+    co-partitioning, final language aggregate — every per-document
+    feature is scan-side."""
+    p = plan(spark, "pipeline_end_to_end", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("Exchange") <= 5, body
+    assert "BatchEvalPython" not in p, "pipeline fell off the JVM path"
