@@ -683,3 +683,28 @@ def pipeline_end_to_end(spark, sf_dir):
                  F.sum("n_tok").alias("n_tokens"),
                  F.sum("len_chars").alias("n_chars"))
             .orderBy("lang_pred"))
+
+
+@register(
+    "heavy_hitters",
+    """
+    WITH f AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), total AS (SELECT COUNT(*) AS t FROM events)
+    SELECT f.user_id, f.n
+    FROM f, total WHERE f.n * 20 > total.t
+    ORDER BY f.n DESC, f.user_id
+    """,
+    doc="Heavy hitters / frequent items: keys exceeding 1/20 of the "
+        "stream — exact group-count form (one partial+final agg). The "
+        "constant-memory scale path is df.stat.freqItems "
+        "(Karp-Shenker-Papadimitriou one-pass), pinned against this "
+        "exact form in tests/test_pipeline.py — the 100 TB pre-filter "
+        "before an exact count of the surviving candidates.",
+)
+def heavy_hitters(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    total = e.count()
+    return (e.groupBy("user_id").agg(F.count("*").alias("n"))
+            .where(F.col("n") * 20 > total)
+            .orderBy(F.desc("n"), "user_id"))

@@ -187,3 +187,20 @@ def test_approx_sketches_bounded_error(spark):
     for k, e in exact.items():
         assert abs(got[k].approx_custs - e.n) <= max(2, e.n * 0.02), k
         assert abs(got[k].approx_median - e.med) <= abs(e.med) * 0.02, k
+
+
+def test_freq_items_sketch_superset(spark):
+    """Karp one-pass frequent-items (df.stat.freqItems) must return a
+    SUPERSET of the true heavy hitters (the sketch guarantee: no
+    false negatives above the support threshold) — the constant-
+    memory 100 TB pre-filter; exact recount confirms the survivors."""
+    import pyspark.sql.functions as F
+    from flink_1_11_2_with_comments_spark.queries._util import t
+    e = t(spark, SF, "events")
+    total = e.count()
+    exact = {r.user_id for r in
+             (e.groupBy("user_id").agg(F.count("*").alias("n"))
+              .where(F.col("n") * 20 > total).collect())}
+    sketch = set(e.stat.freqItems(["user_id"], 0.05)
+                 .collect()[0][0])
+    assert exact <= sketch
