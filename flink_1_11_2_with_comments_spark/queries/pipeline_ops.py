@@ -708,3 +708,26 @@ def heavy_hitters(spark, sf_dir):
     return (e.groupBy("user_id").agg(F.count("*").alias("n"))
             .where(F.col("n") * 20 > total)
             .orderBy(F.desc("n"), "user_id"))
+
+
+@register(
+    "corpus_sample",
+    None,  # RNG streams differ across engines; bounds pinned in pytest
+    doc="Seeded corpus sampling for training-data subsets: Bernoulli "
+        "row sample (df.sample, per-partition independent — the only "
+        "sampling that scales: no global pass) + deterministic "
+        "hash-bucket split (md5 % 100 < pct, replayable and "
+        "join-stable across tables/engines). No oracle: engine RNG "
+        "streams differ by design; tests/test_pipeline.py pins "
+        "fraction bounds and hash-split exactness.",
+)
+def corpus_sample(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    d = t(spark, sf_dir, "documents")
+    bern = d.sample(fraction=0.1, seed=42).select("doc_id")
+    hashed = d.where(
+        (md5_int_expr(F.col("doc_id").cast("string")) % 100) < 10
+    ).select("doc_id")
+    return (bern.withColumn("method", F.lit("bernoulli"))
+            .unionAll(hashed.withColumn("method", F.lit("hash_bucket")))
+            .orderBy("method", "doc_id"))

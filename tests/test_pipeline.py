@@ -204,3 +204,29 @@ def test_freq_items_sketch_superset(spark):
     sketch = set(e.stat.freqItems(["user_id"], 0.05)
                  .collect()[0][0])
     assert exact <= sketch
+
+
+def test_corpus_sampling_properties(spark):
+    """Sampling for training subsets: Bernoulli fraction lands within
+    binomial bounds; the md5 hash-bucket split is exact, deterministic
+    and engine-replayable (DuckDB recomputes the same membership)."""
+    import duckdb
+    import pyspark.sql.functions as F
+    from flink_1_11_2_with_comments_spark.pipeline.dedup import (
+        md5_int_expr)
+    from flink_1_11_2_with_comments_spark.queries.pipeline_ops import MD5I
+    from flink_1_11_2_with_comments_spark.queries._util import t
+
+    d = t(spark, SF, "documents")
+    n = d.count()
+    n_bern = d.sample(fraction=0.1, seed=42).count()
+    assert 0.05 * n < n_bern < 0.15 * n  # ±5σ-ish at n=5000
+
+    got = {r.doc_id for r in d.where(
+        (md5_int_expr(F.col("doc_id").cast("string")) % 100) < 10)
+        .collect()}
+    exp = {r[0] for r in duckdb.sql(
+        f"""SELECT doc_id FROM '{SF}/documents.parquet'
+            WHERE {MD5I.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 10"""
+    ).fetchall()}
+    assert got == exp and len(got) > 0

@@ -570,3 +570,41 @@ def test_statement_set_multi_insert(spark):
         == n_events
     assert spark.read.parquet(p2).agg(F.sum("n")).collect()[0][0] \
         == n_events
+
+
+def test_socket_text_stream(spark):
+    """socketTextStream (StreamExecutionEnvironment.java:843 block):
+    a real TCP line server feeds readStream.format("socket") — lines
+    arrive as a text column, the DataStream-source contract."""
+    import socket, threading, time as _time
+
+    lines = [f"event-{i}" for i in range(50)]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            _time.sleep(2)  # let the source drain before FIN
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = (spark.readStream.format("socket")
+              .option("host", "127.0.0.1").option("port", port).load())
+    q = (stream.writeStream.format("memory").queryName("sock_out")
+         .outputMode("append").start())
+    try:
+        deadline = _time.time() + 30
+        while (spark.table("sock_out").count() < len(lines)
+               and _time.time() < deadline):
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+    got = {r.value for r in spark.table("sock_out").collect()}
+    assert got == set(lines)
