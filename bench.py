@@ -29,6 +29,7 @@ HEADLINE = [
     "ann_bruteforce_topk", "ann_ivf_lloyd",
     "cep_quantified", "changelog_rowkind", "evictor_count_window",
     "graph_connected_components", "approx_sketches",
+    "pipeline_end_to_end",
 ]
 
 

@@ -514,3 +514,42 @@ def fn_percentiles(spark, sf_dir):
                  F.expr("percentile_disc(0.25) WITHIN GROUP "
                         "(ORDER BY o_totalprice)").alias("q1_disc"),
                  F.count("*").alias("n")))
+
+
+@register(
+    "fn_higher_order",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      WHERE doc_id <= 300
+    )
+    SELECT doc_id,
+           list_transform(ts, t -> upper(t))[1] AS first_upper,
+           len(list_filter(ts, t -> length(t) > 3)) AS n_long,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(ts, t -> CAST(length(t) AS BIGINT))),
+                       (a, x) -> a + x) AS total_chars,
+           CASE WHEN len(list_filter(ts, t -> t = 'the')) > 0
+                THEN true ELSE false END AS has_the,
+           CASE WHEN len(list_filter(ts, t -> length(t) = 0)) = 0
+                THEN true ELSE false END AS all_nonempty
+    FROM toks
+    """,
+    doc="Higher-order collection functions over ARRAY values: "
+        "TRANSFORM / FILTER / AGGREGATE(fold) / EXISTS / FORALL — the "
+        "collection-function block (BuiltInFunctionDefinitions "
+        "collection section; Flink exposes these via the Table "
+        "expression DSL). All JVM-side lambdas, zero Python.",
+)
+def fn_higher_order(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    ts = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.transform(ts, lambda x: F.upper(x))[0].alias("first_upper"),
+        F.size(F.filter(ts, lambda x: F.length(x) > 3)).cast("bigint")
+        .alias("n_long"),
+        F.aggregate(ts, F.lit(0).cast("bigint"),
+                    lambda a, x: a + F.length(x)).alias("total_chars"),
+        F.exists(ts, lambda x: x == F.lit("the")).alias("has_the"),
+        F.forall(ts, lambda x: F.length(x) > 0).alias("all_nonempty"))
