@@ -641,3 +641,47 @@ def window_topn(spark, sf_dir):
     return (agg.withColumn("rnk", F.row_number().over(rw))
             .where(F.col("rnk") <= 3)
             .select("window_start", "user_id", "total", "rnk"))
+
+
+@register(
+    "window_session_dynamic_gap",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'click' THEN 300 ELSE 900 END AS gap_s
+      FROM events
+    ), x AS (
+      SELECT *,
+             MAX(epoch(ts) + gap_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM g
+    ), marked AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR epoch(ts) >= prev_end
+                     THEN 1 ELSE 0 END AS new_session
+      FROM x
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n, {sql_dsum('value')} AS total
+    FROM numbered GROUP BY user_id, sid
+    """,
+    doc="SESSION window with DYNAMIC gap (clicks 5 min, others 15 min) "
+        "— DynamicEventTimeSessionWindows / SessionWindowTimeGapExtractor. "
+        "Spark: session_window(ts, CASE...) Column gap. Oracle: "
+        "sessionization via running-max window end (events merge while "
+        "ts < max(prev ts+gap); interval-end exclusive).",
+)
+def window_session_dynamic_gap(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("5 minutes")) \
+        .otherwise(F.lit("15 minutes"))
+    return (e.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+            .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+            .select("user_id", F.col("sw.start").alias("session_start"),
+                    "n", "total"))

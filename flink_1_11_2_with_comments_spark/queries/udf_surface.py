@@ -215,8 +215,12 @@ def dataset_cogroup(spark, sf_dir):
             "n_lines": len(lines_pdf),
         }])
 
-    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
-    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    # project to the columns merge() touches: the two-sided Arrow
+    # transfer is the cogroup cost, and it scales with column count
+    o = (t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+         .select("o_orderkey", "o_totalprice"))
+    li = (t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+          .select("l_orderkey"))
     return (o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey"))
             .applyInPandas(merge,
                            "order_key bigint, total_price double, "
