@@ -60,9 +60,12 @@ def ivf_assign(embeddings: DataFrame, id_col: str, vec_col: str,
 
 
 def _fold_assign(embeddings: DataFrame, cents: DataFrame, id_col: str,
-                 vec_col: str) -> DataFrame:
+                 vec_col: str,
+                 carry: tuple[str, ...] = ()) -> DataFrame:
     """Map-only argmin of squared-L2 against a (cell, cvec, cn2)
-    centroid set (see ivf_assign docstring)."""
+    centroid set (see ivf_assign docstring). `carry` keeps extra
+    columns (e.g. the vector and its norm) alongside the cell so
+    downstream consumers need no join back to the corpus."""
     e = _with_sq_norm(embeddings, id_col, vec_col)
     carr = cents.agg(F.sort_array(F.collect_list(
         F.struct("cell", "cvec", "cn2"))).alias("cents"))
@@ -80,7 +83,7 @@ def _fold_assign(embeddings: DataFrame, cents: DataFrame, id_col: str,
                  F.lit(float("inf")).alias("dist2")),
         closer)
     return (e.crossJoin(F.broadcast(carr))
-            .select(id_col, best["cell"].alias("cell")))
+            .select(id_col, *carry, best["cell"].alias("cell")))
 
 
 def lloyd_centroids(embeddings: DataFrame, id_col: str, vec_col: str,
@@ -136,10 +139,13 @@ def ivf_topk(embeddings: DataFrame, id_col: str, vec_col: str,
                       .cast("double")).alias("dist2"))
              .orderBy("dist2", "cell").limit(n_probe)
              .select("cell"))
-    assign = ivf_assign(embeddings, id_col, vec_col, n_cells)
+    # assignment carries (vec, n2) through the fold: the candidate set
+    # needs NO join back to the corpus — the whole query is map-only
+    # (scan → fold → broadcast-filter → score) until the final top-k
+    assign = _fold_assign(embeddings, cents, id_col, vec_col,
+                          carry=(vec_col, "n2"))
     cand = (assign.join(F.broadcast(probe), "cell")
             .where(F.col(id_col) != query_id)
-            .join(e, id_col)
             .crossJoin(F.broadcast(q)))
     scored = cand.select(
         id_col,
