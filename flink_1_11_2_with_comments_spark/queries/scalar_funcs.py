@@ -553,3 +553,30 @@ def fn_higher_order(spark, sf_dir):
                     lambda a, x: a + F.length(x)).alias("total_chars"),
         F.exists(ts, lambda x: x == F.lit("the")).alias("has_the"),
         F.forall(ts, lambda x: F.length(x) > 0).alias("all_nonempty"))
+
+
+@register(
+    "fn_string_position",
+    """
+    SELECT c_custkey,
+           strpos(c_name, '0') AS instr_pos,
+           strpos(substring(c_name, 4), '0') AS locate_from,
+           CASE WHEN regexp_matches(c_mktsegment, '^(BUILD|AUTO).*')
+                THEN true ELSE false END AS similar_m,
+           CASE WHEN c_mktsegment LIKE 'B%' THEN true ELSE false END
+             AS like_m
+    FROM customer WHERE c_custkey <= 300
+    """,
+    doc="INSTR / LOCATE(substr, str, from) / SIMILAR TO (→ rlike) / "
+        "LIKE — the position-and-pattern block "
+        "(FlinkSqlOperatorTable std + custom; SqlFunctionUtils).",
+)
+def fn_string_position(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.instr("c_name", "0").cast("bigint").alias("instr_pos"),
+        F.locate("0", F.substring("c_name", 4, 100000)).cast("bigint")
+        .alias("locate_from"),
+        F.col("c_mktsegment").rlike("^(BUILD|AUTO).*").alias("similar_m"),
+        F.col("c_mktsegment").like("B%").alias("like_m"))
