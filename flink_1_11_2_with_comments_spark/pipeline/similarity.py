@@ -120,25 +120,81 @@ def cosine_pairs(embeddings: DataFrame, id_col: str, vec_col: str,
         .select("a_id", "b_id", "cosine")
 
 
-def lsh_buckets(embeddings: DataFrame, id_col: str, vec_col: str,
-                n_planes: int = 16) -> DataFrame:
-    """Hyperplane-LSH bucket key per vector.
+def _bucket_expr(vec_col: str, n_planes: int, offset: int = 0) -> Column:
+    """Hyperplane-LSH bucket key as one row-local expression.
 
     Plane j, dim i has weight (md5_int(j|i) % 2001 - 1000)/1000 —
     deterministic pseudo-random in [-1, 1], replayable in SQL. Bucket
-    bit j = sign(vec · plane_j); key = 16-bit int. Computed entirely
-    row-local (`transform` with index + decimal `aggregate`): the
-    bucket assignment of a 100 TB embedding table is a map-only scan —
-    the earlier explode formulation shuffled dims × planes × rows.
+    bit j = sign(vec · plane_(offset+j)); key = n_planes-bit int.
+    `offset` selects a disjoint plane set per hash table in the
+    multi-table OR-construction.
     """
     def plane_dot(j: int) -> Column:
         def weighted(x: Column, i: Column) -> Column:
-            w = ((md5_int_expr(F.concat_ws("|", F.lit(str(j)), i))
+            w = ((md5_int_expr(F.concat_ws("|", F.lit(str(offset + j)), i))
                   % 2001) - 1000) / 1000.0
             return (x.cast("double") * w).cast(DEC)
         return _dec_sum(F.transform(F.col(vec_col), weighted))
 
     bits = [F.when(plane_dot(j) > 0, F.lit(1 << j).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint")) for j in range(n_planes)]
-    bucket = functools.reduce(operator.add, bits)
-    return embeddings.select(id_col, bucket.alias("bucket"))
+    return functools.reduce(operator.add, bits)
+
+
+def lsh_buckets(embeddings: DataFrame, id_col: str, vec_col: str,
+                n_planes: int = 16) -> DataFrame:
+    """Hyperplane-LSH bucket key per vector — computed entirely
+    row-local (`transform` with index + decimal `aggregate`): the
+    bucket assignment of a 100 TB embedding table is a map-only scan —
+    the earlier explode formulation shuffled dims × planes × rows.
+    """
+    return embeddings.select(
+        id_col, _bucket_expr(vec_col, n_planes).alias("bucket"))
+
+
+def cosine_dedup_bucketed(embeddings: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.95, n_planes: int = 8,
+                          n_tables: int = 1) -> DataFrame:
+    """LSH-bucketed embedding near-duplicate pairs — the 100 TB form.
+
+    Stages, none quadratic in the corpus:
+    1. map-only scan: (id, vec, norm, [bucket_0..bucket_L-1]) — one
+       n_planes-bit key per hash table, disjoint hyperplane sets;
+    2. posexplode to (table, bucket) — L rows per vector, still no
+       shuffle;
+    3. equi-join on (table, bucket) (a_id < b_id residual): pairing is
+       bucket-local — candidate count is sum over tables of
+       sum(|bucket|²), never n²;
+    4. one dot product per candidate, threshold, then distinct to
+       collapse pairs colliding in several tables.
+
+    n_tables is the standard OR-construction recall lever: a pair is
+    a candidate if it collides in ANY table, so recall rises as
+    1-(1-p^k)^L while the per-table bucket count (2^n_planes) keeps
+    each table's pairing sub-quadratic. Pairs colliding in no table
+    are missed — the LSH recall tradeoff (measured in
+    tests/test_pipeline.py; SCALE.md records the numbers).
+    `cosine_pairs` remains the exact small-input verifier.
+    """
+    buckets = F.array(*[
+        _bucket_expr(vec_col, n_planes, offset=t * n_planes)
+        for t in range(n_tables)])
+    sigs = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)).cast("double"))
+        .alias("_norm"),
+        buckets.alias("_buckets"))
+    a = (sigs.select(F.col(id_col).alias("a_id"),
+                     F.col(vec_col).alias("va"), F.col("_norm").alias("na"),
+                     F.posexplode("_buckets").alias("ta", "ba")))
+    b = (sigs.select(F.col(id_col).alias("b_id"),
+                     F.col(vec_col).alias("vb"), F.col("_norm").alias("nb"),
+                     F.posexplode("_buckets").alias("tb", "bb")))
+    pairs = a.join(b, (F.col("ta") == F.col("tb"))
+                   & (F.col("ba") == F.col("bb"))
+                   & (F.col("a_id") < F.col("b_id")))
+    scored = pairs.select(
+        "a_id", "b_id",
+        F.round(dot_product(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb")), 9).alias("cosine"))
+    return scored.where(F.col("cosine") >= threshold).distinct()

@@ -258,8 +258,8 @@ def dedup_minhash_lsh(spark, sf_dir):
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
-             AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
     doc="SimHash (32-bit) signatures: md5-derived token hashes, per-bit "
@@ -360,13 +360,35 @@ def ann_bruteforce_topk(spark, sf_dir):
 
 @register(
     "dedup_embedding_cosine",
-    _COSINE_CTE.format(filter="WHERE vec_id <= 200") + """
-    , pairs AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    f"""
+    WITH z AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), contrib AS (
+      SELECT vec_id, j,
+             SUM(CAST(x * ((({MD5I.format(
+                 x="concat(CAST(j AS VARCHAR), '|', CAST(i AS VARCHAR))")}
+                  % 2001) - 1000) / 1000.0) AS DECIMAL(38,10))) AS s
+      FROM z CROSS JOIN (SELECT unnest(range(32)) AS j) js
+      GROUP BY vec_id, j
+    ), buckets AS (
+      SELECT vec_id, j // 8 AS tbl,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (j % 8)
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM contrib GROUP BY vec_id, j // 8
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), pairs AS (
+      SELECT c.a_id, c.b_id,
              SUM(CAST(a.x * b.x AS DECIMAL(38,10))) AS dot_d,
              SUM(CAST(a.x * a.x AS DECIMAL(38,10))) AS na_d,
              SUM(CAST(b.x * b.x AS DECIMAL(38,10))) AS nb_d
-      FROM z a JOIN z b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      FROM cand c
+      JOIN z a ON a.vec_id = c.a_id
+      JOIN z b ON b.vec_id = c.b_id AND b.i = a.i
       GROUP BY 1, 2
     )
     SELECT a_id, b_id,
@@ -378,14 +400,21 @@ def ann_bruteforce_topk(spark, sf_dir):
                 / (sqrt(CAST(na_d AS DOUBLE)) * sqrt(CAST(nb_d AS DOUBLE))),
                 9) >= 0.3
     """,
-    doc="Embedding-cosine near-dup pairs (≥0.3 on this corpus): all-pairs "
-        "form; at scale the LSH buckets (ann_lsh_buckets) pre-filter the "
-        "pairing (pipeline/similarity.py cosine_pairs).",
+    doc="Embedding-cosine near-dup pairs (≥0.3), LSH-bucketed: the 100 TB "
+        "form — map-only bucket assignment into 4 hash tables × 8 planes "
+        "(OR-construction recall lever), equi-join on (table, bucket) so "
+        "pairing is bucket-local (sum |bucket|², never n²), one dot product "
+        "per candidate, distinct to collapse multi-table collisions "
+        "(pipeline/similarity.py cosine_dedup_bucketed). The exact "
+        "all-pairs form stays as the small-input recall verifier "
+        "(cosine_pairs, tests/test_pipeline.py); SCALE.md records measured "
+        "recall on this corpus.",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    from ..pipeline.similarity import cosine_pairs
+    from ..pipeline.similarity import cosine_dedup_bucketed
     e = t(spark, sf_dir, "embeddings")
-    return cosine_pairs(e, "vec_id", "embedding", threshold=0.3, max_id=200)
+    return cosine_dedup_bucketed(e, "vec_id", "embedding",
+                                 threshold=0.3, n_planes=8, n_tables=4)
 
 
 @register(
@@ -404,8 +433,8 @@ def dedup_embedding_cosine(spark, sf_dir):
       GROUP BY vec_id, j
     )
     SELECT vec_id,
-           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-             AS bucket
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                AS BIGINT) AS bucket
     FROM contrib GROUP BY vec_id
     """,
     doc="Hyperplane-LSH bucket keys (16 md5-derived planes): the ANN scale "

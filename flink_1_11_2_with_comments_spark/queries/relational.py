@@ -456,17 +456,21 @@ def agg_minmax_by(spark, sf_dir):
     "agg_collect_list_set",
     """
     SELECT n_regionkey,
-           list_sort(array_agg(n_name)) AS names,
+           array_to_string(list_sort(array_agg(n_name)), ',') AS names,
            COUNT(DISTINCT n_name) AS n_distinct
     FROM nation GROUP BY n_regionkey
     """,
     doc="COLLECT / LISTAGG-family: collect_list sorted for determinism — "
-        "BuiltInFunctionDefinitions COLLECT; aggfunctions/CollectAggFunction.",
+        "BuiltInFunctionDefinitions COLLECT; aggfunctions/CollectAggFunction. "
+        "Joined to a canonical string so the driver's canonicalizer can hash "
+        "the cell (list cells are unhashable in its pandas sort path); the "
+        "array-typed variant stays pytest-covered in tests/test_oracle_parity.",
 )
 def agg_collect_list_set(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     return (n.groupBy("n_regionkey")
-            .agg(F.sort_array(F.collect_list("n_name")).alias("names"),
+            .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                 .alias("names"),
                  F.countDistinct("n_name").alias("n_distinct")))
 
 
@@ -737,7 +741,7 @@ def null_not_in(spark, sf_dir):
     f"""
     WITH t AS (SELECT * FROM {_NULLS})
     SELECT COUNT(*) AS n_rows, COUNT(v) AS n_vals, COUNT(k) AS n_keys,
-           SUM(v) AS sum_v, MIN(v) AS min_v,
+           CAST(SUM(v) AS BIGINT) AS sum_v, MIN(v) AS min_v,
            COUNT(DISTINCT k) AS d_keys
     FROM t
     """,
@@ -760,7 +764,7 @@ def null_aggregates(spark, sf_dir):
     "null_distinct_groupby",
     f"""
     WITH t AS (SELECT * FROM {_NULLS})
-    SELECT k, COUNT(*) AS n, SUM(v) AS sv FROM t GROUP BY k
+    SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM t GROUP BY k
     """,
     doc="GROUP BY treats NULL as one group (unlike join equality) — "
         "the NULL row groups together; DISTINCT keeps a single NULL.",

@@ -271,21 +271,24 @@ def fn_json(spark, sf_dir):
     "fn_collections",
     """
     SELECT id,
-           [id, id * 2, id * 3] AS arr,
+           array_to_string([id, id * 2, id * 3], ',') AS arr,
            len([id, id * 2, id * 3]) AS card,
            list_extract([id, id * 2, id * 3], 2) AS second_elem,
            list_contains([id, id * 2, id * 3], 6) AS has6,
-           list_sort([id * 3, id, id * 2]) AS sorted_arr,
-           [id, id * 2, id * 3][2:3] AS sliced,
+           array_to_string(list_sort([id * 3, id, id * 2]), ',') AS sorted_arr,
+           array_to_string([id, id * 2, id * 3][2:3], ',') AS sliced,
            map_extract(MAP(['a','b'], [id, id*10]), 'b')[1] AS mval,
-           CAST(list_sort(map_keys(MAP(['a','b'], [id, id*10]))) AS VARCHAR[])
-             AS mkeys,
+           array_to_string(
+             CAST(list_sort(map_keys(MAP(['a','b'], [id, id*10]))) AS VARCHAR[]),
+             ',') AS mkeys,
            struct_extract({'x': id, 'y': 'v'}, 'x') AS sx
     FROM (VALUES (1), (2), (3)) v(id)
     """,
     doc="Collection constructors & access: ARRAY MAP ROW CARDINALITY "
         "ELEMENT/AT FLATTEN GET — BuiltInFunctionDefinitions.java:~640-700. "
-        "Spark element_at/slice/map; DuckDB list_* equivalents in oracle.",
+        "Spark element_at/slice/map; DuckDB list_* equivalents in oracle. "
+        "Array-typed outputs are joined to canonical strings so the driver's "
+        "canonicalizer can hash the cells (list cells are unhashable).",
 )
 def fn_collections(spark, sf_dir):
     df = spark.createDataFrame([(1,), (2,), (3,)], "id int")
@@ -293,15 +296,19 @@ def fn_collections(spark, sf_dir):
     m = F.create_map(F.lit("a"), F.col("id"), F.lit("b"), F.col("id") * 10)
     return df.select(
         "id",
-        arr.alias("arr"),
+        F.array_join(arr.cast("array<string>"), ",").alias("arr"),
         F.size(arr).cast("bigint").alias("card"),
         F.element_at(arr, 2).alias("second_elem"),
         F.array_contains(arr, 6).alias("has6"),
-        F.sort_array(F.array(F.col("id") * 3, F.col("id"), F.col("id") * 2))
-        .alias("sorted_arr"),
-        F.slice(arr, 2, 2).alias("sliced"),
+        F.array_join(
+            F.sort_array(F.array(F.col("id") * 3, F.col("id"),
+                                 F.col("id") * 2)).cast("array<string>"),
+            ",").alias("sorted_arr"),
+        F.array_join(F.slice(arr, 2, 2).cast("array<string>"), ",")
+        .alias("sliced"),
         F.element_at(m, "b").alias("mval"),
-        F.sort_array(F.map_keys(m)).cast("array<string>").alias("mkeys"),
+        F.array_join(F.sort_array(F.map_keys(m)).cast("array<string>"), ",")
+        .alias("mkeys"),
         F.struct(F.col("id").alias("x"), F.lit("v").alias("y"))["x"].alias("sx"))
 
 

@@ -59,6 +59,34 @@ def test_minhash_lsh_recall(spark, documents):
     assert missed <= max(1, int(n_truth * 0.3)), f"LSH missed {missed}/{n_truth}"
 
 
+def test_bucketed_cosine_dedup_subset_and_recall(spark, embeddings):
+    """cosine_dedup_bucketed ⊆ cosine_pairs (exact all-pairs truth) with
+    identical scores on shared pairs, and non-trivial recall — the
+    correctness contract of trading n² pairing for bucket-local
+    pairing."""
+    from flink_1_11_2_with_comments_spark.pipeline.similarity import (
+        cosine_dedup_bucketed)
+    bucketed = cosine_dedup_bucketed(embeddings, "vec_id", "embedding",
+                                     threshold=0.3, n_planes=8, n_tables=4)
+    exact = cosine_pairs(embeddings, "vec_id", "embedding", threshold=0.3)
+    b_rows = {(r.a_id, r.b_id): r.cosine for r in bucketed.collect()}
+    e_rows = {(r.a_id, r.b_id): r.cosine for r in exact.collect()}
+    assert b_rows, "bucketed dedup found no pairs at this corpus size"
+    extra = set(b_rows) - set(e_rows)
+    assert not extra, f"bucketed emitted pairs absent from truth: {extra}"
+    for k, v in b_rows.items():
+        assert v == e_rows[k]
+    # this corpus's near-dup band is LOW similarity (max pair cosine
+    # < 0.6), where hyperplane-LSH collision probability is inherently
+    # small — 4 tables × 8 planes lands ~5-10% here but >85% at a
+    # production dedup threshold of 0.95 (p=0.9^8, OR over 4 tables).
+    # The floor pins the OR-construction multiplier over 1 table (~2%).
+    assert len(b_rows) >= len(e_rows) * 0.04, (len(b_rows), len(e_rows))
+    single = cosine_dedup_bucketed(embeddings, "vec_id", "embedding",
+                                   threshold=0.3, n_planes=8, n_tables=1)
+    assert len(b_rows) > single.count(), "OR-construction must add recall"
+
+
 def test_ann_lsh_bucket_quality(spark, embeddings):
     """Hyperplane buckets: same-bucket pairs must be more similar on
     average than random pairs (the property that makes bucketed ANN

@@ -173,6 +173,18 @@ def test_lsh_bucket_assignment_no_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in p, "LSH fell off the JVM path"
 
 
+def test_embedding_dedup_is_bucket_local(spark, sf_dir):
+    """dedup_embedding_cosine must pair within LSH buckets via an
+    equi-join on the bucket key — never an unbucketed n² cross/theta
+    join. The property that keeps embedding dedup sum(|bucket|²)
+    instead of n² at 100 TB."""
+    p = plan(spark, "dedup_embedding_cosine", sf_dir)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # hash-based join (broadcast at test scale, shuffled-hash at scale)
+    assert "HashJoin" in p, p
+
+
 def test_join_strategy_hints_honored(spark, sf_dir):
     """Join strategy selection (BatchExecHashJoin / SortMergeJoin /
     NestedLoop choice): the hinted queries must plan the hinted
