@@ -96,6 +96,25 @@ def _parse_predicate(cond: str, var: str):
     return lambda ev, tests=tests: all(op(ev[c], v) for c, op, v in tests)
 
 
+def _parse_flag_expr(cond: str, var: str):
+    """Same DEFINE conjunction as a JVM boolean Column — the _OPS
+    lambdas build Column expressions when fed Columns, so predicate
+    evaluation stays in whole-stage codegen and only (keys, id, ts,
+    flags) cross the Arrow boundary (cep._flag_projection)."""
+    cond = cond.strip()
+    if cond.upper() == "TRUE":
+        return F.lit(True)
+    expr = None
+    for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+        m = _COND.match(part.strip())
+        col, op, lit = m.group(2), m.group(3), m.group(4)
+        val = lit[1:-1] if lit.startswith("'") else (
+            float(lit) if "." in lit else int(lit))
+        c = _OPS[op](F.col(col), F.lit(val))
+        expr = c if expr is None else (expr & c)
+    return expr
+
+
 def _parse_pattern(pat: str) -> list[tuple[str, int, int | None]]:
     """`(A B+ C{2,4})` → [(name, min_times, max_times), ...]."""
     pat = pat.strip()
@@ -178,7 +197,10 @@ def match_recognize(spark: SparkSession, sql: str,
     if "PAST LAST" in after:
         after_match = "skip_past_last"
     elif "NEXT ROW" in after:
-        after_match = "all"
+        # one preferred match per start row, resume one past the
+        # match's START (AfterMatchSkipStrategy.skipToNext) — matches
+        # may overlap, but NOT the NO_SKIP all-candidates semantics
+        after_match = "skip_to_next_row"
     else:
         raise NotImplementedError(f"AFTER MATCH subset: {after}")
 
@@ -205,10 +227,13 @@ def match_recognize(spark: SparkSession, sql: str,
         matched = match_pattern_stream(src, keys, ts_col, steps,
                                        within=within, id_col=id_col)
     else:
+        flag_exprs = [_parse_flag_expr(defines.get(s.name.upper(), "TRUE"),
+                                       s.name) for s in steps]
         matched = match_pattern_batch(src, keys, ts_col, steps,
                                       within=within,
                                       after_match=after_match,
-                                      id_col=id_col)
+                                      id_col=id_col,
+                                      flag_exprs=flag_exprs)
 
     # measures → the engine's fixed per-step outputs
     sel = [F.col(k) for k in keys]

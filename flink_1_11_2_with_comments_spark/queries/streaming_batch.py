@@ -234,8 +234,10 @@ def cep_funnel(spark, sf_dir):
         Step("click", lambda ev: ev["event_type"] == "click"),
         Step("purchase", lambda ev: ev["event_type"] == "purchase"),
     ]
-    out = match_recognize_batch(sub, ["user_id"], "ts", steps,
-                                within="6 hours")
+    out = match_recognize_batch(
+        sub, ["user_id"], "ts", steps, within="6 hours",
+        flag_exprs=[F.col("event_type") == v
+                    for v in ("view", "click", "purchase")])
     return out.select("user_id", "view_id", "click_id", "purchase_id",
                       "start_ts", "end_ts")
 
@@ -407,8 +409,10 @@ def cep_quantified(spark, sf_dir):
         QStep("c", lambda ev: ev["event_type"] == "purchase",
               contiguity="strict"),
     ]
-    out = match_pattern_batch(e, ["user_id"], "ts", steps,
-                              after_match="skip_past_last")
+    out = match_pattern_batch(
+        e, ["user_id"], "ts", steps, after_match="skip_past_last",
+        flag_exprs=[F.col("event_type") == v
+                    for v in ("view", "click", "purchase")])
     return out.select(
         "user_id", F.col("a_first_id").alias("view_id"),
         F.col("b_first_id").alias("click_first_id"),
@@ -562,8 +566,10 @@ def cep_not_followed_by(spark, sf_dir):
         QStep("x", lambda ev: ev["event_type"] == "error", negated=True),
         QStep("c", lambda ev: ev["event_type"] == "purchase"),
     ]
-    out = match_pattern_batch(e, ["user_id"], "ts", steps,
-                              after_match="all")
+    out = match_pattern_batch(
+        e, ["user_id"], "ts", steps, after_match="all",
+        flag_exprs=[F.col("event_type") == v
+                    for v in ("view", "error", "purchase")])
     return out.select("user_id", F.col("a_first_id").alias("view_id"),
                       F.col("c_first_id").alias("purchase_id"))
 

@@ -26,9 +26,38 @@ import dataclasses
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from .state import KeyedState, keyed_process
+
+
+def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
+                     id_col: str, steps, flag_exprs: list[Column]):
+    """Evaluate step predicates JVM-side: project (keys, id, ts,
+    flag_0..flag_n) so the Arrow transfer carries only booleans and the
+    per-key NFA does dict lookups instead of Python predicate calls —
+    the same flags-at-ingestion scheme match_pattern_stream uses
+    (predicate evaluation stays in whole-stage codegen; payload width
+    is fixed regardless of the input schema)."""
+    if len(flag_exprs) != len(steps):
+        raise ValueError("flag_exprs must match steps 1:1")
+    proj = df.select(
+        *keys, id_col, ts_col,
+        *[e.cast("boolean").alias(f"__flag_{i}")
+          for i, e in enumerate(flag_exprs)])
+    run_steps = [dataclasses.replace(
+        s, predicate=lambda ev, i=i: ev[f"__flag_{i}"])
+        for i, s in enumerate(steps)]
+    # Pin the shuffle width: flag rows are so narrow that AQE's
+    # byte-based coalescing would fold the whole corpus into 1-2
+    # post-shuffle partitions, serializing the CPU-bound Python NFA.
+    # An explicit numPartitions repartition is exempt from AQE
+    # coalescing, satisfies the groupBy's ClusteredDistribution (no
+    # second shuffle), and matches the 100 TB layout (keyed
+    # partitions sized for cores, not bytes).
+    par = proj.sparkSession.sparkContext.defaultParallelism
+    proj = proj.repartition(par, *keys)
+    return proj, run_steps
 
 
 @dataclasses.dataclass
@@ -163,7 +192,29 @@ def _all_q_matches(events, steps, ts_col, within_ms, after_match,
     a relaxed-anchor first step (every SQL MATCH_RECOGNIZE pattern),
     a linear scan finds the earliest preferred match and jumps past
     it — O(matches · match_span) instead of enumerating every
-    candidate match up front."""
+    candidate match up front. SKIP_TO_NEXT_ROW emits the preferred
+    match per start row and resumes ONE PAST the match's start (not
+    its end), so matches may overlap but each start row yields at
+    most one (AfterMatchSkipStrategy.skipToNext — NOT NO_SKIP, which
+    would emit every greedy-length candidate per start)."""
+    if after_match == "skip_to_next_row":
+        out, idx = [], 0
+        relaxed = bool(steps) and steps[0].contiguity == "relaxed"
+        while idx < len(events):
+            found = _find_q_matches(events, steps, ts_col, within_ms,
+                                    start_idx=idx, first_only=True)
+            if not found:
+                if relaxed:
+                    break  # no match starts at or after idx
+                idx += 1
+                continue
+            m, _end = found[0]
+            out.append(m)
+            first_ev = m[0][1][0]
+            while events[idx] is not first_ev:
+                idx += 1
+            idx += 1
+        return out
     if (after_match == "skip_past_last" and steps
             and steps[0].contiguity == "relaxed"):
         out, idx = [], 0
@@ -211,13 +262,20 @@ def match_pattern_batch(
     within: str | None = None,
     after_match: str = "all",
     id_col: str = "event_id",
+    flag_exprs: list[Column] | None = None,
 ) -> DataFrame:
     """Quantified batch CEP: one row per match with, per (positive)
-    step, the first/last matched event id and the repetition count."""
+    step, the first/last matched event id and the repetition count.
+    Pass ``flag_exprs`` (one boolean Column per step) to evaluate
+    predicates JVM-side and ship only flags over Arrow."""
     if steps and steps[-1].negated:
         raise ValueError("notFollowedBy cannot be the last pattern step")
     if any(a.negated and b.negated for a, b in zip(steps, steps[1:])):
         raise ValueError("consecutive notFollowedBy steps are unsupported")
+    run_steps = steps
+    if flag_exprs is not None:
+        df, run_steps = _flag_projection(df, keys, ts_col, id_col,
+                                         steps, flag_exprs)
     within_ms = _interval_ms(within) if within else None
     pos_steps = [s for s in steps if not s.negated]
     key_fields = ", ".join(f"{k} bigint" for k in keys)
@@ -235,7 +293,7 @@ def match_pattern_batch(
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         events = _records(pdf, ts_col, id_col)
         out = []
-        for m in _all_q_matches(events, steps, ts_col, within_ms,
+        for m in _all_q_matches(events, run_steps, ts_col, within_ms,
                                 after_match, id_col):
             row = {k: m[0][1][0][k] for k in keys}
             for s, reps in m:
@@ -281,9 +339,15 @@ def match_recognize_batch(
     steps: list[Step],
     within: str | None = None,
     id_col: str = "event_id",
+    flag_exprs: list[Column] | None = None,
 ) -> DataFrame:
     """Batch MATCH_RECOGNIZE: emit one row per match with the matched
-    event ids and the match's start/end timestamps."""
+    event ids and the match's start/end timestamps. ``flag_exprs``
+    moves predicate evaluation JVM-side (see _flag_projection)."""
+    run_steps = steps
+    if flag_exprs is not None:
+        df, run_steps = _flag_projection(df, keys, ts_col, id_col,
+                                         steps, flag_exprs)
     within_ms = _interval_ms(within) if within else None
     key_fields = ", ".join(f"{k} bigint" for k in keys)
     id_fields = ", ".join(f"{s.name}_id bigint" for s in steps)
@@ -292,9 +356,9 @@ def match_recognize_batch(
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         events = _records(pdf, ts_col, id_col)
         out = []
-        for m in _find_matches(events, steps, ts_col, within_ms):
+        for m in _find_matches(events, run_steps, ts_col, within_ms):
             row = {k: m[0][k] for k in keys}
-            for s, ev in zip(steps, m):
+            for s, ev in zip(run_steps, m):
                 row[f"{s.name}_id"] = ev[id_col]
             row["start_ts"] = m[0][ts_col]
             row["end_ts"] = m[-1][ts_col]

@@ -297,6 +297,65 @@ def test_quantified_cep_greedy_backtracking(spark):
                    (3, 11, 12, 12, 1, 13), (3, 14, 15, 15, 1, 16)]
 
 
+def test_cep_skip_to_next_row_vs_no_skip(spark):
+    """AFTER MATCH SKIP TO NEXT ROW = ONE preferred (greedy) match per
+    start row, resuming one past the match's START — distinct from
+    NO_SKIP ('all'), which emits every greedy-length/anchor candidate
+    (AfterMatchSkipStrategy.skipToNext vs noSkip). Flink 1.11.2
+    rt/match after-match pruning."""
+    import datetime as dt
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_batch)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, i + 1, base + dt.timedelta(minutes=i), et)
+            for i, et in enumerate(["A", "B", "B", "C"])]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string")
+    steps = [
+        QStep("a", lambda ev: ev["event_type"] == "A"),
+        QStep("b", lambda ev: ev["event_type"] == "B",
+              min_times=1, max_times=None),
+        QStep("c", lambda ev: ev["event_type"] == "C"),
+    ]
+    def run(mode):
+        out = match_pattern_batch(df, ["user_id"], "ts", steps,
+                                  after_match=mode)
+        return sorted((r.a_first_id, r.b_first_id, r.b_last_id, r.b_n,
+                       r.c_first_id) for r in out.collect())
+    # preferred match from the only start row: greedy B run 2-3
+    assert run("skip_to_next_row") == [(1, 2, 3, 2, 4)]
+    # NO_SKIP keeps every candidate: both B anchors and both run lengths
+    assert run("all") == [(1, 2, 2, 1, 4), (1, 2, 3, 2, 4),
+                          (1, 3, 3, 1, 4)]
+
+
+def test_cep_flag_exprs_match_python_predicates(spark, events):
+    """JVM-side flag projection (flag_exprs) must produce byte-identical
+    matches to Python predicate evaluation — it is the same NFA over
+    precomputed booleans, with predicate evaluation moved into
+    whole-stage codegen."""
+    import pyspark.sql.functions as F
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_batch)
+    e = events.select("user_id", "event_id", "ts", "event_type")
+    steps = [
+        QStep("a", lambda ev: ev["event_type"] == "view"),
+        QStep("b", lambda ev: ev["event_type"] == "click",
+              min_times=1, max_times=None, contiguity="strict"),
+        QStep("c", lambda ev: ev["event_type"] == "purchase",
+              contiguity="strict"),
+    ]
+    flags = [F.col("event_type") == v
+             for v in ("view", "click", "purchase")]
+    plain = match_pattern_batch(e, ["user_id"], "ts", steps,
+                                after_match="skip_past_last")
+    flagged = match_pattern_batch(e, ["user_id"], "ts", steps,
+                                  after_match="skip_past_last",
+                                  flag_exprs=flags)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, flagged.collect()))
+
+
 def test_streaming_over_agg_range_bounded(spark, events):
     """Streaming RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND
     CURRENT ROW running sum == the batch window result (peer-inclusive
