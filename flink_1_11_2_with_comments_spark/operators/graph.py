@@ -21,6 +21,21 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,10)"
 
 
+def _superstep(df: DataFrame) -> DataFrame:
+    """Superstep barrier: compute the round and TRUNCATE LINEAGE.
+
+    DataSet.iterate materializes each superstep; the Spark analogue is
+    localCheckpoint (plan becomes a LogicalRDD scan). persist() is NOT
+    enough: every round references the previous labels twice (directly
+    and via the per-round delta), so the analyzed logical tree doubles
+    each round — 2^rounds subtrees — and analysis alone OOMs near
+    round 10 even though execution would hit the cache. On a real
+    cluster swap for df.checkpoint() (reliable storage) if executor
+    loss during a long iteration must be recoverable.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Min-label propagation: component id = min node id reachable.
 
@@ -40,24 +55,69 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                         .join(labels, undirected.src == labels.node)
                         .groupBy(F.col("dst").alias("node2"))
                         .agg(F.min("component").alias("nbr_min")))
-        # persist BEFORE the convergence count so that one action both
-        # materializes the round and measures it — the old order
-        # recomputed every round twice
-        new_labels = (labels.join(neighbor_min,
-                                  labels.node == F.col("node2"), "left")
-                      .select("node",
-                              F.least("component",
-                                      F.coalesce("nbr_min", "component"))
-                              .alias("component"))
-                      .persist())
+        # _superstep BEFORE the convergence count: one action both
+        # materializes the round and truncates lineage; the count then
+        # reads the materialized RDD
+        new_labels = _superstep(
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select("node",
+                    F.least("component",
+                            F.coalesce("nbr_min", "component"))
+                    .alias("component")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))
                    .count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    undirected.unpersist()
+    return labels
+
+
+def connected_components_delta(edges: DataFrame,
+                               max_iter: int = 50) -> DataFrame:
+    """Connected components with a frontier workset — the DataSet
+    delta-iteration contract (DataSet.iterateDelta, DataSet.java:1179;
+    Gelly ConnectedComponents runs exactly this: solution set +
+    shrinking workset).
+
+    Unlike the bulk variant, each round propagates labels only FROM
+    nodes whose label changed last round: the per-round join touches
+    |frontier| rows, not |V|, so total work is O(Σ|frontier_i|) —
+    the property that makes high-diameter graphs tractable at 100 TB
+    (bulk label propagation re-joins the full vertex set every
+    round). _superstep per round keeps the plan depth constant (each
+    round scans the previous round's materialized RDD, not its
+    lineage).
+    """
+    undirected = (edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src").persist())
+    labels = _superstep(
+        undirected.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node")))
+    frontier = labels  # round 0: every node just "changed"
+
+    for _ in range(max_iter):
+        msgs = (undirected
+                .join(frontier, undirected.src == frontier.node)
+                .groupBy(F.col("dst").alias("node2"))
+                .agg(F.min("component").alias("cand")))
+        updates = _superstep(
+            labels.join(msgs, labels.node == F.col("node2"))
+            .where(F.col("cand") < F.col("component"))
+            .select("node", F.col("cand").alias("component")))
+        if updates.count() == 0:
+            break
+        labels = _superstep(
+            labels.alias("l")
+            .join(updates.alias("u"), "node", "left")
+            .select("node",
+                    F.coalesce(F.col("u.component"), F.col("l.component"))
+                    .alias("component")))
+        frontier = updates
+    undirected.unpersist()
     return labels
 
 
@@ -69,7 +129,7 @@ def sssp(edges: DataFrame, source: int, max_iter: int = 10) -> DataFrame:
 
     edges: (src bigint, dst bigint, weight double), directed. Returns
     (node, distance) for reachable nodes. Each round = one shuffle
-    (join on frontier) + one min-agg; rounds ≤ graph depth. persist()
+    (join on frontier) + one min-agg; rounds ≤ graph depth. _superstep
     truncates lineage growth across rounds — the scale concern for
     driver-side iteration.
     """
@@ -80,10 +140,10 @@ def sssp(edges: DataFrame, source: int, max_iter: int = 10) -> DataFrame:
                    .select(F.col("dst").alias("node"),
                            (F.col("distance") + F.col("weight"))
                            .alias("distance")))
-        new_dist = (dist.unionAll(relaxed)
-                    .groupBy("node")
-                    .agg(F.min("distance").alias("distance"))
-                    .persist())
+        new_dist = _superstep(
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("distance").alias("distance")))
         changed = (new_dist.join(dist.withColumnRenamed("distance", "old"),
                                  "node", "left")
                    .where(F.col("old").isNull()
@@ -103,10 +163,11 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     dropped), rank rounded to 9 digits per iteration for
     engine-exact replay. Each iteration: one join + one aggregate.
     """
-    out_deg = edges.groupBy(F.col("src").alias("n")) \
-        .agg(F.count("*").alias("deg"))
+    out_deg = (edges.groupBy(F.col("src").alias("n"))
+               .agg(F.count("*").alias("deg")).persist())
     nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node"))).distinct())
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .persist())
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
     for _ in range(iterations):
@@ -118,11 +179,18 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         summed = (contribs.groupBy(F.col("dst").alias("node2"))
                   .agg(F.sum(F.col("contrib").cast(DEC)).cast("double")
                        .alias("inflow")))
-        ranks = (nodes.join(summed, nodes.node == F.col("node2"), "left")
-                 .select("node",
-                         F.round(F.lit(1.0) - damping
-                                 + damping * F.coalesce("inflow", F.lit(0.0)),
-                                 9).alias("rank")))
+        # materialize + truncate each round so round i+1 scans the
+        # round-i RDD, not an i-deep join lineage (plan depth stays
+        # constant; the unpersisted form replans the whole history
+        # every round)
+        ranks = _superstep(
+            nodes.join(summed, nodes.node == F.col("node2"), "left")
+            .select("node",
+                    F.round(F.lit(1.0) - damping
+                            + damping * F.coalesce("inflow", F.lit(0.0)),
+                            9).alias("rank")))
+    out_deg.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -56,14 +56,18 @@ def _edges(spark, sf_dir):
     )
     SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
     """,
-    doc="Connected components via min-label propagation (driver-loop "
-        "iterative joins) — Gelly ConnectedComponents / DataSet.iterateDelta "
-        "(DataSet.java:1179). The five region clusters emerge as components. "
-        "Oracle: recursive-CTE transitive closure of the same fixpoint.",
+    doc="Connected components via frontier-delta label propagation — "
+        "Gelly ConnectedComponents / DataSet.iterateDelta "
+        "(DataSet.java:1179): solution set + shrinking workset, each "
+        "round joins only the changed nodes. The five region clusters "
+        "emerge as components. Oracle: recursive-CTE transitive closure "
+        "of the same fixpoint. Bulk variant stays as "
+        "operators/graph.connected_components (equivalence pinned in "
+        "tests/test_graph.py).",
 )
 def graph_connected_components(spark, sf_dir):
-    from ..operators.graph import connected_components
-    return connected_components(_edges(spark, sf_dir))
+    from ..operators.graph import connected_components_delta
+    return connected_components_delta(_edges(spark, sf_dir))
 
 
 def _pagerank_oracle() -> str:

@@ -241,3 +241,41 @@ def test_triangle_count_known_graph(spark):
     edges = spark.createDataFrame(
         k4 + [(3, 9), (1, 0), (2, 1)], "src bigint, dst bigint")
     assert triangle_count(edges).collect()[0].n_triangles == 4
+
+
+def test_connected_components_delta_equals_bulk(spark):
+    """Frontier-delta CC (iterateDelta contract) must agree with bulk
+    label propagation on a chain (worst-case diameter — the frontier
+    shrinks to the label wavefront) plus isolated pairs."""
+    from flink_1_11_2_with_comments_spark.operators.graph import (
+        connected_components, connected_components_delta)
+    chain = [(i, i + 1) for i in range(10, 18)]
+    pairs = [(100, 101), (200, 201), (202, 200)]
+    edges = spark.createDataFrame(chain + pairs, "src bigint, dst bigint")
+    bulk = {(r.node, r.component)
+            for r in connected_components(edges).collect()}
+    delta = {(r.node, r.component)
+             for r in connected_components_delta(edges).collect()}
+    assert delta == bulk
+    assert {c for _, c in delta} == {10, 100, 200}
+
+
+def test_pagerank_plan_depth_constant(spark):
+    """The per-round superstep barrier must keep the plan depth
+    constant across iterations: at 10 iterations the final plan is a
+    scan of the round-10 materialized RDD, not a 10-round join
+    lineage (DataSet.iterate contract — superstep results are
+    materialized, not replayed; without the barrier the logical tree
+    doubles per round and analysis alone OOMs)."""
+    from flink_1_11_2_with_comments_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b][:18],
+        "src bigint, dst bigint")
+    plans = {}
+    for n in (2, 10):
+        df = pagerank(edges, iterations=n)
+        plans[n] = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plans[10]
+    # a growing lineage would make the 10-iter plan many times the
+    # 2-iter one; a truncated one is byte-similar
+    assert len(plans[10]) < 2 * len(plans[2])
