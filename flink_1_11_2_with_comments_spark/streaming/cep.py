@@ -28,7 +28,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 
-from .state import KeyedState, keyed_process
+from .state import KeyedState, keyed_process, utc_ms
 
 
 def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
@@ -401,7 +401,7 @@ def match_recognize_stream(
                    "__flags": r["__data"]} for r in buf]
         wm = state.watermark_ms()
         complete = [e for e in events
-                    if e[ts_col].timestamp() * 1000 <= wm] if wm > 0 else []
+                    if utc_ms(e[ts_col]) <= wm] if wm > 0 else []
         flag_steps = [Step(s.name, lambda ev, n=s.name: ev["__flags"][n])
                       for s in steps]
         out = []
@@ -420,7 +420,7 @@ def match_recognize_stream(
         if within_ms is not None and wm > 0:
             cutoff = wm - within_ms
             buf = [r for r in buf
-                   if dt.datetime.fromisoformat(r[ts_col]).timestamp() * 1000
+                   if utc_ms(dt.datetime.fromisoformat(r[ts_col]))
                    >= cutoff]
         state.put("buf", buf)
         state.put("emitted", [list(s) for s in emitted])
@@ -477,7 +477,7 @@ def match_pattern_stream(
         wm = state.watermark_ms()
         if rows is not None:
             for rec in rows.to_dict("records"):
-                if wm > 0 and rec[ts_col].timestamp() * 1000 <= wm:
+                if wm > 0 and utc_ms(rec[ts_col]) <= wm:
                     continue  # late beyond watermark: drop
                 buf.append([rec[ts_col].isoformat(), int(rec[id_col]),
                             [bool(s.predicate(rec)) for s in steps]])
@@ -485,7 +485,7 @@ def match_pattern_stream(
         events = [{id_col: rid, ts_col: dt.datetime.fromisoformat(t_),
                    "__flags": fl} for t_, rid, fl in buf]
         n_complete = sum(1 for e in events
-                         if e[ts_col].timestamp() * 1000 <= wm) \
+                         if utc_ms(e[ts_col]) <= wm) \
             if wm > 0 else 0
         flag_steps = [dataclasses.replace(
             s, predicate=lambda ev, i=i: ev["__flags"][i])
@@ -524,7 +524,7 @@ def match_pattern_stream(
         if within_ms is not None and wm > 0:
             cutoff = wm - within_ms
             buf = [r for r in buf
-                   if dt.datetime.fromisoformat(r[0]).timestamp() * 1000
+                   if utc_ms(dt.datetime.fromisoformat(r[0]))
                    >= cutoff]
         state.put("buf", buf)
         return pd.DataFrame(out, columns=cols) if out else None

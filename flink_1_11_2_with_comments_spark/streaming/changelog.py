@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .state import KeyedState, keyed_process
+from .state import KeyedState, keyed_process, utc_ms
 
 
 def to_changelog_batch(df: DataFrame, keys: list[str], ts_col: str,
@@ -72,7 +72,7 @@ def to_changelog_stream(df: DataFrame, keys: list[str], ts_col: str,
         out, remaining = [], []
         for ts_iso, rid, val in buf:
             ts = dt.datetime.fromisoformat(ts_iso)
-            if wm <= 0 or ts.timestamp() * 1000 > wm:
+            if wm <= 0 or utc_ms(ts) > wm:
                 remaining.append([ts_iso, rid, val])
                 continue
             base = {**{k: key[i] for i, k in enumerate(keys)},

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .state import KeyedState, keyed_process
+from .state import KeyedState, keyed_process, utc_from_s, utc_ms
 
 
 def _windowed(df: DataFrame, ts_col: str, size: str) -> DataFrame:
@@ -109,15 +109,21 @@ def evicted_window_agg_stream(
     def fn(key, rows: pd.DataFrame | None, state: KeyedState):
         import datetime as dt
         buf = state.get("buf", [])
+        wm = state.watermark_ms()
         if rows is not None:
             for rec in rows.to_dict("records"):
+                # drop late rows (ts ≤ watermark): the reference drops
+                # late elements — buffering them would rebuild an
+                # already-fired window and re-fire a duplicate partial
+                # aggregate on the next trigger
+                if wm > 0 and utc_ms(rec[ts_col]) <= wm:
+                    continue
                 buf.append([rec[ts_col].isoformat(),
                             int(rec[id_col]), float(rec[value_col])])
-        wm = state.watermark_ms()
         out, keep = [], []
         windows: dict[int, list] = {}
         for r in buf:
-            wstart = (int(dt.datetime.fromisoformat(r[0]).timestamp())
+            wstart = (int(utc_ms(dt.datetime.fromisoformat(r[0])) // 1000)
                       // size_sec * size_sec)
             windows.setdefault(wstart, []).append(r)
         for wstart, els in sorted(windows.items()):
@@ -140,7 +146,7 @@ def evicted_window_agg_stream(
                 decimal.Decimal(0))
             out.append({
                 **{k: key[i] for i, k in enumerate(keys)},
-                "window_start": dt.datetime.fromtimestamp(wstart),
+                "window_start": utc_from_s(wstart),
                 "n_kept": len(els),
                 "total": float(exact.quantize(decimal.Decimal("1.00"))),
             })

@@ -20,7 +20,7 @@ import datetime as dt
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .state import KeyedState, keyed_process
+from .state import KeyedState, keyed_process, utc_ms
 
 
 def rows_bounded_preceding_sum(
@@ -50,7 +50,7 @@ def rows_bounded_preceding_sum(
         emitted_upto = -1
         for i, (ts_iso, rid, val) in enumerate(buf):
             ts = dt.datetime.fromisoformat(ts_iso)
-            if wm <= 0 or ts.timestamp() * 1000 > wm:
+            if wm <= 0 or utc_ms(ts) > wm:
                 break
             if last is not None and [ts_iso, rid] <= last:
                 emitted_upto = i
@@ -111,7 +111,7 @@ def range_bounded_preceding_sum(
             ts = dt.datetime.fromisoformat(ts_iso)
             # the row AND its peer group (same ts) must be final: a
             # strictly-later watermark guarantees no more peers arrive
-            if wm <= 0 or ts.timestamp() * 1000 >= wm:
+            if wm <= 0 or utc_ms(ts) >= wm:
                 break
             if last is not None and [ts_iso, rid] <= last:
                 emitted_upto = i

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .state import KeyedState, keyed_process
+from .state import KeyedState, keyed_process, utc_ms
 
 
 def tag_late_rows(df: DataFrame, keys: list[str], ts_col: str,
@@ -44,7 +44,7 @@ def tag_late_rows(df: DataFrame, keys: list[str], ts_col: str,
                 id_col: int(rec[id_col]), ts_col: rec[ts_col],
                 value_col: float(rec[value_col]),
                 "is_late": bool(wm > 0
-                                and rec[ts_col].timestamp() * 1000 <= wm),
+                                and utc_ms(rec[ts_col]) <= wm),
             })
         return pd.DataFrame(out)
 

@@ -19,6 +19,7 @@ throughput (AbstractMapBundleOperator.java:1) is the native mode here.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 from collections.abc import Callable, Iterator
 from typing import Any
@@ -26,6 +27,22 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def utc_ms(ts: _dt.datetime) -> float:
+    """Naive datetime (UTC semantics — Spark's session timezone here)
+    → epoch millis. Plain ``.timestamp()`` interprets a naive datetime
+    in the HOST timezone, which shifts every watermark comparison when
+    the host is not UTC (state.watermark_ms() is UTC epoch millis)."""
+    return ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+
+
+def utc_from_s(sec: float) -> _dt.datetime:
+    """Epoch seconds → naive UTC datetime (the inverse of utc_ms;
+    ``datetime.fromtimestamp`` without a tz would localize to the
+    host zone)."""
+    return _dt.datetime.fromtimestamp(
+        sec, tz=_dt.timezone.utc).replace(tzinfo=None)
 
 
 class KeyedState:

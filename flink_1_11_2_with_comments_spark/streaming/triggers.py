@@ -21,7 +21,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .state import KeyedState, keyed_process
+from .state import KeyedState, keyed_process, utc_from_s, utc_ms
 
 
 def delta_trigger_agg(df: DataFrame, keys: list[str], value_col: str,
@@ -110,21 +110,19 @@ def punctuated_window_agg(df: DataFrame, keys: list[str],
                     wm = [new_wm]
                     # emit every window whose end ≤ punctuated wm
                     for wstart in sorted(windows, key=int):
-                        if dt.datetime.fromtimestamp(
-                                int(wstart) + size_sec) <= ts:
+                        if utc_from_s(int(wstart) + size_sec) <= ts:
                             n, s = windows.pop(wstart)
                             out.append({
                                 **{k: key[i]
                                    for i, k in enumerate(keys)},
                                 "window_start":
-                                    dt.datetime.fromtimestamp(
-                                        int(wstart)),
+                                    utc_from_s(int(wstart)),
                                 "n": n, "total": round(s, 6),
                             })
                 continue
             if wm is not None and ts.isoformat() <= wm[0]:
                 continue  # late behind the punctuated clock
-            wstart = int(ts.timestamp()) // size_sec * size_sec
+            wstart = int(utc_ms(ts) // 1000) // size_sec * size_sec
             n, s = windows.get(str(wstart), [0, 0.0])
             windows[str(wstart)] = [n + 1, s + float(rec[value_col])]
         state.put("win", windows)
