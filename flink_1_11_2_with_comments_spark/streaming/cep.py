@@ -505,6 +505,16 @@ def match_pattern_stream(
                           and not last_step.negated
                           and (last_step.max_times is None
                                or len(last_reps) < last_step.max_times))
+            if open_ended and within_ms is not None and wm > 0:
+                # any future non-late event has ts > wm; once
+                # first_ts + within ≤ wm it cannot satisfy within_ok,
+                # so the greedy run is final — deferring here would
+                # let the within-cutoff eviction below destroy the
+                # match's events while the key is quiet (the
+                # reference's NFA emits on the within timeout)
+                first_ts = next(reps for _, reps in m if reps)[0][ts_col]
+                if utc_ms(first_ts) + within_ms <= wm:
+                    open_ended = False
             if open_ended:
                 break  # greedy run may extend with later events
             row = {k: key[i] for i, k in enumerate(keys)}
@@ -527,10 +537,20 @@ def match_pattern_stream(
                    if utc_ms(dt.datetime.fromisoformat(r[0]))
                    >= cutoff]
         state.put("buf", buf)
+        if within_ms is not None and buf:
+            # arm the within-timeout: if this key goes quiet, fn must
+            # still run once the watermark passes earliest + within so
+            # the deferred-final emission above happens (the
+            # reference's NFA timeout — CepOperator.onEventTime)
+            earliest = utc_ms(dt.datetime.fromisoformat(buf[0][0]))
+            state.register_event_timer(
+                int(max(earliest + within_ms + 1, wm + 1)))
         return pd.DataFrame(out, columns=cols) if out else None
 
-    return keyed_process(df, keys, fn, out_schema, output_mode="append",
-                         timeout="NoTimeout")
+    return keyed_process(
+        df, keys, fn, out_schema, output_mode="append",
+        timeout="EventTimeTimeout" if within_ms is not None
+        else "NoTimeout")
 
 
 def _interval_ms(interval: str) -> int:

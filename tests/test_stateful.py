@@ -685,3 +685,45 @@ def test_match_recognize_sql_streaming(spark, events):
     assert len(got) > 0
     assert got <= exp, list(got - exp)[:5]
     assert len(got) >= len(exp) * 0.6
+
+
+def test_quantified_cep_stream_within_timeout_emits_quiet_key(spark):
+    """A deferred open-ended greedy match must still be emitted when
+    its key goes quiet and the watermark passes first_ts + within —
+    the reference's NFA emits on the within timeout
+    (CepOperator.onEventTime); before the timer-based force-emit the
+    within-cutoff eviction silently destroyed the match's events."""
+    import datetime as dt
+
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_stream)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: view, click, click — then quiet forever
+        (1, 1, t0, "view"),
+        (1, 2, t0 + dt.timedelta(seconds=10), "click"),
+        (1, 3, t0 + dt.timedelta(seconds=20), "click"),
+        # user 2: filler traffic that advances the global watermark
+        *[(2, 10 + i, t0 + dt.timedelta(minutes=5 + i), "other")
+          for i in range(6)],
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string")
+    steps = [
+        QStep("a", lambda ev: ev["event_type"] == "view"),
+        QStep("b", lambda ev: ev["event_type"] == "click",
+              min_times=1, max_times=None, contiguity="strict",
+              greedy=True),
+    ]
+    stream = replay_as_stream(df, n_batches=4, order_by="ts") \
+        .withWatermark("ts", "5 seconds")
+    out = match_pattern_stream(stream, ["user_id"], "ts", steps,
+                               within="1 minute")
+    got = write_stream_to_memory(out, "cep_within_out",
+                                 output_mode="append").collect()
+    assert len(got) == 1, got
+    r = got[0]
+    assert (r.user_id, r.a_first_id, r.b_first_id, r.b_last_id,
+            r.b_n) == (1, 1, 2, 3, 2)
