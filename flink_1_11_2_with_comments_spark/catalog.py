@@ -182,11 +182,16 @@ class TableEnvironment:
 class StatementSet:
     """Multi-sink statement set — StatementSetImpl / SURVEY §3.
 
-    Batch inputs: each added (query, path) pair writes parquet when
-    execute() runs — one logical job, shared-source subplans persisted
-    once. Streaming inputs: execute() starts ONE foreachBatch query
-    fanning out every sink per micro-batch (the Spark shape of the
-    reference's multi-sink StreamGraph)."""
+    The reference compiles every added INSERT into one job graph with
+    common-subgraph reuse. Spark has no cross-action plan sharing, so
+    sharing happens at the granularity this layer can prove: sinks
+    whose input plans are semantically identical (df.sameSemantics)
+    form one group. Batch: each group's plan is computed ONCE
+    (persist → write every path → unpersist). Streaming: each group
+    runs as ONE foreachBatch query that persists the micro-batch once
+    and fans it out to every sink path. Groups with genuinely
+    different plans execute as independent writes/queries — Spark's
+    native multi-sink execution."""
 
     def __init__(self, env: TableEnvironment):
         self.env = env
@@ -198,18 +203,48 @@ class StatementSet:
         self._sinks.append((df, path))
         return self
 
+    def _groups(self) -> list[tuple[DataFrame, list[str]]]:
+        """Group sink paths by semantically-identical input plan."""
+        groups: list[tuple[DataFrame, list[str]]] = []
+        for df, path in self._sinks:
+            for gdf, paths in groups:
+                if df.sameSemantics(gdf):
+                    paths.append(path)
+                    break
+            else:
+                groups.append((df, [path]))
+        return groups
+
     def execute(self):
         streaming = [s for s in self._sinks if s[0].isStreaming]
         if not streaming:
-            for df, path in self._sinks:
-                df.write.mode("overwrite").parquet(path)
+            for df, paths in self._groups():
+                if len(paths) > 1:
+                    df.persist()
+                try:
+                    for path in paths:
+                        df.write.mode("overwrite").parquet(path)
+                finally:
+                    if len(paths) > 1:
+                        df.unpersist()
             return None
         if len(streaming) != len(self._sinks):
             raise ValueError("statement set mixes batch and streaming")
-        # one query per sink is Spark's native multi-sink execution;
-        # start them all and return the handles as one unit
-        return [df.writeStream.format("parquet")
-                .option("path", path)
-                .option("checkpointLocation", f"{path}/_ckpt")
+
+        def fanout(paths):
+            def write_batch(batch_df, _epoch):
+                if len(paths) > 1:
+                    batch_df.persist()
+                try:
+                    for p in paths:
+                        batch_df.write.mode("append").parquet(p)
+                finally:
+                    if len(paths) > 1:
+                        batch_df.unpersist()
+            return write_batch
+
+        return [df.writeStream
+                .foreachBatch(fanout(paths))
+                .option("checkpointLocation", f"{paths[0]}/_ckpt")
                 .start()
-                for df, path in self._sinks]
+                for df, paths in self._groups()]

@@ -608,3 +608,50 @@ def test_socket_text_stream(spark):
         srv.close()
     got = {r.value for r in spark.table("sock_out").collect()}
     assert got == set(lines)
+
+
+def test_statement_set_shared_plan_fanout(spark):
+    """Sinks with semantically identical plans form one group: batch
+    computes the plan once and writes every path; streaming runs ONE
+    foreachBatch query fanning the micro-batch out to all sinks (the
+    Spark shape of the reference's common-subgraph reuse,
+    StatementSetImpl)."""
+    import os
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.catalog import TableEnvironment
+    from flink_1_11_2_with_comments_spark.sources.replay import (
+        replay_as_stream)
+
+    env = TableEnvironment(spark, SF)
+    base = tempfile.mkdtemp(prefix="stmtset_shared_")
+
+    # batch: same SQL to two paths + a different plan to a third
+    p1, p2, p3 = (os.path.join(base, d) for d in ("a", "b", "c"))
+    sql = ("SELECT event_type, COUNT(*) AS n FROM events "
+           "GROUP BY event_type")
+    ss = (env.create_statement_set()
+          .add_insert(p1, sql).add_insert(p2, sql)
+          .add_insert(p3, "SELECT user_id FROM events LIMIT 5"))
+    assert [len(paths) for _, paths in ss._groups()] == [2, 1]
+    ss.execute()
+    assert (sorted(map(tuple, spark.read.parquet(p1).collect()))
+            == sorted(map(tuple, spark.read.parquet(p2).collect())))
+    assert spark.read.parquet(p3).count() == 5
+
+    # streaming: one shared source df to two sinks → ONE query handle
+    s1, s2 = (os.path.join(base, d) for d in ("s1", "s2"))
+    stream = replay_as_stream(
+        spark.table("events").select("event_id", "event_type"),
+        n_batches=2, order_by="event_id")
+    handles = (env.create_statement_set()
+               .add_insert(s1, stream).add_insert(s2, stream)
+               .execute())
+    assert len(handles) == 1
+    try:
+        handles[0].processAllAvailable()
+    finally:
+        handles[0].stop()
+    n = spark.table("events").count()
+    assert spark.read.parquet(s1).count() == n
+    assert spark.read.parquet(s2).count() == n
