@@ -13,8 +13,8 @@ Supported subset (raise on anything else, loudly):
     MATCH_RECOGNIZE (
       [PARTITION BY k [, k...]]
       ORDER BY ts [, id]
-      MEASURES <m> AS alias [, ...]
-      [ONE ROW PER MATCH]
+      MEASURES [RUNNING|FINAL] <m> AS alias [, ...]
+      [ONE ROW PER MATCH | ALL ROWS PER MATCH]
       [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
       PATTERN ( V[q] V[q] ... ) [WITHIN INTERVAL 'n' UNIT]
       DEFINE V AS <conjunction of V.col <op> literal> [, ...]
@@ -22,8 +22,19 @@ Supported subset (raise on anything else, loudly):
 
 - quantifiers: none (exactly once), `+`, `{n}`, `{m,n}`, `{m,}`
   (`*`/`?` need min_times=0 — not supported, raise).
-- measures: FIRST(V.<id>), LAST(V.<id>), bare V.<id> (SQL-standard
-  "final" semantics = last row of V), COUNT(V.*).
+- measures: FIRST(V.<id>), LAST(V.<id>), bare V.<id>, COUNT(V.*),
+  MATCH_NUMBER(), CLASSIFIER() — each optionally prefixed RUNNING or
+  FINAL (SqlMatchRecognize.java RUNNING/FINAL; runtime rt/match/).
+  ONE ROW PER MATCH: everything is FINAL (RUNNING evaluated at the
+  last row of a completed match equals FINAL — both accepted). ALL
+  ROWS PER MATCH: default is RUNNING; the NFA emits one row per
+  matched event (cep.match_pattern_batch_rows) and measures compile
+  to JVM-side window functions over (partition, match_seq) — running
+  frame rowsBetween(unboundedPreceding, currentRow), final frame the
+  whole match.
+- ALL ROWS PER MATCH output: PARTITION BY keys, order/id columns,
+  then the measures (the pruned projection that crossed the NFA, not
+  every input column — documented subset).
 - pattern concatenation is consecutive rows (SQL standard); the match
   may begin at any row — first step anchors relaxed, the rest strict.
 - default after-match strategy is SKIP PAST LAST ROW (SQL standard,
@@ -46,7 +57,7 @@ _MR = re.compile(
 
 _CLAUSE = re.compile(
     r"(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
-    r"AFTER\s+MATCH|PATTERN|WITHIN|DEFINE)",
+    r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN|WITHIN|DEFINE)",
     re.IGNORECASE)
 
 _QUANT = re.compile(r"^(\w+)(\+|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?$")
@@ -204,6 +215,8 @@ def match_recognize(spark: SparkSession, sql: str,
     else:
         raise NotImplementedError(f"AFTER MATCH subset: {after}")
 
+    all_rows = "ALL ROWS PER MATCH" in cl
+
     src = df if df is not None else spark.table(table)
     # column pruning: ship only key/order/DEFINE-referenced columns
     # into the per-key NFA (the parser knows the full referenced set,
@@ -216,6 +229,12 @@ def match_recognize(spark: SparkSession, sql: str,
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)
+    if all_rows:
+        if src.isStreaming:
+            raise NotImplementedError(
+                "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH")
+        return _all_rows_per_match(src, cl, keys, ts_col, id_col,
+                                   defines, steps, within, after_match)
     if src.isStreaming:
         # streaming MATCH_RECOGNIZE (StreamExecMatch): SQL standard
         # fixes SKIP PAST LAST ROW semantics, which is what the
@@ -243,7 +262,10 @@ def match_recognize(spark: SparkSession, sql: str,
             continue
         expr, _, alias = re.split(r"\s+(AS)\s+", item.strip(),
                                   maxsplit=1, flags=re.IGNORECASE)
-        expr = expr.strip()
+        # ONE ROW PER MATCH: RUNNING at the final row of a completed
+        # match equals FINAL, so both prefixes erase here
+        expr = re.sub(r"^(RUNNING|FINAL)\s+", "", expr.strip(),
+                      flags=re.IGNORECASE)
         fm = re.match(rf"FIRST\s*\(\s*(\w+)\.{id_col}\s*\)$", expr,
                       re.IGNORECASE)
         lm = re.match(rf"LAST\s*\(\s*(\w+)\.{id_col}\s*\)$", expr,
@@ -264,3 +286,79 @@ def match_recognize(spark: SparkSession, sql: str,
                 f"V.{id_col}, COUNT(V.*))")
         sel.append(F.col(col).alias(alias.strip()))
     return matched.select(*sel)
+
+
+def _all_rows_per_match(src: DataFrame, cl: dict[str, str],
+                        keys: list[str], ts_col: str, id_col: str,
+                        defines: dict[str, str], steps: list,
+                        within: str | None,
+                        after_match: str) -> DataFrame:
+    """ALL ROWS PER MATCH: the NFA emits one row per matched event
+    (keys, id, ts, match_seq, classifier); every measure compiles to
+    a JVM-side window function over the match — running frame up to
+    the current row, final frame the whole match (rt/match/ RUNNING
+    vs FINAL; MATCH_NUMBER()/CLASSIFIER() are the emitted columns).
+    """
+    from pyspark.sql import Window
+
+    from ..streaming.cep import match_pattern_batch_rows
+
+    flag_exprs = [_parse_flag_expr(defines.get(s.name.upper(), "TRUE"),
+                                   s.name) for s in steps]
+    rows = match_pattern_batch_rows(
+        src, keys, ts_col, steps, within=within,
+        after_match=after_match, id_col=id_col, flag_exprs=flag_exprs)
+
+    base = Window.partitionBy(*keys, "match_seq").orderBy(ts_col, id_col)
+    w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fin = base.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+
+    def of_var(var: str, col):
+        return F.when(F.col("classifier") == var, col)
+
+    sel = [*[F.col(k) for k in keys], F.col(ts_col), F.col(id_col)]
+    for item in re.split(r",\s*(?=[^,]+\s+AS\s)", cl.get("MEASURES", ""),
+                         flags=re.IGNORECASE):
+        if not item.strip():
+            continue
+        expr, _, alias = re.split(r"\s+(AS)\s+", item.strip(),
+                                  maxsplit=1, flags=re.IGNORECASE)
+        expr = expr.strip()
+        sm = re.match(r"^(RUNNING|FINAL)\s+(.*)$", expr,
+                      re.IGNORECASE | re.DOTALL)
+        # SQL standard: ALL ROWS PER MATCH defaults to RUNNING
+        w = (w_fin if sm and sm.group(1).upper() == "FINAL" else w_run)
+        if sm:
+            expr = sm.group(2).strip()
+        fm = re.match(rf"FIRST\s*\(\s*(\w+)\.{id_col}\s*\)$", expr,
+                      re.IGNORECASE)
+        lm = re.match(rf"LAST\s*\(\s*(\w+)\.{id_col}\s*\)$", expr,
+                      re.IGNORECASE)
+        cm = re.match(r"COUNT\s*\(\s*(\w+)\.\*\s*\)$", expr, re.IGNORECASE)
+        ca = re.match(r"COUNT\s*\(\s*\*\s*\)$", expr, re.IGNORECASE)
+        bm = re.match(rf"(\w+)\.{id_col}$", expr)
+        if re.match(r"MATCH_NUMBER\s*\(\s*\)$", expr, re.IGNORECASE):
+            col = F.col("match_seq")
+        elif re.match(r"CLASSIFIER\s*\(\s*\)$", expr, re.IGNORECASE):
+            col = F.col("classifier")
+        elif fm:
+            col = F.first(of_var(fm.group(1), F.col(id_col)),
+                          ignorenulls=True).over(w)
+        elif lm:
+            col = F.last(of_var(lm.group(1), F.col(id_col)),
+                         ignorenulls=True).over(w)
+        elif cm:
+            col = F.count(of_var(cm.group(1), F.lit(1))).over(w)
+        elif ca:
+            col = F.count(F.lit(1)).over(w)
+        elif bm:  # bare V.id: RUNNING LAST semantics in ALL ROWS mode
+            col = F.last(of_var(bm.group(1), F.col(id_col)),
+                         ignorenulls=True).over(w)
+        else:
+            raise NotImplementedError(
+                f"ALL ROWS MEASURES subset: `{expr}` (want MATCH_NUMBER(), "
+                f"CLASSIFIER(), FIRST/LAST(V.{id_col}), COUNT(V.*), "
+                f"COUNT(*), V.{id_col})")
+        sel.append(col.alias(alias.strip()))
+    return rows.select(*sel)

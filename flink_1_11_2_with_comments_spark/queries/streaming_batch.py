@@ -480,6 +480,77 @@ def match_recognize_sql(spark, sf_dir):
 
 
 @register(
+    "match_recognize_all_rows",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), clicks AS (
+      SELECT user_id, event_id, ts, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS grp
+      FROM s WHERE event_type = 'click'
+    ), runs AS (
+      SELECT user_id, grp, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+             COUNT(*) AS n_clicks
+      FROM clicks GROUP BY 1, 2
+    ), matches AS (
+      SELECT r.user_id, r.grp, r.first_rn, r.last_rn, r.n_clicks,
+             v.event_id AS view_id, v.ts AS view_ts,
+             lc.event_id AS last_click_id,
+             ROW_NUMBER() OVER (PARTITION BY r.user_id
+                                ORDER BY v.rn) AS mno
+      FROM runs r
+      JOIN s v ON v.user_id = r.user_id AND v.rn = r.first_rn - 1
+              AND v.event_type = 'view'
+      JOIN s lc ON lc.user_id = r.user_id AND lc.rn = r.last_rn
+    )
+    SELECT m.user_id, m.view_ts AS ts, m.view_id AS event_id, m.mno,
+           'A' AS var, CAST(0 AS BIGINT) AS clicks_so_far,
+           m.n_clicks AS clicks_total, m.last_click_id,
+           CAST(1 AS BIGINT) AS rows_so_far
+    FROM matches m
+    UNION ALL
+    SELECT m.user_id, c.ts, c.event_id, m.mno,
+           'B', c.rn - m.first_rn + 1, m.n_clicks, m.last_click_id,
+           c.rn - m.first_rn + 2
+    FROM matches m
+    JOIN clicks c ON c.user_id = m.user_id AND c.grp = m.grp
+    """,
+    doc="MATCH_RECOGNIZE ALL ROWS PER MATCH with RUNNING vs FINAL "
+        "measures, MATCH_NUMBER() and CLASSIFIER() "
+        "(SqlMatchRecognize.java RUNNING/FINAL; runtime rt/match/): "
+        "the NFA emits one row per matched event "
+        "(cep.match_pattern_batch_rows) and every measure compiles to "
+        "a JVM-side window function over (partition, match_seq). "
+        "Oracle: gaps-and-islands maximal click runs preceded by an "
+        "adjacent view, exploded to per-event rows with running "
+        "positions derived from rn offsets.",
+)
+def match_recognize_all_rows(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mno,
+                   CLASSIFIER() AS var,
+                   RUNNING COUNT(B.*) AS clicks_so_far,
+                   FINAL COUNT(B.*) AS clicks_total,
+                   FINAL LAST(B.event_id) AS last_click_id,
+                   COUNT(*) AS rows_so_far
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click'
+        )""")
+
+
+@register(
     "flink_sql_lookup_join",
     """
     SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name

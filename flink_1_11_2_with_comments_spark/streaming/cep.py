@@ -309,6 +309,62 @@ def match_pattern_batch(
     return df.groupBy(*keys).applyInPandas(per_key, out_schema)
 
 
+def match_pattern_batch_rows(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    steps: list[QStep],
+    within: str | None = None,
+    after_match: str = "skip_past_last",
+    id_col: str = "event_id",
+    flag_exprs: list[Column] | None = None,
+) -> DataFrame:
+    """Quantified batch CEP, ALL ROWS PER MATCH shape: one output row
+    per MATCHED EVENT — (keys, id, ts, match_seq, classifier), where
+    match_seq is the SQL MATCH_NUMBER() (1-based, ordered by match
+    start within the key) and classifier is the pattern variable the
+    event matched (CLASSIFIER()). RUNNING/FINAL measures are NOT
+    computed here — they are plain window functions over
+    (keys, match_seq) on this output, so they stay JVM-side
+    (plans/match_recognize.py builds them).
+
+    Reference: ALL ROWS PER MATCH + RUNNING/FINAL semantics in
+    rt/match/ and SqlMatchRecognize.java; per-event emission mirrors
+    PatternProcessFunction receiving the full Map<String,List<Event>>.
+    """
+    if steps and steps[-1].negated:
+        raise ValueError("notFollowedBy cannot be the last pattern step")
+    run_steps = steps
+    if flag_exprs is not None:
+        df, run_steps = _flag_projection(df, keys, ts_col, id_col,
+                                         steps, flag_exprs)
+    within_ms = _interval_ms(within) if within else None
+    key_fields = ", ".join(f"{k} bigint" for k in keys)
+    out_schema = (f"{key_fields}, {id_col} bigint, {ts_col} timestamp, "
+                  f"match_seq bigint, classifier string")
+    cols = [*keys, id_col, ts_col, "match_seq", "classifier"]
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        events = _records(pdf, ts_col, id_col)
+        out = []
+        matches = _all_q_matches(events, run_steps, ts_col, within_ms,
+                                 after_match, id_col)
+        # MATCH_NUMBER() orders by match start within the partition
+        matches.sort(key=lambda m: (m[0][1][0][ts_col],
+                                    m[0][1][0][id_col]))
+        for seq, m in enumerate(matches, start=1):
+            for s, reps in m:
+                for ev in reps:
+                    out.append({
+                        **{k: ev[k] for k in keys},
+                        id_col: ev[id_col], ts_col: ev[ts_col],
+                        "match_seq": seq, "classifier": s.name,
+                    })
+        return pd.DataFrame(out, columns=cols)
+
+    return df.groupBy(*keys).applyInPandas(per_key, out_schema)
+
+
 def _find_matches(events: list[dict], steps: list[Step], ts_col: str,
                   within_ms: int | None) -> list[list[dict]]:
     """All relaxed-contiguity matches of steps over time-ordered events."""

@@ -655,3 +655,59 @@ def test_statement_set_shared_plan_fanout(spark):
     n = spark.table("events").count()
     assert spark.read.parquet(s1).count() == n
     assert spark.read.parquet(s2).count() == n
+
+
+def test_match_recognize_running_final_all_rows(spark):
+    """RUNNING vs FINAL + ALL ROWS PER MATCH (SqlMatchRecognize.java
+    RUNNING/FINAL, runtime rt/match/): per match the running count
+    ascends to the final count, the last row's RUNNING equals FINAL,
+    and the ONE ROW PER MATCH projection agrees with the ALL ROWS
+    final row. RUNNING/FINAL prefixes are accepted (and erased) in
+    ONE ROW mode."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    load_table(spark, SF, "events").createOrReplaceTempView("mr_events")
+    body = """
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES {measures}
+        {mode}
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'click'
+    """
+    all_rows = match_recognize(spark, (
+        "SELECT * FROM mr_events MATCH_RECOGNIZE (" + body.format(
+            measures="MATCH_NUMBER() AS mno, CLASSIFIER() AS var, "
+                     "RUNNING COUNT(B.*) AS run_n, "
+                     "FINAL COUNT(B.*) AS fin_n, "
+                     "FINAL LAST(B.event_id) AS fin_last",
+            mode="ALL ROWS PER MATCH") + ")")).collect()
+    assert len(all_rows) > 0
+    by_match = {}
+    for r in all_rows:
+        by_match.setdefault((r.user_id, r.mno), []).append(r)
+    for rows in by_match.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        runs = [r.run_n for r in rows]
+        assert runs == sorted(runs) and runs[0] == 0  # A row first
+        assert rows[-1].run_n == rows[-1].fin_n  # RUNNING@last == FINAL
+        assert len({r.fin_n for r in rows}) == 1  # FINAL constant
+        b_rows = [r for r in rows if r.var == "B"]
+        assert len(b_rows) == rows[0].fin_n
+        assert b_rows[-1].event_id == rows[0].fin_last
+
+    # ONE ROW PER MATCH with RUNNING/FINAL prefixes (both erase to
+    # final) must agree with the ALL ROWS final row per match
+    one_row = match_recognize(spark, (
+        "SELECT * FROM mr_events MATCH_RECOGNIZE (" + body.format(
+            measures="RUNNING COUNT(B.*) AS n_clicks, "
+                     "FINAL LAST(B.event_id) AS last_click",
+            mode="ONE ROW PER MATCH") + ")")).collect()
+    exp = {(r.user_id, r.fin_n, r.fin_last)
+           for rows in by_match.values() for r in rows[:1]}
+    got = {(r.user_id, r.n_clicks, r.last_click) for r in one_row}
+    assert got == exp
