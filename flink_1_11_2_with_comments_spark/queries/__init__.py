@@ -50,12 +50,12 @@ _PRIORITY: tuple[str, ...] = (
     "over_rows_sliding", "over_range_bounded", "over_ranking_functions",
     "rank_topn_per_group", "dedup_keep_first_row",
     # scalar function batches
-    "fn_string_basics", "fn_temporal", "fn_cast_semantics", "fn_higher_order",
+    "fn_string_basics", "fn_temporal", "fn_cast_semantics",
     # window aggregations (batch forms of group windows)
     "window_tumble_agg", "window_session_dynamic_gap", "window_topn",
     # time-bounded / dimension joins
     "window_tumble_join", "interval_join_batch", "asof_join_batch",
-    "flink_sql_lookup_join",
+    "flink_sql_lookup_join", "jdbc_lookup_join",
     # CEP / MATCH_RECOGNIZE / changelog / count windows / evictors
     "cep_quantified", "match_recognize_sql", "changelog_rowkind",
     "count_window_batch", "evictor_delta_window",

@@ -578,6 +578,42 @@ def flink_sql_lookup_join(spark, sf_dir):
 
 
 @register(
+    "jdbc_lookup_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name AS nation
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_totalprice > 420000
+    """,
+    doc="Lookup join against a GENUINELY EXTERNAL SQL engine: the "
+        "nation dimension is first written through the JDBC sink into "
+        "embedded Apache Derby (bundled with Spark), read back via the "
+        "JDBC source, and broadcast-joined to the fact stream — the "
+        "flink-connector-jdbc JdbcDynamicTableSource/Sink + "
+        "JdbcRowDataLookupFunction path exercised end-to-end rather "
+        "than gated. At 100 TB the dim read is one connection per "
+        "partition against a real DB server; the fact side never "
+        "touches JDBC. Oracle: same join over the parquet truth the "
+        "dimension was loaded from.",
+)
+def jdbc_lookup_join(spark, sf_dir):
+    from ..sources.connectors import (DERBY_DRIVER, derby_memory_url,
+                                      jdbc_sink, jdbc_source)
+    url = derby_memory_url("lookupdim")
+    jdbc_sink(t(spark, sf_dir, "nation"), url, "nation_dim",
+              driver=DERBY_DRIVER,
+              createTableColumnTypes="n_name VARCHAR(64)")
+    dim = jdbc_source(spark, url, "nation_dim", driver=DERBY_DRIVER)
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 420000)
+    c = t(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+             .select("o_orderkey", "o_totalprice", "c_name",
+                     F.col("n_name").alias("nation")))
+
+
+@register(
     "changelog_rowkind",
     """
     WITH v AS (

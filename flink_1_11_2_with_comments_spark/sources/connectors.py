@@ -2,10 +2,13 @@
 
 The reference ships each connector as a separate module
 (flink-connectors/flink-connector-kafka FlinkKafkaConsumer.java:72,
-flink-connector-jdbc, ...); Spark equivalents are format strings, but
-kafka needs the spark-sql-kafka jar and JDBC needs a driver jar —
-neither is in this container, so the constructors probe and raise a
-clear error instead of failing deep inside the JVM.
+flink-connector-jdbc, ...); Spark equivalents are format strings.
+Kafka needs the spark-sql-kafka jar (absent in this container, so the
+constructor probes and raises a clear error). JDBC is EXERCISED FOR
+REAL against embedded Apache Derby — Spark bundles the Derby jars for
+its Hive metastore, so jdbc_sink/jdbc_source round-trip through a
+genuinely external SQL engine (the flink-connector-jdbc
+JdbcDynamicTableSource/Sink analogue), query: jdbc_lookup_join.
 
 Test connectors (DataGenTableSourceFactory / PrintTableSinkFactory /
 BlackHoleTableSinkFactory) map to rate / console / noop and are
@@ -54,6 +57,37 @@ def jdbc_source(spark: SparkSession, url: str, table: str,
         raise RuntimeError(
             "jdbc read failed — a JDBC driver jar must be on the "
             "classpath (spark.jars)") from e
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_memory_url(name: str) -> str:
+    """In-memory embedded Derby URL — the in-container stand-in for a
+    real database server (Derby ships with Spark for the Hive
+    metastore, so no extra jar is needed)."""
+    return f"jdbc:derby:memory:{name};create=true"
+
+
+def jdbc_sink(df: DataFrame, url: str, table: str,
+              driver: str | None = None, mode: str = "overwrite",
+              **opts) -> None:
+    """df.write.format('jdbc') — JdbcDynamicTableSink equivalent
+    (flink-connector-jdbc JdbcOutputFormat batched upsert path). At
+    scale, size batchsize and numPartitions to the target DB's write
+    throughput — every partition opens its own connection."""
+    writer = (df.write.format("jdbc")
+              .option("url", url).option("dbtable", table))
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    try:
+        writer.mode(mode).save()
+    except Exception as e:
+        raise RuntimeError(
+            "jdbc write failed — a JDBC driver jar must be on the "
+            "classpath (embedded Derby is bundled: DERBY_DRIVER)") from e
 
 
 def datagen_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

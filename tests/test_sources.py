@@ -518,13 +518,34 @@ def test_datastream_partitioning_and_split(spark):
 
 
 def test_jdbc_gated_error(spark):
-    """JDBC connector is present but driverless here: the gate raises
-    a clear actionable error instead of a bare stack."""
+    """JDBC connector with an ABSENT driver jar: the gate raises a
+    clear actionable error instead of a bare stack."""
     from flink_1_11_2_with_comments_spark.sources.connectors import (
         jdbc_source)
     with pytest.raises(RuntimeError, match="jdbc"):
         jdbc_source(spark, "jdbc:postgresql://nohost/db", "t",
                     driver="org.postgresql.Driver")
+
+
+def test_jdbc_derby_round_trip(spark):
+    """Real external-database round-trip: write nation through the
+    JDBC sink into embedded Derby (jars bundled with Spark), read it
+    back through the JDBC source, and get identical rows — the
+    flink-connector-jdbc JdbcOutputFormat / JdbcRowDataInputFormat
+    pair exercised against a genuinely external SQL engine."""
+    from flink_1_11_2_with_comments_spark.sources.connectors import (
+        DERBY_DRIVER, derby_memory_url, jdbc_sink, jdbc_source)
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    url = derby_memory_url("roundtrip")
+    jdbc_sink(nation, url, "nation_rt", driver=DERBY_DRIVER,
+              createTableColumnTypes="n_name VARCHAR(64)")
+    back = jdbc_source(spark, url, "nation_rt", driver=DERBY_DRIVER)
+    assert sorted(back.collect()) == sorted(nation.collect())
+    # overwrite mode is idempotent (Derby table dropped + recreated)
+    jdbc_sink(nation.limit(5), url, "nation_rt", driver=DERBY_DRIVER,
+              createTableColumnTypes="n_name VARCHAR(64)")
+    assert jdbc_source(spark, url, "nation_rt",
+                       driver=DERBY_DRIVER).count() == 5
 
 
 def test_ddl_watermark_clause(spark):
