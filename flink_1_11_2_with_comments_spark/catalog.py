@@ -27,10 +27,11 @@ WATERMARKS: dict[str, tuple[str, str]] = {
 }
 
 
-# columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
-# (nanosAsLong) and we convert to microsecond timestamps here. The data
-# has zero sub-microsecond residue (verified), so this is lossless and
-# matches DuckDB's read exactly.
+# Event-time columns whose parquet layout has varied across testdata
+# generations: TIMESTAMP(NANOS) (read as long under nanosAsLong) and
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ —
+# the current layout). Batch reads normalize BOTH to TIMESTAMP_NTZ:
+# naive timestamps, matching exactly what DuckDB's oracle sees.
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -40,9 +41,76 @@ def _convert_nano_ts(df: DataFrame, name: str) -> DataFrame:
 
     for col in NANO_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):
-            # integer div: nanos exceed 2^53, double division loses 1µs
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+            # integer div: nanos exceed 2^53, double division loses 1µs.
+            # timestamp_micros yields TIMESTAMP; session TZ is pinned
+            # UTC, so the NTZ cast keeps the same wall-clock value.
+            df = df.withColumn(
+                col,
+                F.expr(f"timestamp_micros({col} div 1000)")
+                .cast("timestamp_ntz"))
     return df
+
+
+def instant_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (an instant).
+
+    ``withWatermark`` requires TimestampType
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] otherwise) — the analogue of
+    the reference requiring a rowtime attribute (TimestampKind.ROWTIME)
+    before assigning watermarks. The session timezone is pinned UTC
+    (session.py), so the instant's UTC wall-clock equals the naive
+    value: the cast is a pure type change, lossless either way.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    cols = [f.name for f in df.schema.fields
+            if isinstance(f.dataType, TimestampNTZType)]
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _naive_type(dt):
+    from pyspark.sql.types import (ArrayType, MapType, StructField,
+                                   StructType, TimestampNTZType,
+                                   TimestampType)
+    if isinstance(dt, TimestampType):
+        return TimestampNTZType()
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name, _naive_type(f.dataType), f.nullable)
+            for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_naive_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(_naive_type(dt.keyType), _naive_type(dt.valueType),
+                       dt.valueContainsNull)
+    return dt
+
+
+def naive_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP back to TIMESTAMP_NTZ, recursing into structs
+    (window bounds), arrays and maps.
+
+    Inverse of :func:`instant_timestamps`: streaming operators run on
+    instants (watermark requirement), but results are compared against
+    batch plans and the DuckDB oracle, both naive. Under the UTC
+    session timezone the cast is value-preserving, and collecting NTZ
+    is independent of the driver's OS timezone — TimestampType's
+    Python conversion is not.
+    """
+    from pyspark.sql import functions as F
+
+    cols, changed = [], False
+    for f in df.schema.fields:
+        nt = _naive_type(f.dataType)
+        if nt != f.dataType:
+            cols.append(F.col(f.name).cast(nt).alias(f.name))
+            changed = True
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols) if changed else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -176,7 +244,9 @@ class TableEnvironment:
         df = (self.spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", f"{name}.parquet")
               .parquet(self.sf_dir))
-        return watermarked(_convert_nano_ts(df, name), name)
+        # watermark needs an instant-typed rowtime column (NTZ rejected)
+        return watermarked(
+            instant_timestamps(_convert_nano_ts(df, name)), name)
 
 
 class StatementSet:

@@ -189,3 +189,61 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                .otherwise(F.lit(0).cast("bigint")) for b in range(32)]
     simhash = functools.reduce(operator.add, bitvals)
     return tallied.select(id_col, simhash.alias("simhash"))
+
+
+def _band_widths(bits: int, n_bands: int) -> list[int]:
+    """Split ``bits`` into ``n_bands`` contiguous widths (as even as
+    possible); any split preserves the pigeonhole guarantee."""
+    base, extra = divmod(bits, n_bands)
+    return [base + (1 if i < extra else 0) for i in range(n_bands)]
+
+
+def simhash_hamming_pairs(sigs: DataFrame, id_col: str,
+                          sig_col: str = "simhash", bits: int = 32,
+                          threshold: int = 8) -> DataFrame:
+    """All pairs with Hamming(sig_a, sig_b) <= threshold — banded, exact.
+
+    Pigeonhole recall guarantee: split the signature into
+    ``threshold + 1`` contiguous bit bands; a pair within the threshold
+    differs in at most ``threshold`` bands, so at least one band is
+    bit-identical. Equi-joining on (band_idx, band_bits) therefore
+    finds EVERY qualifying pair — same exactness as the O(n²)
+    self-join, but the shuffle is keyed by band values and only
+    bucket-local pairs are compared (the same candidate→verify shape
+    as cosine_dedup_bucketed / Manku et al.'s simhash dedup, WWW'07).
+
+    At production scale pair volume is governed by band selectivity:
+    64-bit signatures (or a lower threshold) make each band wide
+    enough that buckets hold only near-duplicates. The verify step is
+    a row-local ``bit_count(a XOR b)``.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id.
+    """
+    n_bands = threshold + 1
+    widths = _band_widths(bits, n_bands)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("band"),
+            (F.shiftright(F.col(sig_col), offsets[i])
+             .bitwiseAND(F.lit((1 << widths[i]) - 1))).alias("band_bits"))
+        for i in range(n_bands)])
+    banded = (sigs.select(F.col(id_col), F.col(sig_col),
+                          F.explode(bands).alias("bk"))
+              .select(id_col, sig_col, "bk.band", "bk.band_bits"))
+    a = banded.select(F.col(id_col).alias("a_id"),
+                      F.col(sig_col).alias("sig_a"), "band", "band_bits")
+    b = banded.select(F.col(id_col).alias("b_id"),
+                      F.col(sig_col).alias("sig_b"),
+                      F.col("band").alias("band_b"),
+                      F.col("band_bits").alias("band_bits_b"))
+    cand = (a.join(b, (a.band == b.band_b)
+                   & (a.band_bits == b.band_bits_b)
+                   & (a.a_id < b.b_id))
+            .select("a_id", "b_id", "sig_a", "sig_b")
+            .distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+            .where(F.col("hamming") <= threshold)
+            .select("a_id", "b_id", "hamming"))

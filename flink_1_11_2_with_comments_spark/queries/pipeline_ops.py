@@ -278,7 +278,7 @@ def dedup_simhash(spark, sf_dir):
     f"""
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents WHERE doc_id < 250
+      FROM documents
     ), bits AS (
       SELECT doc_id, b,
              SUM(CASE WHEN ({MD5I.format(x='tok')} % 4294967296 >> b) & 1 = 1
@@ -296,22 +296,19 @@ def dedup_simhash(spark, sf_dir):
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     """,
-    doc="SimHash near-dup candidates: Hamming distance ≤ 8 on 32-bit "
-        "signatures — at scale the signature prefix buckets the self-join.",
+    doc="SimHash near-dup pairs, Hamming ≤ 8 on 32-bit signatures. Spark "
+        "side is the BANDED form (pipeline/dedup.py simhash_hamming_pairs): "
+        "9 pigeonhole bit-bands → equi-join on (band, band_bits) → exact "
+        "Hamming verify; recall is provably complete, no O(n²) self-join. "
+        "The oracle states the semantics as the naive all-pairs quadratic "
+        "(fine for DuckDB at test SF).",
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    from ..pipeline.dedup import simhash32
-    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    from ..pipeline.dedup import simhash32, simhash_hamming_pairs
+    d = t(spark, sf_dir, "documents")
     sigs = simhash32(d, "doc_id", "text")
-    a = sigs.select(F.col("doc_id").alias("a_id"),
-                    F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("b_id"),
-                    F.col("simhash").alias("sig_b"))
-    return (a.join(b, F.col("a_id") < F.col("b_id"))
-            .withColumn("hamming",
-                        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-            .where(F.col("hamming") <= 8)
-            .select("a_id", "b_id", "hamming"))
+    return simhash_hamming_pairs(sigs, "doc_id", "simhash",
+                                 bits=32, threshold=8)
 
 
 # ---------------------------------------------------------------------------

@@ -490,7 +490,10 @@ def fn_time_type(spark, sf_dir):
         (F.hour("ts").cast("bigint") * 3600000
          + F.minute("ts").cast("bigint") * 60000
          + F.second("ts").cast("bigint") * 1000
-         + (F.unix_micros("ts") / 1000 % 1000).cast("bigint"))
+         # unix_micros rejects TIMESTAMP_NTZ; cast through TIMESTAMP
+         # (session TZ is UTC, so the instant is unchanged)
+         + (F.unix_micros(F.col("ts").cast("timestamp")) / 1000 % 1000)
+         .cast("bigint"))
         .alias("time_of_day_ms"),
         F.hour("ts").cast("bigint").alias("h"),
         F.minute("ts").cast("bigint").alias("m"))

@@ -25,9 +25,9 @@ from ..streaming.windows import hop, session, tumble, window_bounds
 @register(
     "window_tumble_agg",
     f"""
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000)
              AS window_start,
-           to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT))
+           make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) * 1000000)
              AS window_end,
            event_type,
            COUNT(*) AS n, {sql_dsum('value')} AS total
@@ -49,7 +49,7 @@ def window_tumble_agg(spark, sf_dir):
     "window_hop_agg",
     f"""
     WITH hopped AS (
-      SELECT to_timestamp(CAST((floor(epoch(ts) / 1800) - j) * 1800 AS BIGINT))
+      SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) - j) * 1800 AS BIGINT) * 1000000)
                AS window_start,
              value
       FROM events CROSS JOIN (VALUES (0), (1)) offsets(j)
@@ -111,11 +111,11 @@ def window_session_agg(spark, sf_dir):
     "window_tumble_join",
     """
     WITH a AS (
-      SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS w,
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS w,
              COUNT(*) AS clicks
       FROM events WHERE event_type = 'click' GROUP BY 1
     ), b AS (
-      SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS w,
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS w,
              COUNT(*) AS purchases
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     )
@@ -278,7 +278,7 @@ def count_window_batch(spark, sf_dir):
 _EVICT_W = """
     WITH w AS (
       SELECT user_id, event_id, ts, value,
-             to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+             make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000)
                AS window_start
       FROM events
     )
@@ -727,7 +727,7 @@ def count_sliding_window_batch(spark, sf_dir):
     f"""
     WITH w AS (
       SELECT user_id,
-             to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+             make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000)
                AS window_start,
              {sql_dsum('value')} AS total
       FROM events GROUP BY 1, 2

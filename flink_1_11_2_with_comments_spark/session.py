@@ -51,8 +51,11 @@ def get_spark(app_name: str = "flink_1_11_2_with_comments_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-        # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and
-        # convert in catalog.load_table (Spark has no nanosecond timestamps)
+        # robustness across testdata generations: if events.ts is ever
+        # parquet TIMESTAMP(NANOS) again, read it as long (Spark has no
+        # nanosecond timestamps) — catalog._convert_nano_ts converts.
+        # The current layout is TIMESTAMP(MICROS, isAdjustedToUTC=false),
+        # which reads as TIMESTAMP_NTZ and bypasses this setting.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()

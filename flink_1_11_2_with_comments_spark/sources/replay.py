@@ -37,6 +37,11 @@ def replay_as_stream(df: DataFrame, n_batches: int = 4,
     Without it, rows are split round-robin (heavily out-of-order
     replay, useful for late-data tests).
     """
+    from ..catalog import instant_timestamps
+
+    # stage instants, not NTZ: downstream withWatermark requires
+    # TimestampType, and the UTC session makes the cast lossless
+    df = instant_timestamps(df)
     spark = df.sparkSession
     base = base_dir or tempfile.mkdtemp(prefix="replay_")
     data_dir = os.path.join(base, "data")
@@ -75,7 +80,14 @@ def write_stream_to_memory(stream_df: DataFrame, name: str,
     synchronously — the test-side equivalent of the reference's
     OneInputStreamOperatorTestHarness drive loop.
     Returns the result as a batch DataFrame.
+
+    Timestamp outputs (including window-bound structs) are cast back
+    to TIMESTAMP_NTZ so results compare exactly against batch plans
+    computed on the naive-typed tables, on any driver OS timezone.
     """
+    from ..catalog import naive_timestamps
+
+    stream_df = naive_timestamps(stream_df)
     spark = stream_df.sparkSession
     q = (stream_df.writeStream
          .format("memory")
