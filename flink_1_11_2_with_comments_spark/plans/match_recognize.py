@@ -16,12 +16,20 @@ Supported subset (raise on anything else, loudly):
       MEASURES [RUNNING|FINAL] <m> AS alias [, ...]
       [ONE ROW PER MATCH | ALL ROWS PER MATCH]
       [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-      PATTERN ( V[q] V[q] ... ) [WITHIN INTERVAL 'n' UNIT]
+      PATTERN ( V[q] V[q] ... | PERMUTE(V, V, ...) )
+        [WITHIN INTERVAL 'n' UNIT]
       DEFINE V AS <conjunction of V.col <op> literal> [, ...]
     )
 
 - quantifiers: none (exactly once), `+`, `{n}`, `{m,n}`, `{m,}`
   (`*`/`?` need min_times=0 — not supported, raise).
+- PERMUTE(A, B, ...): any ordering of the elements — expanded to the
+  alternation of permutations, ties at the same start row broken by
+  permutation order (SqlMatchRecognize PERMUTE / Calcite expansion).
+  Batch only.
+- pattern exclusion `{- V[q] -}`: V matches and feeds measures, but
+  its rows are omitted from ALL ROWS PER MATCH output (no-op for ONE
+  ROW PER MATCH, as in the standard).
 - measures: FIRST(V.<id>), LAST(V.<id>), bare V.<id>, COUNT(V.*),
   MATCH_NUMBER(), CLASSIFIER() — each optionally prefixed RUNNING or
   FINAL (SqlMatchRecognize.java RUNNING/FINAL; runtime rt/match/).
@@ -126,19 +134,53 @@ def _parse_flag_expr(cond: str, var: str):
     return expr
 
 
-def _parse_pattern(pat: str) -> list[tuple[str, int, int | None]]:
-    """`(A B+ C{2,4})` → [(name, min_times, max_times), ...]."""
+def _parse_pattern(
+        pat: str) -> tuple[list[tuple[str, int, int | None]],
+                           set[str], bool]:
+    """`(A B+ C{2,4})` → ([(name, min, max), ...], excluded, permute).
+
+    Also handles the two remaining SqlMatchRecognize pattern forms:
+    - ``PERMUTE(A, B, ...)`` — any ordering of the elements
+      (expanded to the alternation of permutations, SQL preference =
+      permutation order); returns permute=True.
+    - exclusion ``{- V[q] -}`` — V participates in matching but its
+      rows are omitted from ALL ROWS PER MATCH output
+      (SqlMatchRecognize exclusion syntax); V is added to `excluded`.
+    """
     pat = pat.strip()
     if pat.startswith("(") and pat.endswith(")"):
-        pat = pat[1:-1]
-    steps = []
-    for tok in pat.strip().split():
+        pat = pat[1:-1].strip()
+    permute = False
+    pm = re.match(r"^PERMUTE\s*\((.*)\)$", pat, re.IGNORECASE | re.DOTALL)
+    if pm:
+        permute = True
+        toks = [t.strip() for t in pm.group(1).split(",") if t.strip()]
+        if any("{-" in t for t in toks):
+            raise NotImplementedError("exclusion inside PERMUTE")
+    else:
+        toks = pat.replace("{-", " {- ").replace("-}", " -} ").split()
+    steps, excluded = [], set()
+    in_excl = False
+    for tok in toks:
+        if tok == "{-":
+            if in_excl or permute:
+                raise NotImplementedError("nested pattern exclusion")
+            in_excl = True
+            continue
+        if tok == "-}":
+            if not in_excl:
+                raise NotImplementedError("unbalanced `-}` in pattern")
+            in_excl = False
+            continue
         m = _QUANT.match(tok)
         if not m:
             raise NotImplementedError(
                 f"MATCH_RECOGNIZE pattern subset: token `{tok}` "
-                "(supported: V, V+, V{n}, V{m,n}, V{m,})")
+                "(supported: V, V+, V{n}, V{m,n}, V{m,}, PERMUTE(...), "
+                "{- V -})")
         name, q = m.group(1), m.group(2)
+        if in_excl:
+            excluded.add(name)
         if q is None:
             steps.append((name, 1, 1))
         elif q == "+":
@@ -151,7 +193,9 @@ def _parse_pattern(pat: str) -> list[tuple[str, int, int | None]]:
                 steps.append((name, int(nums[0]), int(nums[1])))
             else:
                 steps.append((name, int(nums[0]), None))
-    return steps
+    if in_excl:
+        raise NotImplementedError("unbalanced `{-` in pattern")
+    return steps, excluded, permute
 
 
 def match_recognize(spark: SparkSession, sql: str,
@@ -185,8 +229,9 @@ def match_recognize(spark: SparkSession, sql: str,
                                 maxsplit=1, flags=re.IGNORECASE)
         defines[var.upper()] = cond
 
+    pattern_steps, excluded, permute = _parse_pattern(cl["PATTERN"])
     steps = []
-    for i, (name, mn, mx) in enumerate(_parse_pattern(cl["PATTERN"])):
+    for i, (name, mn, mx) in enumerate(pattern_steps):
         if mn < 1:
             raise NotImplementedError(
                 "quantifiers with min 0 (`*`, `?`) are unsupported")
@@ -234,7 +279,8 @@ def match_recognize(spark: SparkSession, sql: str,
             raise NotImplementedError(
                 "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH")
         return _all_rows_per_match(src, cl, keys, ts_col, id_col,
-                                   defines, steps, within, after_match)
+                                   defines, steps, within, after_match,
+                                   excluded=excluded, permute=permute)
     if src.isStreaming:
         # streaming MATCH_RECOGNIZE (StreamExecMatch): SQL standard
         # fixes SKIP PAST LAST ROW semantics, which is what the
@@ -243,6 +289,9 @@ def match_recognize(spark: SparkSession, sql: str,
         if after_match != "skip_past_last":
             raise NotImplementedError(
                 "streaming MATCH_RECOGNIZE supports SKIP PAST LAST ROW")
+        if permute:
+            raise NotImplementedError(
+                "streaming MATCH_RECOGNIZE does not support PERMUTE")
         matched = match_pattern_stream(src, keys, ts_col, steps,
                                        within=within, id_col=id_col)
     else:
@@ -252,7 +301,8 @@ def match_recognize(spark: SparkSession, sql: str,
                                       within=within,
                                       after_match=after_match,
                                       id_col=id_col,
-                                      flag_exprs=flag_exprs)
+                                      flag_exprs=flag_exprs,
+                                      permute=permute)
 
     # measures → the engine's fixed per-step outputs
     sel = [F.col(k) for k in keys]
@@ -292,12 +342,19 @@ def _all_rows_per_match(src: DataFrame, cl: dict[str, str],
                         keys: list[str], ts_col: str, id_col: str,
                         defines: dict[str, str], steps: list,
                         within: str | None,
-                        after_match: str) -> DataFrame:
+                        after_match: str,
+                        excluded: set[str] = frozenset(),
+                        permute: bool = False) -> DataFrame:
     """ALL ROWS PER MATCH: the NFA emits one row per matched event
     (keys, id, ts, match_seq, classifier); every measure compiles to
     a JVM-side window function over the match — running frame up to
     the current row, final frame the whole match (rt/match/ RUNNING
     vs FINAL; MATCH_NUMBER()/CLASSIFIER() are the emitted columns).
+
+    ``excluded`` variables (pattern exclusion ``{- V -}``) take part
+    in matching and in measure aggregation, but their rows are
+    filtered from the output AFTER the measure windows are computed —
+    the SQL-standard exclusion semantics.
     """
     from pyspark.sql import Window
 
@@ -307,7 +364,8 @@ def _all_rows_per_match(src: DataFrame, cl: dict[str, str],
                                    s.name) for s in steps]
     rows = match_pattern_batch_rows(
         src, keys, ts_col, steps, within=within,
-        after_match=after_match, id_col=id_col, flag_exprs=flag_exprs)
+        after_match=after_match, id_col=id_col, flag_exprs=flag_exprs,
+        permute=permute)
 
     base = Window.partitionBy(*keys, "match_seq").orderBy(ts_col, id_col)
     w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -361,4 +419,7 @@ def _all_rows_per_match(src: DataFrame, cl: dict[str, str],
                 f"CLASSIFIER(), FIRST/LAST(V.{id_col}), COUNT(V.*), "
                 f"COUNT(*), V.{id_col})")
         sel.append(col.alias(alias.strip()))
-    return rows.select(*sel)
+    out = rows.select(*sel, F.col("classifier").alias("__cls"))
+    if excluded:
+        out = out.where(~F.col("__cls").isin(*sorted(excluded)))
+    return out.drop("__cls")

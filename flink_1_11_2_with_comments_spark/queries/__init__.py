@@ -27,52 +27,52 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # The external correctness gate evaluates the registry in insertion order
-# and may only reach the first N entries (round 1 stopped at 50).  This
-# priority list therefore front-loads one representative of EVERY operator
-# family — OVER frames, set ops, scalar-function batches, window aggs,
-# interval/as-of/lookup joins, CEP + MATCH_RECOGNIZE, changelog, the UDF
-# surface, graph, and each dedup/ANN/text/multimodal pipeline family —
-# plus the queries whose oracles were fixed after round 1 (tpch_q12,
-# agg_collect_list_set, fn_collections, null_aggregates, dedup_simhash).
-# Everything not listed keeps its module-import order after these; the 21
-# remaining TPC-H queries (all driver-green in round 1) sort last.
+# and may only reach the first N entries (rounds 1 and 2 stopped at 50).
+# Round-3 rotation: rounds 1+2 hard-verified 91 distinct queries green;
+# this list now front-loads (a) the four rows that were red in round 2
+# (oracle timestamp idiom, fixed — re-verification proves the fix),
+# (b) the two queries rewritten this round (fn_time_type NTZ fix,
+# dedup_simhash_pairs banding), then (c) every query that has never had
+# a driver row in any round. The two oracle-less rows-only checks sit
+# at positions 51-52 (weakest signal, first to be cut if the window
+# stays at 50); queries green in earlier rounds sort after them, TPC-H
+# (all green in round 1) last.
 _PRIORITY: tuple[str, ...] = (
-    # flagship + round-1 fix verification
-    "tpch_q1", "tpch_q12", "agg_collect_list_set", "fn_collections",
-    "null_aggregates", "dedup_simhash",
-    # relational re-green (scan/join/agg/sort continuity)
-    "join_broadcast", "agg_grouping_sets",
-    # set operations
-    "setop_union_distinct", "setop_except_all",
-    # aggregate extras
-    "agg_filter_clause",
-    # OVER windows / rank / dedup
-    "over_rows_sliding", "over_range_bounded", "over_ranking_functions",
-    "rank_topn_per_group", "dedup_keep_first_row",
-    # scalar function batches
-    "fn_string_basics", "fn_temporal", "fn_cast_semantics",
-    # window aggregations (batch forms of group windows)
-    "window_tumble_agg", "window_session_dynamic_gap", "window_topn",
-    # time-bounded / dimension joins
-    "window_tumble_join", "interval_join_batch", "asof_join_batch",
-    "flink_sql_lookup_join", "jdbc_lookup_join",
-    # CEP / MATCH_RECOGNIZE / changelog / count windows / evictors
-    "cep_quantified", "match_recognize_sql", "changelog_rowkind",
-    "count_window_batch", "evictor_delta_window",
-    # UDF surface
-    "udf_pandas_scalar", "udf_grouped_agg", "udf_table_function",
-    "dataset_map_partition", "dataset_cogroup", "side_outputs",
-    "async_lookup_join",
-    # graph
-    "graph_connected_components",
-    # text analysis
-    "text_token_stats", "text_langid", "text_fingerprint",
-    # deduplication
-    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
-    # approximate nearest neighbor
-    "ann_ivf_topk", "ann_lsh_buckets",
-    # multimodal + end-to-end pipeline
-    "multimodal_metadata", "pipeline_end_to_end",
+    # (a) red in round 2 → oracle idiom fixed this round
+    "window_tumble_agg", "window_topn", "window_tumble_join",
+    "evictor_delta_window",
+    # (b) rewritten this round
+    "fn_time_type", "dedup_simhash_pairs",
+    # (c) never driver-checked: set operations
+    "setop_union_all", "setop_intersect", "setop_intersect_all",
+    "setop_except",
+    # NULL semantics
+    "null_join_semantics", "null_not_in", "null_distinct_groupby",
+    # OVER windows / dedup variants
+    "over_rows_unbounded_preceding", "over_unbounded_following",
+    "over_lead_lag", "over_multi_window", "over_ignore_nulls",
+    "dedup_keep_last_row",
+    # scalar-function batches
+    "fn_string_regex_split", "fn_string_predicates_base64", "fn_math",
+    "fn_hash", "fn_json", "fn_conditional", "fn_temporal_overlaps",
+    "fn_sql_udf_surface", "fn_string_extras", "fn_percentiles",
+    "fn_higher_order", "fn_string_position",
+    # group windows / CEP / evictors / count windows
+    "window_hop_agg", "window_session_agg", "cep_funnel",
+    "cep_not_followed_by", "match_recognize_all_rows",
+    "evictor_count_window", "evictor_time_window",
+    "count_sliding_window_batch",
+    # pipeline: text / dedup / ANN / multimodal / sketches
+    "text_quality", "dedup_ngram_jaccard", "ann_bruteforce_topk",
+    "ann_ivf_assign", "ann_ivf_lloyd", "multimodal_features",
+    "heavy_hitters",
+    # UDF surface / graph
+    "udf_table_aggregate_top2",
+    "graph_pagerank", "graph_sssp", "graph_triangle_count",
+    # oracle-less rows-only checks (slots 51-52)
+    "approx_sketches", "corpus_sample",
+    # new this round (slots 53+; enter the window at the next rotation)
+    "match_recognize_permute", "match_recognize_exclusion",
 )
 
 

@@ -551,6 +551,117 @@ def match_recognize_all_rows(spark, sf_dir):
 
 
 @register(
+    "match_recognize_permute",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS next_type,
+             LEAD(event_id) OVER w AS next_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CASE WHEN event_type = 'click' THEN event_id ELSE next_id END
+             AS click_id,
+           CASE WHEN event_type = 'view' THEN event_id ELSE next_id END
+             AS view_id
+    FROM s
+    WHERE (event_type = 'click' AND next_type = 'view')
+       OR (event_type = 'view' AND next_type = 'click')
+    """,
+    doc="MATCH_RECOGNIZE PATTERN (PERMUTE(A, B)): adjacent click/view "
+        "pair in either order (SqlMatchRecognize PERMUTE → alternation "
+        "of permutations, plans/match_recognize.py). AFTER MATCH SKIP "
+        "TO NEXT ROW emits one match per qualifying start row, so the "
+        "oracle is the LEAD-pair formulation with no non-overlap "
+        "recursion.",
+)
+def match_recognize_permute(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS click_id,
+                   B.event_id AS view_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (PERMUTE(A, B))
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'view'
+        )""")
+
+
+@register(
+    "match_recognize_exclusion",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), marked AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'click' THEN rn END) OVER w
+               AS last_click_rn,
+             MAX(CASE WHEN event_type = 'purchase' THEN rn END) OVER w
+               AS last_purchase_rn
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), m AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts, rn AS prn,
+             last_click_rn AS crn
+      FROM marked
+      WHERE event_type = 'purchase'
+        AND last_click_rn IS NOT NULL
+        AND rn - last_click_rn >= 2
+        AND (last_purchase_rn IS NULL
+             OR last_purchase_rn < last_click_rn)
+    ), numbered AS (
+      SELECT m.*, c.event_id AS c_id, c.ts AS c_ts,
+             ROW_NUMBER() OVER (PARTITION BY m.user_id
+                                ORDER BY m.crn) AS mno
+      FROM m JOIN s c ON c.user_id = m.user_id AND c.rn = m.crn
+    )
+    SELECT user_id, c_ts AS ts, c_id AS event_id, mno,
+           'A' AS var, CAST(prn - crn - 1 AS BIGINT) AS gap_rows
+    FROM numbered
+    UNION ALL
+    SELECT user_id, p_ts, p_id, mno, 'C',
+           CAST(prn - crn - 1 AS BIGINT)
+    FROM numbered
+    """,
+    doc="MATCH_RECOGNIZE pattern exclusion {- B+ -} with ALL ROWS PER "
+        "MATCH: click, a run of excluded in-between rows (neither click "
+        "nor purchase), then purchase — B rows match and feed FINAL "
+        "COUNT(B.*), but are omitted from the output "
+        "(SqlMatchRecognize exclusion syntax; plans/match_recognize.py "
+        "filters classifier rows after the measure windows). Oracle: "
+        "each purchase pairs with the last click before it when the gap "
+        "is non-empty and purchase-free; emits the A and C rows only.",
+)
+def match_recognize_exclusion(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mno,
+                   CLASSIFIER() AS var,
+                   FINAL COUNT(B.*) AS gap_rows
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A {- B+ -} C)
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type <> 'click' AND B.event_type <> 'purchase',
+                 C AS C.event_type = 'purchase'
+        )""")
+
+
+@register(
     "flink_sql_lookup_join",
     """
     SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name

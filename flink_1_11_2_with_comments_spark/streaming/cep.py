@@ -232,6 +232,53 @@ def _all_q_matches(events, steps, ts_col, within_ms, after_match,
     return _select_matches(found, id_col, after_match)
 
 
+def _permute_alts(steps: list[QStep]) -> list[list[QStep]]:
+    """PERMUTE(A, B, ...) → the alternation of every ordering
+    (SqlMatchRecognize PERMUTE; Calcite expands to `(A B | B A)` —
+    alternative order is the SQL preference order). Contiguity is
+    positional: each permutation re-uses the contiguity of the
+    POSITION (first anchor relaxed, rest as concatenation), not of
+    the variable, matching the expansion semantics."""
+    import itertools
+    if any(s.negated for s in steps):
+        raise ValueError("notFollowedBy inside PERMUTE is unsupported")
+    contigs = [s.contiguity for s in steps]
+    return [
+        [dataclasses.replace(s, contiguity=contigs[i])
+         for i, s in enumerate(perm)]
+        for perm in itertools.permutations(steps)]
+
+
+def _all_alt_matches(events, alts, ts_col, within_ms, after_match,
+                     id_col):
+    """Alternation matching (the PERMUTE execution path): at each scan
+    position the earliest-starting match wins; ties at the same start
+    row are broken by alternative order — SQL's PERMUTE preference.
+    after_match as in _all_q_matches (skip_past_last resumes past the
+    match's end, skip_to_next_row one past its start)."""
+    pos_of = {id(ev): i for i, ev in enumerate(events)}
+    out, idx = [], 0
+    n = len(events)
+    while idx < n:
+        best = None
+        for ai, steps in enumerate(alts):
+            found = _find_q_matches(events, steps, ts_col, within_ms,
+                                    start_idx=idx, first_only=True)
+            if not found:
+                continue
+            m, end = found[0]
+            start = pos_of[id(m[0][1][0])]
+            key = (start, ai)
+            if best is None or key < best[0]:
+                best = (key, m, end)
+        if best is None:
+            break
+        (start, _ai), m, end = best
+        out.append(m)
+        idx = (start + 1 if after_match == "skip_to_next_row" else end)
+    return out
+
+
 def _select_matches(matches, id_col: str, after_match: str):
     """After-match skip strategy (AfterMatchSkipStrategy.java):
     'all' = NO_SKIP; 'skip_past_last' = SKIP_PAST_LAST_EVENT —
@@ -263,11 +310,13 @@ def match_pattern_batch(
     after_match: str = "all",
     id_col: str = "event_id",
     flag_exprs: list[Column] | None = None,
+    permute: bool = False,
 ) -> DataFrame:
     """Quantified batch CEP: one row per match with, per (positive)
     step, the first/last matched event id and the repetition count.
     Pass ``flag_exprs`` (one boolean Column per step) to evaluate
-    predicates JVM-side and ship only flags over Arrow."""
+    predicates JVM-side and ship only flags over Arrow. ``permute``
+    matches any ordering of the steps (SQL PERMUTE)."""
     if steps and steps[-1].negated:
         raise ValueError("notFollowedBy cannot be the last pattern step")
     if any(a.negated and b.negated for a, b in zip(steps, steps[1:])):
@@ -276,6 +325,7 @@ def match_pattern_batch(
     if flag_exprs is not None:
         df, run_steps = _flag_projection(df, keys, ts_col, id_col,
                                          steps, flag_exprs)
+    alts = _permute_alts(run_steps) if permute else None
     within_ms = _interval_ms(within) if within else None
     pos_steps = [s for s in steps if not s.negated]
     key_fields = ", ".join(f"{k} bigint" for k in keys)
@@ -293,8 +343,11 @@ def match_pattern_batch(
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         events = _records(pdf, ts_col, id_col)
         out = []
-        for m in _all_q_matches(events, run_steps, ts_col, within_ms,
-                                after_match, id_col):
+        matches = (_all_alt_matches(events, alts, ts_col, within_ms,
+                                    after_match, id_col) if alts
+                   else _all_q_matches(events, run_steps, ts_col,
+                                       within_ms, after_match, id_col))
+        for m in matches:
             row = {k: m[0][1][0][k] for k in keys}
             for s, reps in m:
                 row[f"{s.name}_first_id"] = reps[0][id_col]
@@ -318,6 +371,7 @@ def match_pattern_batch_rows(
     after_match: str = "skip_past_last",
     id_col: str = "event_id",
     flag_exprs: list[Column] | None = None,
+    permute: bool = False,
 ) -> DataFrame:
     """Quantified batch CEP, ALL ROWS PER MATCH shape: one output row
     per MATCHED EVENT — (keys, id, ts, match_seq, classifier), where
@@ -338,6 +392,7 @@ def match_pattern_batch_rows(
     if flag_exprs is not None:
         df, run_steps = _flag_projection(df, keys, ts_col, id_col,
                                          steps, flag_exprs)
+    alts = _permute_alts(run_steps) if permute else None
     within_ms = _interval_ms(within) if within else None
     key_fields = ", ".join(f"{k} bigint" for k in keys)
     out_schema = (f"{key_fields}, {id_col} bigint, {ts_col} timestamp, "
@@ -347,8 +402,10 @@ def match_pattern_batch_rows(
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         events = _records(pdf, ts_col, id_col)
         out = []
-        matches = _all_q_matches(events, run_steps, ts_col, within_ms,
-                                 after_match, id_col)
+        matches = (_all_alt_matches(events, alts, ts_col, within_ms,
+                                    after_match, id_col) if alts
+                   else _all_q_matches(events, run_steps, ts_col,
+                                       within_ms, after_match, id_col))
         # MATCH_NUMBER() orders by match start within the partition
         matches.sort(key=lambda m: (m[0][1][0][ts_col],
                                     m[0][1][0][id_col]))
