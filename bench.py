@@ -42,26 +42,32 @@ def main() -> None:
     # warm the JVM + file listing once so timings measure query execution
     specs[names[0]].fn(spark, sf_dir).count()
 
-    # best-of-2 per query: the second run measures steady state (no
-    # Python-worker spinup / first-use JIT), the min is the stable
-    # figure for round-over-round comparison
+    # best-of-3 per query with per-query spread: the later runs measure
+    # steady state (no Python-worker spinup / first-use JIT); the min is
+    # the stable round-over-round figure, and (max-min)/min separates
+    # real plan regressions from AQE/measurement noise when comparing
+    # BENCH_r{N} files.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in names:
-        best = None
-        for _ in range(2):
+        took: list[float] = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             n = df.count()  # full materialization of the result
-            took = time.perf_counter() - t0
-            best = took if best is None or took < best else best
+            took.append(time.perf_counter() - t0)
             assert n >= 0
+        best = min(took)
         timings[name] = round(best, 4)
+        spread[name] = round((max(took) - best) / best, 3) if best else 0.0
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

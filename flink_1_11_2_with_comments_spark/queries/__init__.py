@@ -73,6 +73,9 @@ _PRIORITY: tuple[str, ...] = (
     "approx_sketches", "corpus_sample",
     # new this round (slots 53+; enter the window at the next rotation)
     "match_recognize_permute", "match_recognize_exclusion",
+    "tpcds_channel_union", "tpcds_rollup_report", "tpcds_monthly_share",
+    "tpcds_repeat_customers", "tpcds_bucket_report",
+    "tpcds_two_fact_report",
 )
 
 
@@ -96,6 +99,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import pipeline_ops  # noqa: F401
     from . import udf_surface  # noqa: F401
     from . import graph_ops  # noqa: F401
+    from . import tpcds_shaped  # noqa: F401
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     if missing:  # a rename must update _PRIORITY too
         raise KeyError(f"_PRIORITY names not in registry: {missing}")

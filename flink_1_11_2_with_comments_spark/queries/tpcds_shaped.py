@@ -1,0 +1,247 @@
+"""TPC-DS-shaped queries over the testdata star schema — SURVEY §5/§6.
+
+The reference's primary SQL gate is the 99-query TPC-DS suite
+(flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:57-69);
+the testdata here is TPC-H-shaped, so these adapt the characteristic
+TPC-DS query *shapes* — channel unions, ROLLUP reports, windowed
+share-of-total, cross-channel INTERSECT, single-scan CASE bucket
+reports, multi-fact pre-aggregate joins — to the available tables.
+
+Scale notes (each query states its 100 TB plan):
+- dimensions (part, customer, nation) broadcast; facts never re-scan
+  when a conditional column can express a "channel".
+- multi-fact joins pre-aggregate each fact to its join key FIRST, so
+  the join carries aggregates, not raw fact rows (the classic
+  "aggregate before join" rewrite TPC-DS q80-style reports need).
+- every money aggregate uses the DECIMAL accumulate → round → double
+  discipline from _util (order-independent, engine-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import DEC, dsum, sql_dsum, t
+
+
+@register(
+    "tpcds_channel_union",
+    f"""
+    WITH ch AS (
+      SELECT p.p_brand, 'store' AS channel, l.l_extendedprice AS price
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag <> 'R'
+      UNION ALL
+      SELECT p.p_brand, 'returns', l.l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag = 'R'
+    )
+    SELECT p_brand, channel, {sql_dsum('price')} AS revenue,
+           COUNT(*) AS n
+    FROM ch GROUP BY p_brand, channel
+    """,
+    doc="TPC-DS q33/q56 shape: per-channel revenue union re-aggregated "
+        "by brand. The oracle states it as the standard two-scan channel "
+        "UNION; the Spark plan derives the channel as a conditional "
+        "column so the fact is scanned ONCE and part is broadcast — at "
+        "100 TB the rewrite halves fact I/O for the identical result.",
+)
+def tpcds_channel_union(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (li.withColumn(
+                "channel",
+                F.when(F.col("l_returnflag") == "R", F.lit("returns"))
+                .otherwise(F.lit("store")))
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "channel")
+            .agg(dsum("l_extendedprice").alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+@register(
+    "tpcds_rollup_report",
+    f"""
+    SELECT p_brand, p_size,
+           CAST(GROUPING(p_brand) AS INT) AS g_brand,
+           CAST(GROUPING(p_size) AS INT) AS g_size,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 15
+    GROUP BY ROLLUP(p_brand, p_size)
+    """,
+    doc="TPC-DS q18/q22 shape: fact x broadcast dim with ROLLUP "
+        "hierarchy totals and GROUPING() markers. Catalyst compiles "
+        "rollup to one Expand + single aggregate — one shuffle for all "
+        "three grouping levels, exactly the Expand-based plan the "
+        "Blink planner builds for grouping sets.",
+)
+def tpcds_rollup_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .rollup("p_brand", "p_size")
+            .agg(F.grouping("p_brand").cast("int").alias("g_brand"),
+                 F.grouping("p_size").cast("int").alias("g_size"),
+                 dsum("l_quantity").alias("sum_qty"),
+                 F.count("*").alias("n"))
+            .select("p_brand", "p_size", "g_brand", "g_size",
+                    "sum_qty", "n"))
+
+
+@register(
+    "tpcds_monthly_share",
+    f"""
+    WITH m AS (
+      SELECT n.n_name,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             EXTRACT(month FROM o.o_orderdate) AS mon,
+             {sql_dsum('o.o_totalprice')} AS month_rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_name, yr, mon, month_rev,
+           CAST(ROUND(SUM(CAST(month_rev AS DECIMAL(30,10)))
+                      OVER (PARTITION BY n_name, yr), 2) AS DOUBLE)
+             AS year_rev,
+           RANK() OVER (PARTITION BY n_name, yr
+                        ORDER BY month_rev DESC, mon) AS rnk
+    FROM m
+    """,
+    doc="TPC-DS q51/q67 shape: windowed share-of-total report — monthly "
+        "revenue per nation beside the year total and the month's rank "
+        "within the year. The window runs over the AGGREGATED rows "
+        "(|nations| x months), not the fact; the year total re-sums "
+        "exact decimals so both engines emit bit-identical doubles.",
+)
+def tpcds_monthly_share(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    m = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .groupBy(F.col("n_name"),
+                  F.year("o_orderdate").cast("bigint").alias("yr"),
+                  F.month("o_orderdate").cast("bigint").alias("mon"))
+         .agg(dsum("o_totalprice").alias("month_rev")))
+    wy = W.partitionBy("n_name", "yr")
+    return m.select(
+        "n_name", "yr", "mon", "month_rev",
+        F.round(F.sum(F.col("month_rev").cast(DEC)).over(wy), 2)
+        .cast("double").alias("year_rev"),
+        F.rank().over(wy.orderBy(F.col("month_rev").desc(), "mon"))
+        .alias("rnk"))
+
+
+@register(
+    "tpcds_repeat_customers",
+    """
+    SELECT COUNT(*) AS n_repeat FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1997
+    )
+    """,
+    doc="TPC-DS q38/q87 shape: INTERSECT of per-period customer sets "
+        "(customers active in both 1996 and 1997). Spark plans INTERSECT "
+        "as a left-semi join of the two distinct sets — one shuffle per "
+        "side keyed by the customer, no fact-fact row explosion.",
+)
+def tpcds_repeat_customers(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    y96 = (o.where(F.year("o_orderdate") == 1996)
+           .select("o_custkey").distinct())
+    y97 = (o.where(F.year("o_orderdate") == 1997)
+           .select("o_custkey").distinct())
+    return y96.intersect(y97).agg(F.count("*").alias("n_repeat"))
+
+
+@register(
+    "tpcds_bucket_report",
+    f"""
+    SELECT
+      {sql_dsum("CASE WHEN l_quantity <= 10 THEN l_extendedprice END")}
+        AS rev_low,
+      {sql_dsum("CASE WHEN l_quantity > 10 AND l_quantity <= 30 "
+                "THEN l_extendedprice END")} AS rev_mid,
+      {sql_dsum("CASE WHEN l_quantity > 30 THEN l_extendedprice END")}
+        AS rev_high,
+      SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS n_low,
+      SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 30 THEN 1 ELSE 0 END)
+        AS n_mid,
+      SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS n_high
+    FROM lineitem
+    """,
+    doc="TPC-DS q9 shape: single-scan CASE bucket report — several "
+        "conditional aggregates from ONE pass over the fact (the q9 "
+        "anti-pattern is 15 scalar subqueries; both engines fuse the "
+        "buckets into one aggregate here, which is the plan a 100 TB "
+        "run needs).",
+)
+def tpcds_bucket_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+
+    def bucket_rev(cond):
+        return (F.round(F.sum(F.when(cond, price).cast(DEC)), 2)
+                .cast("double"))
+
+    return li.agg(
+        bucket_rev(q <= 10).alias("rev_low"),
+        bucket_rev((q > 10) & (q <= 30)).alias("rev_mid"),
+        bucket_rev(q > 30).alias("rev_high"),
+        F.sum(F.when(q <= 10, 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when((q > 10) & (q <= 30), 1).otherwise(0)).alias("n_mid"),
+        F.sum(F.when(q > 30, 1).otherwise(0)).alias("n_high"))
+
+
+@register(
+    "tpcds_two_fact_report",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS net_rev,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS n_returned,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(ROUND(SUM(CAST(li.net_rev AS DECIMAL(30,10))), 2)
+                AS DOUBLE) AS revenue,
+           SUM(li.n_returned) AS returned_lines,
+           SUM(li.n_lines) AS total_lines,
+           COUNT(*) AS n_orders
+    FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-DS q80-style multi-fact report via aggregate-before-join: "
+        "lineitem is reduced to one row per order (net revenue, return "
+        "counts) BEFORE joining orders, so the join carries |orders| "
+        "aggregate rows instead of |lineitem| raw rows — the rewrite "
+        "that keeps fact-fact joins feasible at 100 TB.",
+)
+def tpcds_two_fact_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(dsum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))).alias("net_rev"),
+                      F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                            .otherwise(0)).alias("n_returned"),
+                      F.count("*").alias("n_lines")))
+    return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum(F.col("net_rev").cast(DEC)), 2)
+                 .cast("double").alias("revenue"),
+                 F.sum("n_returned").alias("returned_lines"),
+                 F.sum("n_lines").alias("total_lines"),
+                 F.count("*").alias("n_orders")))

@@ -3,12 +3,23 @@
 The reference ships each connector as a separate module
 (flink-connectors/flink-connector-kafka FlinkKafkaConsumer.java:72,
 flink-connector-jdbc, ...); Spark equivalents are format strings.
-Kafka needs the spark-sql-kafka jar (absent in this container, so the
-constructor probes and raises a clear error). JDBC is EXERCISED FOR
-REAL against embedded Apache Derby — Spark bundles the Derby jars for
-its Hive metastore, so jdbc_sink/jdbc_source round-trip through a
-genuinely external SQL engine (the flink-connector-jdbc
-JdbcDynamicTableSource/Sink analogue), query: jdbc_lookup_join.
+
+Kafka needs the spark-sql-kafka jar; the constructor probes and
+raises a clear error. An embedded real path (the Derby precedent) was
+investigated and is impossible in this container: no spark-sql-kafka
+or kafka-clients jar in the Spark distribution, no kafka Python
+client, no broker binary — and unlike Derby (which Spark bundles for
+its Hive metastore) Kafka has no in-process embedded mode shipped
+with Spark at all. The gate itself is tested
+(tests/test_sources.py::test_kafka_gated_error).
+
+JDBC is EXERCISED FOR REAL against embedded Apache Derby — Spark
+bundles the Derby jars for its Hive metastore, so
+jdbc_sink/jdbc_source round-trip through a genuinely external SQL
+engine (the flink-connector-jdbc JdbcDynamicTableSource/Sink
+analogue), query: jdbc_lookup_join. The Hive catalog is likewise
+exercised for real (sources/hive.py: enableHiveSupport + embedded
+Derby metastore).
 
 Test connectors (DataGenTableSourceFactory / PrintTableSinkFactory /
 BlackHoleTableSinkFactory) map to rate / console / noop and are

@@ -185,6 +185,18 @@ def test_embedding_dedup_is_bucket_local(spark, sf_dir):
     assert "HashJoin" in p, p
 
 
+def test_simhash_pairs_banded_join(spark, sf_dir):
+    """dedup_simhash_pairs must pair via the pigeonhole band equi-join
+    (hash join on (band, band_bits)) — never the unbanded a_id < b_id
+    theta self-join, which is n² over the corpus. Mirror of
+    test_embedding_dedup_is_bucket_local for the Hamming path."""
+    p = plan(spark, "dedup_simhash_pairs", sf_dir)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+    assert "band_bits" in p, "band key missing from the join"
+
+
 def test_join_strategy_hints_honored(spark, sf_dir):
     """Join strategy selection (BatchExecHashJoin / SortMergeJoin /
     NestedLoop choice): the hinted queries must plan the hinted
