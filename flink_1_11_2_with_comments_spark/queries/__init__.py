@@ -75,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "match_recognize_permute", "match_recognize_exclusion",
     "tpcds_channel_union", "tpcds_rollup_report", "tpcds_monthly_share",
     "tpcds_repeat_customers", "tpcds_bucket_report",
-    "tpcds_two_fact_report",
+    "tpcds_two_fact_report", "cep_until",
 )
 
 

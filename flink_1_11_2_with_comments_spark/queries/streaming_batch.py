@@ -793,6 +793,62 @@ def cep_not_followed_by(spark, sf_dir):
 
 
 @register(
+    "cep_until",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), b AS (
+      SELECT user_id, event_id AS purchase_id, rn AS prn,
+             COALESCE(LAG(rn) OVER (PARTITION BY user_id ORDER BY rn), 0)
+               AS pprn
+      FROM s WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT b.user_id, b.purchase_id, b.prn, MIN(v.rn) AS vrn
+      FROM b JOIN s v ON v.user_id = b.user_id
+                     AND v.event_type = 'view'
+                     AND v.rn > b.pprn AND v.rn < b.prn
+      GROUP BY b.user_id, b.purchase_id, b.prn
+    )
+    SELECT m.user_id, sv.event_id AS view_id,
+           CAST(m.prn - m.vrn - 1 AS BIGINT) AS n_between,
+           m.purchase_id
+    FROM m JOIN s sv ON sv.user_id = m.user_id AND sv.rn = m.vrn
+    WHERE m.prn - m.vrn >= 2
+    """,
+    doc="Pattern.until stop condition (Pattern.java:331): view, then "
+        "one-or-more ARBITRARY events with until(purchase) bounding the "
+        "loop, then the purchase — without until, the catch-all loop "
+        "would swallow the terminator. Until flags ride the JVM-side "
+        "projection (cep._flag_projection until_exprs). Oracle: "
+        "purchase-delimited blocks; the first view in a block matches "
+        "iff at least one row separates it from the block's purchase.",
+)
+def cep_until(spark, sf_dir):
+    from ..streaming.cep import QStep, match_pattern_batch
+    e = (t(spark, sf_dir, "events")
+         .select("user_id", "event_id", "ts", "event_type"))
+    steps = [
+        QStep("a", lambda ev: ev["event_type"] == "view"),
+        QStep("b", lambda ev: True, min_times=1, max_times=None,
+              contiguity="strict",
+              until=lambda ev: ev["event_type"] == "purchase"),
+        QStep("c", lambda ev: ev["event_type"] == "purchase",
+              contiguity="strict"),
+    ]
+    out = match_pattern_batch(
+        e, ["user_id"], "ts", steps, after_match="skip_past_last",
+        flag_exprs=[F.col("event_type") == "view", F.lit(True),
+                    F.col("event_type") == "purchase"],
+        until_exprs=[None, F.col("event_type") == "purchase", None])
+    return out.select("user_id", F.col("a_first_id").alias("view_id"),
+                      F.col("b_n").alias("n_between"),
+                      F.col("c_first_id").alias("purchase_id"))
+
+
+@register(
     "count_sliding_window_batch",
     """
     WITH o AS (

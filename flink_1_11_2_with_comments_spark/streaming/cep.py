@@ -23,6 +23,7 @@ after-match skip strategies are selection policies layered on top).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from collections.abc import Callable
 
 import pandas as pd
@@ -32,22 +33,39 @@ from .state import KeyedState, keyed_process, utc_ms
 
 
 def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
-                     id_col: str, steps, flag_exprs: list[Column]):
+                     id_col: str, steps, flag_exprs: list[Column],
+                     until_exprs: list[Column | None] | None = None):
     """Evaluate step predicates JVM-side: project (keys, id, ts,
     flag_0..flag_n) so the Arrow transfer carries only booleans and the
     per-key NFA does dict lookups instead of Python predicate calls —
     the same flags-at-ingestion scheme match_pattern_stream uses
     (predicate evaluation stays in whole-stage codegen; payload width
-    is fixed regardless of the input schema)."""
+    is fixed regardless of the input schema). Steps with an ``until``
+    stop condition need a matching Column in ``until_exprs`` — the
+    projection drops every source column, so a Python until lambda
+    would see nothing."""
     if len(flag_exprs) != len(steps):
         raise ValueError("flag_exprs must match steps 1:1")
+    # plain Step (unquantified front-end) has no until/combinations
+    if until_exprs is None:
+        if any(getattr(s, "until", None) is not None for s in steps):
+            raise ValueError(
+                "steps with `until` need until_exprs alongside flag_exprs")
+        until_exprs = [None] * len(steps)
+    if len(until_exprs) != len(steps):
+        raise ValueError("until_exprs must match steps 1:1")
     proj = df.select(
         *keys, id_col, ts_col,
         *[e.cast("boolean").alias(f"__flag_{i}")
-          for i, e in enumerate(flag_exprs)])
-    run_steps = [dataclasses.replace(
-        s, predicate=lambda ev, i=i: ev[f"__flag_{i}"])
-        for i, s in enumerate(steps)]
+          for i, e in enumerate(flag_exprs)],
+        *[e.cast("boolean").alias(f"__until_{i}")
+          for i, e in enumerate(until_exprs) if e is not None])
+    run_steps = []
+    for i, s in enumerate(steps):
+        repl = {"predicate": lambda ev, i=i: ev[f"__flag_{i}"]}
+        if until_exprs[i] is not None:
+            repl["until"] = lambda ev, i=i: ev[f"__until_{i}"]
+        run_steps.append(dataclasses.replace(s, **repl))
     # Pin the shuffle width: flag rows are so narrow that AQE's
     # byte-based coalescing would fold the whole corpus into 1-2
     # post-shuffle partitions, serializing the CPU-bound Python NFA.
@@ -94,6 +112,17 @@ class QStep:
     step's last event and the NEXT step's first event. A negated
     step consumes no events (quantifiers ignored) and cannot be the
     final step — same restriction as the reference.
+
+    until is Pattern.until (IterativeCondition stop condition,
+    Pattern.java:331): a looping step stops accepting events at the
+    first event satisfying it — the until-event itself is never
+    consumed by the loop.
+
+    combinations=True is Pattern.oneOrMore().allowCombinations()
+    (Pattern.java:370): loop repetitions may be NON-consecutive —
+    every combination of qualifying events is a candidate run. Like
+    the reference, this is combinatorial by design; use under
+    after_match='all' on bounded windows (the ITCase-scale contract).
     """
     name: str
     predicate: Callable[[dict], bool]
@@ -102,6 +131,8 @@ class QStep:
     contiguity: str = "relaxed"
     greedy: bool = True
     negated: bool = False
+    until: Callable[[dict], bool] | None = None
+    combinations: bool = False
 
 
 def _find_q_matches(events: list[dict], steps: list[QStep],
@@ -133,11 +164,41 @@ def _find_q_matches(events: list[dict], steps: list[QStep],
         preference order."""
         anchors = ([start] if step.contiguity == "strict"
                    else range(start, n_ev))
+        stop = step.until or (lambda ev: False)
         for a in anchors:
             if a >= n_ev:
                 return
             if not (step.predicate(events[a])
-                    and within_ok(first_ev, events[a])):
+                    and within_ok(first_ev, events[a])
+                    and not stop(events[a])):
+                if step.contiguity == "strict":
+                    return
+                continue
+            if step.combinations:
+                # allowCombinations: non-consecutive repetitions — every
+                # combination of qualifying events after the anchor (the
+                # anchor is always the first loop event), truncated at
+                # the first until-event. Combinatorial by design.
+                pool = [a]
+                j = a + 1
+                while j < n_ev and within_ok(first_ev or events[a],
+                                             events[j]):
+                    if stop(events[j]):
+                        break
+                    if step.predicate(events[j]):
+                        pool.append(j)
+                    j += 1
+                max_k = (len(pool) if step.max_times is None
+                         else min(step.max_times, len(pool)))
+                sizes = (range(max_k, step.min_times - 1, -1)
+                         if step.greedy
+                         else range(step.min_times, max_k + 1))
+                for k in sizes:
+                    if k < 1:
+                        continue
+                    for rest in itertools.combinations(pool[1:], k - 1):
+                        sel = [a, *rest]
+                        yield [events[i] for i in sel], sel[-1] + 1, a
                 if step.contiguity == "strict":
                     return
                 continue
@@ -145,7 +206,8 @@ def _find_q_matches(events: list[dict], steps: list[QStep],
             j = a + 1
             while ((step.max_times is None or len(run) < step.max_times)
                    and j < n_ev and step.predicate(events[j])
-                   and within_ok(first_ev or events[a], events[j])):
+                   and within_ok(first_ev or events[a], events[j])
+                   and not stop(events[j])):
                 run.append(j)
                 j += 1
             lengths = (range(len(run), step.min_times - 1, -1)
@@ -239,7 +301,6 @@ def _permute_alts(steps: list[QStep]) -> list[list[QStep]]:
     positional: each permutation re-uses the contiguity of the
     POSITION (first anchor relaxed, rest as concatenation), not of
     the variable, matching the expansion semantics."""
-    import itertools
     if any(s.negated for s in steps):
         raise ValueError("notFollowedBy inside PERMUTE is unsupported")
     contigs = [s.contiguity for s in steps]
@@ -311,11 +372,13 @@ def match_pattern_batch(
     id_col: str = "event_id",
     flag_exprs: list[Column] | None = None,
     permute: bool = False,
+    until_exprs: list[Column | None] | None = None,
 ) -> DataFrame:
     """Quantified batch CEP: one row per match with, per (positive)
     step, the first/last matched event id and the repetition count.
     Pass ``flag_exprs`` (one boolean Column per step) to evaluate
-    predicates JVM-side and ship only flags over Arrow. ``permute``
+    predicates JVM-side and ship only flags over Arrow (plus
+    ``until_exprs`` for steps carrying a stop condition). ``permute``
     matches any ordering of the steps (SQL PERMUTE)."""
     if steps and steps[-1].negated:
         raise ValueError("notFollowedBy cannot be the last pattern step")
@@ -324,7 +387,7 @@ def match_pattern_batch(
     run_steps = steps
     if flag_exprs is not None:
         df, run_steps = _flag_projection(df, keys, ts_col, id_col,
-                                         steps, flag_exprs)
+                                         steps, flag_exprs, until_exprs)
     alts = _permute_alts(run_steps) if permute else None
     within_ms = _interval_ms(within) if within else None
     pos_steps = [s for s in steps if not s.negated]

@@ -329,6 +329,92 @@ def test_cep_skip_to_next_row_vs_no_skip(spark):
                           (1, 3, 3, 1, 4)]
 
 
+def test_pattern_api_until_bounds_catchall_loop(spark):
+    """Pattern.until (Pattern.java:331): a catch-all oneOrMore loop is
+    truncated at the first until-event; without until the greedy loop
+    swallows the rest of the stream."""
+    import datetime as dt
+    from flink_1_11_2_with_comments_spark.streaming.pattern import Pattern
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, i + 1, base + dt.timedelta(minutes=i), et)
+            for i, et in enumerate(["A", "X", "Y", "C", "Z"])]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string")
+
+    with_until = (Pattern.begin("a")
+                  .where(lambda e: e["event_type"] == "A")
+                  .next("b").one_or_more()
+                  .until(lambda e: e["event_type"] == "C"))
+    got = with_until.match(df, ["user_id"], "ts").collect()
+    assert [(r.b_first_id, r.b_last_id, r.b_n) for r in got] == [(2, 3, 2)]
+
+    without = (Pattern.begin("a")
+               .where(lambda e: e["event_type"] == "A")
+               .next("b").one_or_more())
+    got2 = without.match(df, ["user_id"], "ts").collect()
+    assert [(r.b_first_id, r.b_last_id, r.b_n) for r in got2] == [(2, 5, 4)]
+
+
+def test_pattern_api_allow_combinations(spark):
+    """allowCombinations (Pattern.java:370): non-consecutive loop
+    repetitions qualify; consecutive() (the default) rejects a broken
+    run."""
+    import datetime as dt
+    from flink_1_11_2_with_comments_spark.streaming.pattern import Pattern
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, i + 1, base + dt.timedelta(minutes=i), et)
+            for i, et in enumerate(["A", "B", "X", "B", "C"])]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string")
+
+    def build(combos):
+        p = (Pattern.begin("a").where(lambda e: e["event_type"] == "A")
+             .followed_by("b").where(lambda e: e["event_type"] == "B")
+             .times(2))
+        if combos:
+            p = p.allow_combinations()
+        return (p.followed_by("c")
+                .where(lambda e: e["event_type"] == "C"))
+
+    got = build(True).match(df, ["user_id"], "ts",
+                            after_match="all").collect()
+    assert [(r.b_first_id, r.b_last_id, r.b_n, r.c_first_id)
+            for r in got] == [(2, 4, 2, 5)]
+    assert build(False).match(df, ["user_id"], "ts",
+                              after_match="all").count() == 0
+
+
+def test_pattern_api_subtype_or_within(spark):
+    """subtype narrows by the type-tag column (the row-world analogue
+    of the Java-class filter); or_ composes disjunctive conditions;
+    within bounds the first-to-last span."""
+    import datetime as dt
+    from flink_1_11_2_with_comments_spark.streaming.pattern import Pattern
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, "view", 5.0),
+        (1, 2, base + dt.timedelta(minutes=5), "click", 50.0),
+        (1, 3, base + dt.timedelta(minutes=10), "purchase", 5.0),
+        # key 2: the pair is 2 hours apart -> within kills it
+        (2, 4, base, "view", 5.0),
+        (2, 5, base + dt.timedelta(hours=2), "purchase", 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string, value double")
+    pat = (Pattern.begin("a").subtype("event_type", "view")
+           .followed_by("b")
+           .where(lambda e: e["value"] > 40)
+           .or_(lambda e: e["event_type"] == "purchase")
+           .within("30 minutes"))
+    got = sorted((r.user_id, r.a_first_id, r.b_first_id)
+                 for r in pat.match(df, ["user_id"], "ts").collect())
+    # key 1: view then click(value 50) matches the or_; key 2 out of window
+    assert got == [(1, 1, 2)]
+
+
 def test_cep_flag_exprs_match_python_predicates(spark, events):
     """JVM-side flag projection (flag_exprs) must produce byte-identical
     matches to Python predicate evaluation — it is the same NFA over
