@@ -101,6 +101,47 @@ def jdbc_sink(df: DataFrame, url: str, table: str,
             "classpath (embedded Derby is bundled: DERBY_DRIVER)") from e
 
 
+def _gated_format(kind: str, package_hint: str):
+    """Factory for connectors whose DataSource jar is not bundled here:
+    the constructor probes and raises the actionable error instead of
+    an opaque ClassNotFoundException — the same contract as
+    kafka_source. The reference ships each of these as an optional
+    connector module too (flink-connectors/flink-connector-{hbase,
+    elasticsearch7,cassandra}); absence of the jar, not of the
+    integration, is the gated condition."""
+
+    def read(spark: SparkSession, fmt_options: dict) -> DataFrame:
+        try:
+            reader = spark.read.format(kind)
+            for k, v in fmt_options.items():
+                reader = reader.option(k, v)
+            return reader.load()
+        except Exception as e:
+            raise RuntimeError(
+                f"{kind} connector requires {package_hint} on the "
+                "classpath; not bundled in this environment") from e
+
+    return read
+
+
+# flink-connectors/flink-connector-elasticsearch7 equivalent
+elasticsearch_source = _gated_format(
+    "org.elasticsearch.spark.sql",
+    "the elasticsearch-spark connector jar "
+    "(--packages org.elasticsearch:elasticsearch-spark-30_2.13:<ver>)")
+
+# flink-connectors/flink-connector-hbase equivalent
+hbase_source = _gated_format(
+    "org.apache.hadoop.hbase.spark",
+    "the hbase-spark connector jar (hbase-connectors project)")
+
+# flink-connectors/flink-connector-cassandra equivalent
+cassandra_source = _gated_format(
+    "org.apache.spark.sql.cassandra",
+    "the spark-cassandra-connector jar (--packages com.datastax."
+    "spark:spark-cassandra-connector_2.13:<ver>)")
+
+
 def datagen_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """DataGen test connector → rate source (monotonic id + proctime)."""
     return (spark.readStream.format("rate")

@@ -47,7 +47,8 @@ def write_read_roundtrip(df: DataFrame, fmt: str,
 
 def available_formats(spark: SparkSession) -> list[str]:
     """Formats usable in this deployment. Avro ships as an external
-    module (spark-avro jar); gate it behind a probe instead of
+    module (spark-avro jar; no Python avro/fastavro fallback exists
+    in this container either); gate it behind a probe instead of
     failing at import — the reference similarly splits formats into
     optional modules."""
     fmts = ["parquet", "csv", "json", "orc"]
@@ -57,3 +58,21 @@ def available_formats(spark: SparkSession) -> list[str]:
     except Exception:
         pass
     return fmts
+
+
+def sequence_file_roundtrip(df: DataFrame, key_col: str, value_col: str,
+                            path: str | None = None) -> DataFrame:
+    """Hadoop SequenceFile round-trip — flink-formats' SequenceFile
+    writer (SerializedOutputFormat / SequenceFileWriterFactory)
+    equivalent. Spark core carries the Hadoop writables natively, so
+    unlike Avro this needs no extra jar; the RDD hop is the honest
+    cost of a key/value container format with no DataFrame source —
+    the same shape the reference's DataSet<Tuple2<K, V>> write has.
+    """
+    spark = df.sparkSession
+    path = path or os.path.join(tempfile.mkdtemp(prefix="seq_"), "data")
+    (df.select(key_col, value_col)
+     .rdd.map(lambda r: (r[0], r[1]))
+     .saveAsSequenceFile(path))
+    back = spark.sparkContext.sequenceFile(path)
+    return back.toDF([key_col, value_col])

@@ -20,10 +20,17 @@ BASE_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
 def _mk_events(spark, rows):
-    return spark.createDataFrame(
+    # Route naive datetimes through TIMESTAMP_NTZ, then cast to the
+    # instant type Spark-side: createDataFrame's direct
+    # datetime→TimestampType conversion uses the DRIVER OS timezone,
+    # which would shift these wall-clock fixtures under a non-UTC
+    # host TZ; the NTZ→TIMESTAMP cast uses the pinned UTC session TZ,
+    # so BASE_TS-relative assertions hold on any host.
+    df = spark.createDataFrame(
         [(int(i), BASE_TS + dt.timedelta(seconds=s), int(k), float(v))
          for i, (s, k, v) in enumerate(rows)],
-        "event_id bigint, ts timestamp, user_id bigint, value double")
+        "event_id bigint, ts timestamp_ntz, user_id bigint, value double")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def test_late_rows_dropped_beyond_watermark(spark):
@@ -108,8 +115,10 @@ def test_event_time_timer_fires(spark):
         n = state.get("n", 0) + len(rows)
         state.put("n", n)
         # fire once the watermark passes 10s after epoch start
+        # (explicit UTC: naive .timestamp() would use the host OS TZ)
         state.register_event_timer(
-            int(dt.datetime(2024, 1, 1, 0, 0, 10).timestamp() * 1000))
+            int(dt.datetime(2024, 1, 1, 0, 0, 10,
+                            tzinfo=dt.timezone.utc).timestamp() * 1000))
         return pd.DataFrame([{"user_id": key[0], "kind": "data", "n": n}])
 
     stream = (spark.readStream.schema(b1.schema)

@@ -151,6 +151,37 @@ def test_kafka_gated_error(spark):
     assert "kafka" in msg.lower()
 
 
+def test_sequence_file_roundtrip(spark):
+    """SequenceFile round-trip through the Hadoop writables — real,
+    no extra jar (unlike Avro, which stays gated)."""
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.sources.formats import (
+        sequence_file_roundtrip)
+    ev = load_table(spark, SF, "events").select("event_id", "event_type")
+    back = sequence_file_roundtrip(ev, "event_id", "event_type")
+    assert back.count() == ev.count()
+    a = sorted((r[0], r[1]) for r in back.collect())
+    b = sorted((r[0], r[1]) for r in ev.collect())
+    assert a == b
+
+
+def test_nosql_connectors_gated_errors(spark):
+    """Elasticsearch / HBase / Cassandra constructors raise the
+    actionable jar-missing error (same gate contract as Kafka) —
+    the reference ships each as an optional connector module."""
+    import pytest as _pytest
+    from flink_1_11_2_with_comments_spark.sources.connectors import (
+        cassandra_source, elasticsearch_source, hbase_source)
+    for fn, opts in ((elasticsearch_source,
+                      {"es.resource": "idx", "es.nodes": "localhost"}),
+                     (hbase_source, {"hbase.table": "t"}),
+                     (cassandra_source,
+                      {"keyspace": "k", "table": "t"})):
+        with _pytest.raises(RuntimeError) as ei:
+            fn(spark, opts)
+        assert "connector requires" in str(ei.value)
+
+
 def test_flink_sql_dialect(spark):
     """Flink TUMBLE/HOP/SESSION SQL runs through the translation
     front-end (plans/flink_sql.py) — SQL-string parity for the
@@ -229,11 +260,20 @@ def test_match_recognize_parser_subset():
     import pytest
     from flink_1_11_2_with_comments_spark.plans.match_recognize import (
         _parse_pattern, _parse_predicate)
-    assert _parse_pattern("(A B+ C{2,4} D{3} E{2,})") == [
+    steps, excluded, permute = _parse_pattern("(A B+ C{2,4} D{3} E{2,})")
+    assert steps == [
         ("A", 1, 1), ("B", 1, None), ("C", 2, 4), ("D", 3, 3),
         ("E", 2, None)]
+    assert excluded == set() and not permute
+    steps, excluded, permute = _parse_pattern("(PERMUTE(A, B, C))")
+    assert steps == [("A", 1, 1), ("B", 1, 1), ("C", 1, 1)] and permute
+    steps, excluded, permute = _parse_pattern("(A {- B+ -} C)")
+    assert steps == [("A", 1, 1), ("B", 1, None), ("C", 1, 1)]
+    assert excluded == {"B"} and not permute
     with pytest.raises(NotImplementedError):
         _parse_pattern("(A B*)")  # min 0 unsupported
+    with pytest.raises(NotImplementedError):
+        _parse_pattern("(A {- B -} {- C -)")  # unbalanced exclusion
     p = _parse_predicate("X.v >= 10 AND X.t = 'click'", "X")
     assert p({"v": 10, "t": "click"}) and not p({"v": 9, "t": "click"})
     with pytest.raises(NotImplementedError):
