@@ -26,7 +26,7 @@ Supported subset (raise on anything else, loudly):
 - PERMUTE(A, B, ...): any ordering of the elements — expanded to the
   alternation of permutations, ties at the same start row broken by
   permutation order (SqlMatchRecognize PERMUTE / Calcite expansion).
-  Batch only.
+  Batch and streaming (ONE ROW PER MATCH).
 - pattern exclusion `{- V[q] -}`: V matches and feeds measures, but
   its rows are omitted from ALL ROWS PER MATCH output (no-op for ONE
   ROW PER MATCH, as in the standard).
@@ -289,11 +289,9 @@ def match_recognize(spark: SparkSession, sql: str,
         if after_match != "skip_past_last":
             raise NotImplementedError(
                 "streaming MATCH_RECOGNIZE supports SKIP PAST LAST ROW")
-        if permute:
-            raise NotImplementedError(
-                "streaming MATCH_RECOGNIZE does not support PERMUTE")
         matched = match_pattern_stream(src, keys, ts_col, steps,
-                                       within=within, id_col=id_col)
+                                       within=within, id_col=id_col,
+                                       permute=permute)
     else:
         flag_exprs = [_parse_flag_expr(defines.get(s.name.upper(), "TRUE"),
                                        s.name) for s in steps]

@@ -310,6 +310,28 @@ def _permute_alts(steps: list[QStep]) -> list[list[QStep]]:
         for perm in itertools.permutations(steps)]
 
 
+def _find_best_alt(events, alts, ts_col, within_ms, start_idx):
+    """Earliest-starting match across alternatives from start_idx;
+    ties at the same start row break by alternative order (SQL's
+    PERMUTE preference). Returns (match, end_idx, start_pos) or None."""
+    pos_of = {id(ev): i for i, ev in enumerate(events)}
+    best = None
+    for ai, steps in enumerate(alts):
+        found = _find_q_matches(events, steps, ts_col, within_ms,
+                                start_idx=start_idx, first_only=True)
+        if not found:
+            continue
+        m, end = found[0]
+        start = pos_of[id(m[0][1][0])]
+        key = (start, ai)
+        if best is None or key < best[0]:
+            best = (key, m, end)
+    if best is None:
+        return None
+    (start, _ai), m, end = best
+    return m, end, start
+
+
 def _all_alt_matches(events, alts, ts_col, within_ms, after_match,
                      id_col):
     """Alternation matching (the PERMUTE execution path): at each scan
@@ -317,24 +339,13 @@ def _all_alt_matches(events, alts, ts_col, within_ms, after_match,
     row are broken by alternative order — SQL's PERMUTE preference.
     after_match as in _all_q_matches (skip_past_last resumes past the
     match's end, skip_to_next_row one past its start)."""
-    pos_of = {id(ev): i for i, ev in enumerate(events)}
     out, idx = [], 0
     n = len(events)
     while idx < n:
-        best = None
-        for ai, steps in enumerate(alts):
-            found = _find_q_matches(events, steps, ts_col, within_ms,
-                                    start_idx=idx, first_only=True)
-            if not found:
-                continue
-            m, end = found[0]
-            start = pos_of[id(m[0][1][0])]
-            key = (start, ai)
-            if best is None or key < best[0]:
-                best = (key, m, end)
-        if best is None:
+        found = _find_best_alt(events, alts, ts_col, within_ms, idx)
+        if found is None:
             break
-        (start, _ai), m, end = best
+        m, end, start = found
         out.append(m)
         idx = (start + 1 if after_match == "skip_to_next_row" else end)
     return out
@@ -614,6 +625,7 @@ def match_pattern_stream(
     steps: list[QStep],
     within: str | None = None,
     id_col: str = "event_id",
+    permute: bool = False,
 ) -> DataFrame:
     """Streaming quantified CEP under SKIP_PAST_LAST_EVENT.
 
@@ -655,24 +667,37 @@ def match_pattern_stream(
             for rec in rows.to_dict("records"):
                 if wm > 0 and utc_ms(rec[ts_col]) <= wm:
                     continue  # late beyond watermark: drop
+                # predicate AND until flags are computed at ingestion —
+                # the buffer carries only booleans, never source columns
                 buf.append([rec[ts_col].isoformat(), int(rec[id_col]),
-                            [bool(s.predicate(rec)) for s in steps]])
+                            [bool(s.predicate(rec)) for s in steps],
+                            [bool(s.until(rec)) if s.until else False
+                             for s in steps]])
         buf.sort()
         events = [{id_col: rid, ts_col: dt.datetime.fromisoformat(t_),
-                   "__flags": fl} for t_, rid, fl in buf]
+                   "__flags": fl, "__uflags": ufl}
+                  for t_, rid, fl, ufl in buf]
         n_complete = sum(1 for e in events
                          if utc_ms(e[ts_col]) <= wm) \
             if wm > 0 else 0
         flag_steps = [dataclasses.replace(
-            s, predicate=lambda ev, i=i: ev["__flags"][i])
+            s, predicate=lambda ev, i=i: ev["__flags"][i],
+            until=(lambda ev, i=i: ev["__uflags"][i])
+            if s.until is not None else None)
             for i, s in enumerate(steps)]
+        alts = _permute_alts(flag_steps) if permute else None
         out = []
         idx = 0
         last_end = None  # (ts_iso, id) of the last emitted match's end
         while idx < n_complete:
-            found = _find_q_matches(events[:n_complete], flag_steps,
-                                    ts_col, within_ms, start_idx=idx,
-                                    first_only=True)
+            if alts is not None:
+                best = _find_best_alt(events[:n_complete], alts, ts_col,
+                                      within_ms, idx)
+                found = [best[:2]] if best is not None else []
+            else:
+                found = _find_q_matches(events[:n_complete], flag_steps,
+                                        ts_col, within_ms, start_idx=idx,
+                                        first_only=True)
             if not found:
                 break
             m, end = found[0]

@@ -537,6 +537,77 @@ def test_cep_skip_past_last_equals_regex_semantics():
     check()
 
 
+def test_cep_permute_equals_regex_alternation():
+    """Property: PERMUTE alternation under SKIP_PAST_LAST equals the
+    regex engine on the expanded alternation `vc|cv` — same leftmost
+    preference, same alternative order at a tied start, same
+    non-overlapping continuation."""
+    import re
+    from hypothesis import given, settings, strategies as st
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, _all_alt_matches, _permute_alts)
+
+    steps = [
+        QStep("a", lambda e: e["t"] == "v"),
+        QStep("b", lambda e: e["t"] == "c", contiguity="strict"),
+    ]
+    alts = _permute_alts(steps)
+
+    @given(st.text(alphabet="vcpx", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(seq):
+        events = [{"t": ch, "ts": i, "id": i} for i, ch in enumerate(seq)]
+        got = [(m[0][1][0]["id"], m[-1][1][-1]["id"])
+               for m in _all_alt_matches(events, alts, "ts", None,
+                                         "skip_past_last", "id")]
+        exp = [(mo.start(), mo.end() - 1)
+               for mo in re.finditer("vc|cv", seq)]
+        assert got == exp, (seq, got, exp)
+
+    check()
+
+
+def test_simhash_banding_pigeonhole_recall():
+    """Property: the pigeonhole band split (threshold+1 bands) never
+    misses a qualifying pair — any two signatures within Hamming
+    threshold share at least one bit-identical band, for arbitrary
+    signature widths and thresholds. This is the recall guarantee
+    dedup_simhash_pairs' banded equi-join rests on."""
+    from hypothesis import given, settings, strategies as st
+    from flink_1_11_2_with_comments_spark.pipeline.dedup import (
+        _band_widths)
+
+    @given(st.integers(min_value=1, max_value=12),
+           st.data())
+    @settings(max_examples=300, deadline=None)
+    def check(threshold, data):
+        bits = data.draw(st.integers(min_value=threshold + 1,
+                                     max_value=64))
+        sig_a = data.draw(st.integers(min_value=0,
+                                      max_value=(1 << bits) - 1))
+        # flip at most `threshold` distinct bits
+        n_flips = data.draw(st.integers(min_value=0,
+                                        max_value=threshold))
+        positions = data.draw(st.lists(
+            st.integers(min_value=0, max_value=bits - 1),
+            min_size=n_flips, max_size=n_flips, unique=True))
+        sig_b = sig_a
+        for p in positions:
+            sig_b ^= (1 << p)
+        assert bin(sig_a ^ sig_b).count("1") <= threshold
+
+        widths = _band_widths(bits, threshold + 1)
+        assert sum(widths) == bits and all(w >= 1 for w in widths)
+        offsets = [sum(widths[:i]) for i in range(len(widths))]
+        shares_a_band = any(
+            (sig_a >> off) & ((1 << w) - 1)
+            == (sig_b >> off) & ((1 << w) - 1)
+            for off, w in zip(offsets, widths))
+        assert shares_a_band, (bits, threshold, positions)
+
+    check()
+
+
 def test_cep_negation_equals_bruteforce():
     """Property: notFollowedBy under NO_SKIP equals the brute-force
     pair enumeration (every v..p pair with no x strictly between)."""
@@ -768,6 +839,40 @@ def test_match_recognize_sql_streaming(spark, events):
     got = {(r.user_id, r.view_id, r.n_clicks, r.purchase_id)
            for r in write_stream_to_memory(
                out, "mrs_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
+
+
+def test_match_recognize_permute_streaming(spark, events):
+    """PERMUTE through the STREAMING NFA: every streamed emission is a
+    batch-PERMUTE match (the alternation scan runs on the
+    watermark-complete prefix)."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS click_id,
+                   B.event_id AS view_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (PERMUTE(A, B))
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'view'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.click_id, r.view_id)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.click_id, r.view_id)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mrp_out", output_mode="append").collect()}
     assert len(got) > 0
     assert got <= exp, list(got - exp)[:5]
     assert len(got) >= len(exp) * 0.6
