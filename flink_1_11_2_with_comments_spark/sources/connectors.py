@@ -142,6 +142,30 @@ cassandra_source = _gated_format(
     "spark:spark-cassandra-connector_2.13:<ver>)")
 
 
+def kinesis_source(spark: SparkSession, stream_name: str,
+                   region: str) -> DataFrame:
+    """flink-connectors/flink-connector-kinesis equivalent. OSS Spark
+    has NO Structured Streaming Kinesis source (the ASL package is
+    DStream-only); a third-party DSv2 connector jar is required. The
+    constructor states that instead of failing opaquely."""
+    raise RuntimeError(
+        "kinesis connector requires a third-party Structured Streaming "
+        "Kinesis DSv2 jar (OSS spark-streaming-kinesis-asl is "
+        "DStream-only); not bundled in this environment")
+
+
+def rabbitmq_source(spark: SparkSession, queue: str,
+                    host: str) -> DataFrame:
+    """flink-connectors/flink-connector-rabbitmq equivalent. Spark has
+    no RabbitMQ connector (first- or second-party); the deployment
+    pattern is an AMQP→Kafka/file bridge feeding a supported source.
+    The constructor states that instead of failing opaquely."""
+    raise RuntimeError(
+        "rabbitmq connector requires bridging AMQP into a supported "
+        "source (Kafka or files) — no Spark RabbitMQ connector exists; "
+        "not available in this environment")
+
+
 def datagen_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """DataGen test connector → rate source (monotonic id + proctime)."""
     return (spark.readStream.format("rate")

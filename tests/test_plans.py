@@ -185,6 +185,28 @@ def test_embedding_dedup_is_bucket_local(spark, sf_dir):
     assert "HashJoin" in p, p
 
 
+def test_tpcds_channel_union_single_fact_scan(spark, sf_dir):
+    """The channel-union report must scan the fact ONCE (conditional
+    channel column), not once per channel as the literal TPC-DS SQL
+    would — the rewrite that halves fact I/O at 100 TB."""
+    p = plan(spark, "tpcds_channel_union", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("Scan parquet") <= 2, body  # lineitem + part once
+    assert "BroadcastHashJoin" in body
+
+
+def test_tpcds_rollup_single_expand_single_shuffle(spark, sf_dir):
+    """ROLLUP compiles to ONE Expand + one aggregate shuffle — all
+    three grouping levels in a single exchange (the Blink planner's
+    Expand-based grouping-sets plan); the dimension broadcasts."""
+    p = plan(spark, "tpcds_rollup_report", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("Expand") == 1, body
+    shuffles = body.count("Exchange") - body.count("BroadcastExchange")
+    assert shuffles <= 1, body
+    assert "BroadcastHashJoin" in body, body
+
+
 def test_simhash_pairs_banded_join(spark, sf_dir):
     """dedup_simhash_pairs must pair via the pigeonhole band equi-join
     (hash join on (band, band_bits)) — never the unbanded a_id < b_id

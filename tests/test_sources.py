@@ -180,6 +180,12 @@ def test_nosql_connectors_gated_errors(spark):
         with _pytest.raises(RuntimeError) as ei:
             fn(spark, opts)
         assert "connector requires" in str(ei.value)
+    from flink_1_11_2_with_comments_spark.sources.connectors import (
+        kinesis_source, rabbitmq_source)
+    with _pytest.raises(RuntimeError):
+        kinesis_source(spark, "stream", "us-east-1")
+    with _pytest.raises(RuntimeError):
+        rabbitmq_source(spark, "queue", "localhost")
 
 
 def test_flink_sql_dialect(spark):
