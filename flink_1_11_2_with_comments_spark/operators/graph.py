@@ -56,20 +56,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                         .groupBy(F.col("dst").alias("node2"))
                         .agg(F.min("component").alias("nbr_min")))
         # _superstep BEFORE the convergence count: one action both
-        # materializes the round and truncates lineage; the count then
-        # reads the materialized RDD
-        new_labels = _superstep(
+        # materializes the round and truncates lineage; the changed
+        # flag lives in the same frame, so the count is a filter over
+        # the materialized RDD, not an old-vs-new re-join
+        stepped = _superstep(
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select("node",
                     F.least("component",
                             F.coalesce("nbr_min", "component"))
-                    .alias("component")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
+                    .alias("component"),
+                    (F.coalesce("nbr_min", "component")
+                     < F.col("component")).alias("__changed")))
+        labels = stepped.select("node", "component")
+        if stepped.where("__changed").count() == 0:
             break
     undirected.unpersist()
     return labels
@@ -104,19 +103,22 @@ def connected_components_delta(edges: DataFrame,
                 .join(frontier, undirected.src == frontier.node)
                 .groupBy(F.col("dst").alias("node2"))
                 .agg(F.min("component").alias("cand")))
-        updates = _superstep(
-            labels.join(msgs, labels.node == F.col("node2"))
-            .where(F.col("cand") < F.col("component"))
-            .select("node", F.col("cand").alias("component")))
-        if updates.count() == 0:
-            break
-        labels = _superstep(
-            labels.alias("l")
-            .join(updates.alias("u"), "node", "left")
+        # ONE superstep per round: new label + changed flag in the same
+        # materialized frame; frontier and labels are then cheap
+        # projections of the checkpointed RDD (constant plan depth,
+        # half the per-round actions of a separate updates pass)
+        stepped = _superstep(
+            labels.join(msgs, labels.node == F.col("node2"), "left")
             .select("node",
-                    F.coalesce(F.col("u.component"), F.col("l.component"))
-                    .alias("component")))
-        frontier = updates
+                    F.least("component",
+                            F.coalesce("cand", "component"))
+                    .alias("component"),
+                    (F.coalesce("cand", "component") < F.col("component"))
+                    .alias("__changed")))
+        frontier = stepped.where("__changed").select("node", "component")
+        labels = stepped.select("node", "component")
+        if stepped.where("__changed").count() == 0:
+            break
     undirected.unpersist()
     return labels
 
