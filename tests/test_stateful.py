@@ -878,6 +878,41 @@ def test_match_recognize_permute_streaming(spark, events):
     assert len(got) >= len(exp) * 0.6
 
 
+def test_cep_until_stream_matches_batch(spark, events):
+    """Pattern.until through the STREAMING NFA: until flags are
+    computed at ingestion (the state buffer carries only booleans),
+    and every streamed emission is a batch match."""
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_batch, match_pattern_stream)
+
+    def steps():
+        return [
+            QStep("a", lambda ev: ev["event_type"] == "view"),
+            QStep("b", lambda ev: True, min_times=1, max_times=None,
+                  contiguity="strict",
+                  until=lambda ev: ev["event_type"] == "purchase"),
+            QStep("c", lambda ev: ev["event_type"] == "purchase",
+                  contiguity="strict"),
+        ]
+
+    sub = events.where(F.col("user_id") <= 40) \
+        .select("user_id", "event_id", "ts", "event_type")
+    exp = {(r.user_id, r.a_first_id, r.b_n, r.c_first_id)
+           for r in match_pattern_batch(
+               sub, ["user_id"], "ts", steps(),
+               after_match="skip_past_last").collect()}
+
+    stream = replay_as_stream(sub, n_batches=4, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.a_first_id, r.b_n, r.c_first_id)
+           for r in write_stream_to_memory(
+               match_pattern_stream(stream, ["user_id"], "ts", steps()),
+               "until_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.5
+
+
 def test_quantified_cep_stream_within_timeout_emits_quiet_key(spark):
     """A deferred open-ended greedy match must still be emitted when
     its key goes quiet and the watermark passes first_ts + within —
