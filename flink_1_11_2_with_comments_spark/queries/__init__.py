@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_channel_union", "tpcds_rollup_report", "tpcds_monthly_share",
     "tpcds_repeat_customers", "tpcds_bucket_report",
     "tpcds_two_fact_report", "cep_until",
+    "dedup_cluster_canonical", "text_redact", "sample_stratified",
 )
 
 

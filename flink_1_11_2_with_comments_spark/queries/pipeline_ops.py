@@ -245,6 +245,131 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_canonical",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+      FROM documents WHERE doc_id < 250
+    ), hashes AS (
+      SELECT doc_id, h,
+             MIN({MD5I.format(x="concat(CAST(h AS VARCHAR), '|', shingle)")})
+               AS minhash
+      FROM toks CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+      GROUP BY doc_id, h
+    ), bands AS (
+      SELECT doc_id, h // 4 AS band,
+             md5(string_agg(concat(CAST(h AS VARCHAR), ':',
+                                   CAST(minhash AS VARCHAR)), ','
+                            ORDER BY concat(CAST(h AS VARCHAR), ':',
+                                            CAST(minhash AS VARCHAR))))
+               AS band_key
+      FROM hashes GROUP BY doc_id, h // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.a_id
+      JOIN toks tb ON tb.doc_id = c.b_id AND tb.shingle = ta.shingle
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT i.a_id AS src, i.b_id AS dst
+      FROM inter i JOIN sz x ON i.a_id = x.doc_id
+                   JOIN sz y ON i.b_id = y.doc_id
+      WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.9
+    ), und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+    doc="The full near-dup dedup pipeline a training corpus needs: "
+        "MinHash+LSH candidates → exact Jaccard ≥0.9 verify → "
+        "TRANSITIVE clusters via connected components → canonical = "
+        "min doc id per cluster (A~B and B~C cluster together even when "
+        "A,C never paired). Composes pipeline/dedup.py with "
+        "operators/graph.connected_components; oracle replays the "
+        "pipeline plus a recursive-CTE closure.",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    from ..operators.graph import connected_components
+    from ..pipeline.dedup import (jaccard_pairs, lsh_candidate_pairs,
+                                  minhash_lsh_bands)
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    bands = minhash_lsh_bands(d, "doc_id", "text",
+                              num_hashes=8, rows_per_band=4, shingle_n=1)
+    cand = lsh_candidate_pairs(bands, "doc_id")
+    j = jaccard_pairs(d, cand, "doc_id", "text", shingle_n=1)
+    edges = (j.where(F.col("jaccard") >= 0.9)
+             .select(F.col("a_id").alias("src"),
+                     F.col("b_id").alias("dst")))
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("canonical_id"))
+
+
+@register(
+    "text_redact",
+    """
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_redactions
+    FROM documents
+    """,
+    doc="Content redaction for training corpora: numeric sequences "
+        "masked with a sentinel token, per-doc redaction count — the "
+        "shape used for PII scrubbing (swap the pattern for "
+        "emails/phones in production). Pure codegen regexp, single "
+        "scan, zero shuffle.",
+)
+def text_redact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("redacted"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("bigint")
+        .alias("n_redactions"))
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT event_id, event_type
+    FROM events
+    WHERE {MD5I.format(x="concat('strat|', CAST(event_id AS VARCHAR))")}
+          % 1000
+          < CASE event_type WHEN 'click' THEN 100
+                            WHEN 'view' THEN 50
+                            ELSE 500 END
+    """,
+    doc="Stratified corpus sampling: per-stratum keep rates (10% of "
+        "clicks, 5% of views, 50% of the rest) decided by a salted md5 "
+        "bucket of the row id — deterministic, engine-replayable, "
+        "map-only (no shuffle, no RNG state), the scalable form of "
+        "df.sampleBy for 100 TB corpora.",
+)
+def sample_stratified(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    e = t(spark, sf_dir, "events")
+    bucket = md5_int_expr(
+        F.concat(F.lit("strat|"), F.col("event_id").cast("string"))) % 1000
+    rate = (F.when(F.col("event_type") == "click", 100)
+            .when(F.col("event_type") == "view", 50)
+            .otherwise(500))
+    return e.where(bucket < rate).select("event_id", "event_type")
+
+
+@register(
     "dedup_simhash",
     f"""
     WITH toks AS (
