@@ -77,6 +77,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_repeat_customers", "tpcds_bucket_report",
     "tpcds_two_fact_report", "cep_until",
     "dedup_cluster_canonical", "text_redact", "sample_stratified",
+    "tpcds_above_group_average", "tpcds_line_count_band",
+    "tpcds_period_over_period", "tpcds_fraction_of_max",
 )
 
 

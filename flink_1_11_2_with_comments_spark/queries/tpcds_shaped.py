@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import DEC, dsum, sql_dsum, t
+from ._util import DEC, davg, dsum, sql_davg, sql_dsum, t
 
 
 @register(
@@ -201,6 +201,143 @@ def tpcds_bucket_report(spark, sf_dir):
         F.sum(F.when(q <= 10, 1).otherwise(0)).alias("n_low"),
         F.sum(F.when((q > 10) & (q <= 30), 1).otherwise(0)).alias("n_mid"),
         F.sum(F.when(q > 30, 1).otherwise(0)).alias("n_high"))
+
+
+@register(
+    "tpcds_above_group_average",
+    f"""
+    WITH cust AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             {sql_dsum('o.o_totalprice')} AS spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), nat AS (
+      SELECT c_nationkey,
+             {sql_davg('spend')} AS avg_spend
+      FROM cust GROUP BY 1
+    )
+    SELECT cust.c_custkey, cust.spend,
+           ROUND(nat.avg_spend, 4) AS nation_avg
+    FROM cust JOIN nat ON cust.c_nationkey = nat.c_nationkey
+    WHERE cust.spend > 1.2 * nat.avg_spend
+    """,
+    doc="TPC-DS q1 shape: rows exceeding 1.2x their group's average — "
+        "the correlated-subquery pattern decorrelated into an aggregate "
+        "+ self-join (what both Calcite and Catalyst rewrite q1 into). "
+        "The group aggregate is computed once, joined back on the group "
+        "key; no per-row re-aggregation.",
+)
+def tpcds_above_group_average(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cust = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_nationkey")
+            .agg(dsum("o_totalprice").alias("spend")))
+    nat = (cust.groupBy(F.col("c_nationkey").alias("nk"))
+           .agg(davg("spend").alias("avg_spend")))
+    return (cust.join(F.broadcast(nat), cust.c_nationkey == nat.nk)
+            .where(F.col("spend") > 1.2 * F.col("avg_spend"))
+            .select("c_custkey", "spend",
+                    F.round("avg_spend", 4).alias("nation_avg")))
+
+
+@register(
+    "tpcds_line_count_band",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority, p.n_lines, COUNT(*) AS n_orders
+    FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey
+    WHERE p.n_lines BETWEEN 5 AND 7
+    GROUP BY o.o_orderpriority, p.n_lines
+    """,
+    doc="TPC-DS q34/q73 shape: orders whose item count falls in a band, "
+        "grouped by a dimension attribute — count-per-key pre-aggregate, "
+        "band filter BEFORE the join (only qualifying orders shuffle "
+        "into the join), then the final rollup.",
+)
+def tpcds_line_count_band(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.count("*").alias("n_lines"))
+                 .where(F.col("n_lines").between(5, 7)))
+    return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority", "n_lines")
+            .agg(F.count("*").alias("n_orders")))
+
+
+@register(
+    "tpcds_period_over_period",
+    f"""
+    WITH monthly AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mon,
+             {sql_dsum('o_totalprice')} AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT a.yr, a.mon, a.rev AS rev_this_year,
+           b.rev AS rev_prev_year,
+           CAST(ROUND(a.rev / b.rev, 6) AS DOUBLE) AS yoy
+    FROM monthly a JOIN monthly b
+      ON a.mon = b.mon AND a.yr = b.yr + 1
+    """,
+    doc="TPC-DS q59 shape: period-over-period comparison via a "
+        "self-join of the period aggregate on the shifted period key — "
+        "the aggregate (|years| x 12 rows) is computed once from one "
+        "fact scan, and the self-join runs on the tiny aggregate, "
+        "never on the fact.",
+)
+def tpcds_period_over_period(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                         F.month("o_orderdate").cast("bigint").alias("mon"))
+               .agg(dsum("o_totalprice").alias("rev")))
+    a = monthly.alias("a")
+    b = (monthly.select(F.col("yr").alias("yr_b"),
+                        F.col("mon").alias("mon_b"),
+                        F.col("rev").alias("rev_b")))
+    return (a.join(b, (F.col("a.mon") == F.col("mon_b"))
+                   & (F.col("a.yr") == F.col("yr_b") + 1))
+            .select(F.col("a.yr").alias("yr"), F.col("a.mon").alias("mon"),
+                    F.col("a.rev").alias("rev_this_year"),
+                    F.col("rev_b").alias("rev_prev_year"),
+                    F.round(F.col("a.rev") / F.col("rev_b"), 6)
+                    .cast("double").alias("yoy")))
+
+
+@register(
+    "tpcds_fraction_of_max",
+    f"""
+    WITH brand_rev AS (
+      SELECT p.p_brand, {sql_dsum('l.l_extendedprice')} AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ), mx AS (SELECT MAX(rev) AS max_rev FROM brand_rev)
+    SELECT b.p_brand, b.rev,
+           CAST(ROUND(b.rev / mx.max_rev, 6) AS DOUBLE) AS frac_of_max
+    FROM brand_rev b CROSS JOIN mx
+    WHERE b.rev < 0.5 * mx.max_rev
+    """,
+    doc="TPC-DS q65 shape: rows under a fraction of the global maximum "
+        "— aggregate once, reduce to a single-row max, broadcast it "
+        "back over the aggregate (scalar-subquery decorrelation; the "
+        "cross join is 1 x |brands|, never touching the fact twice).",
+)
+def tpcds_fraction_of_max(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    brand_rev = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                 .groupBy("p_brand")
+                 .agg(dsum("l_extendedprice").alias("rev")))
+    mx = brand_rev.agg(F.max("rev").alias("max_rev"))
+    return (brand_rev.crossJoin(F.broadcast(mx))
+            .where(F.col("rev") < 0.5 * F.col("max_rev"))
+            .select("p_brand", "rev",
+                    F.round(F.col("rev") / F.col("max_rev"), 6)
+                    .cast("double").alias("frac_of_max")))
 
 
 @register(
