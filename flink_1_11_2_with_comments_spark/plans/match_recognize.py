@@ -18,8 +18,15 @@ Supported subset (raise on anything else, loudly):
       [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
       PATTERN ( V[q] V[q] ... | PERMUTE(V, V, ...) )
         [WITHIN INTERVAL 'n' UNIT]
-      DEFINE V AS <conjunction of V.col <op> literal> [, ...]
+      DEFINE V AS <conjunction of V.col <op> literal
+                   | V.col <op> PREV(V.col [, n])> [, ...]
     )
+
+- PREV(V.col [, n]) iterative conditions (SQL standard: PREV
+  navigates the input rows, classifier-agnostic) compile to
+  LAG(col, n) over (partition, order) — evaluated JVM-side like every
+  other DEFINE flag; NULL beyond the partition start is false.
+  Batch only (the streaming buffer carries flags, not row history).
 
 - quantifiers: none (exactly once), `+`, `{n}`, `{m,n}`, `{m,}`
   (`*`/`?` need min_times=0 — not supported, raise).
@@ -74,6 +81,13 @@ _COND = re.compile(
     r"^(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*"
     r"('(?:[^']*)'|-?\d+(?:\.\d+)?)$")
 
+# iterative condition: V.col <op> PREV(V.col2 [, offset]) — SQL
+# standard PREV navigates the input rows (classifier-agnostic)
+_COND_PREV = re.compile(
+    r"^(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*"
+    r"PREV\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)$",
+    re.IGNORECASE)
+
 _OPS = {
     "=": lambda a, b: a == b,
     "<>": lambda a, b: a != b,
@@ -83,6 +97,13 @@ _OPS = {
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
 }
+
+
+def _lag_window(keys: list[str], ts_col: str, id_col: str):
+    """Row-order window for PREV() compilation."""
+    from pyspark.sql import Window
+    base = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    return base.orderBy(ts_col, id_col)
 
 
 def _split_clauses(body: str) -> dict[str, str]:
@@ -96,40 +117,72 @@ def _split_clauses(body: str) -> dict[str, str]:
 
 
 def _parse_predicate(cond: str, var: str):
-    """Conjunction of `V.col op literal` → python predicate over a row
-    dict. TRUE → always-true (an undefined catch-all variable)."""
+    """Conjunction of `V.col op literal` (or `op PREV(V.col [, n])`) →
+    python predicate over a row dict. TRUE → always-true (an undefined
+    catch-all variable). PREV walks the ``__prev`` chain cep._records
+    attaches; beyond the partition start it is NULL → condition false
+    (the SQL semantics)."""
     cond = cond.strip()
     if cond.upper() == "TRUE":
         return lambda ev: True
     tests = []
     for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+        pm = _COND_PREV.match(part.strip())
+        if pm and pm.group(1).upper() == var.upper():
+            col, op = pm.group(2), _OPS[pm.group(3)]
+            pcol, off = pm.group(5), int(pm.group(6) or 1)
+
+            def prev_test(ev, col=col, op=op, pcol=pcol, off=off):
+                p = ev
+                for _ in range(off):
+                    p = p.get("__prev") if p else None
+                return p is not None and op(ev[col], p[pcol])
+
+            tests.append(prev_test)
+            continue
         m = _COND.match(part.strip())
         if not m or m.group(1).upper() != var.upper():
             raise NotImplementedError(
                 f"MATCH_RECOGNIZE DEFINE subset: `{part.strip()}` "
-                f"(want {var}.col <op> literal [AND ...])")
+                f"(want {var}.col <op> literal | PREV(V.col[, n]) "
+                f"[AND ...])")
         col, op, lit = m.group(2), m.group(3), m.group(4)
         val = lit[1:-1] if lit.startswith("'") else (
             float(lit) if "." in lit else int(lit))
-        tests.append((col, _OPS[op], val))
-    return lambda ev, tests=tests: all(op(ev[c], v) for c, op, v in tests)
+        tests.append(lambda ev, c=col, o=_OPS[op], v=val: o(ev[c], v))
+    return lambda ev, tests=tests: all(t(ev) for t in tests)
 
 
-def _parse_flag_expr(cond: str, var: str):
+def _parse_flag_expr(cond: str, var: str, lag_window=None):
     """Same DEFINE conjunction as a JVM boolean Column — the _OPS
     lambdas build Column expressions when fed Columns, so predicate
     evaluation stays in whole-stage codegen and only (keys, id, ts,
-    flags) cross the Arrow boundary (cep._flag_projection)."""
+    flags) cross the Arrow boundary (cep._flag_projection).
+    PREV(V.col, n) compiles to LAG(col, n) over ``lag_window``
+    (partition keys, row order) — still fully JVM-side; NULL beyond
+    the partition start coalesces to false."""
     cond = cond.strip()
     if cond.upper() == "TRUE":
         return F.lit(True)
     expr = None
     for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
-        m = _COND.match(part.strip())
-        col, op, lit = m.group(2), m.group(3), m.group(4)
-        val = lit[1:-1] if lit.startswith("'") else (
-            float(lit) if "." in lit else int(lit))
-        c = _OPS[op](F.col(col), F.lit(val))
+        pm = _COND_PREV.match(part.strip())
+        if pm:
+            if lag_window is None:
+                raise NotImplementedError(
+                    "PREV() conditions need a row order (batch only)")
+            col, pcol = pm.group(2), pm.group(5)
+            off = int(pm.group(6) or 1)
+            c = F.coalesce(
+                _OPS[pm.group(3)](F.col(col),
+                                  F.lag(pcol, off).over(lag_window)),
+                F.lit(False))
+        else:
+            m = _COND.match(part.strip())
+            col, op, lit = m.group(2), m.group(3), m.group(4)
+            val = lit[1:-1] if lit.startswith("'") else (
+                float(lit) if "." in lit else int(lit))
+            c = _OPS[op](F.col(col), F.lit(val))
         expr = c if expr is None else (expr & c)
     return expr
 
@@ -263,14 +316,24 @@ def match_recognize(spark: SparkSession, sql: str,
     all_rows = "ALL ROWS PER MATCH" in cl
 
     src = df if df is not None else spark.table(table)
+    has_prev = any(_COND_PREV.match(part.strip())
+                   for cond in defines.values()
+                   for part in re.split(r"\s+AND\s+", cond,
+                                        flags=re.IGNORECASE))
+    if has_prev and src.isStreaming:
+        raise NotImplementedError(
+            "PREV() DEFINE conditions are batch-only (the streaming "
+            "buffer carries per-row flags, not row history)")
     # column pruning: ship only key/order/DEFINE-referenced columns
     # into the per-key NFA (the parser knows the full referenced set,
     # so the Arrow transfer carries nothing else)
-    cond_cols = {m.group(2)
-                 for cond in defines.values()
-                 for part in re.split(r"\s+AND\s+", cond,
-                                      flags=re.IGNORECASE)
-                 if (m := _COND.match(part.strip()))}
+    cond_cols = set()
+    for cond in defines.values():
+        for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+            if (m := _COND.match(part.strip())):
+                cond_cols.add(m.group(2))
+            elif (pm := _COND_PREV.match(part.strip())):
+                cond_cols.update((pm.group(2), pm.group(5)))
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)
@@ -293,8 +356,10 @@ def match_recognize(spark: SparkSession, sql: str,
                                        within=within, id_col=id_col,
                                        permute=permute)
     else:
+        lag_w = _lag_window(keys, ts_col, id_col)
         flag_exprs = [_parse_flag_expr(defines.get(s.name.upper(), "TRUE"),
-                                       s.name) for s in steps]
+                                       s.name, lag_window=lag_w)
+                      for s in steps]
         matched = match_pattern_batch(src, keys, ts_col, steps,
                                       within=within,
                                       after_match=after_match,
@@ -359,7 +424,10 @@ def _all_rows_per_match(src: DataFrame, cl: dict[str, str],
     from ..streaming.cep import match_pattern_batch_rows
 
     flag_exprs = [_parse_flag_expr(defines.get(s.name.upper(), "TRUE"),
-                                   s.name) for s in steps]
+                                   s.name,
+                                   lag_window=_lag_window(keys, ts_col,
+                                                          id_col))
+                  for s in steps]
     rows = match_pattern_batch_rows(
         src, keys, ts_col, steps, within=within,
         after_match=after_match, id_col=id_col, flag_exprs=flag_exprs,

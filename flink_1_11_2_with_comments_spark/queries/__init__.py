@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_canonical", "text_redact", "sample_stratified",
     "tpcds_above_group_average", "tpcds_line_count_band",
     "tpcds_period_over_period", "tpcds_fraction_of_max",
+    "match_recognize_prev",
 )
 
 

@@ -662,6 +662,55 @@ def match_recognize_exclusion(spark, sf_dir):
 
 
 @register(
+    "match_recognize_prev",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER w AS rn,
+             CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM s
+    ), runs AS (
+      SELECT user_id, grp, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+             COUNT(*) AS len
+      FROM g GROUP BY 1, 2
+    )
+    SELECT r.user_id, fs.event_id AS start_id, ls.event_id AS end_id,
+           CAST(r.len - 1 AS BIGINT) AS n_up
+    FROM runs r
+    JOIN g fs ON fs.user_id = r.user_id AND fs.rn = r.first_rn
+    JOIN g ls ON ls.user_id = r.user_id AND ls.rn = r.last_rn
+    WHERE r.len >= 2
+    """,
+    doc="Iterative DEFINE condition B.value > PREV(B.value) — maximal "
+        "strictly-ascending value runs per user (the canonical "
+        "MATCH_RECOGNIZE example). PREV compiles to LAG over "
+        "(partition, order) so the flag stays JVM-side "
+        "(plans/match_recognize._parse_flag_expr). Oracle: "
+        "gaps-and-islands ascending-run detection, runs of length >= 2.",
+)
+def match_recognize_prev(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS start_id,
+                   LAST(B.event_id) AS end_id,
+                   COUNT(B.*) AS n_up
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE A AS TRUE,
+                 B AS B.value > PREV(B.value)
+        )""")
+
+
+@register(
     "flink_sql_lookup_join",
     """
     SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
