@@ -19,13 +19,13 @@ Supported subset (raise on anything else, loudly):
       PATTERN ( V[q] V[q] ... | PERMUTE(V, V, ...) )
         [WITHIN INTERVAL 'n' UNIT]
       DEFINE V AS <conjunction of V.col <op> literal
-                   | V.col <op> PREV(V.col [, n])> [, ...]
+                   | V.col <op> PREV|NEXT(V.col [, n])> [, ...]
     )
 
-- PREV(V.col [, n]) iterative conditions (SQL standard: PREV
-  navigates the input rows, classifier-agnostic) compile to
-  LAG(col, n) over (partition, order) — evaluated JVM-side like every
-  other DEFINE flag; NULL beyond the partition start is false.
+- PREV/NEXT(V.col [, n]) iterative conditions (SQL standard: they
+  navigate the input rows, classifier-agnostic) compile to
+  LAG/LEAD(col, n) over (partition, order) — evaluated JVM-side like
+  every other DEFINE flag; NULL beyond the partition bounds is false.
   Batch only (the streaming buffer carries flags, not row history).
 
 - quantifiers: none (exactly once), `+`, `{n}`, `{m,n}`, `{m,}`
@@ -81,11 +81,11 @@ _COND = re.compile(
     r"^(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*"
     r"('(?:[^']*)'|-?\d+(?:\.\d+)?)$")
 
-# iterative condition: V.col <op> PREV(V.col2 [, offset]) — SQL
-# standard PREV navigates the input rows (classifier-agnostic)
+# iterative condition: V.col <op> PREV|NEXT(V.col2 [, offset]) — SQL
+# standard PREV/NEXT navigate the input rows (classifier-agnostic)
 _COND_PREV = re.compile(
     r"^(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*"
-    r"PREV\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)$",
+    r"(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)$",
     re.IGNORECASE)
 
 _OPS = {
@@ -130,15 +130,18 @@ def _parse_predicate(cond: str, var: str):
         pm = _COND_PREV.match(part.strip())
         if pm and pm.group(1).upper() == var.upper():
             col, op = pm.group(2), _OPS[pm.group(3)]
-            pcol, off = pm.group(5), int(pm.group(6) or 1)
+            link = ("__prev" if pm.group(4).upper() == "PREV"
+                    else "__next")
+            pcol, off = pm.group(6), int(pm.group(7) or 1)
 
-            def prev_test(ev, col=col, op=op, pcol=pcol, off=off):
+            def nav_test(ev, col=col, op=op, pcol=pcol, off=off,
+                         link=link):
                 p = ev
                 for _ in range(off):
-                    p = p.get("__prev") if p else None
+                    p = p.get(link) if p else None
                 return p is not None and op(ev[col], p[pcol])
 
-            tests.append(prev_test)
+            tests.append(nav_test)
             continue
         m = _COND.match(part.strip())
         if not m or m.group(1).upper() != var.upper():
@@ -170,12 +173,14 @@ def _parse_flag_expr(cond: str, var: str, lag_window=None):
         if pm:
             if lag_window is None:
                 raise NotImplementedError(
-                    "PREV() conditions need a row order (batch only)")
-            col, pcol = pm.group(2), pm.group(5)
-            off = int(pm.group(6) or 1)
+                    "PREV()/NEXT() conditions need a row order "
+                    "(batch only)")
+            col, pcol = pm.group(2), pm.group(6)
+            off = int(pm.group(7) or 1)
+            nav = (F.lag if pm.group(4).upper() == "PREV" else F.lead)
             c = F.coalesce(
                 _OPS[pm.group(3)](F.col(col),
-                                  F.lag(pcol, off).over(lag_window)),
+                                  nav(pcol, off).over(lag_window)),
                 F.lit(False))
         else:
             m = _COND.match(part.strip())
@@ -322,8 +327,8 @@ def match_recognize(spark: SparkSession, sql: str,
                                         flags=re.IGNORECASE))
     if has_prev and src.isStreaming:
         raise NotImplementedError(
-            "PREV() DEFINE conditions are batch-only (the streaming "
-            "buffer carries per-row flags, not row history)")
+            "PREV()/NEXT() DEFINE conditions are batch-only (the "
+            "streaming buffer carries per-row flags, not row history)")
     # column pruning: ship only key/order/DEFINE-referenced columns
     # into the per-key NFA (the parser knows the full referenced set,
     # so the Arrow transfer carries nothing else)
@@ -333,7 +338,7 @@ def match_recognize(spark: SparkSession, sql: str,
             if (m := _COND.match(part.strip())):
                 cond_cols.add(m.group(2))
             elif (pm := _COND_PREV.match(part.strip())):
-                cond_cols.update((pm.group(2), pm.group(5)))
+                cond_cols.update((pm.group(2), pm.group(6)))
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)

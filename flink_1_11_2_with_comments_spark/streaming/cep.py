@@ -94,10 +94,12 @@ def _records(pdf: pd.DataFrame, ts_col: str, id_col: str) -> list[dict]:
     cols = [pdf[c].tolist() for c in names]
     events = [dict(zip(names, row)) for row in zip(*cols)]
     events.sort(key=lambda e: (e[ts_col], e[id_col]))
-    # __prev chain for iterative conditions (SQL PREV navigates input
-    # rows): predicates may read ev["__prev"], None at partition start
+    # __prev/__next chain for iterative conditions (SQL PREV/NEXT
+    # navigate input rows): predicates may read ev["__prev"] /
+    # ev["__next"], None beyond the partition bounds
     for i, ev in enumerate(events):
         ev["__prev"] = events[i - 1] if i > 0 else None
+        ev["__next"] = events[i + 1] if i + 1 < len(events) else None
     return events
 
 

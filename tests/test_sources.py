@@ -284,6 +284,14 @@ def test_match_recognize_parser_subset():
     assert p({"v": 10, "t": "click"}) and not p({"v": 9, "t": "click"})
     with pytest.raises(NotImplementedError):
         _parse_predicate("X.v > Y.v", "X")  # cross-variable condition
+    # PREV/NEXT navigation over the __prev/__next chain
+    a = {"v": 1, "__prev": None}
+    b = {"v": 2, "__prev": a, "__next": None}
+    a["__next"] = b
+    up = _parse_predicate("X.v > PREV(X.v)", "X")
+    assert up(b) and not up(a)  # partition start → NULL → false
+    peak = _parse_predicate("X.v < NEXT(X.v)", "X")
+    assert peak(a) and not peak(b)
 
 
 def test_window_rowtime_auxiliary(spark):
