@@ -49,7 +49,10 @@ Supported subset (raise on anything else, loudly):
   whole match.
 - ALL ROWS PER MATCH output: PARTITION BY keys, order/id columns,
   then the measures (the pruned projection that crossed the NFA, not
-  every input column — documented subset).
+  every input column — documented subset). Streaming inputs support
+  ALL ROWS with MATCH_NUMBER()/CLASSIFIER() measures (the NFA's
+  emitted columns, match numbering persisted in state); aggregate
+  measures compile to window functions and stay batch-only.
 - pattern concatenation is consecutive rows (SQL standard); the match
   may begin at any row — first step anchors relaxed, the rest strict.
 - default after-match strategy is SKIP PAST LAST ROW (SQL standard,
@@ -344,8 +347,9 @@ def match_recognize(spark: SparkSession, sql: str,
     src = src.select(*needed)
     if all_rows:
         if src.isStreaming:
-            raise NotImplementedError(
-                "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH")
+            return _all_rows_stream(src, cl, keys, ts_col, id_col,
+                                    steps, within, after_match,
+                                    excluded=excluded, permute=permute)
         return _all_rows_per_match(src, cl, keys, ts_col, id_col,
                                    defines, steps, within, after_match,
                                    excluded=excluded, permute=permute)
@@ -404,6 +408,50 @@ def match_recognize(spark: SparkSession, sql: str,
                 f"V.{id_col}, COUNT(V.*))")
         sel.append(F.col(col).alias(alias.strip()))
     return matched.select(*sel)
+
+
+def _all_rows_stream(src: DataFrame, cl: dict[str, str],
+                     keys: list[str], ts_col: str, id_col: str,
+                     steps: list, within: str | None,
+                     after_match: str,
+                     excluded: set[str] = frozenset(),
+                     permute: bool = False) -> DataFrame:
+    """Streaming ALL ROWS PER MATCH: the stateful NFA emits one row
+    per matched event with MATCH_NUMBER() (a per-key counter persisted
+    across micro-batches) and CLASSIFIER(). Supported measures are
+    exactly those two — they are the NFA's emitted columns; RUNNING/
+    FINAL aggregate measures compile to window functions, which
+    append-mode streams cannot run, so they stay batch-only (raise)."""
+    if after_match != "skip_past_last":
+        raise NotImplementedError(
+            "streaming MATCH_RECOGNIZE supports SKIP PAST LAST ROW")
+    from ..streaming.cep import match_pattern_stream
+    rows = match_pattern_stream(src, keys, ts_col, steps,
+                                within=within, id_col=id_col,
+                                permute=permute, emit="rows")
+    sel = [*[F.col(k) for k in keys], F.col(ts_col), F.col(id_col)]
+    for item in re.split(r",\s*(?=[^,]+\s+AS\s)", cl.get("MEASURES", ""),
+                         flags=re.IGNORECASE):
+        if not item.strip():
+            continue
+        expr, _, alias = re.split(r"\s+(AS)\s+", item.strip(),
+                                  maxsplit=1, flags=re.IGNORECASE)
+        expr = expr.strip()
+        if re.match(r"MATCH_NUMBER\s*\(\s*\)$", expr, re.IGNORECASE):
+            col = F.col("match_seq")
+        elif re.match(r"CLASSIFIER\s*\(\s*\)$", expr, re.IGNORECASE):
+            col = F.col("classifier")
+        else:
+            raise NotImplementedError(
+                "streaming ALL ROWS PER MATCH measures are limited to "
+                f"MATCH_NUMBER() and CLASSIFIER(); got `{expr}` "
+                "(aggregate measures need window functions — batch "
+                "only)")
+        sel.append(col.alias(alias.strip()))
+    out = rows.select(*sel, F.col("classifier").alias("__cls"))
+    if excluded:
+        out = out.where(~F.col("__cls").isin(*sorted(excluded)))
+    return out.drop("__cls")
 
 
 def _all_rows_per_match(src: DataFrame, cl: dict[str, str],

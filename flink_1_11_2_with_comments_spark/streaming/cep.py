@@ -632,8 +632,15 @@ def match_pattern_stream(
     within: str | None = None,
     id_col: str = "event_id",
     permute: bool = False,
+    emit: str = "match",
 ) -> DataFrame:
     """Streaming quantified CEP under SKIP_PAST_LAST_EVENT.
+
+    ``emit="match"`` (default) yields one row per match with per-step
+    first/last ids and counts; ``emit="rows"`` yields the ALL ROWS PER
+    MATCH shape — one row per MATCHED EVENT with ``match_seq``
+    (MATCH_NUMBER(), a per-key counter persisted in state across
+    micro-batches) and ``classifier`` (the matched variable).
 
     Per key: events are buffered with per-step predicate flags
     computed at ingestion; when the watermark advances, the NFA runs
@@ -651,19 +658,27 @@ def match_pattern_stream(
     """
     if steps and steps[-1].negated:
         raise ValueError("notFollowedBy cannot be the last pattern step")
+    if emit not in ("match", "rows"):
+        raise ValueError("emit must be 'match' or 'rows'")
     within_ms = _interval_ms(within) if within else None
     pos_steps = [s for s in steps if not s.negated]
     key_fields = ", ".join(f"{k} bigint" for k in keys)
-    step_fields = ", ".join(
-        f"{s.name}_first_id bigint, {s.name}_last_id bigint, "
-        f"{s.name}_n bigint" for s in pos_steps)
-    out_schema = (f"{key_fields}, {step_fields}, "
-                  f"start_ts timestamp, end_ts timestamp")
-    cols = ([*keys,
-             *[c for s in pos_steps
-               for c in (f"{s.name}_first_id", f"{s.name}_last_id",
-                         f"{s.name}_n")],
-             "start_ts", "end_ts"])
+    if emit == "rows":
+        out_schema = (f"{key_fields}, {id_col} bigint, "
+                      f"{ts_col} timestamp, match_seq bigint, "
+                      f"classifier string")
+        cols = [*keys, id_col, ts_col, "match_seq", "classifier"]
+    else:
+        step_fields = ", ".join(
+            f"{s.name}_first_id bigint, {s.name}_last_id bigint, "
+            f"{s.name}_n bigint" for s in pos_steps)
+        out_schema = (f"{key_fields}, {step_fields}, "
+                      f"start_ts timestamp, end_ts timestamp")
+        cols = ([*keys,
+                 *[c for s in pos_steps
+                   for c in (f"{s.name}_first_id", f"{s.name}_last_id",
+                             f"{s.name}_n")],
+                 "start_ts", "end_ts"])
 
     def fn(key, rows: pd.DataFrame | None, state: KeyedState):
         import datetime as dt
@@ -724,16 +739,27 @@ def match_pattern_stream(
                     open_ended = False
             if open_ended:
                 break  # greedy run may extend with later events
-            row = {k: key[i] for i, k in enumerate(keys)}
-            all_evs = []
-            for s, reps in m:
-                row[f"{s.name}_first_id"] = reps[0][id_col]
-                row[f"{s.name}_last_id"] = reps[-1][id_col]
-                row[f"{s.name}_n"] = len(reps)
-                all_evs.extend(reps)
-            row["start_ts"] = all_evs[0][ts_col]
-            row["end_ts"] = all_evs[-1][ts_col]
-            out.append(row)
+            if emit == "rows":
+                seq = state.get("seq", 0) + 1
+                state.put("seq", seq)
+                for s, reps in m:
+                    for ev in reps:
+                        out.append({
+                            **{k: key[i] for i, k in enumerate(keys)},
+                            id_col: ev[id_col], ts_col: ev[ts_col],
+                            "match_seq": seq, "classifier": s.name,
+                        })
+            else:
+                row = {k: key[i] for i, k in enumerate(keys)}
+                all_evs = []
+                for s, reps in m:
+                    row[f"{s.name}_first_id"] = reps[0][id_col]
+                    row[f"{s.name}_last_id"] = reps[-1][id_col]
+                    row[f"{s.name}_n"] = len(reps)
+                    all_evs.extend(reps)
+                row["start_ts"] = all_evs[0][ts_col]
+                row["end_ts"] = all_evs[-1][ts_col]
+                out.append(row)
             last_end = (buf[end - 1][0], buf[end - 1][1])
             idx = end
         if last_end is not None:

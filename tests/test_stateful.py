@@ -913,6 +913,40 @@ def test_cep_until_stream_matches_batch(spark, events):
     assert len(got) >= len(exp) * 0.5
 
 
+def test_match_recognize_all_rows_streaming(spark, events):
+    """Streaming ALL ROWS PER MATCH (MATCH_NUMBER/CLASSIFIER
+    measures): every streamed per-event row is a batch all-rows row,
+    with the same match numbering for the emitted prefix."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mno,
+                   CLASSIFIER() AS var
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.event_id, r.mno, r.var)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.event_id, r.mno, r.var)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mrar_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
+
+
 def test_quantified_cep_stream_within_timeout_emits_quiet_key(spark):
     """A deferred open-ended greedy match must still be emitted when
     its key goes quiet and the watermark passes first_ts + within —
