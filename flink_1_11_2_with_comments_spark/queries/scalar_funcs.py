@@ -125,10 +125,10 @@ def fn_string_predicates_base64(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25.0) AS a,
-           ceil(l_discount * 100) AS c,
-           floor(l_tax * 100) AS f,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS c,
+           CAST(floor(l_tax * 100) AS BIGINT) AS f,
            round(l_extendedprice / 1000, 2) AS r,
-           sign(l_quantity - 25.0) AS sg,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
            mod(CAST(l_quantity AS BIGINT), 7) AS m,
            round(power(l_quantity, 2), 6) AS p2,
            round(sqrt(l_extendedprice), 9) AS sq,
@@ -147,8 +147,10 @@ def fn_string_predicates_base64(spark, sf_dir):
     """,
     doc="Math family: ABS CEIL FLOOR ROUND SIGN MOD POWER SQRT EXP LN LOG10 "
         "LOG2 SIN COS ATAN2 DEGREES RADIANS PI TRUNCATE — "
-        "BuiltInFunctionDefinitions.java:~380-560. Transcendentals rounded "
-        "(StrictMath vs libm last-ulp).",
+        "BuiltInFunctionDefinitions.java:~380-560. ceil/floor/sign output "
+        "TYPES differ across engines (Spark ceil→LONG, DuckDB ceil on "
+        "DOUBLE→DOUBLE; Spark signum→DOUBLE, DuckDB sign→int); both sides "
+        "are cast to a common type so the value-hash compares like for like.",
 )
 def fn_math(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 300)
@@ -157,10 +159,10 @@ def fn_math(spark, sf_dir):
     return li.select(
         "l_orderkey", "l_linenumber",
         F.abs(q - 25.0).alias("a"),
-        F.ceil(d * 100).alias("c"),
-        F.floor(tx * 100).alias("f"),
+        F.ceil(d * 100).cast("bigint").alias("c"),
+        F.floor(tx * 100).cast("bigint").alias("f"),
         F.round(ep / 1000, 2).alias("r"),
-        F.signum(q - 25.0).alias("sg"),
+        F.signum(q - 25.0).cast("double").alias("sg"),
         (q.cast("bigint") % 7).alias("m"),
         F.round(F.pow(q, 2), 6).alias("p2"),
         F.round(F.sqrt(ep), 9).alias("sq"),

@@ -90,6 +90,38 @@ def _close(a, b) -> bool:
     return a == b
 
 
+def column_diff(spark_df, con, oracle: str, name: str = "?") -> list[str]:
+    """Debugging helper: per-column dtype + first-repr diff vs the oracle.
+
+    The driver's value-hash compares the *representation* of every cell, so
+    a column whose VALUES match but whose TYPE differs (e.g. Spark
+    floor→LONG vs DuckDB floor→DOUBLE: 3 vs 3.0) fails the hash while the
+    float-tolerant compare() passes.  Run this when a driver row is red but
+    compare() is green — it names the offending column(s) directly.
+    Returns the list of findings (also printed), empty = representations
+    align.
+    """
+    sp = spark_df.toPandas()
+    du = con.execute(oracle).fetchdf()
+    findings: list[str] = []
+    for col in sorted(set(sp.columns) & set(du.columns)):
+        sp_dt, du_dt = str(sp[col].dtype), str(du[col].dtype)
+        sp_vals = sorted((repr(_norm(v)) for v in sp[col]), key=str)
+        du_vals = sorted((repr(_norm(v)) for v in du[col]), key=str)
+        first = next((i for i, (a, b) in enumerate(zip(sp_vals, du_vals))
+                      if a != b), None)
+        if sp_dt != du_dt or first is not None:
+            msg = f"{name}.{col}: dtype spark={sp_dt} oracle={du_dt}"
+            if first is not None:
+                msg += (f"; first repr diff at sorted idx {first}: "
+                        f"spark={sp_vals[first]} oracle={du_vals[first]}")
+            findings.append(msg)
+            print(msg)
+    for col in sorted(set(sp.columns) ^ set(du.columns)):
+        findings.append(f"{name}.{col}: present on one side only")
+    return findings
+
+
 def assert_exact(spark_df, con, oracle: str, name: str = "?") -> None:
     """Strict variant: floats must match bitwise (what the driver hash needs)."""
     sp = spark_df.toPandas()
