@@ -843,21 +843,28 @@ def pipeline_end_to_end(spark, sf_dir):
       SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
     ), total AS (SELECT COUNT(*) AS t FROM events)
     SELECT f.user_id, f.n
-    FROM f, total WHERE f.n * 20 > total.t
+    FROM f, total WHERE f.n * 200 > total.t
     ORDER BY f.n DESC, f.user_id
     """,
-    doc="Heavy hitters / frequent items: keys exceeding 1/20 of the "
+    doc="Heavy hitters / frequent items: keys exceeding 1/200 of the "
         "stream — exact group-count form (one partial+final agg). The "
-        "constant-memory scale path is df.stat.freqItems "
+        "total is a 1-row aggregate cross-joined into the plan (the "
+        "oracle's own shape) so the whole query stays ONE lazy plan: no "
+        "eager driver-side count, one scan of events, and the 1-row side "
+        "broadcasts. The constant-memory scale path is df.stat.freqItems "
         "(Karp-Shenker-Papadimitriou one-pass), pinned against this "
         "exact form in tests/test_pipeline.py — the 100 TB pre-filter "
         "before an exact count of the surviving candidates.",
 )
 def heavy_hitters(spark, sf_dir):
     e = t(spark, sf_dir, "events")
-    total = e.count()
-    return (e.groupBy("user_id").agg(F.count("*").alias("n"))
-            .where(F.col("n") * 20 > total)
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    # total = sum over the (already reduced) per-key counts, so events is
+    # scanned once; the 1-row result broadcasts into the filter.
+    total = counts.agg(F.sum("n").alias("t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .where(F.col("n") * 200 > F.col("t"))
+            .select("user_id", "n")
             .orderBy(F.desc("n"), "user_id"))
 
 
