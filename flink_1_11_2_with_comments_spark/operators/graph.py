@@ -15,10 +15,23 @@ per iteration so results replay exactly in the SQL oracle.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(38,10)"
+
+
+def _warn_not_converged(algo: str, max_iter: int) -> None:
+    """Label propagation stopped at the iteration cap with changes still
+    pending: the returned labels are NOT a fixed point (a component of
+    diameter > max_iter keeps distinct labels). Silent truncation here
+    diverged from full-closure oracles; make it loud."""
+    warnings.warn(
+        f"{algo}: hit max_iter={max_iter} before convergence — "
+        f"results are not a fixed point; raise max_iter",
+        RuntimeWarning, stacklevel=3)
 
 
 def _superstep(df: DataFrame) -> DataFrame:
@@ -70,6 +83,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = stepped.select("node", "component")
         if stepped.where("__changed").count() == 0:
             break
+    else:
+        _warn_not_converged("connected_components", max_iter)
     undirected.unpersist()
     return labels
 
@@ -119,6 +134,8 @@ def connected_components_delta(edges: DataFrame,
         labels = stepped.select("node", "component")
         if stepped.where("__changed").count() == 0:
             break
+    else:
+        _warn_not_converged("connected_components_delta", max_iter)
     undirected.unpersist()
     return labels
 

@@ -173,6 +173,13 @@ def _parse_flag_expr(cond: str, var: str, lag_window=None):
     expr = None
     for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
         pm = _COND_PREV.match(part.strip())
+        if pm and pm.group(1).upper() != var.upper():
+            # same subset boundary as _parse_predicate: the LHS must be
+            # the variable being defined (DEFINE B AS C.v > PREV(C.v)
+            # is outside the subset in BOTH execution paths)
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE DEFINE subset: `{part.strip()}` "
+                f"(want {var}.col <op> ... )")
         if pm:
             if lag_window is None:
                 raise NotImplementedError(
@@ -187,6 +194,11 @@ def _parse_flag_expr(cond: str, var: str, lag_window=None):
                 F.lit(False))
         else:
             m = _COND.match(part.strip())
+            if not m or m.group(1).upper() != var.upper():
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE subset: `{part.strip()}` "
+                    f"(want {var}.col <op> literal | PREV(V.col[, n]) "
+                    f"[AND ...])")
             col, op, lit = m.group(2), m.group(3), m.group(4)
             val = lit[1:-1] if lit.startswith("'") else (
                 float(lit) if "." in lit else int(lit))

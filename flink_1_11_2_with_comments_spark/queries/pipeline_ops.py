@@ -312,7 +312,10 @@ def dedup_cluster_canonical(spark, sf_dir):
     edges = (j.where(F.col("jaccard") >= 0.9)
              .select(F.col("a_id").alias("src"),
                      F.col("b_id").alias("dst")))
-    cc = connected_components(edges)
+    # max_iter=50 (> any plausible near-dup cluster diameter); the
+    # propagation loop now warns loudly if it ever stops un-converged,
+    # so a silent divergence from the oracle's full closure is impossible
+    cc = connected_components(edges, max_iter=50)
     return cc.select(F.col("node").alias("doc_id"),
                      F.col("component").alias("canonical_id"))
 

@@ -316,11 +316,12 @@ def _permute_alts(steps: list[QStep]) -> list[list[QStep]]:
         for perm in itertools.permutations(steps)]
 
 
-def _find_best_alt(events, alts, ts_col, within_ms, start_idx):
+def _find_best_alt(events, alts, ts_col, within_ms, start_idx, pos_of):
     """Earliest-starting match across alternatives from start_idx;
     ties at the same start row break by alternative order (SQL's
-    PERMUTE preference). Returns (match, end_idx, start_pos) or None."""
-    pos_of = {id(ev): i for i, ev in enumerate(events)}
+    PERMUTE preference). ``pos_of`` is the id(event)->index map, built
+    ONCE by the caller per events list (not per scan position).
+    Returns (match, end_idx, start_pos) or None."""
     best = None
     for ai, steps in enumerate(alts):
         found = _find_q_matches(events, steps, ts_col, within_ms,
@@ -344,11 +345,26 @@ def _all_alt_matches(events, alts, ts_col, within_ms, after_match,
     position the earliest-starting match wins; ties at the same start
     row are broken by alternative order — SQL's PERMUTE preference.
     after_match as in _all_q_matches (skip_past_last resumes past the
-    match's end, skip_to_next_row one past its start)."""
+    match's end, skip_to_next_row one past its start). 'all' (NO_SKIP)
+    enumerates every alternative's every candidate match.
+
+    Cost note (SCALE.md): with k alternatives this scans up to k NFAs
+    per position — for PERMUTE that is k! alternatives, so matching is
+    O(n²·k!) per key worst-case. Fine at per-key event counts; bound k
+    (the reference's Calcite expansion has the same factorial blowup).
+    """
+    if after_match == "all":
+        # NO_SKIP: union of every alternative's full candidate set
+        found = [m for steps in alts
+                 for m, _ in _find_q_matches(events, steps, ts_col,
+                                             within_ms)]
+        return _select_matches(found, id_col, "all")
+    pos_of = {id(ev): i for i, ev in enumerate(events)}
     out, idx = [], 0
     n = len(events)
     while idx < n:
-        found = _find_best_alt(events, alts, ts_col, within_ms, idx)
+        found = _find_best_alt(events, alts, ts_col, within_ms, idx,
+                               pos_of)
         if found is None:
             break
         m, end, start = found
@@ -709,14 +725,16 @@ def match_pattern_stream(
         alts = _permute_alts(flag_steps) if permute else None
         out = []
         idx = 0
+        complete = events[:n_complete]
+        pos_of = {id(ev): i for i, ev in enumerate(complete)}
         last_end = None  # (ts_iso, id) of the last emitted match's end
         while idx < n_complete:
             if alts is not None:
-                best = _find_best_alt(events[:n_complete], alts, ts_col,
-                                      within_ms, idx)
+                best = _find_best_alt(complete, alts, ts_col,
+                                      within_ms, idx, pos_of)
                 found = [best[:2]] if best is not None else []
             else:
-                found = _find_q_matches(events[:n_complete], flag_steps,
+                found = _find_q_matches(complete, flag_steps,
                                         ts_col, within_ms, start_idx=idx,
                                         first_only=True)
             if not found:

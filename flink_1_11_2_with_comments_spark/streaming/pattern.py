@@ -159,19 +159,40 @@ class Pattern:
     def match(self, df: DataFrame, keys: list[str], ts_col: str,
               id_col: str = "event_id",
               after_match: str = "skip_past_last",
-              flag_exprs: list[Column] | None = None) -> DataFrame:
+              flag_exprs: list[Column] | None = None,
+              until_exprs: list[Column | None] | None = None) -> DataFrame:
         """CEP.pattern(stream, pattern) → select: run the NFA.
 
         Batch DataFrames use match_pattern_batch (pass ``flag_exprs``
-        to keep predicate evaluation JVM-side); streaming DataFrames
-        route to the watermark-driven stateful NFA.
+        to keep predicate evaluation JVM-side, plus ``until_exprs`` —
+        one Column or None per step — when a looping step carries an
+        ``until`` stop condition); streaming DataFrames route to the
+        watermark-driven stateful NFA, which supports only the default
+        skip_past_last strategy and Python predicates (a silently
+        downgraded after_match or ignored flag_exprs would change
+        semantics, so both raise).
         """
         steps = self.build()
         if df.isStreaming:
+            if after_match != "skip_past_last":
+                raise NotImplementedError(
+                    "streaming CEP supports only after_match="
+                    "'skip_past_last' (got %r)" % (after_match,))
+            if flag_exprs is not None or until_exprs is not None:
+                raise NotImplementedError(
+                    "flag_exprs/until_exprs are a batch-only "
+                    "optimization; streaming evaluates Python "
+                    "predicates in the stateful NFA")
             return match_pattern_stream(df, keys, ts_col, steps,
                                         within=self._within,
                                         id_col=id_col)
+        if (flag_exprs is not None and until_exprs is None
+                and any(s.until is not None for s in steps)):
+            raise ValueError(
+                "pattern has .until() steps: pass until_exprs (one "
+                "Column or None per step) alongside flag_exprs")
         return match_pattern_batch(df, keys, ts_col, steps,
                                    within=self._within,
                                    after_match=after_match,
-                                   id_col=id_col, flag_exprs=flag_exprs)
+                                   id_col=id_col, flag_exprs=flag_exprs,
+                                   until_exprs=until_exprs)
