@@ -15,8 +15,9 @@ Supported subset (raise on anything else, loudly):
       ORDER BY ts [, id]
       MEASURES [RUNNING|FINAL] <m> AS alias [, ...]
       [ONE ROW PER MATCH | ALL ROWS PER MATCH]
-      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-      PATTERN ( V[q] V[q] ... | PERMUTE(V, V, ...) )
+      [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW |
+       SKIP TO [FIRST|LAST] V]
+      PATTERN ( V[q] V[q] ... [| V[q] ...] | PERMUTE(V, V, ...) )
         [WITHIN INTERVAL 'n' UNIT]
       DEFINE V AS <conjunction of V.col <op> literal
                    | V.col <op> PREV|NEXT(V.col [, n])> [, ...]
@@ -28,8 +29,20 @@ Supported subset (raise on anything else, loudly):
   every other DEFINE flag; NULL beyond the partition bounds is false.
   Batch only (the streaming buffer carries flags, not row history).
 
-- quantifiers: none (exactly once), `+`, `{n}`, `{m,n}`, `{m,}`
-  (`*`/`?` need min_times=0 — not supported, raise).
+- quantifiers: none (exactly once), `+`, `*`, `?`, `{n}`, `{m,n}`,
+  `{m,}`. The min-0 forms (`*`, `?`) expand to present/absent
+  alternatives scored in greedy preference order
+  (cep._expand_optional — the reference NFA's OPTIONAL state,
+  flink-cep/.../pattern/Quantifier.java); batch only. Patterns that
+  can match zero rows (all steps optional) raise.
+- alternation `A B | C D`: one branch per arm, SQL preference =
+  textual order (ties at the same start row resolve to the earlier
+  branch); a variable unmatched by the winning branch reports NULL
+  ids / COUNT 0. Batch only.
+- AFTER MATCH SKIP TO [FIRST|LAST] V: resume AT the first/last row
+  mapped to V (AfterMatchSkipStrategy.skipToFirst/skipToLast) —
+  overlapping matches allowed; runtime error if V matched no rows or
+  the resume point would not advance. Batch only.
 - PERMUTE(A, B, ...): any ordering of the elements — expanded to the
   alternation of permutations, ties at the same start row broken by
   permutation order (SqlMatchRecognize PERMUTE / Calcite expansion).
@@ -66,7 +79,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.cep import QStep, match_pattern_batch
+from ..streaming.cep import QStep, _union_steps, match_pattern_batch
 
 _MR = re.compile(
     r"SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((?P<body>.*)\)\s*"
@@ -78,7 +91,7 @@ _CLAUSE = re.compile(
     r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN|WITHIN|DEFINE)",
     re.IGNORECASE)
 
-_QUANT = re.compile(r"^(\w+)(\+|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?$")
+_QUANT = re.compile(r"^(\w+)(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?$")
 
 _COND = re.compile(
     r"^(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*"
@@ -207,31 +220,12 @@ def _parse_flag_expr(cond: str, var: str, lag_window=None):
     return expr
 
 
-def _parse_pattern(
-        pat: str) -> tuple[list[tuple[str, int, int | None]],
-                           set[str], bool]:
-    """`(A B+ C{2,4})` → ([(name, min, max), ...], excluded, permute).
-
-    Also handles the two remaining SqlMatchRecognize pattern forms:
-    - ``PERMUTE(A, B, ...)`` — any ordering of the elements
-      (expanded to the alternation of permutations, SQL preference =
-      permutation order); returns permute=True.
-    - exclusion ``{- V[q] -}`` — V participates in matching but its
-      rows are omitted from ALL ROWS PER MATCH output
-      (SqlMatchRecognize exclusion syntax); V is added to `excluded`.
-    """
-    pat = pat.strip()
-    if pat.startswith("(") and pat.endswith(")"):
-        pat = pat[1:-1].strip()
-    permute = False
-    pm = re.match(r"^PERMUTE\s*\((.*)\)$", pat, re.IGNORECASE | re.DOTALL)
-    if pm:
-        permute = True
-        toks = [t.strip() for t in pm.group(1).split(",") if t.strip()]
-        if any("{-" in t for t in toks):
-            raise NotImplementedError("exclusion inside PERMUTE")
-    else:
-        toks = pat.replace("{-", " {- ").replace("-}", " -} ").split()
+def _parse_branch(toks: list[str],
+                  permute: bool) -> tuple[list[tuple[str, int, int | None]],
+                                          set[str]]:
+    """One alternation branch's tokens → ([(name, min, max)], excluded).
+    min may be 0 (`*` = {0,}, `?` = {0,1}) — the engine expands these
+    into present/absent alternatives (cep._expand_optional)."""
     steps, excluded = [], set()
     in_excl = False
     for tok in toks:
@@ -249,8 +243,8 @@ def _parse_pattern(
         if not m:
             raise NotImplementedError(
                 f"MATCH_RECOGNIZE pattern subset: token `{tok}` "
-                "(supported: V, V+, V{n}, V{m,n}, V{m,}, PERMUTE(...), "
-                "{- V -})")
+                "(supported: V, V+, V*, V?, V{n}, V{m,n}, V{m,}, "
+                "PERMUTE(...), {- V -}, alternation `|`)")
         name, q = m.group(1), m.group(2)
         if in_excl:
             excluded.add(name)
@@ -258,6 +252,10 @@ def _parse_pattern(
             steps.append((name, 1, 1))
         elif q == "+":
             steps.append((name, 1, None))
+        elif q == "*":
+            steps.append((name, 0, None))
+        elif q == "?":
+            steps.append((name, 0, 1))
         else:
             nums = re.findall(r"\d+", q)
             if "," not in q:
@@ -268,7 +266,54 @@ def _parse_pattern(
                 steps.append((name, int(nums[0]), None))
     if in_excl:
         raise NotImplementedError("unbalanced `{-` in pattern")
-    return steps, excluded, permute
+    return steps, excluded
+
+
+def _parse_pattern(
+        pat: str) -> tuple[list[list[tuple[str, int, int | None]]],
+                           set[str], bool]:
+    """`(A B+ C{2,4})` → ([branch, ...], excluded, permute), where a
+    branch is [(name, min, max), ...].
+
+    Handles every SqlMatchRecognize pattern form in the subset:
+    - quantifiers none/`+`/`*`/`?`/`{n}`/`{m,n}`/`{m,}` (min 0 forms
+      expand to present/absent alternatives in the engine);
+    - top-level alternation ``A B | C D`` — one branch per arm, SQL
+      preference = textual order (ties at the same start row resolve
+      to the earlier branch);
+    - ``PERMUTE(A, B, ...)`` — any ordering of the elements
+      (expanded to the alternation of permutations, SQL preference =
+      permutation order); returns permute=True;
+    - exclusion ``{- V[q] -}`` — V participates in matching but its
+      rows are omitted from ALL ROWS PER MATCH output
+      (SqlMatchRecognize exclusion syntax); V is added to `excluded`.
+    """
+    pat = pat.strip()
+    if pat.startswith("(") and pat.endswith(")"):
+        pat = pat[1:-1].strip()
+    pm = re.match(r"^PERMUTE\s*\((.*)\)$", pat, re.IGNORECASE | re.DOTALL)
+    if pm:
+        if "|" in pm.group(1):
+            raise NotImplementedError("alternation inside PERMUTE")
+        toks = [t.strip() for t in pm.group(1).split(",") if t.strip()]
+        if any("{-" in t for t in toks):
+            raise NotImplementedError("exclusion inside PERMUTE")
+        steps, excluded = _parse_branch(toks, permute=True)
+        return [steps], excluded, True
+    arms = [a.strip() for a in pat.split("|")]
+    if len(arms) > 1 and "PERMUTE" in pat.upper():
+        raise NotImplementedError("PERMUTE combined with alternation")
+    branches, excluded = [], set()
+    for arm in arms:
+        if not arm:
+            raise NotImplementedError("empty alternation arm in pattern")
+        toks = arm.replace("{-", " {- ").replace("-}", " -} ").split()
+        steps, excl = _parse_branch(toks, permute=False)
+        if not steps:
+            raise NotImplementedError("empty alternation arm in pattern")
+        branches.append(steps)
+        excluded |= excl
+    return branches, excluded, False
 
 
 def match_recognize(spark: SparkSession, sql: str,
@@ -302,16 +347,23 @@ def match_recognize(spark: SparkSession, sql: str,
                                 maxsplit=1, flags=re.IGNORECASE)
         defines[var.upper()] = cond
 
-    pattern_steps, excluded, permute = _parse_pattern(cl["PATTERN"])
-    steps = []
-    for i, (name, mn, mx) in enumerate(pattern_steps):
-        if mn < 1:
-            raise NotImplementedError(
-                "quantifiers with min 0 (`*`, `?`) are unsupported")
-        pred = _parse_predicate(defines.get(name.upper(), "TRUE"), name)
-        steps.append(QStep(
-            name, pred, min_times=mn, max_times=mx,
-            contiguity="relaxed" if i == 0 else "strict", greedy=True))
+    branches_raw, excluded, permute = _parse_pattern(cl["PATTERN"])
+    branches = []
+    for braw in branches_raw:
+        bsteps = []
+        for i, (name, mn, mx) in enumerate(braw):
+            pred = _parse_predicate(defines.get(name.upper(), "TRUE"),
+                                    name)
+            bsteps.append(QStep(
+                name, pred, min_times=mn, max_times=mx,
+                contiguity="relaxed" if i == 0 else "strict",
+                greedy=True))
+        branches.append(bsteps)
+    # union of variables across branches, first-appearance order — the
+    # flag/measure basis (a variable in several branches gets one slot)
+    steps = _union_steps(branches)
+    alternation = branches if len(branches) > 1 else None
+    has_min0 = any(s.min_times == 0 for b in branches for s in b)
 
     within = None
     if "WITHIN" in cl:
@@ -322,7 +374,8 @@ def match_recognize(spark: SparkSession, sql: str,
         unit = wm.group(2).lower()
         within = f"{wm.group(1)} {unit if unit.endswith('s') else unit + 's'}"
 
-    after = cl.get("AFTER MATCH", "SKIP PAST LAST ROW").upper()
+    after = re.sub(r"\s+", " ", cl.get("AFTER MATCH",
+                                       "SKIP PAST LAST ROW").upper())
     if "PAST LAST" in after:
         after_match = "skip_past_last"
     elif "NEXT ROW" in after:
@@ -330,6 +383,18 @@ def match_recognize(spark: SparkSession, sql: str,
         # match's START (AfterMatchSkipStrategy.skipToNext) — matches
         # may overlap, but NOT the NO_SKIP all-candidates semantics
         after_match = "skip_to_next_row"
+    elif (stm := re.match(r"SKIP TO (?:(FIRST|LAST) )?(\w+)$", after)):
+        # SKIP TO [FIRST|LAST] V — resume AT the first/last row mapped
+        # to V (AfterMatchSkipStrategy.skipToFirst/skipToLast; bare
+        # SKIP TO V is SKIP TO LAST V per the SQL standard). Runtime
+        # error if V matched no rows or resuming would not advance.
+        which = (stm.group(1) or "LAST").lower()
+        var = stm.group(2)
+        if var.upper() not in {s.name.upper() for s in steps}:
+            raise NotImplementedError(
+                f"AFTER MATCH SKIP TO {which.upper()} {var}: unknown "
+                f"pattern variable")
+        after_match = f"skip_to_{which}:{var}"
     else:
         raise NotImplementedError(f"AFTER MATCH subset: {after}")
 
@@ -357,6 +422,11 @@ def match_recognize(spark: SparkSession, sql: str,
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)
+    if src.isStreaming and (alternation is not None or has_min0):
+        raise NotImplementedError(
+            "streaming MATCH_RECOGNIZE does not support alternation "
+            "`|` or min-0 quantifiers (`*`, `?`) — batch only (the "
+            "stateful NFA runs a single branch)")
     if all_rows:
         if src.isStreaming:
             return _all_rows_stream(src, cl, keys, ts_col, id_col,
@@ -364,7 +434,8 @@ def match_recognize(spark: SparkSession, sql: str,
                                     excluded=excluded, permute=permute)
         return _all_rows_per_match(src, cl, keys, ts_col, id_col,
                                    defines, steps, within, after_match,
-                                   excluded=excluded, permute=permute)
+                                   excluded=excluded, permute=permute,
+                                   alternation=alternation)
     if src.isStreaming:
         # streaming MATCH_RECOGNIZE (StreamExecMatch): SQL standard
         # fixes SKIP PAST LAST ROW semantics, which is what the
@@ -386,7 +457,8 @@ def match_recognize(spark: SparkSession, sql: str,
                                       after_match=after_match,
                                       id_col=id_col,
                                       flag_exprs=flag_exprs,
-                                      permute=permute)
+                                      permute=permute,
+                                      alternation=alternation)
 
     # measures → the engine's fixed per-step outputs
     sel = [F.col(k) for k in keys]
@@ -472,7 +544,8 @@ def _all_rows_per_match(src: DataFrame, cl: dict[str, str],
                         within: str | None,
                         after_match: str,
                         excluded: set[str] = frozenset(),
-                        permute: bool = False) -> DataFrame:
+                        permute: bool = False,
+                        alternation: list | None = None) -> DataFrame:
     """ALL ROWS PER MATCH: the NFA emits one row per matched event
     (keys, id, ts, match_seq, classifier); every measure compiles to
     a JVM-side window function over the match — running frame up to
@@ -496,7 +569,7 @@ def _all_rows_per_match(src: DataFrame, cl: dict[str, str],
     rows = match_pattern_batch_rows(
         src, keys, ts_col, steps, within=within,
         after_match=after_match, id_col=id_col, flag_exprs=flag_exprs,
-        permute=permute)
+        permute=permute, alternation=alternation)
 
     base = Window.partitionBy(*keys, "match_seq").orderBy(ts_col, id_col)
     w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)

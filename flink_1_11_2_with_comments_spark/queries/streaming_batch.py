@@ -711,6 +711,148 @@ def match_recognize_prev(spark, sf_dir):
 
 
 @register(
+    "match_recognize_star",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), clicks AS (
+      SELECT user_id, event_id, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS grp
+      FROM s WHERE event_type = 'click'
+    ), runs AS (
+      SELECT user_id, grp, MIN(rn) AS first_rn, COUNT(*) AS n,
+             MIN(event_id) AS b_first, MAX(event_id) AS b_last
+      FROM clicks GROUP BY 1, 2
+    )
+    SELECT v.user_id, v.event_id AS view_id,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_clicks,
+           r.b_first AS click_first_id, r.b_last AS click_last_id,
+           p.event_id AS purchase_id
+    FROM s v
+    LEFT JOIN runs r ON r.user_id = v.user_id AND r.first_rn = v.rn + 1
+    JOIN s p ON p.user_id = v.user_id
+            AND p.rn = v.rn + CAST(COALESCE(r.n, 0) AS BIGINT) + 1
+            AND p.event_type = 'purchase'
+    WHERE v.event_type = 'view'
+    """,
+    doc="MATCH_RECOGNIZE `*` quantifier — PATTERN (A B* C): view, ZERO "
+        "or more consecutive clicks, purchase; a direct view→purchase "
+        "conversion matches with COUNT(B.*)=0 and NULL click ids (the "
+        "SQL unmatched-variable semantics). min-0 steps expand to "
+        "present/absent alternatives scored in greedy preference order "
+        "(cep._expand_optional; reference: optional NFA states, "
+        "flink-cep/.../pattern/Quantifier.java, NFACompiler). Oracle: "
+        "gaps-and-islands maximal click run (possibly absent) bracketed "
+        "by an adjacent view and purchase.",
+)
+def match_recognize_star(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS view_id,
+                   COUNT(B.*) AS n_clicks,
+                   FIRST(B.event_id) AS click_first_id,
+                   LAST(B.event_id) AS click_last_id,
+                   C.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B* C)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )""")
+
+
+@register(
+    "match_recognize_alternation",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS nt, LEAD(event_id) OVER w AS nid
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS view_id,
+           CASE WHEN nt = 'purchase' THEN nid END AS purchase_id,
+           CASE WHEN nt = 'click' THEN nid END AS click_id
+    FROM s
+    WHERE event_type = 'view' AND nt IN ('purchase', 'click')
+    """,
+    doc="MATCH_RECOGNIZE alternation — PATTERN (A P | A C): a view "
+        "followed immediately by a purchase (direct conversion, "
+        "preferred branch) or by a click; the losing branch's variable "
+        "reports NULL. Branches share variable A's one flag column; "
+        "preference = textual branch order at the same start row "
+        "(plans/match_recognize alternation → cep alternation matcher; "
+        "reference: Calcite `|` expansion for SqlMatchRecognize). "
+        "Oracle: LEAD pair classification.",
+)
+def match_recognize_alternation(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS view_id,
+                   LAST(P.event_id) AS purchase_id,
+                   LAST(C.event_id) AS click_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A P | A C)
+          DEFINE A AS A.event_type = 'view',
+                 P AS P.event_type = 'purchase',
+                 C AS C.event_type = 'click'
+        )""")
+
+
+@register(
+    "match_recognize_skip_to_first",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS nt, LEAD(event_id) OVER w AS nid
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS first_signup_id, nid AS second_signup_id
+    FROM s
+    WHERE event_type = 'signup' AND nt = 'signup'
+    """,
+    doc="AFTER MATCH SKIP TO FIRST B — PATTERN (A B), both signups: "
+        "every adjacent signup-signup pair, with the match resuming AT "
+        "the second signup so chains overlap (s1 s2 s3 emits both "
+        "(s1,s2) and (s2,s3); SKIP PAST LAST ROW would swallow the "
+        "second pair). AfterMatchSkipStrategy.skipToFirst, "
+        "flink-cep/.../nfa/aftermatch/; runtime error if the resume "
+        "point would not advance. Oracle: LEAD adjacency — exactly the "
+        "overlapping-chain pair set.",
+)
+def match_recognize_skip_to_first(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS first_signup_id,
+                   LAST(B.event_id) AS second_signup_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO FIRST B
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'signup',
+                 B AS B.event_type = 'signup'
+        )""")
+
+
+@register(
     "flink_sql_lookup_join",
     """
     SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name

@@ -36,14 +36,21 @@ def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
                      id_col: str, steps, flag_exprs: list[Column],
                      until_exprs: list[Column | None] | None = None):
     """Evaluate step predicates JVM-side: project (keys, id, ts,
-    flag_0..flag_n) so the Arrow transfer carries only booleans and the
-    per-key NFA does dict lookups instead of Python predicate calls —
-    the same flags-at-ingestion scheme match_pattern_stream uses
-    (predicate evaluation stays in whole-stage codegen; payload width
-    is fixed regardless of the input schema). Steps with an ``until``
-    stop condition need a matching Column in ``until_exprs`` — the
-    projection drops every source column, so a Python until lambda
-    would see nothing."""
+    one flag per DISTINCT step name) so the Arrow transfer carries only
+    booleans and the per-key NFA does dict lookups instead of Python
+    predicate calls — the same flags-at-ingestion scheme
+    match_pattern_stream uses (predicate evaluation stays in
+    whole-stage codegen; payload width is fixed regardless of the
+    input schema). Flags are keyed by step NAME (not position) so the
+    same projection serves every branch of an alternation — a variable
+    appearing in several branches shares one flag column. Steps with
+    an ``until`` stop condition need a matching Column in
+    ``until_exprs`` — the projection drops every source column, so a
+    Python until lambda would see nothing.
+
+    Returns (projected_df, pred_map, until_map): name → flag-lookup
+    callable; callers rebuild their step lists via dataclasses.replace.
+    """
     if len(flag_exprs) != len(steps):
         raise ValueError("flag_exprs must match steps 1:1")
     # plain Step (unquantified front-end) has no until/combinations
@@ -54,18 +61,18 @@ def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
         until_exprs = [None] * len(steps)
     if len(until_exprs) != len(steps):
         raise ValueError("until_exprs must match steps 1:1")
+    if len({s.name for s in steps}) != len(steps):
+        raise ValueError("step names must be distinct for flag keying")
     proj = df.select(
         *keys, id_col, ts_col,
-        *[e.cast("boolean").alias(f"__flag_{i}")
-          for i, e in enumerate(flag_exprs)],
-        *[e.cast("boolean").alias(f"__until_{i}")
-          for i, e in enumerate(until_exprs) if e is not None])
-    run_steps = []
-    for i, s in enumerate(steps):
-        repl = {"predicate": lambda ev, i=i: ev[f"__flag_{i}"]}
-        if until_exprs[i] is not None:
-            repl["until"] = lambda ev, i=i: ev[f"__until_{i}"]
-        run_steps.append(dataclasses.replace(s, **repl))
+        *[e.cast("boolean").alias(f"__flag_{s.name}")
+          for s, e in zip(steps, flag_exprs)],
+        *[u.cast("boolean").alias(f"__until_{s.name}")
+          for s, u in zip(steps, until_exprs) if u is not None])
+    pred_map = {s.name: (lambda ev, n=s.name: ev[f"__flag_{n}"])
+                for s in steps}
+    until_map = {s.name: (lambda ev, n=s.name: ev[f"__until_{n}"])
+                 for s, u in zip(steps, until_exprs) if u is not None}
     # Pin the shuffle width: flag rows are so narrow that AQE's
     # byte-based coalescing would fold the whole corpus into 1-2
     # post-shuffle partitions, serializing the CPU-bound Python NFA.
@@ -75,7 +82,19 @@ def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
     # partitions sized for cores, not bytes).
     par = proj.sparkSession.sparkContext.defaultParallelism
     proj = proj.repartition(par, *keys)
-    return proj, run_steps
+    return proj, pred_map, until_map
+
+
+def _rebind_steps(steps, pred_map, until_map):
+    """Swap each step's Python predicate for its JVM-computed flag
+    lookup (and likewise `until`), preserving quantifiers/contiguity."""
+    out = []
+    for s in steps:
+        repl = {"predicate": pred_map[s.name]}
+        if getattr(s, "until", None) is not None:
+            repl["until"] = until_map[s.name]
+        out.append(dataclasses.replace(s, **repl))
+    return out
 
 
 @dataclasses.dataclass
@@ -264,7 +283,27 @@ def _all_q_matches(events, steps, ts_col, within_ms, after_match,
     match per start row and resumes ONE PAST the match's start (not
     its end), so matches may overlap but each start row yields at
     most one (AfterMatchSkipStrategy.skipToNext — NOT NO_SKIP, which
-    would emit every greedy-length candidate per start)."""
+    would emit every greedy-length candidate per start).
+    SKIP TO FIRST/LAST(V) ('skip_to_first:V' / 'skip_to_last:V')
+    resumes AT the first/last row mapped to V (_skip_to_resume)."""
+    if after_match.startswith(("skip_to_first:", "skip_to_last:")):
+        mode, _, var = after_match.partition(":")
+        take_first = mode == "skip_to_first"
+        pos_of = {id(ev): i for i, ev in enumerate(events)}
+        relaxed = bool(steps) and steps[0].contiguity == "relaxed"
+        out, idx = [], 0
+        while idx < len(events):
+            found = _find_q_matches(events, steps, ts_col, within_ms,
+                                    start_idx=idx, first_only=True)
+            if not found:
+                if relaxed:
+                    break
+                idx += 1
+                continue
+            m, _end = found[0]
+            out.append(m)
+            idx = _skip_to_resume(m, var, take_first, pos_of)
+        return out
     if after_match == "skip_to_next_row":
         out, idx = [], 0
         relaxed = bool(steps) and steps[0].contiguity == "relaxed"
@@ -300,6 +339,84 @@ def _all_q_matches(events, steps, ts_col, within_ms, after_match,
     return _select_matches(found, id_col, after_match)
 
 
+def _expand_optional(steps: list[QStep]) -> list[list[QStep]]:
+    """Expand min_times=0 steps (`B*`, `B?`) into the alternation of
+    present/absent branches — the NFA's optional-state semantics
+    (reference: Quantifier.QuantifierProperty.OPTIONAL,
+    flink-cep/.../pattern/Quantifier.java; NFACompiler builds an
+    epsilon-style PROCEED edge for optional states) re-expressed as
+    branch enumeration, which the alternation matcher already scores
+    in SQL preference order.
+
+    Branch order = greedy preference: for each optional step, PRESENT
+    (with min_times raised to 1) before ABSENT, outer product in step
+    order — so `A B* C` prefers consuming Bs, ties at the same start
+    row resolved toward longer matches, exactly the greedy-star
+    semantics. After dropping a step the first surviving step inherits
+    the pattern's relaxed anchor.
+
+    Subset boundaries (raise, loudly): a pattern that can match zero
+    rows (every positive step optional), and an optional step whose
+    removal would orphan a notFollowedBy (negated step left last, or
+    two negated steps left adjacent).
+    """
+    opt = [i for i, s in enumerate(steps)
+           if not s.negated and s.min_times == 0]
+    if not opt:
+        return [list(steps)]
+    relaxed_first = bool(steps) and steps[0].contiguity == "relaxed"
+    out = []
+    for keep in itertools.product([True, False], repeat=len(opt)):
+        drop = {i for i, k in zip(opt, keep) if not k}
+        branch = []
+        for i, s in enumerate(steps):
+            if i in drop:
+                continue
+            if s.min_times == 0:
+                s = dataclasses.replace(s, min_times=1)
+            branch.append(s)
+        if not any(not s.negated for s in branch):
+            raise NotImplementedError(
+                "patterns that can match zero rows (all positive steps "
+                "optional) are unsupported")
+        if branch[-1].negated or any(
+                a.negated and b.negated
+                for a, b in zip(branch, branch[1:])):
+            raise NotImplementedError(
+                "dropping an optional step would orphan a "
+                "notFollowedBy (negated step left last or adjacent)")
+        if relaxed_first:
+            branch[0] = dataclasses.replace(branch[0],
+                                            contiguity="relaxed")
+        out.append(branch)
+    return out
+
+
+def _skip_to_resume(m, var: str, take_first: bool, pos_of) -> int:
+    """AFTER MATCH SKIP TO FIRST/LAST(V) resume position
+    (AfterMatchSkipStrategy.skipToFirst/skipToLast,
+    flink-cep/.../nfa/aftermatch/): the next scan starts AT the
+    first/last row mapped to V — overlapping matches are allowed, but
+    the resume point must advance past the match's start row (the
+    standard's runtime error; the reference throws
+    FlinkRuntimeException("Could not skip to first element..."))."""
+    which = "FIRST" if take_first else "LAST"
+    v_evs = [e for s, reps in m if s.name.upper() == var.upper()
+             for e in reps]
+    if not v_evs:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {which}({var}): variable matched no "
+            f"rows in this match")
+    start = pos_of[id(m[0][1][0])]
+    tgt = pos_of[id(v_evs[0] if take_first else v_evs[-1])]
+    if tgt <= start:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {which}({var}) would resume at the "
+            f"match's own start row — infinite loop (same error as the "
+            f"reference's AfterMatchSkipStrategy)")
+    return tgt
+
+
 def _permute_alts(steps: list[QStep]) -> list[list[QStep]]:
     """PERMUTE(A, B, ...) → the alternation of every ordering
     (SqlMatchRecognize PERMUTE; Calcite expands to `(A B | B A)` —
@@ -309,6 +426,9 @@ def _permute_alts(steps: list[QStep]) -> list[list[QStep]]:
     the variable, matching the expansion semantics."""
     if any(s.negated for s in steps):
         raise ValueError("notFollowedBy inside PERMUTE is unsupported")
+    if any(s.min_times == 0 for s in steps):
+        raise NotImplementedError(
+            "optional (`*`/`?`) elements inside PERMUTE are unsupported")
     contigs = [s.contiguity for s in steps]
     return [
         [dataclasses.replace(s, contiguity=contigs[i])
@@ -360,16 +480,26 @@ def _all_alt_matches(events, alts, ts_col, within_ms, after_match,
                                              within_ms)]
         return _select_matches(found, id_col, "all")
     pos_of = {id(ev): i for i, ev in enumerate(events)}
+    all_relaxed = all(b and b[0].contiguity == "relaxed" for b in alts)
     out, idx = [], 0
     n = len(events)
     while idx < n:
         found = _find_best_alt(events, alts, ts_col, within_ms, idx,
                                pos_of)
         if found is None:
-            break
+            if all_relaxed:
+                break  # relaxed anchors scanned every later start too
+            idx += 1  # a strict-anchored branch may match further on
+            continue
         m, end, start = found
         out.append(m)
-        idx = (start + 1 if after_match == "skip_to_next_row" else end)
+        if after_match == "skip_to_next_row":
+            idx = start + 1
+        elif after_match.startswith(("skip_to_first:", "skip_to_last:")):
+            mode, _, var = after_match.partition(":")
+            idx = _skip_to_resume(m, var, mode == "skip_to_first", pos_of)
+        else:  # skip_past_last
+            idx = end
     return out
 
 
@@ -395,6 +525,57 @@ def _select_matches(matches, id_col: str, after_match: str):
     return picked
 
 
+def _union_steps(branches: list[list[QStep]]) -> list[QStep]:
+    """Distinct steps across branches, first-appearance order — the
+    flag-projection / output-schema basis for an alternation (a
+    variable may appear in several branches; it gets ONE flag column
+    and ONE measures slot)."""
+    seen: set[str] = set()
+    out: list[QStep] = []
+    for br in branches:
+        for s in br:
+            if s.name not in seen:
+                seen.add(s.name)
+                out.append(s)
+    return out
+
+
+def _prepare_branches(df, keys, ts_col, id_col, steps, flag_exprs,
+                      until_exprs, permute, alternation):
+    """Shared front half of the two batch entrypoints: validate,
+    project flags (name-keyed, once for every branch), expand PERMUTE
+    and optional (min_times=0) steps into the final alternation.
+    Returns (df, union_steps, run_steps, alts): run_steps set for the
+    single-branch fast path, alts for alternation matching."""
+    if permute and alternation is not None:
+        raise ValueError("permute and alternation are mutually exclusive")
+    branches = alternation if alternation is not None else [steps]
+    if not branches or not any(branches):
+        raise ValueError("pattern needs at least one step")
+    for br in branches:
+        if br and br[-1].negated:
+            raise ValueError(
+                "notFollowedBy cannot be the last pattern step")
+        if any(a.negated and b.negated for a, b in zip(br, br[1:])):
+            raise ValueError(
+                "consecutive notFollowedBy steps are unsupported")
+    union = _union_steps(branches)
+    if flag_exprs is not None:
+        df, pred_map, until_map = _flag_projection(
+            df, keys, ts_col, id_col, union, flag_exprs, until_exprs)
+        branches = [_rebind_steps(br, pred_map, until_map)
+                    for br in branches]
+    expanded: list[list[QStep]] = []
+    for br in branches:
+        if permute:
+            expanded.extend(_permute_alts(br))
+        else:
+            expanded.extend(_expand_optional(br))
+    if len(expanded) == 1:
+        return df, union, expanded[0], None
+    return df, union, None, expanded
+
+
 def match_pattern_batch(
     df: DataFrame,
     keys: list[str],
@@ -406,24 +587,24 @@ def match_pattern_batch(
     flag_exprs: list[Column] | None = None,
     permute: bool = False,
     until_exprs: list[Column | None] | None = None,
+    alternation: list[list[QStep]] | None = None,
 ) -> DataFrame:
     """Quantified batch CEP: one row per match with, per (positive)
     step, the first/last matched event id and the repetition count.
-    Pass ``flag_exprs`` (one boolean Column per step) to evaluate
-    predicates JVM-side and ship only flags over Arrow (plus
-    ``until_exprs`` for steps carrying a stop condition). ``permute``
-    matches any ordering of the steps (SQL PERMUTE)."""
-    if steps and steps[-1].negated:
-        raise ValueError("notFollowedBy cannot be the last pattern step")
-    if any(a.negated and b.negated for a, b in zip(steps, steps[1:])):
-        raise ValueError("consecutive notFollowedBy steps are unsupported")
-    run_steps = steps
-    if flag_exprs is not None:
-        df, run_steps = _flag_projection(df, keys, ts_col, id_col,
-                                         steps, flag_exprs, until_exprs)
-    alts = _permute_alts(run_steps) if permute else None
+    Pass ``flag_exprs`` (one boolean Column per DISTINCT step name, in
+    first-appearance order) to evaluate predicates JVM-side and ship
+    only flags over Arrow (plus ``until_exprs`` for steps carrying a
+    stop condition). ``permute`` matches any ordering of the steps
+    (SQL PERMUTE). ``alternation`` supplies explicit branches
+    (`(A B | C D)`); steps with min_times=0 (`B*`, `B?`) are expanded
+    into present/absent branches automatically. A step absent from the
+    winning branch (or matching zero rows) reports first/last id NULL
+    and count 0 — the SQL unmatched-variable semantics."""
+    df, union, run_steps, alts = _prepare_branches(
+        df, keys, ts_col, id_col, steps, flag_exprs, until_exprs,
+        permute, alternation)
     within_ms = _interval_ms(within) if within else None
-    pos_steps = [s for s in steps if not s.negated]
+    pos_steps = [s for s in union if not s.negated]
     key_fields = ", ".join(f"{k} bigint" for k in keys)
     step_fields = ", ".join(
         f"{s.name}_first_id bigint, {s.name}_last_id bigint, "
@@ -444,7 +625,12 @@ def match_pattern_batch(
                    else _all_q_matches(events, run_steps, ts_col,
                                        within_ms, after_match, id_col))
         for m in matches:
-            row = {k: m[0][1][0][k] for k in keys}
+            # defaults = SQL unmatched-variable semantics: NULL ids,
+            # COUNT(V.*) = 0 for steps the winning branch didn't bind
+            row = dict.fromkeys(cols)
+            for s in pos_steps:
+                row[f"{s.name}_n"] = 0
+            row.update({k: m[0][1][0][k] for k in keys})
             for s, reps in m:
                 row[f"{s.name}_first_id"] = reps[0][id_col]
                 row[f"{s.name}_last_id"] = reps[-1][id_col]
@@ -468,6 +654,7 @@ def match_pattern_batch_rows(
     id_col: str = "event_id",
     flag_exprs: list[Column] | None = None,
     permute: bool = False,
+    alternation: list[list[QStep]] | None = None,
 ) -> DataFrame:
     """Quantified batch CEP, ALL ROWS PER MATCH shape: one output row
     per MATCHED EVENT — (keys, id, ts, match_seq, classifier), where
@@ -482,13 +669,9 @@ def match_pattern_batch_rows(
     rt/match/ and SqlMatchRecognize.java; per-event emission mirrors
     PatternProcessFunction receiving the full Map<String,List<Event>>.
     """
-    if steps and steps[-1].negated:
-        raise ValueError("notFollowedBy cannot be the last pattern step")
-    run_steps = steps
-    if flag_exprs is not None:
-        df, run_steps = _flag_projection(df, keys, ts_col, id_col,
-                                         steps, flag_exprs)
-    alts = _permute_alts(run_steps) if permute else None
+    df, _union, run_steps, alts = _prepare_branches(
+        df, keys, ts_col, id_col, steps, flag_exprs, None, permute,
+        alternation)
     within_ms = _interval_ms(within) if within else None
     key_fields = ", ".join(f"{k} bigint" for k in keys)
     out_schema = (f"{key_fields}, {id_col} bigint, {ts_col} timestamp, "
@@ -555,8 +738,9 @@ def match_recognize_batch(
     moves predicate evaluation JVM-side (see _flag_projection)."""
     run_steps = steps
     if flag_exprs is not None:
-        df, run_steps = _flag_projection(df, keys, ts_col, id_col,
-                                         steps, flag_exprs)
+        df, pred_map, until_map = _flag_projection(
+            df, keys, ts_col, id_col, steps, flag_exprs)
+        run_steps = _rebind_steps(steps, pred_map, until_map)
     within_ms = _interval_ms(within) if within else None
     key_fields = ", ".join(f"{k} bigint" for k in keys)
     id_fields = ", ".join(f"{s.name}_id bigint" for s in steps)

@@ -266,18 +266,24 @@ def test_match_recognize_parser_subset():
     import pytest
     from flink_1_11_2_with_comments_spark.plans.match_recognize import (
         _parse_pattern, _parse_predicate)
-    steps, excluded, permute = _parse_pattern("(A B+ C{2,4} D{3} E{2,})")
-    assert steps == [
+    branches, excluded, permute = _parse_pattern("(A B+ C{2,4} D{3} E{2,})")
+    assert branches == [[
         ("A", 1, 1), ("B", 1, None), ("C", 2, 4), ("D", 3, 3),
-        ("E", 2, None)]
+        ("E", 2, None)]]
     assert excluded == set() and not permute
-    steps, excluded, permute = _parse_pattern("(PERMUTE(A, B, C))")
-    assert steps == [("A", 1, 1), ("B", 1, 1), ("C", 1, 1)] and permute
-    steps, excluded, permute = _parse_pattern("(A {- B+ -} C)")
-    assert steps == [("A", 1, 1), ("B", 1, None), ("C", 1, 1)]
+    branches, excluded, permute = _parse_pattern("(PERMUTE(A, B, C))")
+    assert branches == [[("A", 1, 1), ("B", 1, 1), ("C", 1, 1)]] and permute
+    branches, excluded, permute = _parse_pattern("(A {- B+ -} C)")
+    assert branches == [[("A", 1, 1), ("B", 1, None), ("C", 1, 1)]]
     assert excluded == {"B"} and not permute
+    # min-0 quantifiers and alternation now parse
+    branches, _, _ = _parse_pattern("(A B* C?)")
+    assert branches == [[("A", 1, 1), ("B", 0, None), ("C", 0, 1)]]
+    branches, _, _ = _parse_pattern("(A B+ | C D)")
+    assert branches == [[("A", 1, 1), ("B", 1, None)],
+                        [("C", 1, 1), ("D", 1, 1)]]
     with pytest.raises(NotImplementedError):
-        _parse_pattern("(A B*)")  # min 0 unsupported
+        _parse_pattern("(A | PERMUTE(B, C))")  # permute + alternation
     with pytest.raises(NotImplementedError):
         _parse_pattern("(A {- B -} {- C -)")  # unbalanced exclusion
     p = _parse_predicate("X.v >= 10 AND X.t = 'click'", "X")

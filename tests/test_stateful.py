@@ -567,6 +567,69 @@ def test_cep_permute_equals_regex_alternation():
     check()
 
 
+def test_cep_star_equals_regex():
+    """Property: optional-step expansion (`B*` → present/absent
+    alternatives) under SKIP_PAST_LAST equals the regex engine on
+    `vc*p` — leftmost preference, greedy star, non-overlapping
+    continuation. Exercises _expand_optional + the alternation
+    matcher end-to-end."""
+    import re
+    from hypothesis import given, settings, strategies as st
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, _all_alt_matches, _expand_optional)
+
+    steps = [
+        QStep("a", lambda e: e["t"] == "v"),
+        QStep("b", lambda e: e["t"] == "c", min_times=0, max_times=None,
+              contiguity="strict"),
+        QStep("c", lambda e: e["t"] == "p", contiguity="strict"),
+    ]
+    alts = _expand_optional(steps)
+    assert [len(b) for b in alts] == [3, 2]  # present before absent
+
+    @given(st.text(alphabet="vcpx", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(seq):
+        events = [{"t": ch, "ts": i, "id": i} for i, ch in enumerate(seq)]
+        got = [(m[0][1][0]["id"], m[-1][1][-1]["id"])
+               for m in _all_alt_matches(events, alts, "ts", None,
+                                         "skip_past_last", "id")]
+        exp = [(mo.start(), mo.end() - 1)
+               for mo in re.finditer("vc*p", seq)]
+        assert got == exp, (seq, got, exp)
+
+    check()
+
+
+def test_cep_expand_optional_boundaries():
+    """_expand_optional subset boundaries raise loudly: all-optional
+    patterns (can match zero rows) and drops that orphan a
+    notFollowedBy."""
+    import pytest
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, _expand_optional, _permute_alts)
+    t = lambda e: True
+    with pytest.raises(NotImplementedError, match="zero rows"):
+        _expand_optional([QStep("a", t, min_times=0, max_times=None)])
+    with pytest.raises(NotImplementedError, match="notFollowedBy"):
+        _expand_optional([
+            QStep("a", t),
+            QStep("n", t, negated=True),
+            QStep("b", t, min_times=0, max_times=None,
+                  contiguity="strict")])
+    with pytest.raises(NotImplementedError, match="PERMUTE"):
+        _permute_alts([QStep("a", t),
+                       QStep("b", t, min_times=0, max_times=1)])
+    # plain expansion: `a b? c` → [a b c], [a c]
+    alts = _expand_optional([
+        QStep("a", t), QStep("b", t, min_times=0, max_times=1,
+                             contiguity="strict"),
+        QStep("c", t, contiguity="strict")])
+    assert [[s.name for s in b] for b in alts] == [
+        ["a", "b", "c"], ["a", "c"]]
+    assert all(s.min_times >= 1 for b in alts for s in b)
+
+
 def test_simhash_banding_pigeonhole_recall():
     """Property: the pigeonhole band split (threshold+1 bands) never
     misses a qualifying pair — any two signatures within Hamming
