@@ -382,3 +382,158 @@ def tpcds_two_fact_report(spark, sf_dir):
                  F.sum("n_returned").alias("returned_lines"),
                  F.sum("n_lines").alias("total_lines"),
                  F.count("*").alias("n_orders")))
+
+
+@register(
+    "tpcds_exists_chain",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_cust
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(year FROM o.o_orderdate) = 1996)
+      AND (EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 250000)
+        OR EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT'))
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-DS q10/q35 shape: customer demographics report gated by a "
+        "chain of correlated EXISTS predicates. Decorrelation: each "
+        "EXISTS becomes a LEFT SEMI join on the customer key; the OR of "
+        "two EXISTS over the same fact collapses into ONE semi join "
+        "with a disjunctive pushed filter (Catalyst's RewritePredicate"
+        "Subquery does exactly this) — two keyed semi joins total, no "
+        "per-customer re-scan of orders.",
+)
+def tpcds_exists_chain(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    active_96 = (o.where(F.year("o_orderdate") == 1996)
+                 .select(F.col("o_custkey").alias("k1")))
+    big_or_urgent = (o.where((F.col("o_totalprice") > 250000)
+                             | (F.col("o_orderpriority") == "1-URGENT"))
+                     .select(F.col("o_custkey").alias("k2")))
+    return (c.join(active_96, c.c_custkey == F.col("k1"), "left_semi")
+            .join(big_or_urgent, c.c_custkey == F.col("k2"), "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_cust")))
+
+
+@register(
+    "tpcds_window_over_rollup",
+    f"""
+    WITH r AS (
+      SELECT n.n_name, c.c_mktsegment,
+             CAST(GROUPING(n.n_name) AS INT) AS g_nat,
+             CAST(GROUPING(c.c_mktsegment) AS INT) AS g_seg,
+             {sql_dsum('o.o_totalprice')} AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+    )
+    SELECT n_name, c_mktsegment, g_nat, g_seg, rev, rnk FROM (
+      SELECT *, RANK() OVER (PARTITION BY g_nat, g_seg, n_name
+                             ORDER BY rev DESC) AS rnk
+      FROM r
+    ) x WHERE rnk <= 3
+    """,
+    doc="TPC-DS q67/q70 shape: top-k WITHIN each ROLLUP level — rank "
+        "partitions on the GROUPING() markers plus the surviving key, "
+        "so detail rows, per-nation subtotals and the grand total each "
+        "rank within their own level. One Expand + one aggregate + one "
+        "window over the AGGREGATED rows (|nations| x |segments|), "
+        "never over the fact; both dims broadcast.",
+)
+def tpcds_window_over_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .rollup("n_name", "c_mktsegment")
+         .agg(F.grouping("n_name").cast("int").alias("g_nat"),
+              F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+              dsum("o_totalprice").alias("rev")))
+    w = W.partitionBy("g_nat", "g_seg", "n_name").orderBy(F.desc("rev"))
+    return (r.withColumn("rnk", F.rank().over(w).cast("bigint"))
+            .where(F.col("rnk") <= 3)
+            .select("n_name", "c_mktsegment", "g_nat", "g_seg",
+                    "rev", "rnk"))
+
+
+@register(
+    "tpcds_channel_intersect",
+    """
+    WITH common AS (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT p.p_brand, COUNT(*) AS n_parts
+    FROM common j JOIN part p ON j.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-DS q14 shape: items present in EVERY channel — the "
+        "cross-channel INTERSECT (q14's store/catalog/web item sets), "
+        "adapted to the three return-flag states. Spark plans each "
+        "INTERSECT as a distinct + left-semi join keyed on the part — "
+        "set sizes are |parts|, not |lineitem|, and the final brand "
+        "report joins the small common set against broadcast part.",
+)
+def tpcds_channel_intersect(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+
+    def chan(flag):
+        return li.where(F.col("l_returnflag") == flag).select("l_partkey")
+
+    common = chan("A").intersect(chan("N")).intersect(chan("R"))
+    return (common.join(F.broadcast(p), common.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts")))
+
+
+@register(
+    "tpcds_semi_anti_chain",
+    f"""
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_suppkey) >= 2
+    ), returned AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price
+    FROM orders o
+    JOIN multi m ON o.o_orderkey = m.l_orderkey
+    WHERE NOT EXISTS (SELECT 1 FROM returned r
+                      WHERE r.l_orderkey = o.o_orderkey)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-DS q16/q94 shape: orders with lines from >= 2 distinct "
+        "suppliers (the EXISTS-another-line-with-different-warehouse "
+        "predicate, decorrelated to a count-distinct pre-aggregate) and "
+        "NO returned line (NOT EXISTS → left ANTI join). The fact is "
+        "reduced to two keyed order-id sets before touching orders — "
+        "semi + anti join chain on the order key, one shuffle each.",
+)
+def tpcds_semi_anti_chain(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    multi = (li.groupBy("l_orderkey")
+             .agg(F.countDistinct("l_suppkey").alias("ns"))
+             .where(F.col("ns") >= 2)
+             .select(F.col("l_orderkey").alias("mk")))
+    returned = (li.where(F.col("l_returnflag") == "R")
+                .select(F.col("l_orderkey").alias("rk")))
+    return (o.join(multi, o.o_orderkey == F.col("mk"), "left_semi")
+            .join(returned, o.o_orderkey == F.col("rk"), "left_anti")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 dsum("o_totalprice").alias("total_price")))
