@@ -2,12 +2,17 @@
 
 The Spark-side plumbing is real — binary columns, typed metadata
 structs, Arrow-batched feature extraction over mapInPandas with
-correct batch shapes and partitioning. The codec step itself (JPEG
-decode, audio resample, frame sampling) is STUBBED: the image/audio
-libraries are not in this container, so `decode_image` raises
-NotImplementedError unless the deterministic fake decoder is chosen.
-At 100 TB the pattern is: binary column stays columnar in parquet,
-decode runs in executor-side Python with Arrow batches, outputs are
+correct batch shapes and partitioning. The HEADER codec is real too:
+synthesize_png builds spec-correct PNG containers and
+parse_png_header decodes signature/IHDR/width/height/bit-depth from
+the standard byte offsets entirely in whole-stage codegen (it parses
+genuine PNG files). Only the PIXEL decode (zlib IDAT inflate, JPEG
+DCT, audio resample, frame sampling) is STUBBED: those libraries are
+not in this container, so `decode_image` raises NotImplementedError
+unless the deterministic fake decoder is chosen. At 100 TB the
+pattern is: binary column stays columnar in parquet, header fields
+extract JVM-side (predicate pushdown on dimensions!), pixel decode
+runs in executor-side Python with Arrow batches, outputs are
 fixed-width feature columns — no driver involvement.
 """
 
@@ -38,6 +43,68 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
         (F.length("text") % 48 + 1).cast("int").alias("height"),
         F.octet_length(F.encode("text", "utf-8")).cast("bigint")
         .alias("n_bytes"))
+
+
+PNG_SIGNATURE = bytes.fromhex("89504E470D0A1A0A")
+
+
+def _be32(col):
+    """Column<int> → 4-byte big-endian binary, JVM-side (hex → pad →
+    unhex); the standard network-byte-order encoding PNG uses."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+
+def synthesize_png(documents: DataFrame) -> DataFrame:
+    """Build a REAL PNG container per document — signature + IHDR
+    chunk laid out exactly per the PNG spec (signature 8 bytes; chunk
+    length 4 BE; type 'IHDR'; width/height 4-byte BE; bit depth 8,
+    color type 6 = RGBA, compression/filter/interlace 0; 4-byte CRC
+    slot) with the document's UTF-8 bytes standing in for the IDAT
+    payload. Pure whole-stage codegen: binary concat of literals and
+    big-endian-encoded dimension columns — no Python anywhere. The CRC
+    is zeroed (header parsers don't verify it; a pixel decoder would).
+    """
+    width = (F.length("text") % 64 + 1).cast("int")
+    height = (F.length("text") % 48 + 1).cast("int")
+    return documents.select(
+        "doc_id",
+        F.concat(
+            F.lit(PNG_SIGNATURE),
+            F.lit((13).to_bytes(4, "big")),      # IHDR data length
+            F.lit(b"IHDR"),
+            _be32(width), _be32(height),
+            F.lit(bytes([8, 6, 0, 0, 0])),       # depth/color/c/f/i
+            F.lit(bytes(4)),                     # CRC slot
+            F.encode("text", "utf-8"),           # payload stand-in
+        ).alias("media"),
+        F.lit("image/png").alias("media_type"))
+
+
+def parse_png_header(media: DataFrame,
+                     media_col: str = "media") -> DataFrame:
+    """REAL PNG IHDR parse, pure JVM codegen (the round-4 codec the
+    stub boundary promised): verify the 8-byte signature and the IHDR
+    chunk type, then read width/height (4-byte big-endian at offsets
+    17/21, 1-based), bit depth (25), color type (26), and the payload
+    size past the 33-byte signature+IHDR envelope. Offsets are the
+    PNG standard's — this parses genuine PNG files, not just the
+    synthesized ones. Every field is substring + hex + conv inside
+    whole-stage codegen; zero Python, zero shuffle.
+    """
+    m = F.col(media_col)
+
+    def be_int(pos: int, n: int):
+        return F.conv(F.hex(F.substring(m, pos, n)), 16, 10).cast("bigint")
+
+    return media.select(
+        "doc_id",
+        (F.substring(m, 1, 8) == F.lit(PNG_SIGNATURE)).alias("magic_ok"),
+        (F.substring(m, 13, 4) == F.lit(b"IHDR")).alias("ihdr_ok"),
+        be_int(17, 4).alias("width"),
+        be_int(21, 4).alias("height"),
+        be_int(25, 1).alias("bit_depth"),
+        be_int(26, 1).alias("color_type"),
+        (F.octet_length(m) - 33).cast("bigint").alias("payload_bytes"))
 
 
 def decode_image(data: bytes):

@@ -611,6 +611,34 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           TRUE AS magic_ok, TRUE AS ihdr_ok,
+           CAST(length(text) % 64 + 1 AS BIGINT) AS width,
+           CAST(length(text) % 48 + 1 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(6 AS BIGINT) AS color_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
+    doc="REAL binary codec path: synthesize_png builds spec-correct PNG "
+        "containers (signature + IHDR, big-endian dimensions at the "
+        "standard offsets) and parse_png_header decodes them back — "
+        "both pure whole-stage codegen (binary concat/substring/hex/"
+        "conv), zero Python, zero shuffle; the parser works on genuine "
+        "PNG files. Oracle closes the round trip: the decoded fields "
+        "must equal the values the synthesizer embedded, recomputed "
+        "independently from the source text. Pixel decode (IDAT "
+        "inflate) remains the documented stub (pipeline/multimodal.py).",
+)
+def multimodal_decode(spark, sf_dir):
+    from ..pipeline.multimodal import parse_png_header, synthesize_png
+    d = t(spark, sf_dir, "documents")
+    return parse_png_header(synthesize_png(d))
+
+
+@register(
     "multimodal_metadata",
     """
     SELECT doc_id, 'image/fake' AS media_type,

@@ -145,6 +145,34 @@ def test_multimodal_stub_contract(spark, documents):
         extract_features(media, fake_decode=False).collect()
 
 
+def test_png_header_parser_on_genuine_png(spark):
+    """parse_png_header must decode a REAL PNG built independently with
+    struct.pack + zlib CRC (not via synthesize_png) — proving the
+    parser reads the standard's byte layout, not a private format."""
+    import struct
+    import zlib
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        parse_png_header)
+
+    def real_png(w, h, payload):
+        ihdr = struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+        crc = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        return (bytes.fromhex("89504E470D0A1A0A")
+                + struct.pack(">I", 13) + b"IHDR" + ihdr + crc + payload)
+
+    rows = [(1, real_png(640, 480, b"x" * 10)),
+            (2, real_png(19, 7, b"")),
+            (3, b"NOTAPNG" + bytes(30))]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    got = {r.doc_id: r for r in parse_png_header(df).collect()}
+    assert got[1].magic_ok and got[1].ihdr_ok
+    assert (got[1].width, got[1].height) == (640, 480)
+    assert (got[1].bit_depth, got[1].color_type) == (8, 6)
+    assert got[1].payload_bytes == 10
+    assert (got[2].width, got[2].height, got[2].payload_bytes) == (19, 7, 0)
+    assert not got[3].magic_ok and not got[3].ihdr_ok
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF (16 cells, probe 4) must recover a solid fraction of the
     exact top-10 — and exactly match brute force restricted to the
