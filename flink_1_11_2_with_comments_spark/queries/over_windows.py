@@ -301,3 +301,61 @@ def over_ignore_nulls(spark, sf_dir):
         "user_id", "event_id", "mv",
         F.last("mv", ignorenulls=True).over(w).alias("last_filled"),
         F.first("mv", ignorenulls=True).over(w).alias("first_seen"))
+
+
+@register(
+    "over_time_range_preceding",
+    """
+    SELECT user_id, event_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10)))
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+             AS DOUBLE) AS running_sum
+    FROM events WHERE user_id <= 150
+    """,
+    doc="Time-range-bounded OVER frame: SUM over the trailing hour per "
+        "key — the batch twin of the streaming "
+        "RowTimeRangeBoundedPrecedingFunction.java:59 operator "
+        "(streaming/over_agg.range_bounded_preceding_sum; stream-batch "
+        "parity pinned in tests/test_streaming.py). The frame orders by "
+        "EXACT integer epoch microseconds on both engines (Spark "
+        "timestampdiff from the NTZ epoch — unix_micros would force a "
+        "TZ-dependent NTZ→instant cast; DuckDB epoch_us) so the "
+        "one-hour boundary never drifts through float rounding; RANGE "
+        "frames are peer-inclusive on both. Decimal-accumulated sum "
+        "for engine-exact replay.",
+)
+def over_time_range_preceding(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("user_id") <= 150)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = (W.partitionBy("user_id").orderBy(micros)
+         .rangeBetween(-3_600_000_000, W.currentRow))
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w), 6)
+        .cast("double").alias("running_sum"))
+
+
+@register(
+    "temporal_sort_batch",
+    """
+    SELECT user_id, event_id, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pos
+    FROM events WHERE user_id <= 150
+    """,
+    doc="Temporal sort — the batch twin of the streaming event-time "
+        "sorter (RowTimeSortOperator.java:45: buffer until the "
+        "watermark, emit in (ts, tiebreak) order). A bare ORDER BY is "
+        "unverifiable through an order-insensitive driver hash, so the "
+        "sort is attested as a materialized position column: pos is the "
+        "row's rank in event-time order per key, which IS the emission "
+        "order the streaming operator produces (parity pinned in "
+        "tests/test_streaming.py).",
+)
+def temporal_sort_batch(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("user_id") <= 150)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select("user_id", "event_id", "ts",
+                     F.row_number().over(w).cast("bigint").alias("pos")))
