@@ -27,59 +27,48 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # The external correctness gate evaluates the registry in insertion order
-# and may only reach the first N entries (rounds 1 and 2 stopped at 50).
-# Round-3 rotation: rounds 1+2 hard-verified 91 distinct queries green;
-# this list now front-loads (a) the four rows that were red in round 2
-# (oracle timestamp idiom, fixed — re-verification proves the fix),
-# (b) the two queries rewritten this round (fn_time_type NTZ fix,
-# dedup_simhash_pairs banding), then (c) every query that has never had
-# a driver row in any round. The two oracle-less rows-only checks sit
-# at positions 51-52 (weakest signal, first to be cut if the window
-# stays at 50); queries green in earlier rounds sort after them, TPC-H
-# (all green in round 1) last.
+# and may only reach the first N entries (every round so far stopped at 50).
+# Round-4 rotation: rounds 1-3 hard-verified 140 of 141 checked queries
+# green (fn_math red on an output-type mismatch, since fixed). This list
+# front-loads (a) fn_math — re-verification proves the cast fix — then
+# (b) all 27 oracle-backed queries that have never had a driver row
+# (rounds 3-4 additions: MATCH_RECOGNIZE extensions, TPC-DS shapes,
+# pipeline ops, streaming batch twins), then (c) ~20 canaries spanning
+# every operator family that was green in earlier rounds — including
+# graph_connected_components, whose implementation switched to the
+# frontier-delta iteration this round and therefore needs a fresh row.
+# The two oracle-less rows-only checks sit at slots 49-50: weakest
+# signal, but they have never had any driver row at all. Previously
+# green queries follow, TPC-H (all green in round 1) last.
 _PRIORITY: tuple[str, ...] = (
-    # (a) red in round 2 → oracle idiom fixed this round
-    "window_tumble_agg", "window_topn", "window_tumble_join",
-    "evictor_delta_window",
-    # (b) rewritten this round
-    "fn_time_type", "dedup_simhash_pairs",
-    # (c) never driver-checked: set operations
-    "setop_union_all", "setop_intersect", "setop_intersect_all",
-    "setop_except",
-    # NULL semantics
-    "null_join_semantics", "null_not_in", "null_distinct_groupby",
-    # OVER windows / dedup variants
-    "over_rows_unbounded_preceding", "over_unbounded_following",
-    "over_lead_lag", "over_multi_window", "over_ignore_nulls",
-    "dedup_keep_last_row",
-    # scalar-function batches
-    "fn_string_regex_split", "fn_string_predicates_base64", "fn_math",
-    "fn_hash", "fn_json", "fn_conditional", "fn_temporal_overlaps",
-    "fn_sql_udf_surface", "fn_string_extras", "fn_percentiles",
-    "fn_higher_order", "fn_string_position",
-    # group windows / CEP / evictors / count windows
-    "window_hop_agg", "window_session_agg", "cep_funnel",
-    "cep_not_followed_by", "match_recognize_all_rows",
-    "evictor_count_window", "evictor_time_window",
-    "count_sliding_window_batch",
-    # pipeline: text / dedup / ANN / multimodal / sketches
-    "text_quality", "dedup_ngram_jaccard", "ann_bruteforce_topk",
-    "ann_ivf_assign", "ann_ivf_lloyd", "multimodal_features",
-    "heavy_hitters",
-    # UDF surface / graph
-    "udf_table_aggregate_top2",
-    "graph_pagerank", "graph_sssp", "graph_triangle_count",
-    # oracle-less rows-only checks (slots 51-52)
-    "approx_sketches", "corpus_sample",
-    # new this round (slots 53+; enter the window at the next rotation)
-    "match_recognize_permute", "match_recognize_exclusion",
+    # (a) red in round 3 → output types aligned with the oracle
+    "fn_math",
+    # (b) never driver-checked: MATCH_RECOGNIZE / CEP extensions
+    "match_recognize_star", "match_recognize_alternation",
+    "match_recognize_skip_to_first", "match_recognize_permute",
+    "match_recognize_exclusion", "match_recognize_prev", "cep_until",
+    # TPC-DS-shaped analytics
     "tpcds_channel_union", "tpcds_rollup_report", "tpcds_monthly_share",
     "tpcds_repeat_customers", "tpcds_bucket_report",
-    "tpcds_two_fact_report", "cep_until",
+    "tpcds_two_fact_report", "tpcds_above_group_average",
+    "tpcds_line_count_band", "tpcds_period_over_period",
+    "tpcds_fraction_of_max", "tpcds_exists_chain",
+    "tpcds_window_over_rollup", "tpcds_channel_intersect",
+    "tpcds_semi_anti_chain",
+    # pipeline + streaming batch twins
     "dedup_cluster_canonical", "text_redact", "sample_stratified",
-    "tpcds_above_group_average", "tpcds_line_count_band",
-    "tpcds_period_over_period", "tpcds_fraction_of_max",
-    "match_recognize_prev",
+    "multimodal_decode", "over_time_range_preceding",
+    "temporal_sort_batch",
+    # (c) family canaries, all green in rounds 1-3
+    "tpch_q1", "tpch_q21", "agg_grouping_sets", "setop_except_all",
+    "null_join_semantics", "over_lead_lag", "rank_topn_per_group",
+    "dedup_keep_last_row", "window_tumble_agg", "window_session_agg",
+    "count_window_batch", "evictor_delta_window", "cep_funnel",
+    "match_recognize_all_rows", "changelog_rowkind", "jdbc_lookup_join",
+    "dedup_minhash_lsh", "ann_ivf_topk", "text_quality",
+    "graph_connected_components",
+    # oracle-less rows-only checks (slots 49-50; never driver-checked)
+    "approx_sketches", "corpus_sample",
 )
 
 
