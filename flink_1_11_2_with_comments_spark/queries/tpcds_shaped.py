@@ -537,3 +537,261 @@ def tpcds_semi_anti_chain(spark, sf_dir):
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_orders"),
                  dsum("o_totalprice").alias("total_price")))
+
+
+@register(
+    "tpcds_multi_band_count",
+    """
+    SELECT b1.n AS h0_2, b2.n AS h3_5, b3.n AS h6_8, b4.n AS h9_11,
+           b5.n AS h12_14, b6.n AS h15_17, b7.n AS h18_20, b8.n AS h21_23
+    FROM
+      (SELECT COUNT(*) AS n FROM events
+        WHERE EXTRACT(hour FROM ts) BETWEEN 0 AND 2
+          AND event_type IN ('click','view')) b1,
+      (SELECT COUNT(*) AS n FROM events
+        WHERE EXTRACT(hour FROM ts) BETWEEN 3 AND 5
+          AND event_type IN ('click','view')) b2,
+      (SELECT COUNT(*) AS n FROM events
+        WHERE EXTRACT(hour FROM ts) BETWEEN 6 AND 8
+          AND event_type IN ('click','view')) b3,
+      (SELECT COUNT(*) AS n FROM events
+        WHERE EXTRACT(hour FROM ts) BETWEEN 9 AND 11
+          AND event_type IN ('click','view')) b4,
+      (SELECT COUNT(*) AS n FROM events
+        WHERE EXTRACT(hour FROM ts) BETWEEN 12 AND 14
+          AND event_type IN ('click','view')) b5,
+      (SELECT COUNT(*) AS n FROM events
+        WHERE EXTRACT(hour FROM ts) BETWEEN 15 AND 17
+          AND event_type IN ('click','view')) b6,
+      (SELECT COUNT(*) AS n FROM events
+        WHERE EXTRACT(hour FROM ts) BETWEEN 18 AND 20
+          AND event_type IN ('click','view')) b7,
+      (SELECT COUNT(*) AS n FROM events
+        WHERE EXTRACT(hour FROM ts) BETWEEN 21 AND 23
+          AND event_type IN ('click','view')) b8
+    """,
+    doc="TPC-DS q88 shape: eight time-band counts returned as one row. "
+        "The oracle states the classic form — eight scalar subqueries "
+        "cross-joined, eight fact scans. The Spark plan derives all "
+        "eight counts from ONE scan with conditional aggregation "
+        "(sum(case when band then 1 end)) — at 100 TB this is the "
+        "difference between 8x fact I/O and 1x, for identical output.",
+)
+def tpcds_multi_band_count(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view"))
+    h = F.hour("ts")
+    bands = [("h0_2", 0, 2), ("h3_5", 3, 5), ("h6_8", 6, 8),
+             ("h9_11", 9, 11), ("h12_14", 12, 14), ("h15_17", 15, 17),
+             ("h18_20", 18, 20), ("h21_23", 21, 23)]
+    return e.agg(*[
+        F.sum(F.when(h.between(lo, hi), 1).otherwise(0)).alias(name)
+        for name, lo, hi in bands])
+
+
+@register(
+    "tpcds_cumulative_channel_join",
+    f"""
+    WITH store AS (
+      SELECT EXTRACT(year FROM l_shipdate) * 100
+               + EXTRACT(month FROM l_shipdate) AS ym,
+             {sql_dsum('l_extendedprice')} AS rev
+      FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1
+    ), ret AS (
+      SELECT EXTRACT(year FROM l_shipdate) * 100
+               + EXTRACT(month FROM l_shipdate) AS ym,
+             {sql_dsum('l_extendedprice')} AS rev
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), cum AS (
+      SELECT COALESCE(s.ym, r.ym) AS ym,
+             CAST(ROUND(SUM(s.rev) OVER (ORDER BY COALESCE(s.ym, r.ym)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS DOUBLE) AS store_cum,
+             CAST(ROUND(SUM(r.rev) OVER (ORDER BY COALESCE(s.ym, r.ym)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS DOUBLE) AS ret_cum
+      FROM store s FULL OUTER JOIN ret r ON s.ym = r.ym
+    )
+    SELECT ym, store_cum, ret_cum FROM cum
+    WHERE ret_cum > 0.32 * store_cum
+    """,
+    doc="TPC-DS q51 shape: two per-channel cumulative series FULL "
+        "OUTER JOINed on the period key, kept where one running total "
+        "overtakes a fraction of the other. Each channel aggregate is "
+        "|months| rows, so the full join and the running-sum windows "
+        "run on tiny aggregates; the fact is scanned once per channel "
+        "(a single conditional scan would also work, but the oracle's "
+        "two-CTE form keeps the q51 FULL JOIN shape visible). "
+        "Cumulative sums accumulate the already-rounded per-month "
+        "DOUBLEs ordered by the unique ym key — deterministic order, "
+        "both engines.",
+)
+def tpcds_cumulative_channel_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ym = (F.year("l_shipdate").cast("bigint") * 100
+          + F.month("l_shipdate").cast("bigint")).alias("ym")
+    store = (li.where(F.col("l_returnflag") != "R").groupBy(ym)
+             .agg(dsum("l_extendedprice").alias("s_rev")))
+    ret = (li.where(F.col("l_returnflag") == "R")
+           .groupBy(ym.alias("ym_r"))
+           .agg(dsum("l_extendedprice").alias("r_rev")))
+    joined = store.join(ret, store.ym == ret.ym_r, "full_outer") \
+        .select(F.coalesce(store.ym, ret.ym_r).alias("ym"),
+                "s_rev", "r_rev")
+    w = W.orderBy("ym").rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = joined.select(
+        "ym",
+        F.round(F.sum("s_rev").over(w), 2).cast("double").alias("store_cum"),
+        F.round(F.sum("r_rev").over(w), 2).cast("double").alias("ret_cum"))
+    return out.where(F.col("ret_cum") > 0.32 * F.col("store_cum"))
+
+
+@register(
+    "tpcds_year_over_year_customer",
+    f"""
+    WITH yearly AS (
+      SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+             {sql_dsum('o_totalprice')} AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT a.o_custkey AS custkey, a.yr AS yr,
+           b.rev AS rev_prev, a.rev AS rev_this,
+           CAST(ROUND(a.rev / b.rev, 6) AS DOUBLE) AS growth
+    FROM yearly a JOIN yearly b
+      ON a.o_custkey = b.o_custkey AND a.yr = b.yr + 1
+    WHERE a.rev > 2.5 * b.rev
+    """,
+    doc="TPC-DS q11/q74 shape: per-customer year-over-year growth via "
+        "a self-join of the (customer, year) aggregate on the shifted "
+        "year, keeping customers whose spend grew past a threshold. "
+        "Unlike the global-period q59 twin, the aggregate keeps the "
+        "customer key, so the self-join is a genuine shuffle join on "
+        "o_custkey — both sides partition identically and the exchange "
+        "is reused (one shuffle for agg + join on a 1000-executor "
+        "cluster; the fact is never self-joined).",
+)
+def tpcds_year_over_year_customer(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    yearly = (o.groupBy("o_custkey",
+                        F.year("o_orderdate").cast("bigint").alias("yr"))
+              .agg(dsum("o_totalprice").alias("rev")))
+    a = yearly.alias("a")
+    b = yearly.select(F.col("o_custkey").alias("ck_b"),
+                      F.col("yr").alias("yr_b"),
+                      F.col("rev").alias("rev_b"))
+    return (a.join(b, (F.col("a.o_custkey") == F.col("ck_b"))
+                   & (F.col("a.yr") == F.col("yr_b") + 1))
+            .where(F.col("a.rev") > 2.5 * F.col("rev_b"))
+            .select(F.col("a.o_custkey").alias("custkey"),
+                    F.col("a.yr").alias("yr"),
+                    F.col("rev_b").alias("rev_prev"),
+                    F.col("a.rev").alias("rev_this"),
+                    F.round(F.col("a.rev") / F.col("rev_b"), 6)
+                    .cast("double").alias("growth")))
+
+
+@register(
+    "tpcds_moving_avg_deviation",
+    f"""
+    WITH monthly AS (
+      SELECT p.p_brand,
+             EXTRACT(year FROM l.l_shipdate) * 100
+               + EXTRACT(month FROM l.l_shipdate) AS ym,
+             {sql_dsum('l.l_extendedprice')} AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size <= 8
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT p_brand, ym, rev,
+             CAST(ROUND(AVG(rev) OVER (PARTITION BY p_brand), 6)
+                  AS DOUBLE) AS brand_avg,
+             LAG(rev) OVER (PARTITION BY p_brand ORDER BY ym) AS rev_prev,
+             LEAD(rev) OVER (PARTITION BY p_brand ORDER BY ym) AS rev_next
+      FROM monthly
+    )
+    SELECT p_brand, ym, rev, brand_avg, rev_prev, rev_next
+    FROM win
+    WHERE brand_avg > 0 AND abs(rev - brand_avg) > 0.6 * brand_avg
+    """,
+    doc="TPC-DS q47/q57 shape: periods whose revenue deviates hard "
+        "from the series mean, reported with their lag/lead neighbours. "
+        "One fact scan -> (brand, month) aggregate; the three window "
+        "functions share ONE partition-by-brand sort (Catalyst "
+        "collapses same-spec windows into a single Window node, one "
+        "shuffle on the small aggregate). AVG over the already-rounded "
+        "monthly DOUBLEs is order-sensitive in the last bits, so both "
+        "sides round the window average to 6 dp.",
+)
+def tpcds_moving_avg_deviation(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 8)
+    monthly = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+               .groupBy("p_brand",
+                        (F.year("l_shipdate").cast("bigint") * 100
+                         + F.month("l_shipdate").cast("bigint")).alias("ym"))
+               .agg(dsum("l_extendedprice").alias("rev")))
+    wp = W.partitionBy("p_brand")
+    wo = wp.orderBy("ym")
+    win = monthly.select(
+        "p_brand", "ym", "rev",
+        F.round(F.avg("rev").over(wp), 6).cast("double").alias("brand_avg"),
+        F.lag("rev").over(wo).alias("rev_prev"),
+        F.lead("rev").over(wo).alias("rev_next"))
+    return win.where((F.col("brand_avg") > 0)
+                     & (F.abs(F.col("rev") - F.col("brand_avg"))
+                        > 0.6 * F.col("brand_avg")))
+
+
+@register(
+    "tpcds_returns_net",
+    f"""
+    WITH sales AS (
+      SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_returnflag <> 'R'
+    ), rets AS (
+      SELECT l_orderkey, l_partkey,
+             {sql_dsum('l_quantity')} AS ret_qty
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY 1, 2
+    )
+    SELECT o.o_orderpriority,
+           {sql_dsum('s.l_quantity')} AS gross_qty,
+           CAST(ROUND(SUM(CAST(COALESCE(r.ret_qty, 0) AS DECIMAL(30,10))), 2)
+                AS DOUBLE) AS returned_qty,
+           {sql_dsum('s.l_extendedprice')} AS gross_rev
+    FROM sales s
+    LEFT JOIN rets r
+      ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+    JOIN orders o ON s.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-DS q93 shape: sales LEFT JOINed to a returns table on the "
+        "(ticket, item) composite key, netting returned quantity out of "
+        "gross via COALESCE, re-aggregated by a dimension attribute. "
+        "Returns pre-aggregate to the join key first (the returns side "
+        "shrinks before the shuffle); both fact slices come from the "
+        "same scan (Catalyst reuses the exchange) and partition on "
+        "l_orderkey so the sales-returns join and the orders join "
+        "share co-location. Adaptation: TPC-H marks returns with "
+        "l_returnflag='R' rather than a separate store_returns table.",
+)
+def tpcds_returns_net(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    sales = (li.where(F.col("l_returnflag") != "R")
+             .select("l_orderkey", "l_partkey",
+                     "l_quantity", "l_extendedprice"))
+    rets = (li.where(F.col("l_returnflag") == "R")
+            .groupBy(F.col("l_orderkey").alias("rk"),
+                     F.col("l_partkey").alias("rp"))
+            .agg(dsum("l_quantity").alias("ret_qty")))
+    return (sales
+            .join(rets, (sales.l_orderkey == F.col("rk"))
+                  & (sales.l_partkey == F.col("rp")), "left")
+            .join(o, sales.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(dsum("l_quantity").alias("gross_qty"),
+                 F.round(F.sum(F.coalesce(F.col("ret_qty"), F.lit(0))
+                               .cast(DEC)), 2).cast("double")
+                 .alias("returned_qty"),
+                 dsum("l_extendedprice").alias("gross_rev")))
