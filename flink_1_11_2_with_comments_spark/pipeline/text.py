@@ -92,3 +92,64 @@ def fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
         tokens(c),
         F.lit(0).cast("bigint"),
         lambda acc, tok: (acc * 31 + md5_int_expr(tok) % 1000003) % mod)
+
+
+def ngrams(text: Column | str, n: int, sep: str = " ") -> Column:
+    """Word n-grams WITH duplicates (order-preserving) — the unit for
+    repetition analysis (Gopher-style duplicate-n-gram filters), as
+    opposed to dedup.shingles which distincts for set semantics."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, sep)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(
+            sep, *[F.element_at(toks, i + j) for j in range(n)]))
+
+
+def repetition_features(text: Column | str) -> dict[str, Column]:
+    """Within-document repetition: fraction of word 2-/3-grams that are
+    duplicates. High values flag boilerplate/looping text — the
+    duplicate-n-gram fraction rule from large-corpus quality filtering.
+    Pure array expressions: single scan, zero shuffle."""
+    g2, g3 = ngrams(text, 2), ngrams(text, 3)
+
+    def dup_ratio(g: Column) -> Column:
+        return F.when(F.size(g) > 0,
+                      ((F.size(g) - F.size(F.array_distinct(g)))
+                       / F.size(g)).cast("double")).otherwise(F.lit(0.0))
+
+    return {
+        "n_2grams": F.size(g2).cast("bigint"),
+        "dup_2gram_ratio": dup_ratio(g2),
+        "n_3grams": F.size(g3).cast("bigint"),
+        "dup_3gram_ratio": dup_ratio(g3),
+    }
+
+
+def token_entropy(text: Column | str) -> Column:
+    """Shannon entropy (nats) of the document's unigram distribution.
+
+    Computed entirely map-side over the token array: for each DISTINCT
+    token, count occurrences with a filter over the array, then fold
+    -(p ln p) terms. O(distinct x n_tokens) per document but ZERO
+    shuffle — at 100 TB this beats the explode + two-groupBy form by
+    the full width of the corpus. Each term is rounded to 12 dp and
+    accumulated in DECIMAL so the sum is order-independent and
+    engine-exact (see queries/_util.py numeric-determinism note).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    terms = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.round(
+            -(F.size(F.filter(toks, lambda x: x == t)) / n)
+            * F.log(F.size(F.filter(toks, lambda x: x == t)) / n),
+            12).cast("decimal(30,14)"))
+    return F.round(
+        F.aggregate(terms, F.lit(0).cast("decimal(30,14)"),
+                    # decimal + widens to (31,14); re-cast to keep the
+                    # accumulator type fixed (entropy ≤ ln(n) << 10^16,
+                    # so the narrowing never truncates)
+                    lambda acc, x: (acc + x).cast("decimal(30,14)")),
+        6).cast("double")

@@ -920,3 +920,149 @@ def corpus_sample(spark, sf_dir):
     return (bern.withColumn("method", F.lit("bernoulli"))
             .unionAll(hashed.withColumn("method", F.lit("hash_bucket")))
             .orderBy("method", "doc_id"))
+
+
+_NG2 = ("list_transform(range(1, len(string_split(text, ' '))), "
+        "i -> string_split(text, ' ')[i] || ' ' || "
+        "string_split(text, ' ')[i+1])")
+_NG3 = ("list_transform(range(1, len(string_split(text, ' ')) - 1), "
+        "i -> string_split(text, ' ')[i] || ' ' || "
+        "string_split(text, ' ')[i+1] || ' ' || "
+        "string_split(text, ' ')[i+2])")
+
+
+@register(
+    "text_repetition_ngrams",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_NG2} AS g2, {_NG3} AS g3 FROM documents
+    )
+    SELECT doc_id,
+           len(g2) AS n_2grams,
+           CASE WHEN len(g2) > 0
+             THEN (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+             ELSE 0.0 END AS dup_2gram_ratio,
+           len(g3) AS n_3grams,
+           CASE WHEN len(g3) > 0
+             THEN (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3)
+             ELSE 0.0 END AS dup_3gram_ratio
+    FROM g
+    """,
+    doc="Within-document repetition: duplicate word-2/3-gram fractions "
+        "(the Gopher-style duplicate-n-gram quality rule). Pure array "
+        "expressions per row — single scan, zero shuffle, whole-stage "
+        "codegen (pipeline/text.py repetition_features).",
+)
+def text_repetition_ngrams(spark, sf_dir):
+    from ..pipeline.text import repetition_features
+    d = t(spark, sf_dir, "documents")
+    feats = repetition_features("text")
+    return d.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+@register(
+    "text_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ), cnt AS (
+      SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(ROUND(SUM(CAST(ROUND(-(c.c * 1.0 / t.n)
+                                     * ln(c.c * 1.0 / t.n), 12)
+                               AS DECIMAL(30,14))), 6) AS DOUBLE)
+             AS entropy
+    FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id
+    """,
+    doc="Unigram Shannon entropy per document (nats) — the vocabulary-"
+        "diversity quality signal. The oracle states the textbook "
+        "explode + count + join form; the Spark plan folds -(p ln p) "
+        "terms over the token array MAP-SIDE (pipeline/text.py "
+        "token_entropy): zero shuffle vs two shuffles + a join, which "
+        "at 100 TB is the whole cost. Terms round to 12 dp and "
+        "accumulate in DECIMAL so both forms are order-independent "
+        "and engine-exact.",
+)
+def text_entropy(spark, sf_dir):
+    from ..pipeline.text import token_entropy
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_entropy("text").alias("entropy"))
+
+
+@register(
+    "corpus_contamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_NG3})) AS g FROM documents
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id < 50
+    ), cand AS (
+      SELECT doc_id, g FROM sh WHERE doc_id >= 50
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1
+    ), ov AS (
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM cand c JOIN bench b ON c.g = b.g GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(o.n_overlap, 0) * 1.0 / s.n_shingles, 9)
+             AS contamination
+    FROM sz s LEFT JOIN ov o ON s.doc_id = o.doc_id
+    WHERE COALESCE(o.n_overlap, 0) * 1.0 / s.n_shingles >= 0.2
+    """,
+    doc="Benchmark-contamination check: fraction of a candidate "
+        "document's distinct word-3-grams that appear anywhere in the "
+        "benchmark set (doc_id < 50 stands in for the eval corpus) — "
+        "the n-gram-overlap decontamination step every training "
+        "pipeline runs before training. The benchmark shingle set is "
+        "DISTINCT-reduced then broadcast (eval suites are tiny vs the "
+        "corpus), so the corpus side never shuffles: scan -> explode "
+        "-> broadcast-join -> per-doc count.",
+)
+def corpus_contamination(spark, sf_dir):
+    from ..pipeline.dedup import shingles
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("g"))
+    bench = (sh.where(F.col("doc_id") < 50).select("g").distinct()
+             .withColumnRenamed("g", "bg"))
+    cand = sh.where(F.col("doc_id") >= 50)
+    sz = cand.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ov = (cand.join(F.broadcast(bench), cand.g == F.col("bg"))
+          .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    return (sz.join(ov, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+            .withColumn("contamination",
+                        F.round(F.col("n_overlap") / F.col("n_shingles"), 9))
+            .where(F.col("n_overlap") / F.col("n_shingles") >= 0.2))
+
+
+@register(
+    "boilerplate_ngrams",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_NG3})) AS g FROM documents
+    )
+    SELECT g AS shingle, COUNT(*) AS df
+    FROM sh GROUP BY g HAVING COUNT(*) >= 5
+    """,
+    doc="Cross-document boilerplate detection: word-3-grams appearing "
+        "in >= 5 distinct documents (shingles are per-doc DISTINCT, so "
+        "COUNT(*) is document frequency). The removal list every "
+        "web-corpus pipeline maintains (headers, nav text, license "
+        "blurbs). One explode + one count shuffle; the HAVING runs on "
+        "the reduced aggregate. Partial aggregation combines map-side, "
+        "so the shuffle carries (shingle, partial count), not rows.",
+)
+def boilerplate_ngrams(spark, sf_dir):
+    from ..pipeline.dedup import shingles
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("g"))
+    return (sh.groupBy(F.col("g").alias("shingle"))
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") >= 5))
