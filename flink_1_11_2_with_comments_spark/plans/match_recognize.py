@@ -269,6 +269,56 @@ def _parse_branch(toks: list[str],
     return steps, excluded
 
 
+_GROUP = re.compile(
+    r"\(\s*([^()|]+?)\s*\)\s*(\{\s*\d+\s*(?:,\s*\d+)?\s*\}|[?*+]|"
+    r"\{\s*\d+\s*,\s*\})")
+
+
+def _expand_groups(arm: str, budget: int = 64) -> list[str]:
+    """Grouped-sequence quantifiers `(A B){m,n}` / `(A B){n}` /
+    `(A B)?` → the alternation of unrolled repetitions, GREEDY
+    preference order (more repetitions first), recursively for
+    multiple groups in one arm (reference: GroupPattern.java —
+    Pattern.begin(pattern).times(m, n); NFACompiler unrolls group
+    states the same way). Unbounded group repetition (`(A B)+`,
+    `(A B)*`, `{m,}`) has no finite unrolling and stays outside the
+    subset — single-variable unbounded quantifiers cover the common
+    cases (the engine matches `B+` natively)."""
+    m = _GROUP.search(arm)
+    if m is None:
+        if "(" in arm or ")" in arm:
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE pattern group subset: `{arm}` "
+                "(supported: (SEQ){n}, (SEQ){m,n}, (SEQ)? — bounded "
+                "quantifier, no `|` inside the group; nesting is "
+                "unrolled innermost-first)")
+        return [arm]
+    seq, q = m.group(1), m.group(2)
+    if q in ("+", "*") or ("," in q and len(re.findall(r"\d+", q)) == 1):
+        raise NotImplementedError(
+            f"unbounded group repetition `({seq}){q}`: multi-variable "
+            "sequences must use a bounded quantifier ({n}, {m,n}, ?)")
+    if q == "?":
+        lo, hi = 0, 1
+    else:
+        nums = [int(x) for x in re.findall(r"\d+", q)]
+        lo, hi = (nums[0], nums[0]) if len(nums) == 1 else (nums[0],
+                                                            nums[1])
+    if hi < lo or hi > 8:
+        raise NotImplementedError(
+            f"group quantifier bound out of range in `({seq}){q}` "
+            "(max 8 repetitions — unrolling is exponential)")
+    out: list[str] = []
+    for r in range(hi, lo - 1, -1):  # greedy: longer unrollings first
+        unrolled = (arm[:m.start()] + " ".join([seq] * r)
+                    + arm[m.end():]).strip()
+        out.extend(_expand_groups(unrolled, budget))
+        if len(out) > budget:
+            raise NotImplementedError(
+                "group quantifier expansion exceeds 64 branches")
+    return out
+
+
 def _parse_pattern(
         pat: str) -> tuple[list[list[tuple[str, int, int | None]]],
                            set[str], bool]:
@@ -307,12 +357,20 @@ def _parse_pattern(
     for arm in arms:
         if not arm:
             raise NotImplementedError("empty alternation arm in pattern")
-        toks = arm.replace("{-", " {- ").replace("-}", " -} ").split()
-        steps, excl = _parse_branch(toks, permute=False)
-        if not steps:
-            raise NotImplementedError("empty alternation arm in pattern")
-        branches.append(steps)
-        excluded |= excl
+        for ex in _expand_groups(arm):
+            if not ex:
+                # a lone `(SEQ)?` unrolled to zero repetitions — the
+                # zero-row-match boundary, same as all-optional patterns
+                raise NotImplementedError(
+                    "patterns that can match zero rows (group `?` with "
+                    "no other steps) are unsupported")
+            toks = ex.replace("{-", " {- ").replace("-}", " -} ").split()
+            steps, excl = _parse_branch(toks, permute=False)
+            if not steps:
+                raise NotImplementedError(
+                    "empty alternation arm in pattern")
+            branches.append(steps)
+            excluded |= excl
     return branches, excluded, False
 
 
@@ -362,7 +420,13 @@ def match_recognize(spark: SparkSession, sql: str,
     # union of variables across branches, first-appearance order — the
     # flag/measure basis (a variable in several branches gets one slot)
     steps = _union_steps(branches)
-    alternation = branches if len(branches) > 1 else None
+    # a single branch binding a variable more than once (group
+    # quantifier unrolling) must ALSO go through the branch matcher:
+    # the union step list collapses duplicates, so the fast path
+    # would silently match `B C` for `(B C){2}`
+    has_dup = any(len({s.name.upper() for s in b}) != len(b)
+                  for b in branches)
+    alternation = branches if (len(branches) > 1 or has_dup) else None
     has_min0 = any(s.min_times == 0 for b in branches for s in b)
 
     within = None

@@ -1156,3 +1156,56 @@ def window_session_dynamic_gap(spark, sf_dir):
             .agg(F.count("*").alias("n"), dsum("value").alias("total"))
             .select("user_id", F.col("sw.start").alias("session_start"),
                     "n", "total"))
+
+
+@register(
+    "match_recognize_group_times",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS t1, LEAD(event_id, 1) OVER w AS i1,
+             LEAD(event_type, 2) OVER w AS t2, LEAD(event_id, 2) OVER w AS i2,
+             LEAD(event_type, 3) OVER w AS t3,
+             LEAD(event_type, 4) OVER w AS t4, LEAD(event_id, 4) OVER w AS i4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS view_id,
+           CAST(CASE WHEN t3 = 'click' AND t4 = 'error'
+                     THEN 2 ELSE 1 END AS BIGINT) AS n_clicks,
+           i1 AS click_first_id,
+           CASE WHEN t3 = 'click' AND t4 = 'error'
+                THEN i4 ELSE i2 END AS error_last_id
+    FROM s
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'error'
+    """,
+    doc="MATCH_RECOGNIZE grouped-sequence quantifier — PATTERN "
+        "(A (B C){1,2}): a view followed by one or two consecutive "
+        "click-error pairs, greedy (two pairs preferred when present). "
+        "Group quantifiers unroll to an alternation of repeated "
+        "sequences in greedy preference order "
+        "(plans/match_recognize._expand_groups; reference: "
+        "GroupPattern.java - Pattern.begin(pattern).times(m, n), "
+        "NFACompiler group states); a branch binding a variable twice "
+        "accumulates COUNT and keeps earliest-FIRST/latest-LAST. "
+        "Oracle: LEAD-sequence classification with the greedy 2-pair "
+        "preference inlined as a CASE.",
+)
+def match_recognize_group_times(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS view_id,
+                   COUNT(B.*) AS n_clicks,
+                   FIRST(B.event_id) AS click_first_id,
+                   LAST(C.event_id) AS error_last_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A (B C){1,2})
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click',
+                 C AS C.event_type = 'error'
+        )""")

@@ -631,10 +631,14 @@ def match_pattern_batch(
             for s in pos_steps:
                 row[f"{s.name}_n"] = 0
             row.update({k: m[0][1][0][k] for k in keys})
+            # a branch may bind the same variable several times (group
+            # quantifier unrolling, `(B C){2}` -> B C B C): FIRST keeps
+            # the earliest binding, LAST the latest, COUNT accumulates
             for s, reps in m:
-                row[f"{s.name}_first_id"] = reps[0][id_col]
+                if row[f"{s.name}_n"] == 0:
+                    row[f"{s.name}_first_id"] = reps[0][id_col]
                 row[f"{s.name}_last_id"] = reps[-1][id_col]
-                row[f"{s.name}_n"] = len(reps)
+                row[f"{s.name}_n"] += len(reps)
             all_evs = [e for _, reps in m for e in reps]
             row["start_ts"] = all_evs[0][ts_col]
             row["end_ts"] = all_evs[-1][ts_col]

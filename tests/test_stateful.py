@@ -1050,3 +1050,62 @@ def test_quantified_cep_stream_within_timeout_emits_quiet_key(spark):
     r = got[0]
     assert (r.user_id, r.a_first_id, r.b_first_id, r.b_last_id,
             r.b_n) == (1, 1, 2, 3, 2)
+
+
+def test_group_quantifier_unrolling():
+    """(A B){m,n} / (A B)? unroll to greedy-ordered branches; unbounded
+    group repetition and nesting raise (documented subset)."""
+    import pytest
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        _expand_groups, _parse_pattern)
+    assert _expand_groups("A (B C){1,2} D") == ["A B C B C D", "A B C D"]
+    assert _expand_groups("(B C){2}") == ["B C B C"]
+    assert _expand_groups("A (B C)?") == ["A B C", "A"]
+    # two groups: outer product, greedy-first within each
+    assert _expand_groups("(A B)? (C D){1,2}") == [
+        "A B C D C D", "A B C D", "C D C D", "C D"]
+    for bad in ("A (B C)+", "A (B C)*", "A (B C){1,}"):
+        with pytest.raises(NotImplementedError):
+            _expand_groups(bad)
+    # nesting works by innermost-first unrolling
+    assert _expand_groups("A ((B C){2}){2}") == ["A B C B C B C B C"]
+    # a lone optional group may match zero rows -> documented raise
+    with pytest.raises(NotImplementedError):
+        _parse_pattern("((B C)?)")
+    # dup-name branches parse and keep per-position quantifiers
+    branches, _, _ = _parse_pattern("(A (B+ C){2})")
+    assert [(n, mn, mx) for n, mn, mx in branches[0]] == [
+        ("A", 1, 1), ("B", 1, None), ("C", 1, 1),
+        ("B", 1, None), ("C", 1, 1)]
+
+
+def test_group_quantifier_measures(spark):
+    """A branch binding a variable twice accumulates COUNT(V.*) and
+    keeps earliest-FIRST / latest-LAST across the bindings; greedy
+    prefers the longer unrolling at the same start row."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, i, base + dt.timedelta(minutes=i), typ) for i, typ in
+            enumerate(["view", "click", "error", "click", "error",
+                       "view", "click", "error", "signup"])]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string")
+    out = match_recognize(spark, """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS view_id, COUNT(B.*) AS nb,
+                   FIRST(B.event_id) AS b_first, LAST(B.event_id) AS b_last
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A (B C){2})
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click',
+                 C AS C.event_type = 'error'
+        )""", df=events).collect()
+    assert all(r.nb == 2 for r in out)
+    assert all(r.b_first < r.b_last for r in out)
+    assert len(out) > 0
