@@ -769,11 +769,12 @@ def tpcds_moving_avg_deviation(spark, sf_dir):
         "(ticket, item) composite key, netting returned quantity out of "
         "gross via COALESCE, re-aggregated by a dimension attribute. "
         "Returns pre-aggregate to the join key first (the returns side "
-        "shrinks before the shuffle); both fact slices come from the "
-        "same scan (Catalyst reuses the exchange) and partition on "
-        "l_orderkey so the sales-returns join and the orders join "
-        "share co-location. Adaptation: TPC-H marks returns with "
-        "l_returnflag='R' rather than a separate store_returns table.",
+        "shrinks before the shuffle), and each fact slice is its own "
+        "scan with the returnflag predicate PUSHED into the parquet "
+        "reader — two pruned scans beat one full scan + exchange "
+        "reuse because each reads only its slice's row groups. "
+        "Adaptation: TPC-H marks returns with l_returnflag='R' "
+        "rather than a separate store_returns table.",
 )
 def tpcds_returns_net(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")

@@ -273,3 +273,31 @@ def test_pipeline_end_to_end_shuffle_budget(spark, sf_dir):
     body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     assert body.count("Exchange") <= 5, body
     assert "BatchEvalPython" not in p, "pipeline fell off the JVM path"
+
+
+def test_tpcds_multi_band_single_fact_scan(spark, sf_dir):
+    """q88-shape: all eight time-band counts from ONE events scan
+    (conditional aggregation), not the oracle's eight scalar-subquery
+    scans — 8x fact I/O saved at 100 TB."""
+    p = plan(spark, "tpcds_multi_band_count", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("Scan parquet") == 1, body
+
+
+def test_contamination_broadcasts_benchmark_set(spark, sf_dir):
+    """The benchmark shingle set must broadcast (eval suites are tiny
+    vs the corpus): the corpus side joins without shuffling."""
+    p = plan(spark, "corpus_contamination", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "BroadcastHashJoin" in body, body
+    assert "BatchEvalPython" not in p, "contamination fell off JVM path"
+
+
+def test_entropy_is_map_side(spark, sf_dir):
+    """Token entropy folds -(p ln p) over the token array per row:
+    ZERO exchanges (vs two shuffles + a join for the explode form)
+    and no Python evaluation."""
+    p = plan(spark, "text_entropy", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "Exchange" not in body, body
+    assert "BatchEvalPython" not in p
