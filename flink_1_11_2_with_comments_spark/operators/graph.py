@@ -45,8 +45,15 @@ def _superstep(df: DataFrame) -> DataFrame:
     round 10 even though execution would hit the cache. On a real
     cluster swap for df.checkpoint() (reliable storage) if executor
     loss during a long iteration must be recoverable.
+
+    eager=False: the plan is truncated IMMEDIATELY (the DataFrame
+    wraps the to-be-checkpointed RDD either way), but materialization
+    waits for the round's convergence count — ONE job per round
+    instead of two. Loops without a per-round action (pagerank's
+    fixed iterations) collapse further: the whole chain executes in
+    the final action, each level persisting as it computes.
     """
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
