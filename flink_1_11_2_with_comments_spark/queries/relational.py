@@ -808,3 +808,40 @@ def agg_filter_clause(spark, sf_dir):
                  F.countDistinct(
                      F.when(F.col("o_totalprice") > 100000,
                             F.col("o_custkey"))).alias("custs_big")))
+
+
+@register(
+    "unnest_map",
+    """
+    WITH kv AS (
+      SELECT event_id, 'type' AS k, event_type AS v FROM events
+      UNION ALL
+      SELECT event_id, 'user', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT event_id, 'k', CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                                 AS VARCHAR) FROM events
+    )
+    SELECT k, COUNT(*) AS n, COUNT(DISTINCT v) AS n_distinct
+    FROM kv WHERE event_id < 2000 GROUP BY k
+    """,
+    doc="UNNEST(map) → per-entry rows: the reference unnests MAP columns "
+        "to (key, value) pairs (LogicalUnnestRule.scala handles MapType "
+        "via Correlate; MapTypeInfo, flink-core typeutils). Spark: build "
+        "MAP<STRING,STRING> with map(), explode to (key, value) — "
+        "Generate over the map produces one row per entry, exactly the "
+        "array case with a 2-column output. The map here mixes a typed "
+        "column, a cast key, and a JSON-extracted field; the oracle "
+        "states the same entries as a 3-way UNION (DuckDB maps don't "
+        "unnest to rows).",
+)
+def unnest_map(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("k"), F.get_json_object("props", "$.k").cast("bigint")
+        .cast("string"))
+    return (e.select("event_id", F.explode(m).alias("k", "v"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("v").alias("n_distinct")))

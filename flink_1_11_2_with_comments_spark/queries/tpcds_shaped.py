@@ -796,3 +796,144 @@ def tpcds_returns_net(spark, sf_dir):
                                .cast(DEC)), 2).cast("double")
                  .alias("returned_qty"),
                  dsum("l_extendedprice").alias("gross_rev")))
+
+
+@register(
+    "tpcds_subsequent_period",
+    f"""
+    WITH cohort AS (
+      SELECT o_custkey, MIN(EXTRACT(year FROM o_orderdate)) AS first_yr
+      FROM orders GROUP BY 1
+      HAVING MIN(EXTRACT(year FROM o_orderdate)) = 1993
+    ), nxt AS (
+      SELECT o.o_custkey, {sql_dsum('o.o_totalprice')} AS rev
+      FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+      WHERE EXTRACT(year FROM o.o_orderdate) = 1994
+      GROUP BY 1
+    )
+    SELECT CAST(floor(rev / 100000) AS BIGINT) AS rev_bucket,
+           COUNT(*) AS n_customers
+    FROM nxt GROUP BY 1
+    """,
+    doc="TPC-DS q54 shape: define a customer cohort from one condition "
+        "(first purchase in 1993), measure the cohort's spend in the "
+        "FOLLOWING period, histogram into revenue buckets. The cohort "
+        "reduces to a keyed id set before re-touching the fact (one "
+        "aggregate + semi-join-shaped reuse); the bucket floor-divide "
+        "runs on the per-customer aggregate, never on raw orders.",
+)
+def tpcds_subsequent_period(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cohort = (o.groupBy("o_custkey")
+              .agg(F.min(F.year("o_orderdate")).alias("first_yr"))
+              .where(F.col("first_yr") == 1993)
+              .select(F.col("o_custkey").alias("ck")))
+    nxt = (o.where(F.year("o_orderdate") == 1994)
+           .join(cohort, o.o_custkey == F.col("ck"), "left_semi")
+           .groupBy("o_custkey")
+           .agg(dsum("o_totalprice").alias("rev")))
+    return (nxt.groupBy(F.floor(F.col("rev") / 100000).cast("bigint")
+                        .alias("rev_bucket"))
+            .agg(F.count("*").alias("n_customers")))
+
+
+@register(
+    "tpcds_channel_ratio",
+    f"""
+    WITH store AS (
+      SELECT p.p_brand, {sql_dsum('l.l_extendedprice')} AS store_rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag <> 'R' GROUP BY 1
+    ), ret AS (
+      SELECT p.p_brand, {sql_dsum('l.l_extendedprice')} AS ret_rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag = 'R' GROUP BY 1
+    )
+    SELECT s.p_brand, s.store_rev,
+           COALESCE(r.ret_rev, 0.0) AS ret_rev,
+           CAST(ROUND(COALESCE(r.ret_rev, 0.0) / s.store_rev, 6)
+                AS DOUBLE) AS ret_ratio
+    FROM store s LEFT JOIN ret r ON s.p_brand = r.p_brand
+    WHERE COALESCE(r.ret_rev, 0.0) < 0.27 * s.store_rev
+    """,
+    doc="TPC-DS q78 shape: per-key cross-channel ratio with the sparse "
+        "channel LEFT JOINed (keys absent from one channel keep "
+        "COALESCE(0) instead of dropping — the q78 'null channel' "
+        "semantics). Both channel aggregates reduce the fact before "
+        "the join, which runs on |brands| rows; part broadcasts into "
+        "each slice scan.",
+)
+def tpcds_channel_ratio(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    def chan(cond, out):
+        return (li.where(cond)
+                .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                .groupBy("p_brand")
+                .agg(dsum("l_extendedprice").alias(out)))
+    store = chan(F.col("l_returnflag") != "R", "store_rev")
+    ret = (chan(F.col("l_returnflag") == "R", "ret_rev")
+           .withColumnRenamed("p_brand", "rb"))
+    return (store.join(ret, store.p_brand == F.col("rb"), "left")
+            .select("p_brand", "store_rev",
+                    F.coalesce("ret_rev", F.lit(0.0)).alias("ret_rev"))
+            .withColumn("ret_ratio",
+                        F.round(F.col("ret_rev") / F.col("store_rev"), 6)
+                        .cast("double"))
+            .where(F.col("ret_rev") < 0.27 * F.col("store_rev")))
+
+
+@register(
+    "tpcds_two_metric_rank",
+    f"""
+    WITH per_brand AS (
+      SELECT p.p_brand,
+             {sql_dsum('CASE WHEN l.l_returnflag = %s THEN l.l_quantity ELSE 0 END' % "'R'")}
+               AS ret_qty,
+             {sql_dsum('l.l_quantity')} AS gross_qty,
+             {sql_dsum('CASE WHEN l.l_returnflag = %s THEN l.l_extendedprice ELSE 0 END' % "'R'")}
+               AS ret_amt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ), ranked AS (
+      SELECT p_brand, ret_qty, gross_qty, ret_amt,
+             CAST(ROUND(ret_qty / gross_qty, 6) AS DOUBLE) AS ret_rate,
+             ROW_NUMBER() OVER (ORDER BY ret_qty / gross_qty DESC,
+                                p_brand) AS rate_rank,
+             ROW_NUMBER() OVER (ORDER BY ret_amt DESC, p_brand)
+               AS amt_rank
+      FROM per_brand
+    )
+    SELECT p_brand, ret_rate, ret_amt, rate_rank, amt_rank
+    FROM ranked WHERE rate_rank <= 10 OR amt_rank <= 10
+    """,
+    doc="TPC-DS q49 shape: items ranked by TWO independent metrics "
+        "(return rate and return amount), keeping anything in either "
+        "top-10 with both ranks reported. Both conditional aggregates "
+        "come from ONE fact scan; the two ROW_NUMBERs run on the "
+        "|brands| aggregate with deterministic brand tie-breaks "
+        "(engine-stable ranking, same rows both engines).",
+)
+def tpcds_two_metric_rank(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    is_r = F.col("l_returnflag") == "R"
+    per_brand = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                 .groupBy("p_brand")
+                 .agg(dsum(F.when(is_r, F.col("l_quantity"))
+                           .otherwise(F.lit(0))).alias("ret_qty"),
+                      dsum("l_quantity").alias("gross_qty"),
+                      dsum(F.when(is_r, F.col("l_extendedprice"))
+                           .otherwise(F.lit(0))).alias("ret_amt")))
+    ranked = per_brand.select(
+        "p_brand",
+        F.round(F.col("ret_qty") / F.col("gross_qty"), 6).cast("double")
+        .alias("ret_rate"),
+        "ret_amt",
+        F.row_number().over(
+            W.orderBy(F.desc(F.col("ret_qty") / F.col("gross_qty")),
+                      "p_brand")).alias("rate_rank"),
+        F.row_number().over(
+            W.orderBy(F.desc("ret_amt"), "p_brand")).alias("amt_rank"))
+    return ranked.where((F.col("rate_rank") <= 10)
+                        | (F.col("amt_rank") <= 10))
