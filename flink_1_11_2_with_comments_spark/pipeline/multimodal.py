@@ -147,3 +147,67 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _le(col, n: int):
+    """Column<int> → n-byte LITTLE-endian binary, JVM-side: big-endian
+    hex-encode then concat the byte slices in reverse (RIFF/WAV is
+    little-endian throughout, unlike PNG)."""
+    be = F.unhex(F.lpad(F.hex(col.cast("bigint")), 2 * n, "0"))
+    return F.concat(*[F.substring(be, i, 1) for i in range(n, 0, -1)])
+
+
+def synthesize_wav(documents: DataFrame) -> DataFrame:
+    """Build a REAL RIFF/WAVE container per document — 44-byte
+    canonical PCM header (RIFF size, 'WAVE', 'fmt ' subchunk with
+    format/channels/sample-rate/byte-rate/block-align/bits, 'data'
+    subchunk) with the document's UTF-8 bytes standing in for the PCM
+    payload. All fields little-endian per the RIFF spec; pure
+    whole-stage codegen (binary concat of literals and LE-encoded
+    columns), no Python. The audio twin of synthesize_png."""
+    text_bytes = F.octet_length(F.encode("text", "utf-8"))
+    channels = (F.length("text") % 2 + 1).cast("int")          # 1-2
+    rate = (F.lit(8000) + (F.col("n_chars") % 8) * 1000).cast("int")
+    bits = F.lit(16)
+    block = (channels * bits / 8).cast("int")
+    return documents.select(
+        "doc_id",
+        F.concat(
+            F.lit(b"RIFF"), _le(text_bytes + 36, 4), F.lit(b"WAVE"),
+            F.lit(b"fmt "), F.lit((16).to_bytes(4, "little")),
+            F.lit((1).to_bytes(2, "little")),                  # PCM
+            _le(channels, 2), _le(rate, 4),
+            _le(rate * block, 4),                              # byte rate
+            _le(block, 2), _le(bits, 2),
+            F.lit(b"data"), _le(text_bytes, 4),
+            F.encode("text", "utf-8"),
+        ).alias("media"),
+        F.lit("audio/wav").alias("media_type"))
+
+
+def parse_wav_header(media: DataFrame,
+                     media_col: str = "media") -> DataFrame:
+    """REAL RIFF/WAVE header parse, pure JVM codegen: verify
+    RIFF/WAVE/fmt magic, then read channels (offset 23, LE16), sample
+    rate (25, LE32), byte rate (29, LE32), bits per sample (35,
+    LE16), and the data payload size (41, LE32) at the canonical
+    44-byte-header offsets (1-based). Parses genuine PCM WAV files
+    laid out canonically, not just the synthesized ones. Zero Python,
+    zero shuffle — substring + hex + conv in whole-stage codegen."""
+    m = F.col(media_col)
+
+    def le_int(pos: int, n: int):
+        rev = F.concat(*[F.substring(m, pos + i, 1)
+                         for i in range(n - 1, -1, -1)])
+        return F.conv(F.hex(rev), 16, 10).cast("bigint")
+
+    return media.select(
+        "doc_id",
+        ((F.substring(m, 1, 4) == F.lit(b"RIFF"))
+         & (F.substring(m, 9, 4) == F.lit(b"WAVE"))).alias("magic_ok"),
+        (F.substring(m, 13, 4) == F.lit(b"fmt ")).alias("fmt_ok"),
+        le_int(23, 2).alias("channels"),
+        le_int(25, 4).alias("sample_rate"),
+        le_int(29, 4).alias("byte_rate"),
+        le_int(35, 2).alias("bits_per_sample"),
+        le_int(41, 4).alias("data_bytes"))

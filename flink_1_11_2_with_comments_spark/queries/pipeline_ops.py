@@ -1066,3 +1066,31 @@ def boilerplate_ngrams(spark, sf_dir):
     return (sh.groupBy(F.col("g").alias("shingle"))
             .agg(F.count("*").alias("df"))
             .where(F.col("df") >= 5))
+
+
+@register(
+    "multimodal_audio_decode",
+    """
+    SELECT doc_id,
+           TRUE AS magic_ok, TRUE AS fmt_ok,
+           CAST(length(text) % 2 + 1 AS BIGINT) AS channels,
+           CAST(8000 + (n_chars % 8) * 1000 AS BIGINT) AS sample_rate,
+           CAST((8000 + (n_chars % 8) * 1000)
+                * (length(text) % 2 + 1) * 2 AS BIGINT) AS byte_rate,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+    FROM documents
+    """,
+    doc="Audio codec twin of multimodal_decode: synthesize_wav builds "
+        "spec-correct RIFF/WAVE containers (44-byte canonical PCM "
+        "header, little-endian fields) and parse_wav_header decodes "
+        "channels/rate/byte-rate/bits/payload back — both pure "
+        "whole-stage codegen, zero Python, zero shuffle; the parser "
+        "reads genuine canonical PCM WAV files. Oracle closes the "
+        "round trip by recomputing the embedded parameters "
+        "independently from the source text (pipeline/multimodal.py).",
+)
+def multimodal_audio_decode(spark, sf_dir):
+    from ..pipeline.multimodal import parse_wav_header, synthesize_wav
+    d = t(spark, sf_dir, "documents")
+    return parse_wav_header(synthesize_wav(d))
