@@ -211,3 +211,55 @@ def parse_wav_header(media: DataFrame,
         le_int(29, 4).alias("byte_rate"),
         le_int(35, 2).alias("bits_per_sample"),
         le_int(41, 4).alias("data_bytes"))
+
+
+def synthesize_mp4(documents: DataFrame) -> DataFrame:
+    """Build a minimal REAL ISO-BMFF (MP4) container per document:
+    an `ftyp` box (major brand isom, minor version 512, compatible
+    brands isom+mp41) followed by an `mdat` box whose payload is the
+    document's UTF-8 bytes. Box framing per ISO/IEC 14496-12: 4-byte
+    big-endian box size (including the 8-byte header) + 4-byte type.
+    Pure whole-stage codegen — the video twin of synthesize_png /
+    synthesize_wav."""
+    text_bytes = F.octet_length(F.encode("text", "utf-8"))
+    ftyp = (F.lit((24).to_bytes(4, "big")) , F.lit(b"ftyp"),
+            F.lit(b"isom"), F.lit((512).to_bytes(4, "big")),
+            F.lit(b"isommp41"))
+    return documents.select(
+        "doc_id",
+        F.concat(
+            *ftyp,
+            _be32(text_bytes + 8), F.lit(b"mdat"),
+            F.encode("text", "utf-8"),
+        ).alias("media"),
+        F.lit("video/mp4").alias("media_type"))
+
+
+def parse_mp4_boxes(media: DataFrame,
+                    media_col: str = "media") -> DataFrame:
+    """REAL ISO-BMFF top-level box walk, pure JVM codegen: read the
+    first box's size/type (ftyp expected), its major brand, then the
+    SECOND box's size/type at the offset the first box's size points
+    to — a data-dependent offset, so substring positions come from a
+    column, not literals (F.substr with Column args). Returns the
+    mdat payload size for the canonical two-box layout. Handles any
+    first-box size (not just the synthesized 24): this walks genuine
+    MP4 files' first two boxes. Zero Python, zero shuffle."""
+    m = F.col(media_col)
+
+    def be_int_at(pos, n):
+        return F.conv(F.hex(m.substr(pos, F.lit(n))), 16, 10) \
+            .cast("bigint")
+
+    box1_size = be_int_at(F.lit(1), 4)
+    box2_pos = (box1_size + 1).cast("int")
+    box2_size = be_int_at(box2_pos, 4)
+    return media.select(
+        "doc_id",
+        (m.substr(5, 4) == F.lit(b"ftyp")).alias("ftyp_ok"),
+        m.substr(9, 4).cast("string").alias("major_brand"),
+        box1_size.alias("ftyp_bytes"),
+        m.substr(box2_pos + F.lit(4), F.lit(4)).cast("string")
+        .alias("box2_type"),
+        box2_size.alias("box2_bytes"),
+        (box2_size - 8).alias("payload_bytes"))

@@ -1094,3 +1094,29 @@ def multimodal_audio_decode(spark, sf_dir):
     from ..pipeline.multimodal import parse_wav_header, synthesize_wav
     d = t(spark, sf_dir, "documents")
     return parse_wav_header(synthesize_wav(d))
+
+
+@register(
+    "multimodal_video_boxes",
+    """
+    SELECT doc_id,
+           TRUE AS ftyp_ok, 'isom' AS major_brand,
+           CAST(24 AS BIGINT) AS ftyp_bytes,
+           'mdat' AS box2_type,
+           CAST(octet_length(encode(text)) + 8 AS BIGINT) AS box2_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
+    doc="Video codec twin: synthesize_mp4 builds minimal REAL ISO-BMFF "
+        "containers (ftyp + mdat, big-endian box framing per ISO/IEC "
+        "14496-12) and parse_mp4_boxes walks the top-level boxes back — "
+        "including a DATA-DEPENDENT offset (the second box starts where "
+        "the first box's size field points), showing column-positioned "
+        "substring stays in whole-stage codegen. Zero Python, zero "
+        "shuffle; frame decode remains the documented stub "
+        "(pipeline/multimodal.py).",
+)
+def multimodal_video_boxes(spark, sf_dir):
+    from ..pipeline.multimodal import parse_mp4_boxes, synthesize_mp4
+    d = t(spark, sf_dir, "documents")
+    return parse_mp4_boxes(synthesize_mp4(d))

@@ -328,3 +328,29 @@ def test_wav_codec_round_trip_and_genuine_wav(spark):
     assert (got[2].channels, got[2].sample_rate, got[2].data_bytes) \
         == (1, 8000, 0)
     assert not got[3].magic_ok
+
+
+def test_mp4_box_walk_on_genuine_layout(spark):
+    """parse_mp4_boxes must walk a REAL ISO-BMFF layout built
+    independently with struct.pack — including a non-synthesized ftyp
+    size (extra compatible brands), proving the data-dependent
+    second-box offset really follows the size field."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0)
+               + b"mp42isomavc1")     # 28-byte ftyp, brand mp42
+    mdat = box(b"mdat", b"framedata" * 3)
+    free = box(b"free", b"")
+    rows = [(1, ftyp + mdat), (2, ftyp + free), (3, b"\x00" * 16)]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        parse_mp4_boxes)
+    got = {r.doc_id: r for r in parse_mp4_boxes(df).collect()}
+    assert got[1].ftyp_ok and got[1].major_brand == "mp42"
+    assert got[1].ftyp_bytes == 28
+    assert got[1].box2_type == "mdat" and got[1].payload_bytes == 27
+    assert got[2].box2_type == "free" and got[2].box2_bytes == 8
+    assert not got[3].ftyp_ok
