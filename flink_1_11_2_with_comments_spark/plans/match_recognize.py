@@ -30,8 +30,10 @@ Supported subset (raise on anything else, loudly):
   Batch only (the streaming buffer carries flags, not row history).
 
 - quantifiers: none (exactly once), `+`, `*`, `?`, `{n}`, `{m,n}`,
-  `{m,}`. The min-0 forms (`*`, `?`) expand to present/absent
-  alternatives scored in greedy preference order
+  `{m,}` — each RELUCTANT with a trailing `?` (`B+?`, `B*?`, `B??`,
+  `B{m,n}?`: prefer FEWER repetitions; Quantifier.greedy/reluctant).
+  The min-0 forms (`*`, `?`) expand to present/absent
+  alternatives scored in (greedy or reluctant) preference order
   (cep._expand_optional — the reference NFA's OPTIONAL state,
   flink-cep/.../pattern/Quantifier.java); batch only. Patterns that
   can match zero rows (all steps optional) raise.
@@ -91,7 +93,8 @@ _CLAUSE = re.compile(
     r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN|WITHIN|DEFINE)",
     re.IGNORECASE)
 
-_QUANT = re.compile(r"^(\w+)(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?$")
+_QUANT = re.compile(
+    r"^(\w+)(\+\??|\*\??|\?\??|\{\s*\d+\s*(?:,\s*\d*\s*)?\}\??)?$")
 
 _COND = re.compile(
     r"^(\w+)\.(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*"
@@ -220,12 +223,18 @@ def _parse_flag_expr(cond: str, var: str, lag_window=None):
     return expr
 
 
-def _parse_branch(toks: list[str],
-                  permute: bool) -> tuple[list[tuple[str, int, int | None]],
-                                          set[str]]:
-    """One alternation branch's tokens → ([(name, min, max)], excluded).
-    min may be 0 (`*` = {0,}, `?` = {0,1}) — the engine expands these
-    into present/absent alternatives (cep._expand_optional)."""
+def _parse_branch(
+        toks: list[str],
+        permute: bool) -> tuple[list[tuple[str, int, int | None, bool]],
+                                set[str]]:
+    """One alternation branch's tokens → ([(name, min, max, greedy)],
+    excluded). min may be 0 (`*` = {0,}, `?` = {0,1}) — the engine
+    expands these into present/absent alternatives
+    (cep._expand_optional). A trailing `?` on any quantifier (`B*?`,
+    `B+?`, `B??`, `B{m,n}?`) makes it RELUCTANT: prefer FEWER
+    repetitions (SQL standard reluctant quantifiers; reference:
+    Quantifier.greedy/reluctant, flink-cep/.../pattern/Quantifier.java
+    — Pattern.oneOrMore().greedy() vs default reluctant loops)."""
     steps, excluded = [], set()
     in_excl = False
     for tok in toks:
@@ -243,27 +252,32 @@ def _parse_branch(toks: list[str],
         if not m:
             raise NotImplementedError(
                 f"MATCH_RECOGNIZE pattern subset: token `{tok}` "
-                "(supported: V, V+, V*, V?, V{n}, V{m,n}, V{m,}, "
-                "PERMUTE(...), {- V -}, alternation `|`)")
+                "(supported: V, V+[?], V*[?], V?[?], V{n}, V{m,n}[?], "
+                "V{m,}, PERMUTE(...), {- V -}, alternation `|`)")
         name, q = m.group(1), m.group(2)
         if in_excl:
             excluded.add(name)
+        greedy = True
+        if q == "??":
+            q, greedy = "?", False
+        elif q is not None and q != "?" and q.endswith("?"):
+            q, greedy = q[:-1], False
         if q is None:
-            steps.append((name, 1, 1))
+            steps.append((name, 1, 1, True))
         elif q == "+":
-            steps.append((name, 1, None))
+            steps.append((name, 1, None, greedy))
         elif q == "*":
-            steps.append((name, 0, None))
+            steps.append((name, 0, None, greedy))
         elif q == "?":
-            steps.append((name, 0, 1))
+            steps.append((name, 0, 1, greedy))
         else:
             nums = re.findall(r"\d+", q)
             if "," not in q:
-                steps.append((name, int(nums[0]), int(nums[0])))
+                steps.append((name, int(nums[0]), int(nums[0]), True))
             elif len(nums) == 2:
-                steps.append((name, int(nums[0]), int(nums[1])))
+                steps.append((name, int(nums[0]), int(nums[1]), greedy))
             else:
-                steps.append((name, int(nums[0]), None))
+                steps.append((name, int(nums[0]), None, greedy))
     if in_excl:
         raise NotImplementedError("unbalanced `{-` in pattern")
     return steps, excluded
@@ -409,13 +423,13 @@ def match_recognize(spark: SparkSession, sql: str,
     branches = []
     for braw in branches_raw:
         bsteps = []
-        for i, (name, mn, mx) in enumerate(braw):
+        for i, (name, mn, mx, greedy) in enumerate(braw):
             pred = _parse_predicate(defines.get(name.upper(), "TRUE"),
                                     name)
             bsteps.append(QStep(
                 name, pred, min_times=mn, max_times=mx,
                 contiguity="relaxed" if i == 0 else "strict",
-                greedy=True))
+                greedy=greedy))
         branches.append(bsteps)
     # union of variables across branches, first-appearance order — the
     # flag/measure basis (a variable in several branches gets one slot)
@@ -486,11 +500,14 @@ def match_recognize(spark: SparkSession, sql: str,
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)
-    if src.isStreaming and (alternation is not None or has_min0):
+    has_reluctant = any(not s.greedy for b in branches for s in b)
+    if src.isStreaming and (alternation is not None or has_min0
+                            or has_reluctant):
         raise NotImplementedError(
             "streaming MATCH_RECOGNIZE does not support alternation "
-            "`|` or min-0 quantifiers (`*`, `?`) — batch only (the "
-            "stateful NFA runs a single branch)")
+            "`|`, min-0 quantifiers (`*`, `?`), or reluctant "
+            "quantifiers (`+?` etc.) — batch only (the stateful NFA "
+            "runs a single greedy branch)")
     if all_rows:
         if src.isStreaming:
             return _all_rows_stream(src, cl, keys, ts_col, id_col,

@@ -1209,3 +1209,54 @@ def match_recognize_group_times(spark, sf_dir):
                  B AS B.event_type = 'click',
                  C AS C.event_type = 'error'
         )""")
+
+
+@register(
+    "match_recognize_reluctant",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), nx AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS p_rn
+      FROM s
+    )
+    SELECT v.user_id, v.event_id AS view_id,
+           CAST(v.p_rn - v.rn - 1 AS BIGINT) AS n_between,
+           p.event_id AS purchase_id
+    FROM nx v JOIN nx p ON p.user_id = v.user_id AND p.rn = v.p_rn
+    WHERE v.event_type = 'view' AND v.p_rn IS NOT NULL
+    """,
+    doc="MATCH_RECOGNIZE reluctant quantifier — PATTERN (A B*? C) "
+        "with a catch-all B: each view pairs with its NEAREST "
+        "following purchase (fewest B rows consumed), where greedy "
+        "`B*` would swallow rows to the partition's LAST purchase — "
+        "the canonical greedy/reluctant semantic split "
+        "(Quantifier.greedy vs reluctant loop states, "
+        "flink-cep/.../pattern/Quantifier.java; trailing-`?` SQL "
+        "forms). SKIP TO NEXT ROW: one preferred match per view, "
+        "overlaps allowed. Oracle: forward-looking windowed min of "
+        "the next purchase row number.",
+)
+def match_recognize_reluctant(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS view_id,
+                   COUNT(B.*) AS n_between,
+                   C.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B*? C)
+          DEFINE A AS A.event_type = 'view',
+                 B AS TRUE,
+                 C AS C.event_type = 'purchase'
+        )""")

@@ -366,7 +366,12 @@ def _expand_optional(steps: list[QStep]) -> list[list[QStep]]:
         return [list(steps)]
     relaxed_first = bool(steps) and steps[0].contiguity == "relaxed"
     out = []
-    for keep in itertools.product([True, False], repeat=len(opt)):
+    # greedy optional: PRESENT before ABSENT; reluctant (`B*?`/`B??`):
+    # ABSENT first — prefer consuming nothing (Quantifier.greedy
+    # property; reluctant loop states in the reference NFA)
+    orders = [([True, False] if steps[i].greedy else [False, True])
+              for i in opt]
+    for keep in itertools.product(*orders):
         drop = {i for i, k in zip(opt, keep) if not k}
         branch = []
         for i, s in enumerate(steps):

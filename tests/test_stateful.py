@@ -1074,9 +1074,14 @@ def test_group_quantifier_unrolling():
         _parse_pattern("((B C)?)")
     # dup-name branches parse and keep per-position quantifiers
     branches, _, _ = _parse_pattern("(A (B+ C){2})")
-    assert [(n, mn, mx) for n, mn, mx in branches[0]] == [
+    assert [(n, mn, mx) for n, mn, mx, _g in branches[0]] == [
         ("A", 1, 1), ("B", 1, None), ("C", 1, 1),
         ("B", 1, None), ("C", 1, 1)]
+    # reluctant markers parse into the greedy flag
+    branches, _, _ = _parse_pattern("(A B+? C*? D?? E{1,3}?)")
+    assert [(n, mn, mx, g) for n, mn, mx, g in branches[0][:1]] == [
+        ("A", 1, 1, True)]
+    assert all(not g for _n, _mn, _mx, g in branches[0][1:])
 
 
 def test_group_quantifier_measures(spark):
