@@ -268,8 +268,8 @@ def test_match_recognize_parser_subset():
         _parse_pattern, _parse_predicate)
     branches, excluded, permute = _parse_pattern("(A B+ C{2,4} D{3} E{2,})")
     assert branches == [[
-        ("A", 1, 1), ("B", 1, None), ("C", 2, 4), ("D", 3, 3),
-        ("E", 2, None)]]
+        ("A", 1, 1, True), ("B", 1, None, True), ("C", 2, 4, True),
+        ("D", 3, 3, True), ("E", 2, None, True)]]
     assert excluded == set() and not permute
     branches, excluded, permute = _parse_pattern("(PERMUTE(A, B, C))")
     assert branches == [[("A", 1, 1), ("B", 1, 1), ("C", 1, 1)]] and permute
