@@ -272,16 +272,19 @@ def test_match_recognize_parser_subset():
         ("D", 3, 3, True), ("E", 2, None, True)]]
     assert excluded == set() and not permute
     branches, excluded, permute = _parse_pattern("(PERMUTE(A, B, C))")
-    assert branches == [[("A", 1, 1), ("B", 1, 1), ("C", 1, 1)]] and permute
+    assert branches == [[("A", 1, 1, True), ("B", 1, 1, True),
+                         ("C", 1, 1, True)]] and permute
     branches, excluded, permute = _parse_pattern("(A {- B+ -} C)")
-    assert branches == [[("A", 1, 1), ("B", 1, None), ("C", 1, 1)]]
+    assert branches == [[("A", 1, 1, True), ("B", 1, None, True),
+                         ("C", 1, 1, True)]]
     assert excluded == {"B"} and not permute
     # min-0 quantifiers and alternation now parse
     branches, _, _ = _parse_pattern("(A B* C?)")
-    assert branches == [[("A", 1, 1), ("B", 0, None), ("C", 0, 1)]]
+    assert branches == [[("A", 1, 1, True), ("B", 0, None, True),
+                         ("C", 0, 1, True)]]
     branches, _, _ = _parse_pattern("(A B+ | C D)")
-    assert branches == [[("A", 1, 1), ("B", 1, None)],
-                        [("C", 1, 1), ("D", 1, 1)]]
+    assert branches == [[("A", 1, 1, True), ("B", 1, None, True)],
+                        [("C", 1, 1, True), ("D", 1, 1, True)]]
     with pytest.raises(NotImplementedError):
         _parse_pattern("(A | PERMUTE(B, C))")  # permute + alternation
     with pytest.raises(NotImplementedError):
