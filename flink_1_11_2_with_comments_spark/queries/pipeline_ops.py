@@ -9,6 +9,7 @@ queries/_util.py. Thresholds are calibrated to the synthetic corpus
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import register
@@ -1120,3 +1121,117 @@ def multimodal_video_boxes(spark, sf_dir):
     from ..pipeline.multimodal import parse_mp4_boxes, synthesize_mp4
     d = t(spark, sf_dir, "documents")
     return parse_mp4_boxes(synthesize_mp4(d))
+
+
+@register(
+    "text_chunking",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
+      FROM d
+    )
+    SELECT doc_id, CAST(start / 40 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start+1:start+50], ' ') AS chunk_text,
+           CAST(len(toks[start+1:start+50]) AS INT) AS n_tokens
+    FROM s
+    """,
+    doc="Sliding-window document chunking: 50-token chunks with "
+        "10-token overlap (stride 40) — how a training pipeline cuts "
+        "long documents to context length. starts = every stride-th "
+        "token index; each chunk is an array slice re-joined, all "
+        "inside one scan's Generate (explode) + projections: no "
+        "shuffle, chunk count grows with corpus size but each row's "
+        "work is bounded by the chunk size.",
+)
+def text_chunking(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    size, stride = 50, 40
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda x: x % stride == 0)
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, size)
+    return (d.select("doc_id", toks.alias("toks"),
+                     F.explode(starts).alias("start"))
+            .select("doc_id",
+                    (F.col("start") / stride).cast("bigint")
+                    .alias("chunk_id"),
+                    F.concat_ws(" ", chunk).alias("chunk_text"),
+                    F.size(chunk).alias("n_tokens")))
+
+
+@register(
+    "corpus_pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+    doc="Sequence packing: assign documents to fixed-budget (2048-"
+        "token) training sequences by running token count — each doc "
+        "goes to the pack where it STARTS (greedy concat-and-pack, "
+        "the standard pretraining batching step). The running sum is "
+        "one window over (doc order); at 100 TB partition the "
+        "cumulative sum by shard (pack ids only need to be unique "
+        "within a shard) to avoid the single-ordering bottleneck — "
+        "the per-shard form is this same plan keyed by shard.",
+)
+def corpus_pack_sequences(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.select("doc_id", n_tok.alias("n_tokens"),
+                 F.sum(n_tok).over(w).alias("cum"))
+    return (c.groupBy(
+                F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
+                .cast("bigint").alias("pack_id"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
+@register(
+    "corpus_mixture_weights",
+    """
+    WITH per AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n_tokens) AS total_tokens,
+             COUNT(*) AS n_langs FROM per
+    )
+    SELECT p.lang, p.n_docs, p.n_tokens,
+           ROUND((1.0 / t.n_langs)
+                 / (p.n_tokens * 1.0 / t.total_tokens), 9) AS weight
+    FROM per p CROSS JOIN tot t
+    """,
+    doc="Mixture (re-weighting) table for corpus sampling: per-language "
+        "token share vs a uniform target — weight = target_share / "
+        "actual_share, the multiplier a data loader applies to hit the "
+        "desired mixture. One aggregate + a 1-row broadcast cross "
+        "join; the corpus is scanned once.",
+)
+def corpus_mixture_weights(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    per = (d.groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(F.split("text", " "))).alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"),
+                  F.count("*").alias("n_langs"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "n_tokens",
+                    F.round((F.lit(1.0) / F.col("n_langs"))
+                            / (F.col("n_tokens") / F.col("total_tokens")),
+                            9).alias("weight")))
