@@ -1235,3 +1235,109 @@ def corpus_mixture_weights(spark, sf_dir):
                     F.round((F.lit(1.0) / F.col("n_langs"))
                             / (F.col("n_tokens") / F.col("total_tokens")),
                             9).alias("weight")))
+
+
+@register(
+    "corpus_tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT f.doc_id, f.tk,
+             CAST(ROUND(f.tf * ln(n.n_docs * 1.0 / d.df), 9) AS DOUBLE)
+               AS tfidf
+      FROM tf f JOIN df d ON f.tk = d.tk CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, tk, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tk) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tk AS term, tfidf, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: term frequency x inverse "
+        "document frequency, deterministic term tie-break. The "
+        "document-frequency table is computed from the SAME exploded "
+        "aggregate the term frequencies use (one explode, two "
+        "aggregates, one join back); idf's ln rounds to 9 dp so both "
+        "engines rank identical scores identically. At 100 TB the df "
+        "table is vocabulary-sized — orders smaller than the corpus — "
+        "and broadcasts into the scoring join.",
+)
+def corpus_tfidf_topterms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    tf = tok.groupBy("doc_id", "tk").agg(F.count("*").alias("tf"))
+    df = (tf.groupBy(F.col("tk").alias("tk2"))
+          .agg(F.count("*").alias("df")))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(df), tf.tk == F.col("tk2"))
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "tk",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_docs") / F.col("df")), 9)
+                      .cast("double").alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tk")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("doc_id", F.col("tk").alias("term"), "tfidf", "rn"))
+
+
+@register(
+    "corpus_bigram_logprob",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bigram,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i])) AS w1
+      FROM d
+    ), bc AS (
+      SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram
+    ), uc AS (
+      SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(ROUND(SUM(CAST(ROUND(ln(b.c2 * 1.0 / u.c1), 12)
+                               AS DECIMAL(30,14))) / COUNT(*), 6)
+                AS DOUBLE) AS avg_logprob
+    FROM bg g JOIN bc b ON g.bigram = b.bigram
+              JOIN uc u ON g.w1 = u.w1
+    GROUP BY g.doc_id
+    """,
+    doc="Corpus-LM quality score (CCNet-style): train a bigram model "
+        "ON the corpus itself (MLE counts), score each document by its "
+        "mean bigram log-probability — low scores flag disfluent/"
+        "outlier text. The model tables (bigram + unigram counts) are "
+        "vocabulary-sized aggregates of ONE exploded scan and "
+        "broadcast back onto the same exploded rows; per-term ln "
+        "rounds to 12 dp and accumulates in DECIMAL so the per-doc "
+        "mean is order-independent and engine-exact.",
+)
+def corpus_bigram_logprob(spark, sf_dir):
+    from ..pipeline.text import ngrams
+    d = t(spark, sf_dir, "documents")
+    bg = (d.select("doc_id", F.explode(ngrams("text", 2)).alias("bigram"))
+          .withColumn("w1", F.split("bigram", " ")[0]))
+    bc = (bg.groupBy(F.col("bigram").alias("b2"))
+          .agg(F.count("*").alias("c2")))
+    uc = (bg.groupBy(F.col("w1").alias("u1"))
+          .agg(F.count("*").alias("c1")))
+    term = F.round(F.log(F.col("c2") / F.col("c1")), 12) \
+        .cast("decimal(30,14)")
+    return (bg.join(F.broadcast(bc), bg.bigram == F.col("b2"))
+            .join(F.broadcast(uc), bg.w1 == F.col("u1"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.sum(term) / F.count("*"), 6).cast("double")
+                 .alias("avg_logprob")))
