@@ -31,15 +31,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Round-4 rotation: rounds 1-3 hard-verified 140 of 141 checked queries
 # green (fn_math red on an output-type mismatch, since fixed). This list
 # front-loads (a) fn_math — re-verification proves the cast fix — then
-# (b) all 27 oracle-backed queries that have never had a driver row
-# (rounds 3-4 additions: MATCH_RECOGNIZE extensions, TPC-DS shapes,
-# pipeline ops, streaming batch twins), then (c) ~20 canaries spanning
-# every operator family that was green in earlier rounds — including
+# (b) all 27 oracle-backed round-3 queries that never had a driver row
+# (MATCH_RECOGNIZE extensions, TPC-DS shapes, pipeline ops, streaming
+# batch twins), then (c) 14 of this round's 22 new operators, then
+# (d) 6 family canaries green in earlier rounds — including
 # graph_connected_components, whose implementation switched to the
 # frontier-delta iteration this round and therefore needs a fresh row.
 # The two oracle-less rows-only checks sit at slots 49-50: weakest
-# signal, but they have never had any driver row at all. Previously
-# green queries follow, TPC-H (all green in round 1) last.
+# signal, but they have never had any driver row at all. The 8
+# remaining round-4 queries are queued right behind the window for the
+# round-5 rotation; previously green queries follow, TPC-H last.
 _PRIORITY: tuple[str, ...] = (
     # (a) red in round 3 → output types aligned with the oracle
     "fn_math",
@@ -59,16 +60,28 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_canonical", "text_redact", "sample_stratified",
     "multimodal_decode", "over_time_range_preceding",
     "temporal_sort_batch",
-    # (c) family canaries, all green in rounds 1-3
-    "tpch_q1", "tpch_q21", "agg_grouping_sets", "setop_except_all",
-    "null_join_semantics", "over_lead_lag", "rank_topn_per_group",
-    "dedup_keep_last_row", "window_tumble_agg", "window_session_agg",
-    "count_window_batch", "evictor_delta_window", "cep_funnel",
-    "match_recognize_all_rows", "changelog_rowkind", "jdbc_lookup_join",
-    "dedup_minhash_lsh", "ann_ivf_topk", "text_quality",
+    # (c) round-4-new operators (MATCH_RECOGNIZE group/reluctant
+    # quantifiers, WAV/MP4 codecs, corpus-pipeline ops, TPC-DS shapes)
+    "match_recognize_group_times", "match_recognize_reluctant",
+    "multimodal_audio_decode", "multimodal_video_boxes",
+    "text_entropy", "corpus_contamination", "boilerplate_ngrams",
+    "text_chunking", "corpus_pack_sequences", "corpus_tfidf_topterms",
+    "corpus_bigram_logprob", "tpcds_multi_band_count",
+    "tpcds_year_over_year_customer", "tpcds_returns_net",
+    # (d) family canaries, all green in rounds 1-3 —
+    # graph_connected_components switched to the frontier-delta
+    # implementation this round and needs a fresh row
+    "tpch_q1", "tpch_q21", "cep_funnel",
+    "dedup_minhash_lsh", "jdbc_lookup_join",
     "graph_connected_components",
     # oracle-less rows-only checks (slots 49-50; never driver-checked)
     "approx_sketches", "corpus_sample",
+    # remaining round-4-new queries enter the window at the round-5
+    # rotation (all exact-checked by tests/test_oracle_parity.py today)
+    "unnest_map", "text_repetition_ngrams", "corpus_mixture_weights",
+    "tpcds_cumulative_channel_join", "tpcds_moving_avg_deviation",
+    "tpcds_subsequent_period", "tpcds_channel_ratio",
+    "tpcds_two_metric_rank",
 )
 
 
