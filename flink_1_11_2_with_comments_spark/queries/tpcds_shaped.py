@@ -937,3 +937,152 @@ def tpcds_two_metric_rank(spark, sf_dir):
             W.orderBy(F.desc("ret_amt"), "p_brand")).alias("amt_rank"))
     return ranked.where((F.col("rate_rank") <= 10)
                         | (F.col("amt_rank") <= 10))
+
+
+@register(
+    "tpcds_frequent_buyers",
+    f"""
+    WITH freq AS (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey HAVING COUNT(*) >= 25
+    ), spend AS (
+      SELECT o_custkey, {sql_dsum('o_totalprice')} AS rev
+      FROM orders GROUP BY o_custkey
+    ), cutoff AS (
+      SELECT MAX(rev) * 0.95 AS lim FROM spend
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_best_customers,
+           {sql_dsum('s.rev')} AS segment_rev
+    FROM freq f
+    JOIN spend s ON f.o_custkey = s.o_custkey
+    CROSS JOIN cutoff
+    JOIN customer c ON f.o_custkey = c.c_custkey
+    WHERE s.rev > cutoff.lim * 0.5
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-DS q23 shape: 'best customers' = frequent buyers (order "
+        "count over a threshold) INTERSECTED with high spenders "
+        "(above a fraction of the max), then reported by a dimension "
+        "attribute. Both qualifying sets are keyed aggregates of the "
+        "SAME fact scan (Catalyst reuses the exchange for the two "
+        "aggregates on o_custkey); the single-row cutoff broadcasts, "
+        "and the customer dim broadcasts into the final report.",
+)
+def tpcds_frequent_buyers(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.count("*").alias("n_orders"),
+                     dsum("o_totalprice").alias("rev")))
+    freq = per_cust.where(F.col("n_orders") >= 25)
+    cutoff = per_cust.agg((F.max("rev") * 0.95).alias("lim"))
+    return (freq.crossJoin(F.broadcast(cutoff))
+            .where(F.col("rev") > F.col("lim") * 0.5)
+            .join(F.broadcast(c), freq.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_best_customers"),
+                 dsum("rev").alias("segment_rev")))
+
+
+@register(
+    "tpcds_regional_growth",
+    f"""
+    WITH yearly AS (
+      SELECT n.n_name, EXTRACT(year FROM o.o_orderdate) AS yr,
+             {sql_dsum('o.o_totalprice')} AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT a.n_name, a.yr AS yr,
+           b.rev AS rev_prev, a.rev AS rev_this,
+           CAST(ROUND(a.rev / b.rev, 6) AS DOUBLE) AS growth
+    FROM yearly a JOIN yearly b
+      ON a.n_name = b.n_name AND a.yr = b.yr + 1
+    WHERE a.rev / b.rev > (SELECT MAX(x.rev / y.rev)
+                           FROM yearly x JOIN yearly y
+                             ON x.n_name = y.n_name AND x.yr = y.yr + 1
+                           WHERE x.n_name = 'CHINA') * 0.8
+    """,
+    doc="TPC-DS q31 shape: regional period-over-period growth kept "
+        "where it beats a fraction of a REFERENCE region's best growth "
+        "— the correlated benchmark decorrelates to a scalar subquery "
+        "over the same tiny (nation, year) aggregate. The fact is "
+        "aggregated once; self-join and benchmark both run on "
+        "|nations x years| rows.",
+)
+def tpcds_regional_growth(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    yearly = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("n_name",
+                       F.year("o_orderdate").cast("bigint").alias("yr"))
+              .agg(dsum("o_totalprice").alias("rev")))
+    a = yearly.alias("a")
+    b = yearly.select(F.col("n_name").alias("nb"),
+                      F.col("yr").alias("yr_b"),
+                      F.col("rev").alias("rev_b"))
+    grown = (a.join(b, (F.col("a.n_name") == F.col("nb"))
+                    & (F.col("a.yr") == F.col("yr_b") + 1)))
+    bench = (grown.where(F.col("a.n_name") == "CHINA")
+             .agg((F.max(F.col("a.rev") / F.col("rev_b")) * 0.8)
+                  .alias("ref")))
+    return (grown.crossJoin(F.broadcast(bench))
+            .where(F.col("a.rev") / F.col("rev_b") > F.col("ref"))
+            .select(F.col("a.n_name").alias("n_name"),
+                    F.col("a.yr").alias("yr"),
+                    F.col("rev_b").alias("rev_prev"),
+                    F.col("a.rev").alias("rev_this"),
+                    F.round(F.col("a.rev") / F.col("rev_b"), 6)
+                    .cast("double").alias("growth")))
+
+
+@register(
+    "tpcds_yearly_brand_delta",
+    f"""
+    WITH yb AS (
+      SELECT p.p_brand, EXTRACT(year FROM l.l_shipdate) AS yr,
+             {sql_dsum('l.l_quantity')} AS qty,
+             {sql_dsum('l.l_extendedprice')} AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size <= 10
+      GROUP BY 1, 2
+    )
+    SELECT a.p_brand, a.yr AS yr,
+           b.qty AS qty_prev, a.qty AS qty_this,
+           CAST(ROUND(a.rev - b.rev, 2) AS DOUBLE) AS rev_delta
+    FROM yb a JOIN yb b ON a.p_brand = b.p_brand AND a.yr = b.yr + 1
+    WHERE a.qty < 0.9 * b.qty
+    """,
+    doc="TPC-DS q75 shape: year-over-year DECLINE report per brand — "
+        "brands whose shipped quantity dropped more than 10%, with "
+        "the revenue delta. One broadcast-dim fact aggregate, "
+        "self-joined on the shifted year; the exact-decimal revenue "
+        "difference of two rounded sums is itself exactly "
+        "representable, so rev_delta is engine-identical.",
+)
+def tpcds_yearly_brand_delta(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    yb = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .groupBy("p_brand",
+                   F.year("l_shipdate").cast("bigint").alias("yr"))
+          .agg(dsum("l_quantity").alias("qty"),
+               dsum("l_extendedprice").alias("rev")))
+    a = yb.alias("a")
+    b = yb.select(F.col("p_brand").alias("pb"),
+                  F.col("yr").alias("yr_b"),
+                  F.col("qty").alias("qty_b"),
+                  F.col("rev").alias("rev_b"))
+    return (a.join(b, (F.col("a.p_brand") == F.col("pb"))
+                   & (F.col("a.yr") == F.col("yr_b") + 1))
+            .where(F.col("a.qty") < 0.9 * F.col("qty_b"))
+            .select(F.col("a.p_brand").alias("p_brand"),
+                    F.col("a.yr").alias("yr"),
+                    F.col("qty_b").alias("qty_prev"),
+                    F.col("a.qty").alias("qty_this"),
+                    F.round(F.col("a.rev") - F.col("rev_b"), 2)
+                    .cast("double").alias("rev_delta")))
