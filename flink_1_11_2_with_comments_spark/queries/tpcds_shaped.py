@@ -944,7 +944,7 @@ def tpcds_two_metric_rank(spark, sf_dir):
     f"""
     WITH freq AS (
       SELECT o_custkey FROM orders
-      GROUP BY o_custkey HAVING COUNT(*) >= 25
+      GROUP BY o_custkey HAVING COUNT(*) >= 18
     ), spend AS (
       SELECT o_custkey, {sql_dsum('o_totalprice')} AS rev
       FROM orders GROUP BY o_custkey
@@ -974,7 +974,7 @@ def tpcds_frequent_buyers(spark, sf_dir):
     per_cust = (o.groupBy("o_custkey")
                 .agg(F.count("*").alias("n_orders"),
                      dsum("o_totalprice").alias("rev")))
-    freq = per_cust.where(F.col("n_orders") >= 25)
+    freq = per_cust.where(F.col("n_orders") >= 18)
     cutoff = per_cust.agg((F.max("rev") * 0.95).alias("lim"))
     return (freq.crossJoin(F.broadcast(cutoff))
             .where(F.col("rev") > F.col("lim") * 0.5)
@@ -1003,10 +1003,10 @@ def tpcds_frequent_buyers(spark, sf_dir):
     WHERE a.rev / b.rev > (SELECT MAX(x.rev / y.rev)
                            FROM yearly x JOIN yearly y
                              ON x.n_name = y.n_name AND x.yr = y.yr + 1
-                           WHERE x.n_name = 'CHINA') * 0.8
+                           WHERE x.n_name = 'NATION_0') * 0.8
     """,
     doc="TPC-DS q31 shape: regional period-over-period growth kept "
-        "where it beats a fraction of a REFERENCE region's best growth "
+        "where it beats a fraction of a REFERENCE region's (NATION_0) best growth "
         "— the correlated benchmark decorrelates to a scalar subquery "
         "over the same tiny (nation, year) aggregate. The fact is "
         "aggregated once; self-join and benchmark both run on "
@@ -1027,7 +1027,7 @@ def tpcds_regional_growth(spark, sf_dir):
                       F.col("rev").alias("rev_b"))
     grown = (a.join(b, (F.col("a.n_name") == F.col("nb"))
                     & (F.col("a.yr") == F.col("yr_b") + 1)))
-    bench = (grown.where(F.col("a.n_name") == "CHINA")
+    bench = (grown.where(F.col("a.n_name") == "NATION_0")
              .agg((F.max(F.col("a.rev") / F.col("rev_b")) * 0.8)
                   .alias("ref")))
     return (grown.crossJoin(F.broadcast(bench))
