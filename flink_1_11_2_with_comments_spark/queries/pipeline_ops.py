@@ -1263,22 +1263,26 @@ def corpus_mixture_weights(spark, sf_dir):
     FROM ranked WHERE rn <= 3
     """,
     doc="TF-IDF top-3 terms per document: term frequency x inverse "
-        "document frequency, deterministic term tie-break. The "
-        "document-frequency table is computed from the SAME exploded "
-        "aggregate the term frequencies use (one explode, two "
-        "aggregates, one join back); idf's ln rounds to 9 dp so both "
-        "engines rank identical scores identically. At 100 TB the df "
-        "table is vocabulary-sized — orders smaller than the corpus — "
-        "and broadcasts into the scoring join.",
+        "document frequency, deterministic term tie-break. The oracle "
+        "states the textbook tf/df-CTE join; the Spark plan computes "
+        "df as COUNT(*) OVER (PARTITION BY term) on the tf rows "
+        "themselves — tf has one row per (doc, term), so the window "
+        "count IS the document frequency, and the corpus TEXT column "
+        "is scanned exactly ONCE (the n_docs scalar reads only the "
+        "id column). One explode shuffle + two window sorts vs the "
+        "join form's three full text scans — at 100 TB that is the "
+        "whole cost. idf's ln rounds to 9 dp so both engines rank "
+        "identical scores identically.",
 )
 def corpus_tfidf_topterms(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
     tf = tok.groupBy("doc_id", "tk").agg(F.count("*").alias("tf"))
-    df = (tf.groupBy(F.col("tk").alias("tk2"))
-          .agg(F.count("*").alias("df")))
+    # df via window over the tf rows (one row per (doc, tk)) — no
+    # second derivation of the exploded scan, no join
+    df_w = F.count("*").over(W.partitionBy("tk"))
     n = d.agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(F.broadcast(df), tf.tk == F.col("tk2"))
+    scored = (tf.withColumn("df", df_w)
               .crossJoin(F.broadcast(n))
               .select("doc_id", "tk",
                       F.round(F.col("tf")
@@ -1318,26 +1322,26 @@ def corpus_tfidf_topterms(spark, sf_dir):
     doc="Corpus-LM quality score (CCNet-style): train a bigram model "
         "ON the corpus itself (MLE counts), score each document by its "
         "mean bigram log-probability — low scores flag disfluent/"
-        "outlier text. The model tables (bigram + unigram counts) are "
-        "vocabulary-sized aggregates of ONE exploded scan and "
-        "broadcast back onto the same exploded rows; per-term ln "
-        "rounds to 12 dp and accumulates in DECIMAL so the per-doc "
-        "mean is order-independent and engine-exact.",
+        "outlier text. The oracle states the textbook count-CTE joins; "
+        "the Spark plan computes both model counts as windows over "
+        "the SAME exploded bigram rows (COUNT(*) OVER bigram = c2, "
+        "OVER w1 = c1) — one corpus scan, two window sorts, zero "
+        "joins, vs three full text scans for the join form. Per-term "
+        "ln rounds to 12 dp and accumulates in DECIMAL so the "
+        "per-doc mean is order-independent and engine-exact.",
 )
 def corpus_bigram_logprob(spark, sf_dir):
     from ..pipeline.text import ngrams
     d = t(spark, sf_dir, "documents")
     bg = (d.select("doc_id", F.explode(ngrams("text", 2)).alias("bigram"))
           .withColumn("w1", F.split("bigram", " ")[0]))
-    bc = (bg.groupBy(F.col("bigram").alias("b2"))
-          .agg(F.count("*").alias("c2")))
-    uc = (bg.groupBy(F.col("w1").alias("u1"))
-          .agg(F.count("*").alias("c1")))
+    scored = bg.select(
+        "doc_id",
+        F.count("*").over(W.partitionBy("bigram")).alias("c2"),
+        F.count("*").over(W.partitionBy("w1")).alias("c1"))
     term = F.round(F.log(F.col("c2") / F.col("c1")), 12) \
         .cast("decimal(30,14)")
-    return (bg.join(F.broadcast(bc), bg.bigram == F.col("b2"))
-            .join(F.broadcast(uc), bg.w1 == F.col("u1"))
-            .groupBy("doc_id")
+    return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.sum(term) / F.count("*"), 6).cast("double")
                  .alias("avg_logprob")))

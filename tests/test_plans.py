@@ -301,3 +301,22 @@ def test_entropy_is_map_side(spark, sf_dir):
     body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     assert "Exchange" not in body, body
     assert "BatchEvalPython" not in p
+
+
+def test_tfidf_and_bigram_single_text_scan(spark, sf_dir):
+    """TF-IDF and the bigram-LM score must read the corpus TEXT column
+    exactly ONCE (model counts via windows over the exploded rows,
+    not re-derived joins) — at 100 TB re-scanning text is the cost."""
+    import re
+    for name in ("corpus_tfidf_topterms", "corpus_bigram_logprob"):
+        p = plan(spark, name, sf_dir)
+        assert len(re.findall(r"ReadSchema:.*text", p)) == 1, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_chunking_no_shuffle(spark, sf_dir):
+    """Document chunking is Generate + projections in one scan —
+    zero exchanges."""
+    p = plan(spark, "text_chunking", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "Exchange" not in body, body
