@@ -32,11 +32,14 @@ Supported subset (raise on anything else, loudly):
 - quantifiers: none (exactly once), `+`, `*`, `?`, `{n}`, `{m,n}`,
   `{m,}` — each RELUCTANT with a trailing `?` (`B+?`, `B*?`, `B??`,
   `B{m,n}?`: prefer FEWER repetitions; Quantifier.greedy/reluctant).
-  The min-0 forms (`*`, `?`) expand to present/absent
-  alternatives scored in (greedy or reluctant) preference order
-  (cep._expand_optional — the reference NFA's OPTIONAL state,
-  flink-cep/.../pattern/Quantifier.java); batch only. Patterns that
-  can match zero rows (all steps optional) raise.
+  min-0 forms (`*`, `?`) are handled NATIVELY by the NFA walk:
+  each step yields its zero-repetition option at its own preference
+  position, so backtracking explores choices in regex order —
+  left-to-right, earlier quantifiers' preference outranking later
+  steps' (fuzz-pinned against Python's `re`; the reference NFA's
+  OPTIONAL state, flink-cep/.../pattern/Quantifier.java); batch
+  only. Patterns that can match zero rows (all steps optional)
+  raise.
 - alternation `A B | C D`: one branch per arm, SQL preference =
   textual order (ties at the same start row resolve to the earlier
   branch); a variable unmatched by the winning branch reports NULL
@@ -229,8 +232,8 @@ def _parse_branch(
                                 set[str]]:
     """One alternation branch's tokens → ([(name, min, max, greedy)],
     excluded). min may be 0 (`*` = {0,}, `?` = {0,1}) — the engine
-    expands these into present/absent alternatives
-    (cep._expand_optional). A trailing `?` on any quantifier (`B*?`,
+    handles these natively (zero-repetition options in per-step
+    preference order). A trailing `?` on any quantifier (`B*?`,
     `B+?`, `B??`, `B{m,n}?`) makes it RELUCTANT: prefer FEWER
     repetitions (SQL standard reluctant quantifiers; reference:
     Quantifier.greedy/reluctant, flink-cep/.../pattern/Quantifier.java

@@ -742,9 +742,10 @@ def match_recognize_prev(spark, sf_dir):
     doc="MATCH_RECOGNIZE `*` quantifier — PATTERN (A B* C): view, ZERO "
         "or more consecutive clicks, purchase; a direct view→purchase "
         "conversion matches with COUNT(B.*)=0 and NULL click ids (the "
-        "SQL unmatched-variable semantics). min-0 steps expand to "
-        "present/absent alternatives scored in greedy preference order "
-        "(cep._expand_optional; reference: optional NFA states, "
+        "SQL unmatched-variable semantics). min-0 steps yield "
+        "zero-repetition options at their per-step preference "
+        "position — regex-order backtracking, fuzz-pinned "
+        "(reference: optional NFA states, "
         "flink-cep/.../pattern/Quantifier.java, NFACompiler). Oracle: "
         "gaps-and-islands maximal click run (possibly absent) bracketed "
         "by an adjacent view and purchase.",

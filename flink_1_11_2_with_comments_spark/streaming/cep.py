@@ -162,12 +162,20 @@ class QStep:
 
 def _find_q_matches(events: list[dict], steps: list[QStep],
                     ts_col: str, within_ms: int | None,
-                    start_idx: int = 0, first_only: bool = False):
+                    start_idx: int = 0, first_only: bool = False,
+                    anchored: bool = False):
     """Matches of quantified steps, in preference order per start
     position (greedy: longer repetitions first). Returns a list of
     (match, end_idx) where a match is a list of (step, [events]) and
     end_idx is the index just past its last event. first_only stops
     at the first (= earliest-start, most-preferred) match.
+
+    ``anchored``: the match's first CONSUMED event must be exactly
+    events[start_idx] (the regex `match`-at-pos model). The skip-
+    strategy loops use this and advance start_idx themselves —
+    leftmost preference then holds even when leading min-0 steps
+    match zero rows (un-anchored scanning would prefer a later-
+    starting consuming option over a zero-repetition at start_idx).
 
     Repetitions are CONSECUTIVE events (Flink's `.times(n)` /
     `.oneOrMore().consecutive()`); the step's anchor follows its
@@ -184,20 +192,38 @@ def _find_q_matches(events: list[dict], steps: list[QStep],
         return (ev[ts_col] - first_ev[ts_col]).total_seconds() * 1000 \
             <= within_ms
 
-    def step_reps(step: QStep, start: int, first_ev):
+    relaxed_first = bool(steps) and steps[0].contiguity == "relaxed"
+
+    def step_reps(step: QStep, start: int, first_ev, consumed=True):
         """Yield (rep_events, next_idx, anchor) for one step, in
-        preference order."""
-        anchors = ([start] if step.contiguity == "strict"
-                   else range(start, n_ev))
+        preference order. min_times=0 steps ALSO yield the
+        zero-repetition option ([], start, None), placed by the
+        step's preference (greedy: after every consuming option;
+        reluctant: before) — so the walk's backtracking explores
+        choices in regex order: left-to-right, each quantifier's own
+        preference outranking every later step's (the SQL standard /
+        reference NFA OPTIONAL-state semantics; branch expansion put
+        the presence choice outermost, which inverted preference for
+        patterns like `B{1,2}? C?? A*`; fuzz-pinned against Python's
+        `re` in tests/test_stateful.py). A step reached with NOTHING
+        consumed yet (every earlier step matched zero rows) inherits
+        the first step's relaxed anchor — unless ``anchored``, which
+        pins the first consumed event to start_idx."""
+        strict = ((step.contiguity == "strict"
+                   and (consumed or not relaxed_first))
+                  or (anchored and not consumed))
+        anchors = [start] if strict else range(start, n_ev)
         stop = step.until or (lambda ev: False)
+        if step.min_times == 0 and not step.greedy:
+            yield [], start, None
         for a in anchors:
             if a >= n_ev:
-                return
+                break
             if not (step.predicate(events[a])
                     and within_ok(first_ev, events[a])
                     and not stop(events[a])):
-                if step.contiguity == "strict":
-                    return
+                if strict:
+                    break
                 continue
             if step.combinations:
                 # allowCombinations: non-consecutive repetitions — every
@@ -215,17 +241,17 @@ def _find_q_matches(events: list[dict], steps: list[QStep],
                     j += 1
                 max_k = (len(pool) if step.max_times is None
                          else min(step.max_times, len(pool)))
-                sizes = (range(max_k, step.min_times - 1, -1)
-                         if step.greedy
-                         else range(step.min_times, max_k + 1))
+                lo = max(step.min_times, 1)
+                sizes = (range(max_k, lo - 1, -1) if step.greedy
+                         else range(lo, max_k + 1))
                 for k in sizes:
                     if k < 1:
                         continue
                     for rest in itertools.combinations(pool[1:], k - 1):
                         sel = [a, *rest]
                         yield [events[i] for i in sel], sel[-1] + 1, a
-                if step.contiguity == "strict":
-                    return
+                if strict:
+                    break
                 continue
             run = [a]
             j = a + 1
@@ -235,27 +261,36 @@ def _find_q_matches(events: list[dict], steps: list[QStep],
                    and not stop(events[j])):
                 run.append(j)
                 j += 1
-            lengths = (range(len(run), step.min_times - 1, -1)
-                       if step.greedy
-                       else range(step.min_times, len(run) + 1))
+            lo = max(step.min_times, 1)
+            lengths = (range(len(run), lo - 1, -1) if step.greedy
+                       else range(lo, len(run) + 1))
             for ln in lengths:
                 if ln <= len(run):
                     yield [events[i] for i in run[:ln]], run[ln - 1] + 1, a
-            if step.contiguity == "strict":
-                return
+            if strict:
+                break
+        if step.min_times == 0 and step.greedy:
+            yield [], start, None
 
     def walk(partial, next_idx, step_i, first_ev) -> bool:
         if step_i == n_steps:
+            if not partial:
+                return False  # every step matched zero rows — no match
             matches.append((partial, next_idx))
             return first_only
         step = steps[step_i]
+        consumed = bool(partial)
         if step.negated:
             # notFollowedBy: bind the NEXT positive step, then require
             # the gap [next_idx, its anchor) to be free of forbidden
-            # events (Pattern.java:382; cannot be final — validated by
-            # the caller)
+            # events (Pattern.java:382; cannot be final, and cannot
+            # precede a min-0 step — validated by the caller: a
+            # zero-repetition binding would leave the gap unbounded)
             nxt_step = steps[step_i + 1]
-            for reps, nxt, a in step_reps(nxt_step, next_idx, first_ev):
+            for reps, nxt, a in step_reps(nxt_step, next_idx, first_ev,
+                                          consumed):
+                if not reps:
+                    continue
                 if any(step.predicate(events[g])
                        for g in range(next_idx, a)):
                     continue
@@ -263,7 +298,14 @@ def _find_q_matches(events: list[dict], steps: list[QStep],
                         first_ev or reps[0]):
                     return True
             return False
-        for reps, nxt, _ in step_reps(step, next_idx, first_ev):
+        for reps, nxt, _ in step_reps(step, next_idx, first_ev, consumed):
+            if not reps:
+                # zero-repetition option: the step binds no rows (SQL
+                # unmatched-variable semantics downstream) — continue
+                # with the SAME position and first event
+                if walk(partial, nxt, step_i + 1, first_ev):
+                    return True
+                continue
             if walk(partial + [(step, reps)], nxt, step_i + 1,
                     first_ev or reps[0]):
                 return True
@@ -286,18 +328,21 @@ def _all_q_matches(events, steps, ts_col, within_ms, after_match,
     would emit every greedy-length candidate per start).
     SKIP TO FIRST/LAST(V) ('skip_to_first:V' / 'skip_to_last:V')
     resumes AT the first/last row mapped to V (_skip_to_resume)."""
+    # the skip-strategy loops drive start positions ONE BY ONE with
+    # anchored matching (regex `match`-at-pos): leftmost preference is
+    # the loop's, per-position preference the walk's — correct even
+    # when leading min-0 steps consume nothing. A miss is cheap (the
+    # anchored first step fails fast), so the scan stays O(n) overall.
     if after_match.startswith(("skip_to_first:", "skip_to_last:")):
         mode, _, var = after_match.partition(":")
         take_first = mode == "skip_to_first"
         pos_of = {id(ev): i for i, ev in enumerate(events)}
-        relaxed = bool(steps) and steps[0].contiguity == "relaxed"
         out, idx = [], 0
         while idx < len(events):
             found = _find_q_matches(events, steps, ts_col, within_ms,
-                                    start_idx=idx, first_only=True)
+                                    start_idx=idx, first_only=True,
+                                    anchored=True)
             if not found:
-                if relaxed:
-                    break
                 idx += 1
                 continue
             m, _end = found[0]
@@ -306,30 +351,23 @@ def _all_q_matches(events, steps, ts_col, within_ms, after_match,
         return out
     if after_match == "skip_to_next_row":
         out, idx = [], 0
-        relaxed = bool(steps) and steps[0].contiguity == "relaxed"
         while idx < len(events):
             found = _find_q_matches(events, steps, ts_col, within_ms,
-                                    start_idx=idx, first_only=True)
-            if not found:
-                if relaxed:
-                    break  # no match starts at or after idx
-                idx += 1
-                continue
-            m, _end = found[0]
-            out.append(m)
-            first_ev = m[0][1][0]
-            while events[idx] is not first_ev:
-                idx += 1
+                                    start_idx=idx, first_only=True,
+                                    anchored=True)
+            if found:
+                out.append(found[0][0])
             idx += 1
         return out
-    if (after_match == "skip_past_last" and steps
-            and steps[0].contiguity == "relaxed"):
+    if after_match == "skip_past_last":
         out, idx = [], 0
         while idx < len(events):
             found = _find_q_matches(events, steps, ts_col, within_ms,
-                                    start_idx=idx, first_only=True)
+                                    start_idx=idx, first_only=True,
+                                    anchored=True)
             if not found:
-                break
+                idx += 1
+                continue
             m, end = found[0]
             out.append(m)
             idx = end
@@ -337,66 +375,6 @@ def _all_q_matches(events, steps, ts_col, within_ms, after_match,
     found = [m for m, _ in _find_q_matches(events, steps, ts_col,
                                            within_ms)]
     return _select_matches(found, id_col, after_match)
-
-
-def _expand_optional(steps: list[QStep]) -> list[list[QStep]]:
-    """Expand min_times=0 steps (`B*`, `B?`) into the alternation of
-    present/absent branches — the NFA's optional-state semantics
-    (reference: Quantifier.QuantifierProperty.OPTIONAL,
-    flink-cep/.../pattern/Quantifier.java; NFACompiler builds an
-    epsilon-style PROCEED edge for optional states) re-expressed as
-    branch enumeration, which the alternation matcher already scores
-    in SQL preference order.
-
-    Branch order = greedy preference: for each optional step, PRESENT
-    (with min_times raised to 1) before ABSENT, outer product in step
-    order — so `A B* C` prefers consuming Bs, ties at the same start
-    row resolved toward longer matches, exactly the greedy-star
-    semantics. After dropping a step the first surviving step inherits
-    the pattern's relaxed anchor.
-
-    Subset boundaries (raise, loudly): a pattern that can match zero
-    rows (every positive step optional), and an optional step whose
-    removal would orphan a notFollowedBy (negated step left last, or
-    two negated steps left adjacent).
-    """
-    opt = [i for i, s in enumerate(steps)
-           if not s.negated and s.min_times == 0]
-    if not opt:
-        return [list(steps)]
-    relaxed_first = bool(steps) and steps[0].contiguity == "relaxed"
-    out = []
-    # greedy optional: PRESENT before ABSENT; reluctant (`B*?`/`B??`):
-    # ABSENT first — prefer consuming nothing (Quantifier.greedy
-    # property; reluctant loop states in the reference NFA)
-    orders = [([True, False] if steps[i].greedy else [False, True])
-              for i in opt]
-    for keep in itertools.product(*orders):
-        drop = {i for i, k in zip(opt, keep) if not k}
-        branch = []
-        for i, s in enumerate(steps):
-            if i in drop:
-                continue
-            if s.min_times == 0:
-                s = dataclasses.replace(s, min_times=1)
-            branch.append(s)
-        if not any(not s.negated for s in branch):
-            raise NotImplementedError(
-                "patterns that can match zero rows (all positive steps "
-                "optional) are unsupported")
-        if branch[-1].negated or any(
-                a.negated and b.negated
-                for a, b in zip(branch, branch[1:])):
-            raise NotImplementedError(
-                "dropping an optional step would orphan a "
-                "notFollowedBy (negated step left last or adjacent)")
-        if relaxed_first:
-            branch[0] = dataclasses.replace(branch[0],
-                                            contiguity="relaxed")
-        out.append(branch)
-    return out
-
-
 def _skip_to_resume(m, var: str, take_first: bool, pos_of) -> int:
     """AFTER MATCH SKIP TO FIRST/LAST(V) resume position
     (AfterMatchSkipStrategy.skipToFirst/skipToLast,
@@ -442,26 +420,20 @@ def _permute_alts(steps: list[QStep]) -> list[list[QStep]]:
 
 
 def _find_best_alt(events, alts, ts_col, within_ms, start_idx, pos_of):
-    """Earliest-starting match across alternatives from start_idx;
-    ties at the same start row break by alternative order (SQL's
-    PERMUTE preference). ``pos_of`` is the id(event)->index map, built
-    ONCE by the caller per events list (not per scan position).
-    Returns (match, end_idx, start_pos) or None."""
-    best = None
-    for ai, steps in enumerate(alts):
+    """Preferred match STARTING AT start_idx across alternatives
+    (anchored — the caller advances the scan position, so leftmost
+    preference is the caller's and ties at the same start row break
+    by alternative order, SQL's PERMUTE/alternation preference).
+    ``pos_of`` is the id(event)->index map, built ONCE by the caller
+    per events list. Returns (match, end_idx, start_pos) or None."""
+    for steps in alts:
         found = _find_q_matches(events, steps, ts_col, within_ms,
-                                start_idx=start_idx, first_only=True)
-        if not found:
-            continue
-        m, end = found[0]
-        start = pos_of[id(m[0][1][0])]
-        key = (start, ai)
-        if best is None or key < best[0]:
-            best = (key, m, end)
-    if best is None:
-        return None
-    (start, _ai), m, end = best
-    return m, end, start
+                                start_idx=start_idx, first_only=True,
+                                anchored=True)
+        if found:
+            m, end = found[0]
+            return m, end, pos_of[id(m[0][1][0])]
+    return None
 
 
 def _all_alt_matches(events, alts, ts_col, within_ms, after_match,
@@ -485,16 +457,13 @@ def _all_alt_matches(events, alts, ts_col, within_ms, after_match,
                                              within_ms)]
         return _select_matches(found, id_col, "all")
     pos_of = {id(ev): i for i, ev in enumerate(events)}
-    all_relaxed = all(b and b[0].contiguity == "relaxed" for b in alts)
     out, idx = [], 0
     n = len(events)
     while idx < n:
         found = _find_best_alt(events, alts, ts_col, within_ms, idx,
                                pos_of)
         if found is None:
-            if all_relaxed:
-                break  # relaxed anchors scanned every later start too
-            idx += 1  # a strict-anchored branch may match further on
+            idx += 1  # anchored: only start==idx was checked
             continue
         m, end, start = found
         out.append(m)
@@ -549,8 +518,11 @@ def _prepare_branches(df, keys, ts_col, id_col, steps, flag_exprs,
                       until_exprs, permute, alternation):
     """Shared front half of the two batch entrypoints: validate,
     project flags (name-keyed, once for every branch), expand PERMUTE
-    and optional (min_times=0) steps into the final alternation.
-    Returns (df, union_steps, run_steps, alts): run_steps set for the
+    into the final alternation. min_times=0 steps are handled NATIVELY
+    by the walk (zero-repetition option in each step's preference
+    order — regex-equivalent backtracking; fuzz-pinned against
+    Python's `re` in tests/test_stateful.py). Returns (df,
+    union_steps, run_steps, alts): run_steps set for the
     single-branch fast path, alts for alternation matching."""
     if permute and alternation is not None:
         raise ValueError("permute and alternation are mutually exclusive")
@@ -564,6 +536,16 @@ def _prepare_branches(df, keys, ts_col, id_col, steps, flag_exprs,
         if any(a.negated and b.negated for a, b in zip(br, br[1:])):
             raise ValueError(
                 "consecutive notFollowedBy steps are unsupported")
+        if not any(not s.negated and s.min_times > 0 for s in br):
+            raise NotImplementedError(
+                "patterns that can match zero rows (every positive "
+                "step optional) are unsupported")
+        if any(a.negated and b.min_times == 0
+               for a, b in zip(br, br[1:])):
+            raise ValueError(
+                "notFollowedBy cannot precede an optional (min-0) "
+                "step — a zero-repetition binding leaves the "
+                "forbidden gap unbounded")
     union = _union_steps(branches)
     if flag_exprs is not None:
         df, pred_map, until_map = _flag_projection(
@@ -575,7 +557,7 @@ def _prepare_branches(df, keys, ts_col, id_col, steps, flag_exprs,
         if permute:
             expanded.extend(_permute_alts(br))
         else:
-            expanded.extend(_expand_optional(br))
+            expanded.append(br)
     if len(expanded) == 1:
         return df, union, expanded[0], None
     return df, union, None, expanded
@@ -925,7 +907,10 @@ def match_pattern_stream(
             if alts is not None:
                 best = _find_best_alt(complete, alts, ts_col,
                                       within_ms, idx, pos_of)
-                found = [best[:2]] if best is not None else []
+                if best is None:
+                    idx += 1  # anchored: only start==idx was checked
+                    continue
+                found = [best[:2]]
             else:
                 found = _find_q_matches(complete, flag_steps,
                                         ts_col, within_ms, start_idx=idx,

@@ -568,15 +568,14 @@ def test_cep_permute_equals_regex_alternation():
 
 
 def test_cep_star_equals_regex():
-    """Property: optional-step expansion (`B*` → present/absent
-    alternatives) under SKIP_PAST_LAST equals the regex engine on
-    `vc*p` — leftmost preference, greedy star, non-overlapping
-    continuation. Exercises _expand_optional + the alternation
-    matcher end-to-end."""
+    """Property: native min-0 handling under SKIP_PAST_LAST equals the
+    regex engine on `vc*p` — leftmost preference, greedy star,
+    non-overlapping continuation (zero-repetition options explored in
+    per-step preference order, the regex backtracking model)."""
     import re
     from hypothesis import given, settings, strategies as st
     from flink_1_11_2_with_comments_spark.streaming.cep import (
-        QStep, _all_alt_matches, _expand_optional)
+        QStep, _all_q_matches)
 
     steps = [
         QStep("a", lambda e: e["t"] == "v"),
@@ -584,16 +583,14 @@ def test_cep_star_equals_regex():
               contiguity="strict"),
         QStep("c", lambda e: e["t"] == "p", contiguity="strict"),
     ]
-    alts = _expand_optional(steps)
-    assert [len(b) for b in alts] == [3, 2]  # present before absent
 
     @given(st.text(alphabet="vcpx", max_size=40))
     @settings(max_examples=300, deadline=None)
     def check(seq):
         events = [{"t": ch, "ts": i, "id": i} for i, ch in enumerate(seq)]
         got = [(m[0][1][0]["id"], m[-1][1][-1]["id"])
-               for m in _all_alt_matches(events, alts, "ts", None,
-                                         "skip_past_last", "id")]
+               for m in _all_q_matches(events, steps, "ts", None,
+                                       "skip_past_last", "id")]
         exp = [(mo.start(), mo.end() - 1)
                for mo in re.finditer("vc*p", seq)]
         assert got == exp, (seq, got, exp)
@@ -601,33 +598,95 @@ def test_cep_star_equals_regex():
     check()
 
 
-def test_cep_expand_optional_boundaries():
-    """_expand_optional subset boundaries raise loudly: all-optional
-    patterns (can match zero rows) and drops that orphan a
-    notFollowedBy."""
+def test_cep_quantifier_regex_equivalence_fuzz():
+    """Property: the NFA's quantifier semantics (greedy/reluctant,
+    min-0, bounds, SKIP PAST LAST continuation) equal Python's regex
+    engine on random patterns x random event strings — the strongest
+    available oracle for backtracking preference order. Group-
+    quantifier patterns are excluded: group unrolling ranks the
+    presence choice above EARLIER quantifiers\' backtracking, a
+    documented deviation (plans/match_recognize._expand_groups)."""
+    import random
+    import re as regex
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        _parse_pattern)
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, _all_q_matches)
+
+    def nfa_spans(pattern, s):
+        braw = _parse_pattern(pattern)[0][0]
+        steps = [QStep(name, (lambda ev, ch=name: ev["c"] == ch),
+                       min_times=mn, max_times=mx,
+                       contiguity="relaxed" if i == 0 else "strict",
+                       greedy=greedy)
+                 for i, (name, mn, mx, greedy) in enumerate(braw)]
+        if not any(st.min_times > 0 for st in steps):
+            return None
+        events = [{"ts": i, "id": i, "c": ch} for i, ch in enumerate(s)]
+        ms = _all_q_matches(events, steps, "ts", None,
+                            "skip_past_last", "id")
+        return [([e for _s, r in m for e in r][0]["id"],
+                 [e for _s, r in m for e in r][-1]["id"] + 1)
+                for m in ms]
+
+    def regex_spans(rx, s):
+        out, pos = [], 0
+        while pos <= len(s):
+            m = regex.compile(rx).search(s, pos)
+            if not m:
+                break
+            if m.end() > m.start():
+                out.append((m.start(), m.end()))
+            pos = m.end() if m.end() > m.start() else m.start() + 1
+        return out
+
+    quants = ["", "+", "*", "?", "{2}", "{1,2}", "{2,}",
+              "+?", "*?", "??", "{1,2}?", "{2,}?"]
+    rng = random.Random(20260814)
+    checked = 0
+    for _ in range(400):
+        toks = [rng.choice("ABC") + rng.choice(quants)
+                for _ in range(rng.randint(1, 5))]
+        pat, rx = "(" + " ".join(toks) + ")", "".join(toks)
+        s = "".join(rng.choice("ABC")
+                    for _ in range(rng.randint(5, 30)))
+        got = nfa_spans(pat, s)
+        if got is None:
+            continue
+        checked += 1
+        assert got == regex_spans(rx, s), (pat, s, got, regex_spans(rx, s))
+    assert checked > 300
+
+
+def test_cep_pattern_boundaries():
+    """Pattern subset boundaries raise loudly at validation: patterns
+    that can match zero rows, notFollowedBy before a min-0 step, and
+    min-0 inside PERMUTE."""
     import pytest
     from flink_1_11_2_with_comments_spark.streaming.cep import (
-        QStep, _expand_optional, _permute_alts)
+        QStep, _permute_alts, _prepare_branches)
     t = lambda e: True
+
+    def prep(steps):
+        return _prepare_branches(None, [], "ts", "id", steps, None,
+                                 None, False, None)
+
     with pytest.raises(NotImplementedError, match="zero rows"):
-        _expand_optional([QStep("a", t, min_times=0, max_times=None)])
-    with pytest.raises(NotImplementedError, match="notFollowedBy"):
-        _expand_optional([
-            QStep("a", t),
-            QStep("n", t, negated=True),
-            QStep("b", t, min_times=0, max_times=None,
-                  contiguity="strict")])
+        prep([QStep("a", t, min_times=0, max_times=None)])
+    with pytest.raises(ValueError, match="notFollowedBy"):
+        prep([QStep("a", t),
+              QStep("n", t, negated=True),
+              QStep("b", t, min_times=0, max_times=None,
+                    contiguity="strict")])
     with pytest.raises(NotImplementedError, match="PERMUTE"):
         _permute_alts([QStep("a", t),
                        QStep("b", t, min_times=0, max_times=1)])
-    # plain expansion: `a b? c` → [a b c], [a c]
-    alts = _expand_optional([
+    # a min-0 step passes validation and stays in the single branch
+    _df, union, run_steps, alts = prep([
         QStep("a", t), QStep("b", t, min_times=0, max_times=1,
                              contiguity="strict"),
         QStep("c", t, contiguity="strict")])
-    assert [[s.name for s in b] for b in alts] == [
-        ["a", "b", "c"], ["a", "c"]]
-    assert all(s.min_times >= 1 for b in alts for s in b)
+    assert alts is None and [s.name for s in run_steps] == ["a", "b", "c"]
 
 
 def test_simhash_banding_pigeonhole_recall():
