@@ -300,7 +300,16 @@ def _expand_groups(arm: str, budget: int = 64) -> list[str]:
     states the same way). Unbounded group repetition (`(A B)+`,
     `(A B)*`, `{m,}`) has no finite unrolling and stays outside the
     subset — single-variable unbounded quantifiers cover the common
-    cases (the engine matches `B+` natively)."""
+    cases (the engine matches `B+` natively).
+
+    Preference note: unrolling ranks the group's repetition-count
+    choice ABOVE earlier quantifiers' backtracking (alternation
+    semantics), where the regex model interleaves it positionally —
+    observable only when an EARLIER unbounded quantifier could
+    backtrack to enable one more group repetition (e.g.
+    `A{2,} (A C)?` on 'AAAC': this front-end matches 'AA'+'AC',
+    regex prefers 'AAA' + absent). Single-variable quantifiers have
+    exact regex preference (fuzz-pinned in tests/test_stateful.py)."""
     m = _GROUP.search(arm)
     if m is None:
         if "(" in arm or ")" in arm:
