@@ -128,6 +128,14 @@ class Pattern:
         self._cur.min_times, self._cur.max_times = n, None
         return self
 
+    def optional(self) -> "Pattern":
+        """The step may match zero events (Pattern.optional,
+        Pattern.java:317): min_times = 0. The batch NFA handles the
+        zero-repetition option natively in regex backtracking order;
+        batch only (the stateful streaming NFA runs min>=1 steps)."""
+        self._cur.min_times = 0
+        return self
+
     def consecutive(self) -> "Pattern":
         """Loop repetitions must be adjacent (the engine default)."""
         self._cur.combinations = False
@@ -183,6 +191,11 @@ class Pattern:
                     "flag_exprs/until_exprs are a batch-only "
                     "optimization; streaming evaluates Python "
                     "predicates in the stateful NFA")
+            if any(s.min_times == 0 for s in steps):
+                raise NotImplementedError(
+                    "optional (min-0) steps are batch-only (the "
+                    "stateful streaming NFA cannot distinguish a "
+                    "final zero-repetition from one awaiting events)")
             return match_pattern_stream(df, keys, ts_col, steps,
                                         within=self._within,
                                         id_col=id_col)

@@ -1173,3 +1173,31 @@ def test_group_quantifier_measures(spark):
     assert all(r.nb == 2 for r in out)
     assert all(r.b_first < r.b_last for r in out)
     assert len(out) > 0
+
+
+def test_pattern_optional_step(spark):
+    """Pattern.optional (Pattern.java:317): a min-0 step binds zero or
+    more events; greedy prefers binding. Streaming raises (batch-only
+    boundary)."""
+    import datetime as dt
+    import pytest
+    from flink_1_11_2_with_comments_spark.streaming.pattern import Pattern
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, i, base + dt.timedelta(minutes=i), typ) for i, typ in
+            enumerate(["view", "click", "purchase",    # with click
+                       "view", "purchase",             # direct
+                       "view", "click"])]              # no purchase
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string")
+    pat = (Pattern.begin("v")
+           .where(lambda e: e["event_type"] == "view")
+           .next("c").where(lambda e: e["event_type"] == "click")
+           .optional()
+           .next("p").where(lambda e: e["event_type"] == "purchase"))
+    got = sorted((r.v_first_id, r.c_n, r.p_first_id)
+                 for r in pat.match(df, ["user_id"], "ts").collect())
+    assert got == [(0, 1, 2), (3, 0, 4)]
+    stream = replay_as_stream(df, n_batches=2, order_by="ts")
+    with pytest.raises(NotImplementedError, match="min-0"):
+        pat.match(stream, ["user_id"], "ts")
