@@ -2,9 +2,9 @@
 
 Reference: flink-libraries/flink-cep/.../pattern/Pattern.java —
 begin(:50) / where(:118) / or(:136) / next(:156) / followedBy(:176) /
-notFollowedBy(:382) / times(:291) / oneOrMore(:352) / consecutive /
-allowCombinations(:370) / until(:331) / subtype(:104) / within(:282),
-executed by CEP.pattern(stream, pattern) (CEP.java:29).
+notFollowedBy(:382) / times(:291) / oneOrMore(:352) / optional(:317) /
+consecutive / allowCombinations(:370) / until(:331) / subtype(:104) /
+within(:282), executed by CEP.pattern(stream, pattern) (CEP.java:29).
 
 This facade compiles the fluent chain into the engine's QStep list
 (streaming/cep.py) — the same NFA the SQL MATCH_RECOGNIZE front-end
