@@ -1086,3 +1086,179 @@ def tpcds_yearly_brand_delta(spark, sf_dir):
                     F.col("a.qty").alias("qty_this"),
                     F.round(F.col("a.rev") - F.col("rev_b"), 2)
                     .cast("double").alias("rev_delta")))
+
+
+@register(
+    "tpcds_latency_band_matrix",
+    """
+    SELECT o.o_orderpriority,
+           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                    THEN 1 ELSE 0 END) AS d30,
+           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30
+                     AND date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
+                    THEN 1 ELSE 0 END) AS d60,
+           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+                     AND date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                    THEN 1 ELSE 0 END) AS d90,
+           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END) AS d_over
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-DS q62/q99 shape: order-to-ship latency band matrix per "
+        "priority class — the shipping-SLA report. One fact-fact join "
+        "on the order key, all four band counts as conditional "
+        "aggregates of the single joined scan (the literal TPC-DS "
+        "text scans per band). Date arithmetic stays in day units on "
+        "both engines (DATE subtraction → days). Adaptation: the "
+        "trimmed schema has no receiptdate/shipmode; latency = "
+        "l_shipdate - o_orderdate, matrix rows = order priority.",
+)
+def tpcds_latency_band_matrix(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(band(lat <= 30, "d30"),
+                 band((lat > 30) & (lat <= 60), "d60"),
+                 band((lat > 60) & (lat <= 90), "d90"),
+                 band(lat > 90, "d_over")))
+
+
+@register(
+    "tpcds_am_pm_ratio",
+    """
+    SELECT event_type,
+           SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END)
+             AS am_cnt,
+           SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END)
+             AS pm_cnt,
+           CAST(ROUND(
+             SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END)
+             * 1.0 /
+             SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END),
+             6) AS DOUBLE) AS am_pm_ratio
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="TPC-DS q90 shape: AM/PM activity ratio per class — two "
+        "period counts and their quotient from ONE scan (the literal "
+        "q90 is two scalar-subquery scans). Conditional aggregation "
+        "keeps it a single pass + one small shuffle.",
+)
+def tpcds_am_pm_ratio(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    am = F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0))
+    pm = F.sum(F.when(F.hour("ts") >= 12, 1).otherwise(0))
+    return (e.groupBy("event_type")
+            .agg(am.alias("am_cnt"), pm.alias("pm_cnt"),
+                 F.round(am / pm, 6).cast("double").alias("am_pm_ratio")))
+
+
+@register(
+    "tpcds_monthly_variance",
+    f"""
+    WITH m AS (
+      SELECT p.p_brand,
+             EXTRACT(year FROM l.l_shipdate) * 100
+               + EXTRACT(month FROM l.l_shipdate) AS ym,
+             {sql_dsum('l.l_quantity')} AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size <= 6
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT p_brand, COUNT(*) AS n_months,
+             CAST(ROUND(SUM(CAST(qty AS DECIMAL(30,10))), 2) AS DOUBLE)
+               AS qsum,
+             CAST(ROUND(SUM(CAST(qty AS DECIMAL(30,10))
+                            * CAST(qty AS DECIMAL(30,10))), 2) AS DOUBLE)
+               AS qsq
+      FROM m GROUP BY 1
+    )
+    SELECT p_brand, n_months,
+           CAST(ROUND((qsq - qsum * qsum / n_months)
+                      / (n_months - 1), 4) AS DOUBLE) AS qty_var
+    FROM s
+    WHERE n_months > 1
+      AND (qsq - qsum * qsum / n_months) / (n_months - 1)
+          > (qsum / n_months) * (qsum / n_months) * 0.25
+    """,
+    doc="TPC-DS q39 shape: demand-variance screen — brands whose "
+        "monthly shipped quantity is erratic (variance above a "
+        "multiple of the squared mean, the q39 coefficient-of-"
+        "variation filter). Variance computes from exact DECIMAL "
+        "sum/sum-of-squares of the monthly aggregate (order-"
+        "independent, engine-identical), never via the engines' "
+        "float-accumulating stddev.",
+)
+def tpcds_monthly_variance(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 6)
+    m = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .groupBy("p_brand",
+                  (F.year("l_shipdate").cast("bigint") * 100
+                   + F.month("l_shipdate").cast("bigint")).alias("ym"))
+         .agg(dsum("l_quantity").alias("qty")))
+    qd = F.col("qty").cast(DEC)
+    s = (m.groupBy("p_brand")
+         .agg(F.count("*").alias("n_months"),
+              F.round(F.sum(qd), 2).cast("double").alias("qsum"),
+              F.round(F.sum(qd * qd), 2).cast("double").alias("qsq")))
+    var = (F.col("qsq") - F.col("qsum") * F.col("qsum") / F.col("n_months")) \
+        / (F.col("n_months") - 1)
+    mean = F.col("qsum") / F.col("n_months")
+    return (s.where((F.col("n_months") > 1) & (var > mean * mean * 0.25))
+            .select("p_brand", "n_months",
+                    F.round(var, 4).cast("double").alias("qty_var")))
+
+
+@register(
+    "tpcds_channel_equal_share",
+    f"""
+    WITH ch AS (
+      SELECT p.p_brand, l.l_returnflag AS flag,
+             {sql_dsum('l.l_extendedprice')} AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), pv AS (
+      SELECT p_brand,
+             MAX(CASE WHEN flag = 'N' THEN rev END) AS rev_n,
+             MAX(CASE WHEN flag = 'A' THEN rev END) AS rev_a,
+             MAX(CASE WHEN flag = 'R' THEN rev END) AS rev_r
+      FROM ch GROUP BY 1
+    )
+    SELECT p_brand, rev_n, rev_a, rev_r
+    FROM pv
+    WHERE rev_n IS NOT NULL AND rev_a IS NOT NULL AND rev_r IS NOT NULL
+      AND rev_n BETWEEN 0.8 * (rev_n + rev_a + rev_r) / 3
+                    AND 1.2 * (rev_n + rev_a + rev_r) / 3
+      AND rev_a BETWEEN 0.8 * (rev_n + rev_a + rev_r) / 3
+                    AND 1.2 * (rev_n + rev_a + rev_r) / 3
+      AND rev_r BETWEEN 0.8 * (rev_n + rev_a + rev_r) / 3
+                    AND 1.2 * (rev_n + rev_a + rev_r) / 3
+    """,
+    doc="TPC-DS q58 shape: keys whose revenue is EVENLY split across "
+        "all three channels (each within ±20% of the three-channel "
+        "average). The literal q58 joins three per-channel aggregates; "
+        "here the three channels pivot out of ONE conditional "
+        "aggregate of a single scan, and the equality band applies "
+        "per row — no self-joins at all.",
+)
+def tpcds_channel_equal_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    ch = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .groupBy("p_brand", F.col("l_returnflag").alias("flag"))
+          .agg(dsum("l_extendedprice").alias("rev")))
+    pv = (ch.groupBy("p_brand")
+          .agg(*[F.max(F.when(F.col("flag") == f, F.col("rev")))
+                 .alias(f"rev_{f.lower()}") for f in ("N", "A", "R")]))
+    avg3 = (F.col("rev_n") + F.col("rev_a") + F.col("rev_r")) / 3
+    cond = None
+    for c in ("rev_n", "rev_a", "rev_r"):
+        band = F.col(c).isNotNull() & F.col(c).between(0.8 * avg3, 1.2 * avg3)
+        cond = band if cond is None else (cond & band)
+    return pv.where(cond).select("p_brand", "rev_n", "rev_a", "rev_r")
