@@ -37,9 +37,11 @@ Supported subset (raise on anything else, loudly):
   position, so backtracking explores choices in regex order —
   left-to-right, earlier quantifiers' preference outranking later
   steps' (fuzz-pinned against Python's `re`; the reference NFA's
-  OPTIONAL state, flink-cep/.../pattern/Quantifier.java); batch
-  only. Patterns that can match zero rows (all steps optional)
-  raise.
+  OPTIONAL state, flink-cep/.../pattern/Quantifier.java). Streaming
+  runs mid-pattern min-0 and reluctant quantifiers too; a min-0
+  FIRST or LAST variable stays batch-only (its zero binding depends
+  on events beyond the watermark). Patterns that can match zero
+  rows (all steps optional) raise.
 - alternation `A B | C D`: one branch per arm, SQL preference =
   textual order (ties at the same start row resolve to the earlier
   branch); a variable unmatched by the winning branch reports NULL
@@ -512,14 +514,19 @@ def match_recognize(spark: SparkSession, sql: str,
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)
-    has_reluctant = any(not s.greedy for b in branches for s in b)
-    if src.isStreaming and (alternation is not None or has_min0
-                            or has_reluctant):
+    has_min0_edge = any(
+        b and (b[0].min_times == 0
+               or next((s for s in reversed(b) if not s.negated),
+                       b[-1]).min_times == 0)
+        for b in branches)
+    if src.isStreaming and (alternation is not None or has_min0_edge):
         raise NotImplementedError(
             "streaming MATCH_RECOGNIZE does not support alternation "
-            "`|`, min-0 quantifiers (`*`, `?`), or reluctant "
-            "quantifiers (`+?` etc.) — batch only (the stateful NFA "
-            "runs a single greedy branch)")
+            "`|` (the stateful NFA runs a single branch) or a min-0 "
+            "quantifier on the FIRST or LAST pattern variable (zero "
+            "bindings there depend on events beyond the watermark) — "
+            "mid-pattern `*`/`?` and reluctant quantifiers run "
+            "streaming")
     if all_rows:
         if src.isStreaming:
             return _all_rows_stream(src, cl, keys, ts_col, id_col,

@@ -849,6 +849,19 @@ def match_pattern_stream(
     """
     if steps and steps[-1].negated:
         raise ValueError("notFollowedBy cannot be the last pattern step")
+    if steps and (steps[0].min_times == 0
+                  or next((s for s in reversed(steps) if not s.negated),
+                          steps[-1]).min_times == 0):
+        # mid-pattern min-0 is safe under the watermark loop: the
+        # zero-binding sits between two CONSUMED events whose strict
+        # gap is immutable once inside the complete prefix. A min-0
+        # FIRST step breaks leftmost anchoring (a later consuming
+        # start would be preferred over zero-at-idx) and a min-0 LAST
+        # step makes emitted matches extensible by future events.
+        raise NotImplementedError(
+            "streaming CEP: a min-0 (optional/`*`) step must not be "
+            "the first or last pattern step — zero bindings there "
+            "depend on events beyond the watermark")
     if emit not in ("match", "rows"):
         raise ValueError("emit must be 'match' or 'rows'")
     within_ms = _interval_ms(within) if within else None
@@ -921,6 +934,7 @@ def match_pattern_stream(
             last_step, last_reps = m[-1]
             open_ended = (end == n_complete
                           and not last_step.negated
+                          and last_step.greedy
                           and (last_step.max_times is None
                                or len(last_reps) < last_step.max_times))
             if open_ended and within_ms is not None and wm > 0:
@@ -948,10 +962,18 @@ def match_pattern_stream(
             else:
                 row = {k: key[i] for i, k in enumerate(keys)}
                 all_evs = []
+                # zero-matched (min-0) steps report count 0 / NULL ids
+                # — the SQL unmatched-variable semantics, same as the
+                # batch builder
+                for s in pos_steps:
+                    row[f"{s.name}_first_id"] = None
+                    row[f"{s.name}_last_id"] = None
+                    row[f"{s.name}_n"] = 0
                 for s, reps in m:
-                    row[f"{s.name}_first_id"] = reps[0][id_col]
+                    if row[f"{s.name}_n"] == 0:
+                        row[f"{s.name}_first_id"] = reps[0][id_col]
                     row[f"{s.name}_last_id"] = reps[-1][id_col]
-                    row[f"{s.name}_n"] = len(reps)
+                    row[f"{s.name}_n"] += len(reps)
                     all_evs.extend(reps)
                 row["start_ts"] = all_evs[0][ts_col]
                 row["end_ts"] = all_evs[-1][ts_col]

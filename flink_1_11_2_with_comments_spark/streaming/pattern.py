@@ -130,9 +130,11 @@ class Pattern:
 
     def optional(self) -> "Pattern":
         """The step may match zero events (Pattern.optional,
-        Pattern.java:317): min_times = 0. The batch NFA handles the
-        zero-repetition option natively in regex backtracking order;
-        batch only (the stateful streaming NFA runs min>=1 steps)."""
+        Pattern.java:317): min_times = 0, handled natively by the NFA
+        in regex backtracking order. Streaming supports it on
+        MID-pattern steps (the zero binding sits between consumed
+        events, immutable inside the watermark-complete prefix); a
+        min-0 first/last step raises in match_pattern_stream."""
         self._cur.min_times = 0
         return self
 
@@ -191,11 +193,6 @@ class Pattern:
                     "flag_exprs/until_exprs are a batch-only "
                     "optimization; streaming evaluates Python "
                     "predicates in the stateful NFA")
-            if any(s.min_times == 0 for s in steps):
-                raise NotImplementedError(
-                    "optional (min-0) steps are batch-only (the "
-                    "stateful streaming NFA cannot distinguish a "
-                    "final zero-repetition from one awaiting events)")
             return match_pattern_stream(df, keys, ts_col, steps,
                                         within=self._within,
                                         id_col=id_col)

@@ -1198,6 +1198,66 @@ def test_pattern_optional_step(spark):
     got = sorted((r.v_first_id, r.c_n, r.p_first_id)
                  for r in pat.match(df, ["user_id"], "ts").collect())
     assert got == [(0, 1, 2), (3, 0, 4)]
-    stream = replay_as_stream(df, n_batches=2, order_by="ts")
-    with pytest.raises(NotImplementedError, match="min-0"):
-        pat.match(stream, ["user_id"], "ts")
+    # MID-pattern optional runs streaming (zero binding immutable
+    # inside the watermark prefix) and matches batch
+    stream = replay_as_stream(df, n_batches=2, order_by="ts") \
+        .withWatermark("ts", "1 minute")
+    out = write_stream_to_memory(
+        pat.match(stream, ["user_id"], "ts"), "opt_out",
+        output_mode="append")
+    got_s = sorted((r.v_first_id, r.c_n, r.p_first_id)
+                   for r in out.collect())
+    # watermark lags one batch: tail matches stay open at end-of-
+    # stream (same convention as test_cep_stream_matches_batch);
+    # everything emitted must be a batch match, and the optional-
+    # bound match inside the watermarked prefix must be there
+    assert set(got_s) <= set(got)
+    assert (0, 1, 2) in got_s
+    # trailing optional stays batch-only
+    pat2 = (Pattern.begin("v")
+            .where(lambda e: e["event_type"] == "view")
+            .next("c").where(lambda e: e["event_type"] == "click")
+            .optional())
+    with pytest.raises(NotImplementedError, match="first or last"):
+        pat2.match(stream, ["user_id"], "ts")
+
+
+def test_match_recognize_star_streaming(spark, events):
+    """Mid-pattern `B*` over a STREAMING input: zero bindings between
+    consumed events are immutable inside the watermark prefix, so the
+    streaming NFA emits true batch-MR matches — including COUNT(B.*)=0
+    direct conversions. First/last min-0 variables still raise."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS view_id,
+                   COUNT(B.*) AS n_clicks,
+                   C.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B* C)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.view_id, r.n_clicks, r.purchase_id)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=6, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.view_id, r.n_clicks, r.purchase_id)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mrstar_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
+    assert any(n == 0 for _u, _v, n, _p in got)  # zero-B matches too
+    bad = sql.replace("PATTERN (A B* C)", "PATTERN (A B C*)")
+    with pytest.raises(NotImplementedError, match="FIRST or LAST"):
+        match_recognize(spark, bad, df=stream)
