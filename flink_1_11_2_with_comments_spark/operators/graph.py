@@ -215,6 +215,12 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                     F.round(F.lit(1.0) - damping
                             + damping * F.coalesce("inflow", F.lit(0.0)),
                             9).alias("rank")))
+    # pagerank has no per-round action (fixed iterations), so with
+    # lazy supersteps nothing has materialized yet — force the chain
+    # ONCE while the out_deg/nodes caches are still live, otherwise
+    # unpersisting here would make the final action re-aggregate
+    # degrees and re-distinct nodes once per iteration level
+    ranks = ranks.localCheckpoint(eager=True)
     out_deg.unpersist()
     nodes.unpersist()
     return ranks

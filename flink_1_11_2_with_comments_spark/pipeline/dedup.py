@@ -37,13 +37,19 @@ def md5_int(col: Column | str, salt: str = "") -> Column:
 
 
 def shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
-    """Word n-gram shingles (distinct): the unit set for Jaccard/MinHash."""
+    """Word n-gram shingles (distinct): the unit set for Jaccard/MinHash.
+    Documents shorter than n tokens yield an EMPTY set (sequence(1, 0)
+    would otherwise produce the descending [1, 0] and index out of
+    bounds — same guard as text.ngrams)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, sep)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    count = F.size(toks) - (n - 1)
     gram = lambda i: F.concat_ws(  # noqa: E731
         sep, *[F.element_at(toks, i + j) for j in range(n)])
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        count >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), count), gram))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -97,13 +97,21 @@ def fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
 def ngrams(text: Column | str, n: int, sep: str = " ") -> Column:
     """Word n-grams WITH duplicates (order-preserving) — the unit for
     repetition analysis (Gopher-style duplicate-n-gram filters), as
-    opposed to dedup.shingles which distincts for set semantics."""
+    opposed to dedup.shingles which distincts for set semantics.
+
+    Documents with fewer than n tokens yield an EMPTY list — guarded
+    explicitly because F.sequence(1, 0) produces the DESCENDING
+    [1, 0] (Spark infers step -1 when start > stop), which would
+    index element_at out of bounds."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, sep)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
             sep, *[F.element_at(toks, i + j) for j in range(n)]))
+    return F.when(count >= 1, grams) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def repetition_features(text: Column | str) -> dict[str, Column]:
@@ -140,12 +148,16 @@ def token_entropy(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens(c)
     n = F.size(toks)
-    terms = F.transform(
+    # count each distinct token ONCE, then fold over the counts —
+    # evaluating the filter inside both factors of -(p ln p) would
+    # double the dominant O(distinct x tokens) scan
+    counts = F.transform(
         F.array_distinct(toks),
-        lambda t: F.round(
-            -(F.size(F.filter(toks, lambda x: x == t)) / n)
-            * F.log(F.size(F.filter(toks, lambda x: x == t)) / n),
-            12).cast("decimal(30,14)"))
+        lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    terms = F.transform(
+        counts,
+        lambda cnt: F.round(-(cnt / n) * F.log(cnt / n),
+                            12).cast("decimal(30,14)"))
     return F.round(
         F.aggregate(terms, F.lit(0).cast("decimal(30,14)"),
                     # decimal + widens to (31,14); re-cast to keep the

@@ -289,8 +289,8 @@ def _parse_branch(
 
 
 _GROUP = re.compile(
-    r"\(\s*([^()|]+?)\s*\)\s*(\{\s*\d+\s*(?:,\s*\d+)?\s*\}|[?*+]|"
-    r"\{\s*\d+\s*,\s*\})")
+    r"\(\s*([^()|]+?)\s*\)\s*(\{\s*\d+\s*(?:,\s*\d+)?\s*\}\??|"
+    r"[?*+]\??|\{\s*\d+\s*,\s*\}\??)")
 
 
 def _expand_groups(arm: str, budget: int = 64) -> list[str]:
@@ -322,6 +322,13 @@ def _expand_groups(arm: str, budget: int = 64) -> list[str]:
                 "unrolled innermost-first)")
         return [arm]
     seq, q = m.group(1), m.group(2)
+    # trailing `?` on the group quantifier = RELUCTANT (fewer
+    # repetitions preferred); `??` is the reluctant optional group
+    reluctant = False
+    if q == "??":
+        q, reluctant = "?", True
+    elif q != "?" and q.endswith("?"):
+        q, reluctant = q[:-1], True
     if q in ("+", "*") or ("," in q and len(re.findall(r"\d+", q)) == 1):
         raise NotImplementedError(
             f"unbounded group repetition `({seq}){q}`: multi-variable "
@@ -337,7 +344,10 @@ def _expand_groups(arm: str, budget: int = 64) -> list[str]:
             f"group quantifier bound out of range in `({seq}){q}` "
             "(max 8 repetitions — unrolling is exponential)")
     out: list[str] = []
-    for r in range(hi, lo - 1, -1):  # greedy: longer unrollings first
+    # greedy: longer unrollings first; reluctant: shorter first
+    reps = (range(hi, lo - 1, -1) if not reluctant
+            else range(lo, hi + 1))
+    for r in reps:
         unrolled = (arm[:m.start()] + " ".join([seq] * r)
                     + arm[m.end():]).strip()
         out.extend(_expand_groups(unrolled, budget))
@@ -455,7 +465,6 @@ def match_recognize(spark: SparkSession, sql: str,
     has_dup = any(len({s.name.upper() for s in b}) != len(b)
                   for b in branches)
     alternation = branches if (len(branches) > 1 or has_dup) else None
-    has_min0 = any(s.min_times == 0 for b in branches for s in b)
 
     within = None
     if "WITHIN" in cl:

@@ -1153,9 +1153,12 @@ def tpcds_am_pm_ratio(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     am = F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0))
     pm = F.sum(F.when(F.hour("ts") >= 12, 1).otherwise(0))
+    # NULL ratio when a class has no PM rows (ANSI mode would raise
+    # DIVIDE_BY_ZERO; the oracle's 1.0/0 yields NULL in DuckDB)
     return (e.groupBy("event_type")
             .agg(am.alias("am_cnt"), pm.alias("pm_cnt"),
-                 F.round(am / pm, 6).cast("double").alias("am_pm_ratio")))
+                 F.when(pm != 0, F.round(am / pm, 6).cast("double"))
+                 .alias("am_pm_ratio")))
 
 
 @register(
@@ -1207,8 +1210,13 @@ def tpcds_monthly_variance(spark, sf_dir):
          .agg(F.count("*").alias("n_months"),
               F.round(F.sum(qd), 2).cast("double").alias("qsum"),
               F.round(F.sum(qd * qd), 2).cast("double").alias("qsq")))
-    var = (F.col("qsq") - F.col("qsum") * F.col("qsum") / F.col("n_months")) \
-        / (F.col("n_months") - 1)
+    # guard the n-1 divide explicitly: Spark does not short-circuit
+    # conjunctive filters, so rows with n_months == 1 would still
+    # evaluate the division (ANSI DIVIDE_BY_ZERO)
+    var = F.when(
+        F.col("n_months") > 1,
+        (F.col("qsq") - F.col("qsum") * F.col("qsum") / F.col("n_months"))
+        / (F.col("n_months") - 1))
     mean = F.col("qsum") / F.col("n_months")
     return (s.where((F.col("n_months") > 1) & (var > mean * mean * 0.25))
             .select("p_brand", "n_months",

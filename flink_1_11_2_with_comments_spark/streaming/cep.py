@@ -862,6 +862,14 @@ def match_pattern_stream(
             "streaming CEP: a min-0 (optional/`*`) step must not be "
             "the first or last pattern step — zero bindings there "
             "depend on events beyond the watermark")
+    if any(a.negated and b.min_times == 0
+           for a, b in zip(steps, steps[1:])):
+        # same boundary _prepare_branches enforces for batch: the
+        # walk skips zero bindings after a negated step (the
+        # forbidden gap would be unbounded), which would silently
+        # REQUIRE the optional step here instead of raising
+        raise ValueError(
+            "notFollowedBy cannot precede an optional (min-0) step")
     if emit not in ("match", "rows"):
         raise ValueError("emit must be 'match' or 'rows'")
     within_ms = _interval_ms(within) if within else None

@@ -134,7 +134,18 @@ class Pattern:
         in regex backtracking order. Streaming supports it on
         MID-pattern steps (the zero binding sits between consumed
         events, immutable inside the watermark-complete prefix); a
-        min-0 first/last step raises in match_pattern_stream."""
+        min-0 first/last step raises in match_pattern_stream.
+
+        The reference's TIMES+optional means {0} UNION {m..n}; a
+        single QStep can only express the contiguous {0..n}, so
+        `.times(m>1).optional()` raises rather than silently matching
+        the in-between counts."""
+        if self._cur.min_times > 1:
+            raise NotImplementedError(
+                "optional() after times(m>1) means {0} or {m..n} "
+                "(Quantifier TIMES+OPTIONAL) — the contiguous-range "
+                "engine cannot express the union; restructure as an "
+                "explicit two-pattern union")
         self._cur.min_times = 0
         return self
 

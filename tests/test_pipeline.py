@@ -254,12 +254,15 @@ def test_freq_items_sketch_superset(spark):
     from flink_1_11_2_with_comments_spark.queries._util import t
     e = t(spark, SF, "events")
     total = e.count()
+    # same 1/200 threshold as the registered heavy_hitters query, with
+    # the matching freqItems support (support must be <= the target
+    # frequency for the no-false-negative guarantee to apply)
     exact = {r.user_id for r in
              (e.groupBy("user_id").agg(F.count("*").alias("n"))
-              .where(F.col("n") * 20 > total).collect())}
-    sketch = set(e.stat.freqItems(["user_id"], 0.05)
+              .where(F.col("n") * 200 > total).collect())}
+    sketch = set(e.stat.freqItems(["user_id"], 0.005)
                  .collect()[0][0])
-    assert exact <= sketch
+    assert exact and exact <= sketch
 
 
 def test_corpus_sampling_properties(spark):
@@ -354,3 +357,31 @@ def test_mp4_box_walk_on_genuine_layout(spark):
     assert got[1].box2_type == "mdat" and got[1].payload_bytes == 27
     assert got[2].box2_type == "free" and got[2].box2_bytes == 8
     assert not got[3].ftyp_ok
+
+
+def test_ngrams_shingles_short_documents(spark):
+    """Documents shorter than n tokens yield EMPTY n-gram/shingle
+    lists instead of crashing: F.sequence(1, 0) is the DESCENDING
+    [1, 0] in Spark, which unguarded would index out of bounds
+    (regression: single-word documents aborted text_repetition_ngrams
+    and corpus_bigram_logprob)."""
+    import pyspark.sql.functions as F
+    from flink_1_11_2_with_comments_spark.pipeline.dedup import shingles
+    from flink_1_11_2_with_comments_spark.pipeline.text import (
+        ngrams, repetition_features, token_entropy)
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "a b"), (3, "x y z w")],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        F.size(ngrams("text", 2)).alias("n2"),
+        F.size(ngrams("text", 3)).alias("n3"),
+        F.size(shingles("text", 3)).alias("sh3"),
+        token_entropy("text").alias("ent")).collect()}
+    assert (rows[1].n2, rows[1].n3, rows[1].sh3) == (0, 0, 0)
+    assert (rows[2].n2, rows[2].n3) == (1, 0)
+    assert (rows[3].n2, rows[3].n3, rows[3].sh3) == (3, 2, 2)
+    assert rows[1].ent == 0.0  # single token: -1*ln(1) = 0
+    feats = repetition_features("text")
+    out = df.select(*[v.alias(k) for k, v in feats.items()]).collect()
+    assert all(r.dup_2gram_ratio == 0.0 for r in out)

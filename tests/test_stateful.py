@@ -1261,3 +1261,32 @@ def test_match_recognize_star_streaming(spark, events):
     bad = sql.replace("PATTERN (A B* C)", "PATTERN (A B C*)")
     with pytest.raises(NotImplementedError, match="FIRST or LAST"):
         match_recognize(spark, bad, df=stream)
+
+
+def test_group_reluctant_and_streaming_boundaries():
+    """Reluctant group quantifiers unroll ascending (fewer reps
+    preferred) and the stray `?` never leaks onto the last unrolled
+    variable; streaming rejects notFollowedBy-before-optional like
+    batch; Pattern.times(m>1).optional() raises (TIMES+OPTIONAL is a
+    non-contiguous set)."""
+    import pytest
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        _expand_groups, _parse_pattern)
+    assert _expand_groups("A (B C){1,2}?") == ["A B C", "A B C B C"]
+    assert _expand_groups("A (B C)??") == ["A", "A B C"]
+    b, _, _ = _parse_pattern("(A (B C){1,2}?)")
+    assert all(mn == 1 and mx == 1 for _n, mn, mx, _g in b[0])
+
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_stream)
+    from flink_1_11_2_with_comments_spark.streaming.pattern import Pattern
+    t = lambda e: True
+    with pytest.raises(ValueError, match="notFollowedBy"):
+        match_pattern_stream(
+            None, ["k"], "ts",
+            [QStep("a", t), QStep("n", t, negated=True),
+             QStep("b", t, min_times=0, max_times=1,
+                   contiguity="strict"),
+             QStep("c", t, contiguity="strict")])
+    with pytest.raises(NotImplementedError, match="TIMES"):
+        Pattern.begin("a").where(t).times(3).optional()
