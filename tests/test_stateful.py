@@ -1290,3 +1290,82 @@ def test_group_reluctant_and_streaming_boundaries():
              QStep("c", t, contiguity="strict")])
     with pytest.raises(NotImplementedError, match="TIMES"):
         Pattern.begin("a").where(t).times(3).optional()
+
+
+def test_cep_alternation_regex_equivalence_fuzz():
+    """Property: alternation `A B | C D` under both SKIP PAST LAST and
+    SKIP TO NEXT ROW equals the regex engine's `|` (leftmost-arm
+    preference at the same start row) on random patterns — extends the
+    single-branch fuzz to the branch matcher (_all_alt_matches)."""
+    import random
+    import re as regex
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        _parse_pattern)
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, _all_alt_matches, _all_q_matches)
+
+    def build(pattern):
+        branches_raw, _, _ = _parse_pattern(pattern)
+        branches = []
+        for braw in branches_raw:
+            steps = [QStep(name, (lambda ev, ch=name: ev["c"] == ch),
+                           min_times=mn, max_times=mx,
+                           contiguity="relaxed" if i == 0 else "strict",
+                           greedy=greedy)
+                     for i, (name, mn, mx, greedy) in enumerate(braw)]
+            if not any(st.min_times > 0 for st in steps):
+                return None
+            branches.append(steps)
+        return branches
+
+    def nfa_spans(branches, s, am):
+        events = [{"ts": i, "id": i, "c": ch} for i, ch in enumerate(s)]
+        ms = (_all_q_matches(events, branches[0], "ts", None, am, "id")
+              if len(branches) == 1 else
+              _all_alt_matches(events, branches, "ts", None, am, "id"))
+        return [([e for _s, r in m for e in r][0]["id"],
+                 [e for _s, r in m for e in r][-1]["id"] + 1)
+                for m in ms]
+
+    def regex_spans(rx, s, am):
+        pat = regex.compile(rx)
+        out = []
+        if am == "skip_to_next_row":
+            for pos in range(len(s)):
+                m = pat.match(s, pos)
+                if m and m.end() > m.start():
+                    out.append((m.start(), m.end()))
+            return out
+        pos = 0
+        while pos <= len(s):
+            m = pat.search(s, pos)
+            if not m:
+                break
+            if m.end() > m.start():
+                out.append((m.start(), m.end()))
+            pos = m.end() if m.end() > m.start() else m.start() + 1
+        return out
+
+    quants = ["", "+", "*", "?", "{2}", "{1,2}", "+?", "*?", "??",
+              "{1,2}?"]
+    rng = random.Random(99)
+    checked = 0
+    for _ in range(400):
+        def arm():
+            return [rng.choice("ABC") + rng.choice(quants)
+                    for _ in range(rng.randint(1, 3))]
+        arms = [arm() for _ in range(rng.randint(1, 3))]
+        pat = "(" + " | ".join(" ".join(a) for a in arms) + ")"
+        rx = "|".join("".join(a) for a in arms)
+        am = rng.choice(["skip_past_last", "skip_to_next_row"])
+        s = "".join(rng.choice("ABC") for _ in range(rng.randint(5, 25)))
+        try:
+            branches = build(pat)
+        except NotImplementedError:
+            continue
+        if branches is None:
+            continue
+        checked += 1
+        assert nfa_spans(branches, s, am) == regex_spans(rx, s, am), \
+            (am, pat, s)
+    assert checked > 200
