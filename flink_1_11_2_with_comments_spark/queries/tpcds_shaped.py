@@ -1270,3 +1270,117 @@ def tpcds_channel_equal_share(spark, sf_dir):
         band = F.col(c).isNotNull() & F.col(c).between(0.8 * avg3, 1.2 * avg3)
         cond = band if cond is None else (cond & band)
     return pv.where(cond).select("p_brand", "rev_n", "rev_a", "rev_r")
+
+
+@register(
+    "tpcds_disjunctive_bands",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           {sql_davg('o.o_totalprice')} AS avg_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE (c.c_mktsegment = 'BUILDING'
+           AND o.o_totalprice BETWEEN 1000 AND 100000)
+       OR (c.c_mktsegment = 'MACHINERY'
+           AND o.o_totalprice BETWEEN 50000 AND 200000)
+       OR (c.c_mktsegment = 'AUTOMOBILE'
+           AND o.o_totalprice BETWEEN 100000 AND 400000)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-DS q13/q48 shape: DISJUNCTIVE band predicates — three "
+        "(segment, price-band) OR-arms evaluated in one pass. The "
+        "whole disjunction stays inside the scan filter + broadcast "
+        "join (no union of three scans, the q13 anti-pattern); only "
+        "the band bounds differ per arm so codegen fuses them into "
+        "one branchy predicate.",
+)
+def tpcds_disjunctive_bands(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    tp = F.col("o_totalprice")
+    arm = lambda seg, lo, hi: ((F.col("c_mktsegment") == seg)  # noqa: E731
+                               & tp.between(lo, hi))
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .where(arm("BUILDING", 1000, 100000)
+                   | arm("MACHINERY", 50000, 200000)
+                   | arm("AUTOMOBILE", 100000, 400000))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 davg("o_totalprice").alias("avg_price")))
+
+
+@register(
+    "tpcds_promo_share",
+    f"""
+    WITH j AS (
+      SELECT p.p_type, l.l_extendedprice, l.l_discount
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_discount > 0.05
+    )
+    SELECT
+      CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(30,10)) END), 2) AS DOUBLE)
+        AS promo_rev,
+      {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev,
+      CAST(ROUND(
+        ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(30,10)) END), 2)
+        / ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,10))), 2), 6) AS DOUBLE)
+        AS promo_share
+    FROM j
+    """,
+    doc="TPC-DS q61/TPC-H q14 shape: promotional revenue share — a "
+        "conditional aggregate over the same scan divided by the "
+        "total (the literal q61 computes the two sides as separate "
+        "five-way join subqueries and divides; one conditional pass "
+        "is the rewrite). Both numerator and denominator go through "
+        "the DECIMAL round discipline before the final divide, so "
+        "the share is bit-identical across engines.",
+)
+def tpcds_promo_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast(DEC)
+    promo = F.round(F.sum(F.when(F.col("p_type").like("PROMO%"), rev)),
+                    2).cast("double")
+    total = F.round(F.sum(rev), 2).cast("double")
+    return (li.where(F.col("l_discount") > 0.05)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(promo.alias("promo_rev"), total.alias("total_rev"),
+                 F.round(promo / total, 6).cast("double")
+                 .alias("promo_share")))
+
+
+@register(
+    "tpcds_excess_discount",
+    f"""
+    WITH avg_d AS (
+      SELECT l_partkey, AVG(l_discount) AS ad
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l.l_extendedprice')} AS excess_rev,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN avg_d a ON l.l_partkey = a.l_partkey
+    WHERE l.l_discount > 1.3 * a.ad
+    """,
+    doc="TPC-DS q32/q92 shape: 'excess discount' — lineitems whose "
+        "discount exceeds 1.3x their part's average discount. The "
+        "correlated scalar subquery decorrelates to a per-part "
+        "aggregate joined back to the fact on the SAME key: the "
+        "aggregate and the join share one l_partkey partitioning "
+        "(exchange reused), and at 100 TB the per-part averages are "
+        "|parts| rows, broadcastable. AVG(l_discount) is exact here: "
+        "discounts are two-decimal values, count <= 60 per part, so "
+        "the double sum is exactly representable before dividing.",
+)
+def tpcds_excess_discount(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    avg_d = (li.groupBy(F.col("l_partkey").alias("pk"))
+             .agg(F.avg("l_discount").alias("ad")))
+    return (li.join(avg_d, li.l_partkey == F.col("pk"))
+            .where(F.col("l_discount") > 1.3 * F.col("ad"))
+            .agg(dsum("l_extendedprice").alias("excess_rev"),
+                 F.count("*").alias("n_lines")))
