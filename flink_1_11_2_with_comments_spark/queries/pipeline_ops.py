@@ -1345,3 +1345,82 @@ def corpus_bigram_logprob(spark, sf_dir):
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.sum(term) / F.count("*"), 6).cast("double")
                  .alias("avg_logprob")))
+
+
+_PQ_CTE = """
+    WITH z AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), zb AS (
+      SELECT vec_id, CAST(floor((pos - 1) / 16) AS BIGINT) AS blk,
+             pos, x
+      FROM z
+    ), bd AS (
+      SELECT a.vec_id, a.blk, b.vec_id AS code,
+             SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(18,10))) AS d2
+      FROM zb a JOIN zb b ON a.pos = b.pos AND b.vec_id < 8
+      GROUP BY 1, 2, 3
+    ), enc AS (
+      SELECT vec_id, blk, code FROM (
+        SELECT vec_id, blk, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, blk
+                                  ORDER BY d2, code) AS rn
+        FROM bd) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_pq_encode",
+    _PQ_CTE + """
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN blk = 0 THEN code END) AS INT) AS code_0,
+           CAST(MAX(CASE WHEN blk = 1 THEN code END) AS INT) AS code_1,
+           CAST(MAX(CASE WHEN blk = 2 THEN code END) AS INT) AS code_2,
+           CAST(MAX(CASE WHEN blk = 3 THEN code END) AS INT) AS code_3
+    FROM enc GROUP BY vec_id
+    """,
+    doc="Product-quantization encode (pipeline/pq.py pq_encode): 4 "
+        "blocks x 16 dims, 8-entry deterministic codebook per block; "
+        "each vector compresses to 4 small codes by exact per-block "
+        "squared-L2 argmin (ties -> lowest code). The codebook folds "
+        "into ONE broadcast row and encoding is a map-only scan — at "
+        "100 TB the corpus never shuffles to build the PQ index "
+        "(the third ANN family beside hyperplane-LSH and IVF; "
+        "production trains the codebook with ivf.lloyd_centroids' "
+        "per-block refinement).",
+)
+def ann_pq_encode(spark, sf_dir):
+    from ..pipeline.pq import pq_encode
+    e = t(spark, sf_dir, "embeddings")
+    return pq_encode(e, "vec_id", "embedding")
+
+
+@register(
+    "ann_pq_adc_topk",
+    _PQ_CTE + """
+    , qt AS (
+      SELECT blk, code, d2 FROM bd WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           CAST(ROUND(SUM(CAST(q.d2 AS DECIMAL(18,10))), 9) AS DOUBLE)
+             AS approx_d2
+    FROM enc e JOIN qt q ON q.blk = e.blk AND q.code = e.code
+    WHERE e.vec_id <> 0
+    GROUP BY e.vec_id
+    ORDER BY approx_d2, e.vec_id
+    LIMIT 10
+    """,
+    doc="PQ asymmetric-distance query (pipeline/pq.py pq_adc_topk): "
+        "the query's EXACT per-block distances to all 8 codes form a "
+        "4x8 table (one row, broadcast); each candidate's approximate "
+        "distance is the sum of table entries at its stored codes — "
+        "O(M) adds per candidate instead of O(D) multiplies, the ADC "
+        "trade every PQ system makes. Map-only until the final "
+        "top-10; deterministic (approx_d2, vec_id) tie-break.",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    from ..pipeline.pq import pq_adc_topk
+    e = t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, "vec_id", "embedding", query_id=0)

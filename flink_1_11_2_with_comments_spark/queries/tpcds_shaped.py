@@ -1384,3 +1384,44 @@ def tpcds_excess_discount(spark, sf_dir):
             .where(F.col("l_discount") > 1.3 * F.col("ad"))
             .agg(dsum("l_extendedprice").alias("excess_rev"),
                  F.count("*").alias("n_lines")))
+
+
+@register(
+    "tpcds_channel_overlap",
+    """
+    WITH store AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) <= 1994
+    ), cat AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) >= 1995
+    )
+    SELECT SUM(CASE WHEN s.o_custkey IS NOT NULL
+                     AND c.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS both_channels,
+           SUM(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS store_only,
+           SUM(CASE WHEN s.o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS cat_only
+    FROM store s FULL OUTER JOIN cat c ON s.o_custkey = c.o_custkey
+    """,
+    doc="TPC-DS q97 shape: channel-overlap census — customers active "
+        "in both periods / first only / second only, counted from ONE "
+        "FULL OUTER JOIN of the two distinct key sets (the q97 "
+        "both/only matrix). Each side reduces to distinct keys before "
+        "the join; the three counts are conditional aggregates of the "
+        "joined null pattern — no INTERSECT/EXCEPT triple-scan.",
+)
+def tpcds_channel_overlap(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    store = (o.where(F.year("o_orderdate") <= 1994)
+             .select(F.col("o_custkey").alias("sk")).distinct())
+    cat = (o.where(F.year("o_orderdate") >= 1995)
+           .select(F.col("o_custkey").alias("ck")).distinct())
+    j = store.join(cat, store.sk == cat.ck, "full_outer")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return j.agg(
+        flag(F.col("sk").isNotNull() & F.col("ck").isNotNull())
+        .alias("both_channels"),
+        flag(F.col("ck").isNull()).alias("store_only"),
+        flag(F.col("sk").isNull()).alias("cat_only"))

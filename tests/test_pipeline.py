@@ -385,3 +385,36 @@ def test_ngrams_shingles_short_documents(spark):
     feats = repetition_features("text")
     out = df.select(*[v.alias(k) for k, v in feats.items()]).collect()
     assert all(r.dup_2gram_ratio == 0.0 for r in out)
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ-ADC top-10 must overlap the exact squared-L2 top-10
+    substantially (4x16 blocks, 8 codes — coarse, but the neighbours
+    live in nearby cells), and the encode stage must assign every
+    codebook seed to its own code (distance 0 to itself)."""
+    import pyspark.sql.functions as F
+    from flink_1_11_2_with_comments_spark.pipeline.pq import (
+        pq_adc_topk, pq_encode)
+    from flink_1_11_2_with_comments_spark.pipeline.similarity import (
+        dot_product)
+    from flink_1_11_2_with_comments_spark.queries._util import t
+    e = t(spark, "/root/testdata/sf0.01", "embeddings")
+    enc = {r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+           for r in pq_encode(e, "vec_id", "embedding")
+           .where(F.col("vec_id") < 8).collect()}
+    assert enc == {i: (i, i, i, i) for i in range(8)}
+    approx = [r.vec_id for r in
+              pq_adc_topk(e, "vec_id", "embedding", query_id=0).collect()]
+    q = (e.where(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    v = F.col("embedding")
+    exact = [r.vec_id for r in
+             (e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+              .select("vec_id",
+                      (dot_product(v, v) + dot_product(F.col("qv"),
+                                                       F.col("qv"))
+                       - 2 * dot_product(v, F.col("qv")))
+                      .cast("double").alias("d2"))
+              .orderBy("d2", "vec_id").limit(30).collect())]
+    overlap = len(set(approx) & set(exact))
+    assert overlap >= 3, (approx, exact[:10], overlap)
