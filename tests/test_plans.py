@@ -320,3 +320,18 @@ def test_chunking_no_shuffle(spark, sf_dir):
     p = plan(spark, "text_chunking", sf_dir)
     body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     assert "Exchange" not in body, body
+
+
+def test_pq_corpus_never_shuffles(spark, sf_dir):
+    """PQ encode: the corpus side is scan → broadcast-join → fold
+    projections — the only exchanges aggregate/broadcast the tiny
+    codebook (≤2); ADC adds the 1-row query table (broadcast) but
+    still no corpus shuffle before the final top-k."""
+    p = plan(spark, "ann_pq_encode", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("Exchange") <= 2, body
+    assert "BroadcastNestedLoopJoin" in body
+    assert "BatchEvalPython" not in p
+    p2 = plan(spark, "ann_pq_adc_topk", sf_dir)
+    assert "TakeOrderedAndProject" in p2, "top-k must not global-sort"
+    assert "BatchEvalPython" not in p2
