@@ -52,30 +52,39 @@ def _codebook(embeddings: DataFrame, id_col: str, vec_col: str,
 
 def pq_encode(embeddings: DataFrame, id_col: str, vec_col: str,
               n_blocks: int = 4, n_codes: int = 8,
-              block_dim: int = 16) -> DataFrame:
+              block_dim: int = 16,
+              book: DataFrame | None = None) -> DataFrame:
     """Encode every vector as (id, code_0..code_{M-1}): per block, the
     codebook entry with the smallest exact squared L2 to the vector's
-    slice (ties → lowest code). One broadcast of the K-row codebook;
-    the corpus pass is scan-side folds only — zero shuffle."""
-    book = _codebook(embeddings, id_col, vec_col, n_codes)
+    slice (ties → lowest code). One broadcast of the K-row codebook
+    (pass a prebuilt ``book`` to share it across stages — the ADC
+    query reuses it instead of re-aggregating the corpus); the corpus
+    pass is scan-side projections only — zero shuffle.
+
+    Each block's K distances are computed ONCE into an
+    array<struct<d2, code>> and the argmin is array_min (struct
+    ordering compares d2 first, then code — exactly the ties→lowest-
+    code rule); a fold whose condition AND branch both call the
+    distance would evaluate it twice per improving entry (higher-
+    order functions are interpreted: no CSE across When branches).
+    Codebook entries are addressed with LITERAL element_at indices —
+    several parallel higher-order transforms over the same array in
+    one projection alias their lambda variables and come back wrong
+    (see pq_adc_topk), and K entries are few anyway."""
+    if book is None:
+        book = _codebook(embeddings, id_col, vec_col, n_codes)
     out = embeddings.crossJoin(F.broadcast(book))
     cols = [F.col(id_col)]
     for m in range(n_blocks):
         sub = F.slice(F.col(vec_col), m * block_dim + 1, block_dim)
-        best = F.aggregate(
-            F.col("book"),
-            F.struct(F.lit(-1).alias("code"),
-                     F.lit(None).cast(DEC).alias("d2")),
-            lambda acc, e: F.when(
-                (acc["code"] < 0)
-                | (_block_d2(sub, F.slice(e["vec"], m * block_dim + 1,
-                                          block_dim)) < acc["d2"]),
-                F.struct(e["code"].alias("code"),
-                         _block_d2(sub, F.slice(e["vec"],
-                                                m * block_dim + 1,
-                                                block_dim)).alias("d2"))
-            ).otherwise(acc))
-        cols.append(best["code"].alias(f"code_{m}"))
+        cand = F.array(*[
+            F.struct(
+                _block_d2(sub, F.slice(
+                    F.element_at("book", c + 1)["vec"],
+                    m * block_dim + 1, block_dim)).alias("d2"),
+                F.element_at("book", c + 1)["code"].alias("code"))
+            for c in range(n_codes)])
+        cols.append(F.array_min(cand)["code"].alias(f"code_{m}"))
     return out.select(*cols)
 
 
@@ -89,7 +98,7 @@ def pq_adc_topk(embeddings: DataFrame, id_col: str, vec_col: str,
     book = _codebook(embeddings, id_col, vec_col, n_codes)
     q = (embeddings.where(F.col(id_col) == query_id)
          .select(F.col(vec_col).alias("qvec"))
-         .crossJoin(F.broadcast(book)))
+         .crossJoin(F.broadcast(book)))  # book shared with pq_encode below
     # qtab: array over blocks of array over codes of exact d2.
     # Codebook entries are addressed with LITERAL element_at indices
     # (not a transform lambda): several parallel higher-order
@@ -100,12 +109,12 @@ def pq_adc_topk(embeddings: DataFrame, id_col: str, vec_col: str,
         F.array(*[
             _block_d2(
                 F.slice(F.col("qvec"), m * block_dim + 1, block_dim),
-                F.slice(F.element_at("book", k + 1)["vec"],
+                F.slice(F.element_at("book", c + 1)["vec"],
                         m * block_dim + 1, block_dim))
-            for k in range(n_codes)])
+            for c in range(n_codes)])
         for m in range(n_blocks)]).alias("qtab"))
     enc = pq_encode(embeddings, id_col, vec_col, n_blocks, n_codes,
-                    block_dim)
+                    block_dim, book=book)
     scored = (enc.where(F.col(id_col) != query_id)
               .crossJoin(F.broadcast(qtab))
               .select(

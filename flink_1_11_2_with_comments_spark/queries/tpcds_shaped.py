@@ -1322,12 +1322,11 @@ def tpcds_disjunctive_bands(spark, sf_dir):
                                     AS DECIMAL(30,10)) END), 2) AS DOUBLE)
         AS promo_rev,
       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev,
-      CAST(ROUND(
-        ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                       THEN CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(30,10)) END), 2)
-        / ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(30,10))), 2), 6) AS DOUBLE)
+      CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(30,10)) END), 2) AS DOUBLE)
+        / CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,10))), 2) AS DOUBLE)
         AS promo_share
     FROM j
     """,
@@ -1335,9 +1334,11 @@ def tpcds_disjunctive_bands(spark, sf_dir):
         "conditional aggregate over the same scan divided by the "
         "total (the literal q61 computes the two sides as separate "
         "five-way join subqueries and divides; one conditional pass "
-        "is the rewrite). Both numerator and denominator go through "
-        "the DECIMAL round discipline before the final divide, so "
-        "the share is bit-identical across engines.",
+        "is the rewrite). Numerator and denominator go through the "
+        "DECIMAL round discipline and the quotient stays UNROUNDED "
+        "(rounding a double quotient diverges across engines — "
+        "Spark rounds the shortest decimal repr, DuckDB the binary "
+        "value; dividing two identical doubles is deterministic).",
 )
 def tpcds_promo_share(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -1350,15 +1351,16 @@ def tpcds_promo_share(spark, sf_dir):
     return (li.where(F.col("l_discount") > 0.05)
             .join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .agg(promo.alias("promo_rev"), total.alias("total_rev"),
-                 F.round(promo / total, 6).cast("double")
-                 .alias("promo_share")))
+                 (promo / total).alias("promo_share")))
 
 
 @register(
     "tpcds_excess_discount",
     f"""
     WITH avg_d AS (
-      SELECT l_partkey, AVG(l_discount) AS ad
+      SELECT l_partkey,
+             (CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(30,10))), 6)
+                   AS DOUBLE) / COUNT(l_discount)) AS ad
       FROM lineitem GROUP BY l_partkey
     )
     SELECT {sql_dsum('l.l_extendedprice')} AS excess_rev,
@@ -1372,14 +1374,15 @@ def tpcds_promo_share(spark, sf_dir):
         "aggregate joined back to the fact on the SAME key: the "
         "aggregate and the join share one l_partkey partitioning "
         "(exchange reused), and at 100 TB the per-part averages are "
-        "|parts| rows, broadcastable. AVG(l_discount) is exact here: "
-        "discounts are two-decimal values, count <= 60 per part, so "
-        "the double sum is exactly representable before dividing.",
+        "|parts| rows, broadcastable. The per-part average goes "
+        "through the DECIMAL accumulate-round discipline (davg) — a "
+        "plain double AVG would be merge-order-dependent and could "
+        "flip the 1.3x boundary predicate between engines.",
 )
 def tpcds_excess_discount(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     avg_d = (li.groupBy(F.col("l_partkey").alias("pk"))
-             .agg(F.avg("l_discount").alias("ad")))
+             .agg(davg("l_discount").alias("ad")))
     return (li.join(avg_d, li.l_partkey == F.col("pk"))
             .where(F.col("l_discount") > 1.3 * F.col("ad"))
             .agg(dsum("l_extendedprice").alias("excess_rev"),

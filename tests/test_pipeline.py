@@ -398,6 +398,8 @@ def test_pq_adc_recall_vs_exact(spark):
     from flink_1_11_2_with_comments_spark.pipeline.similarity import (
         dot_product)
     from flink_1_11_2_with_comments_spark.queries._util import t
+    # sf0.01 (not the module SF): PQ recall needs the 2000-vector
+    # corpus — at sf0.001's 200 vectors the top-30 is most of the set
     e = t(spark, "/root/testdata/sf0.01", "embeddings")
     enc = {r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
            for r in pq_encode(e, "vec_id", "embedding")

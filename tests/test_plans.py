@@ -335,3 +335,7 @@ def test_pq_corpus_never_shuffles(spark, sf_dir):
     p2 = plan(spark, "ann_pq_adc_topk", sf_dir)
     assert "TakeOrderedAndProject" in p2, "top-k must not global-sort"
     assert "BatchEvalPython" not in p2
+    # codebook agg + its broadcast, qtab broadcast, top-k partial:
+    # a corpus-side shuffle would push this past 5
+    body2 = p2.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body2.count("Exchange") <= 5, body2
