@@ -76,8 +76,16 @@ _PRIORITY: tuple[str, ...] = (
     "graph_connected_components",
     # oracle-less rows-only checks (slots 49-50; never driver-checked)
     "approx_sketches", "corpus_sample",
-    # remaining round-4-new queries enter the window at the round-5
-    # rotation (all exact-checked by tests/test_oracle_parity.py today)
+    # ROUND-5 ROTATION QUEUE — 21 round-4 queries have no driver row
+    # yet: these 8 plus 13 late-round additions that follow in
+    # registry insertion order (tpcds_frequent_buyers,
+    # tpcds_regional_growth, tpcds_yearly_brand_delta,
+    # tpcds_latency_band_matrix, tpcds_am_pm_ratio,
+    # tpcds_monthly_variance, tpcds_channel_equal_share,
+    # tpcds_disjunctive_bands, tpcds_promo_share,
+    # tpcds_excess_discount, tpcds_channel_overlap, ann_pq_encode,
+    # ann_pq_adc_topk). All are exact-checked by test_oracle_parity
+    # today; front-load them (plus fresh-row canaries) next round.
     "unnest_map", "text_repetition_ngrams", "corpus_mixture_weights",
     "tpcds_cumulative_channel_join", "tpcds_moving_avg_deviation",
     "tpcds_subsequent_period", "tpcds_channel_ratio",
