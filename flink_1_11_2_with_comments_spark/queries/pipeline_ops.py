@@ -13,7 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import t
+from ._util import dsum, sql_dsum, t
 
 MD5I = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
 
@@ -1424,3 +1424,93 @@ def ann_pq_adc_topk(spark, sf_dir):
     from ..pipeline.pq import pq_adc_topk
     e = t(spark, sf_dir, "embeddings")
     return pq_adc_topk(e, "vec_id", "embedding", query_id=0)
+
+
+@register(
+    "corpus_k_anonymity",
+    """
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS group_size
+      FROM documents GROUP BY lang, source
+    )
+    SELECT CASE WHEN group_size >= 25 THEN lang
+                ELSE '*' END AS lang_out,
+           CASE WHEN group_size >= 25 THEN source
+                ELSE '*' END AS source_out,
+           SUM(group_size) AS n_docs,
+           CAST(COUNT(*) AS INT) AS n_merged_groups
+    FROM g GROUP BY 1, 2
+    """,
+    doc="k-anonymity suppression (k=25) over quasi-identifier columns "
+        "(lang, source): groups smaller than k are generalized to '*' "
+        "and merged — the privacy gate a training pipeline applies "
+        "before releasing per-group statistics. Two aggregates, both "
+        "on the tiny group table after the first shuffle; the corpus "
+        "is scanned once. At 100 TB the first groupBy is the only "
+        "data-sized operation and combines map-side.",
+)
+def corpus_k_anonymity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    g = (d.groupBy("lang", "source")
+         .agg(F.count("*").alias("group_size")))
+    big = F.col("group_size") >= 25
+    return (g.groupBy(
+                F.when(big, F.col("lang")).otherwise(F.lit("*"))
+                .alias("lang_out"),
+                F.when(big, F.col("source")).otherwise(F.lit("*"))
+                .alias("source_out"))
+            .agg(F.sum("group_size").alias("n_docs"),
+                 F.count("*").cast("int").alias("n_merged_groups")))
+
+
+@register(
+    "events_winsorize",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             MAX(CASE WHEN r <= 0.05 THEN value END) AS lo,
+             MIN(CASE WHEN r >= 0.95 THEN value END) AS hi
+      FROM (SELECT event_type, value,
+                   PERCENT_RANK() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS r
+            FROM events) GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                    THEN 1 ELSE 0 END) AS n_clipped,
+           {sql_dsum('CASE WHEN e.value < b.lo THEN b.lo '
+                     'WHEN e.value > b.hi THEN b.hi ELSE e.value END')}
+             AS clipped_sum
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Per-group winsorization: clip values to each group's "
+        "[5th, 95th] percentile band — the outlier-clipping step for "
+        "score/reward normalization in a training pipeline. "
+        "Percentile bounds come from an exact PERCENT_RANK with a "
+        "deterministic (value, id) tie-break, so both engines pick "
+        "identical bounds; the bound table is |groups| rows and "
+        "broadcasts back onto the stream. Clipped sums go through "
+        "the DECIMAL discipline.",
+)
+def events_winsorize(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select("event_type", "value",
+                 F.percent_rank().over(w).alias("r"))
+    b = (r.groupBy(F.col("event_type").alias("et"))
+         .agg(F.max(F.when(F.col("r") <= 0.05, F.col("value")))
+              .alias("lo"),
+              F.min(F.when(F.col("r") >= 0.95, F.col("value")))
+              .alias("hi")))
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")) \
+        .when(F.col("value") > F.col("hi"), F.col("hi")) \
+        .otherwise(F.col("value"))
+    out_of_band = (F.col("value") < F.col("lo")) \
+        | (F.col("value") > F.col("hi"))
+    return (e.join(F.broadcast(b), e.event_type == F.col("et"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(out_of_band, 1).otherwise(0))
+                 .alias("n_clipped"),
+                 dsum(clipped).alias("clipped_sum")))
