@@ -1433,15 +1433,15 @@ def ann_pq_adc_topk(spark, sf_dir):
       SELECT lang, source, COUNT(*) AS group_size
       FROM documents GROUP BY lang, source
     )
-    SELECT CASE WHEN group_size >= 25 THEN lang
+    SELECT CASE WHEN group_size >= 10 THEN lang
                 ELSE '*' END AS lang_out,
-           CASE WHEN group_size >= 25 THEN source
+           CASE WHEN group_size >= 10 THEN source
                 ELSE '*' END AS source_out,
            SUM(group_size) AS n_docs,
            CAST(COUNT(*) AS INT) AS n_merged_groups
     FROM g GROUP BY 1, 2
     """,
-    doc="k-anonymity suppression (k=25) over quasi-identifier columns "
+    doc="k-anonymity suppression (k=10) over quasi-identifier columns "
         "(lang, source): groups smaller than k are generalized to '*' "
         "and merged — the privacy gate a training pipeline applies "
         "before releasing per-group statistics. Two aggregates, both "
@@ -1453,7 +1453,7 @@ def corpus_k_anonymity(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     g = (d.groupBy("lang", "source")
          .agg(F.count("*").alias("group_size")))
-    big = F.col("group_size") >= 25
+    big = F.col("group_size") >= 10
     return (g.groupBy(
                 F.when(big, F.col("lang")).otherwise(F.lit("*"))
                 .alias("lang_out"),
