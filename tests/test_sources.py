@@ -795,3 +795,50 @@ def test_match_recognize_running_final_all_rows(spark):
            for rows in by_match.values() for r in rows[:1]}
     got = {(r.user_id, r.n_clicks, r.last_click) for r in one_row}
     assert got == exp
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """Schema evolution on the filesystem connector: two parquet
+    batches with different (overlapping) schemas read back as ONE
+    table with the merged schema and NULLs for absent columns —
+    the reference's filesystem format evolution contract
+    (ParquetVectorizedInputFormat / schema merging)."""
+    import tempfile
+    base = tempfile.mkdtemp(prefix="evolve_")
+    spark.createDataFrame([(1, "a")], "id bigint, s string") \
+        .write.mode("append").parquet(base)
+    spark.createDataFrame([(2, 9.5)], "id bigint, score double") \
+        .write.mode("append").parquet(base)
+    got = spark.read.option("mergeSchema", "true").parquet(base)
+    assert {f.name for f in got.schema.fields} == {"id", "s", "score"}
+    rows = {r.id: (r.s, r.score) for r in got.collect()}
+    assert rows[1] == ("a", None) and rows[2] == (None, 9.5)
+
+
+def test_small_file_compaction(spark):
+    """Small-file compaction — the lake-maintenance job every
+    filesystem sink needs: many tiny files rewritten to a target
+    file count with identical contents (row-count + checksum), via a
+    plain repartition rewrite (at 100 TB: per-partition compaction
+    driven by file-size stats)."""
+    import os
+    import tempfile
+    from pyspark.sql import functions as F
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    src = load_table(spark, SF, "orders")
+    frag = tempfile.mkdtemp(prefix="frag_")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    n_small = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_small >= 32
+    compact = tempfile.mkdtemp(prefix="compact_")
+    spark.read.parquet(frag).repartition(4) \
+        .write.mode("overwrite").parquet(compact)
+    n_big = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    assert n_big <= 4
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(compact)
+    assert a.count() == b.count()
+    chk = lambda d: d.agg(  # noqa: E731
+        F.sum(F.crc32(F.col("o_orderkey").cast("string"))).alias("c")
+    ).collect()[0].c
+    assert chk(a) == chk(b)
