@@ -845,3 +845,34 @@ def unnest_map(spark, sf_dir):
             .groupBy("k")
             .agg(F.count("*").alias("n"),
                  F.countDistinct("v").alias("n_distinct")))
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Explicit skew salting as a first-class operator "
+        "(operators/skew.salted_join): the probe side scatters each "
+        "key over 16 salt sub-keys, the build side replicates 16x, "
+        "restoring parallelism under a deliberate hot key. The "
+        "oracle is the PLAIN join — salting must be semantics-"
+        "preserving row-for-row (also pinned by "
+        "test_salted_join_matches_plain_join); the decimal-sum "
+        "aggregate proves value-level equivalence, not just counts.",
+)
+def join_salted_skew(spark, sf_dir):
+    from ..operators.skew import salted_join
+    from ._util import dsum
+    o = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey",
+                                                     "custkey")
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey",
+                                                       "custkey")
+    return (salted_join(o, c, "custkey")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"),
+                 dsum("o_totalprice").alias("total_price")))
