@@ -76,9 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     "graph_connected_components",
     # oracle-less rows-only checks (slots 49-50; never driver-checked)
     "approx_sketches", "corpus_sample",
-    # ROUND-5 ROTATION QUEUE — 21 round-4 queries have no driver row
-    # yet: these 8 plus 13 late-round additions that follow in
-    # registry insertion order (tpcds_frequent_buyers,
+    # ROUND-5 ROTATION QUEUE — 24 round-4 queries have no driver row
+    # yet: these 8 plus 16 late-round additions that follow in
+    # registry insertion order (join_salted_skew, corpus_k_anonymity,
+    # events_winsorize, tpcds_frequent_buyers,
     # tpcds_regional_growth, tpcds_yearly_brand_delta,
     # tpcds_latency_band_matrix, tpcds_am_pm_ratio,
     # tpcds_monthly_variance, tpcds_channel_equal_share,

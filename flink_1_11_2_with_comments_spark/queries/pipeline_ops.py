@@ -1176,7 +1176,8 @@ def text_chunking(spark, sf_dir):
       FROM d
     )
     SELECT CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM c GROUP BY 1
     """,
     doc="Sequence packing: assign documents to fixed-budget (2048-"
@@ -1206,7 +1207,8 @@ def corpus_pack_sequences(spark, sf_dir):
     """
     WITH per AS (
       SELECT lang, COUNT(*) AS n_docs,
-             SUM(len(string_split(text, ' '))) AS n_tokens
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
       FROM documents GROUP BY lang
     ), tot AS (
       SELECT SUM(n_tokens) AS total_tokens,
@@ -1437,7 +1439,7 @@ def ann_pq_adc_topk(spark, sf_dir):
                 ELSE '*' END AS lang_out,
            CASE WHEN group_size >= 10 THEN source
                 ELSE '*' END AS source_out,
-           SUM(group_size) AS n_docs,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS INT) AS n_merged_groups
     FROM g GROUP BY 1, 2
     """,
@@ -1476,8 +1478,8 @@ def corpus_k_anonymity(spark, sf_dir):
             FROM events) GROUP BY event_type
     )
     SELECT e.event_type, COUNT(*) AS n,
-           SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
-                    THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            {sql_dsum('CASE WHEN e.value < b.lo THEN b.lo '
                      'WHEN e.value > b.hi THEN b.hi ELSE e.value END')}
              AS clipped_sum

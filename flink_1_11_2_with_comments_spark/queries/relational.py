@@ -849,10 +849,9 @@ def unnest_map(spark, sf_dir):
 
 @register(
     "join_salted_skew",
-    """
+    f"""
     SELECT c.c_mktsegment, COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))), 2)
-                AS DOUBLE) AS total_price
+           {sql_dsum('o.o_totalprice')} AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -867,7 +866,6 @@ def unnest_map(spark, sf_dir):
 )
 def join_salted_skew(spark, sf_dir):
     from ..operators.skew import salted_join
-    from ._util import dsum
     o = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey",
                                                      "custkey")
     c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey",

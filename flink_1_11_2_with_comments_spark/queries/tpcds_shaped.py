@@ -173,10 +173,12 @@ def tpcds_repeat_customers(spark, sf_dir):
                 "THEN l_extendedprice END")} AS rev_mid,
       {sql_dsum("CASE WHEN l_quantity > 30 THEN l_extendedprice END")}
         AS rev_high,
-      SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS n_low,
-      SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 30 THEN 1 ELSE 0 END)
-        AS n_mid,
-      SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS n_high
+      CAST(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_low,
+      CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 30
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+      CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_high
     FROM lineitem
     """,
     doc="TPC-DS q9 shape: single-scan CASE bucket report — several "
@@ -354,8 +356,8 @@ def tpcds_fraction_of_max(spark, sf_dir):
     SELECT o.o_orderpriority,
            CAST(ROUND(SUM(CAST(li.net_rev AS DECIMAL(30,10))), 2)
                 AS DOUBLE) AS revenue,
-           SUM(li.n_returned) AS returned_lines,
-           SUM(li.n_lines) AS total_lines,
+           CAST(SUM(li.n_returned) AS BIGINT) AS returned_lines,
+           CAST(SUM(li.n_lines) AS BIGINT) AS total_lines,
            COUNT(*) AS n_orders
     FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -1092,16 +1094,22 @@ def tpcds_yearly_brand_delta(spark, sf_dir):
     "tpcds_latency_band_matrix",
     """
     SELECT o.o_orderpriority,
-           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
-                    THEN 1 ELSE 0 END) AS d30,
-           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30
-                     AND date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
-                    THEN 1 ELSE 0 END) AS d60,
-           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
-                     AND date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
-                    THEN 1 ELSE 0 END) AS d90,
-           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
-                    THEN 1 ELSE 0 END) AS d_over
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                        l.l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                        l.l_shipdate) > 30
+                          AND date_diff('day', o.o_orderdate,
+                                        l.l_shipdate) <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                        l.l_shipdate) > 60
+                          AND date_diff('day', o.o_orderdate,
+                                        l.l_shipdate) <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                        l.l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d_over
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -1132,10 +1140,10 @@ def tpcds_latency_band_matrix(spark, sf_dir):
     "tpcds_am_pm_ratio",
     """
     SELECT event_type,
-           SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END)
-             AS am_cnt,
-           SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END)
-             AS pm_cnt,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 12
+                         THEN 1 ELSE 0 END) AS BIGINT) AS am_cnt,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pm_cnt,
            CAST(ROUND(
              SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END)
              * 1.0 /
@@ -1399,13 +1407,13 @@ def tpcds_excess_discount(spark, sf_dir):
       SELECT DISTINCT o_custkey FROM orders
       WHERE EXTRACT(year FROM o_orderdate) >= 1995
     )
-    SELECT SUM(CASE WHEN s.o_custkey IS NOT NULL
-                     AND c.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
-             AS both_channels,
-           SUM(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END)
-             AS store_only,
-           SUM(CASE WHEN s.o_custkey IS NULL THEN 1 ELSE 0 END)
-             AS cat_only
+    SELECT CAST(SUM(CASE WHEN s.o_custkey IS NOT NULL
+                          AND c.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_channels,
+           CAST(SUM(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS store_only,
+           CAST(SUM(CASE WHEN s.o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS cat_only
     FROM store s FULL OUTER JOIN cat c ON s.o_custkey = c.o_custkey
     """,
     doc="TPC-DS q97 shape: channel-overlap census — customers active "
