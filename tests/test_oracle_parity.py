@@ -60,3 +60,41 @@ def test_results_invariant_to_partitioning(spark):
         assert results[0] == results[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_oracle_dtypes_never_int_vs_float(spark, sf_dir, con):
+    """Driver-hash guard: for every oracle, no column may be INTEGER
+    on the Spark side but FLOAT on the DuckDB side (or vice versa) —
+    '3' vs '3.0' fails the representation-level value hash even when
+    values are equal (how fn_math went red in round 3, and what
+    DuckDB's SUM(int)→HUGEINT→float64 silently causes). Benign
+    asymmetries (int32 vs int64 widths, datetime ns vs us resolution)
+    are allowed — the driver's hash renders those identically.
+    LIMIT-1 per oracle keeps this a schema check, not a data pass."""
+    bad = []
+    for name in WITH_ORACLE:
+        spec = SPECS[name]
+        du = con.execute(
+            f"SELECT * FROM ({spec.oracle}) LIMIT 1").fetchdf()
+        sp_types = {f.name: f.dataType.simpleString()
+                    for f in spec.fn(spark, sf_dir).schema.fields}
+        for col in du.columns:
+            d = str(du[col].dtype)
+            s = sp_types.get(col, "?")
+            int_s = s in ("tinyint", "smallint", "int", "bigint")
+            float_d = d.startswith("float")
+            int_d = d.startswith(("int", "uint"))
+            # DuckDB NULL-able int columns surface as float64 in
+            # pandas, but then the Spark side's toPandas does the
+            # same — only flag when the Spark result CAN'T be float:
+            # a non-nullable int column against a float oracle dtype
+            if int_s and float_d:
+                has_null = con.execute(
+                    f"SELECT COUNT(*) FROM (SELECT * FROM "
+                    f"({spec.oracle}) LIMIT 100) WHERE {col} IS NULL"
+                ).fetchone()[0]
+                if has_null == 0:
+                    bad.append((name, col, s, d))
+            if s == "double" and int_d:
+                bad.append((name, col, s, d))
+    assert not bad, bad
