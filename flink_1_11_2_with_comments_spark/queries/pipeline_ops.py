@@ -1166,36 +1166,48 @@ def text_chunking(spark, sf_dir):
     "corpus_pack_sequences",
     """
     WITH d AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      SELECT doc_id,
+             CAST(floor(doc_id / 128) AS BIGINT) AS shard,
+             len(string_split(text, ' ')) AS n_tokens
       FROM documents
     ), c AS (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS cum
       FROM d
     )
-    SELECT CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
+    SELECT shard,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-    FROM c GROUP BY 1
+    FROM c GROUP BY 1, 2
     """,
     doc="Sequence packing: assign documents to fixed-budget (2048-"
         "token) training sequences by running token count — each doc "
         "goes to the pack where it STARTS (greedy concat-and-pack, "
-        "the standard pretraining batching step). The running sum is "
-        "one window over (doc order); at 100 TB partition the "
-        "cumulative sum by shard (pack ids only need to be unique "
-        "within a shard) to avoid the single-ordering bottleneck — "
-        "the per-shard form is this same plan keyed by shard.",
+        "the standard pretraining batching step). The cumulative sum "
+        "is PARTITIONED BY SHARD (shard = doc_id div 128): pack ids "
+        "only need to be unique within a shard — the training loader "
+        "addresses a sequence as (shard, pack_id) — so each shard's "
+        "running sum is an independent window task and the plan "
+        "scales out linearly instead of funnelling the whole corpus "
+        "through one global ordering (the canonical Spark "
+        "unpartitioned-Window scale-killer, which an earlier form of "
+        "this query shipped). The only cost vs the global form is "
+        "one potentially under-full pack per shard boundary.",
 )
 def corpus_pack_sequences(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = d.select("doc_id", n_tok.alias("n_tokens"),
+    shard = F.floor(F.col("doc_id") / 128).cast("bigint")
+    w = (W.partitionBy(shard).orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = d.select(shard.alias("shard"), "doc_id",
+                 n_tok.alias("n_tokens"),
                  F.sum(n_tok).over(w).alias("cum"))
     return (c.groupBy(
+                "shard",
                 F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
                 .cast("bigint").alias("pack_id"))
             .agg(F.count("*").alias("n_docs"),

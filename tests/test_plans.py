@@ -339,3 +339,39 @@ def test_pq_corpus_never_shuffles(spark, sf_dir):
     # a corpus-side shuffle would push this past 5
     body2 = p2.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     assert body2.count("Exchange") <= 5, body2
+
+
+# Queries whose unpartitioned Window is provably bounded: both run
+# their window over a post-aggregation table whose row count is the
+# key-domain size (|year-months|, |brands|), not the fact size — a
+# single task over a few hundred rows is the right plan there.
+_BOUNDED_GLOBAL_WINDOWS = {
+    "tpcds_cumulative_channel_join",  # cum over |months| agg rows
+    "tpcds_two_metric_rank",          # two ranks over |brands| agg rows
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """Registry-wide sweep: no query may plan a Window node with an
+    empty partitionSpec over data-sized input.  A global window
+    funnels the ENTIRE input through one task (Spark logs 'No
+    Partition Defined for Window operation') — the canonical scale
+    anti-pattern corpus_pack_sequences once shipped.  Exceptions are
+    allow-listed above with a bounded-input justification."""
+
+    def walk(p):
+        yield p
+        ch = p.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    offenders = []
+    for name, spec in SPECS.items():
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if (node.nodeName() == "Window"
+                    and node.partitionSpec().isEmpty()):
+                offenders.append(name)
+                break
+    assert set(offenders) <= _BOUNDED_GLOBAL_WINDOWS, offenders
