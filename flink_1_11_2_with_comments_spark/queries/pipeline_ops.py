@@ -1528,3 +1528,37 @@ def events_winsorize(spark, sf_dir):
                  F.sum(F.when(out_of_band, 1).otherwise(0))
                  .alias("n_clipped"),
                  dsum(clipped).alias("clipped_sum")))
+
+
+@register(
+    "events_winsorize_approx",
+    None,  # approx_percentile is engine-specific → rows-only here;
+           # tests/test_pipeline.py pins |approx − exact| tolerance
+    doc="Scale path for events_winsorize: percentile bounds from ONE "
+        "approx_percentile aggregate (Greenwald-Khanna sketch, "
+        "accuracy 10000) instead of a PERCENT_RANK window — no "
+        "per-group sort, so one hot event_type at 100 TB no longer "
+        "serializes a task; the sketch combines map-side like any "
+        "partial aggregate. The clip-and-sum pass is identical to "
+        "the exact form. Exactness trade documented in SCALE.md; "
+        "tests/test_pipeline.py::test_winsorize_approx_close_to_exact "
+        "pins the drift at sf0.01.",
+)
+def events_winsorize_approx(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    b = (e.groupBy(F.col("event_type").alias("et"))
+         .agg(F.percentile_approx("value", [0.05, 0.95], 10000)
+              .alias("pp"))
+         .select("et", F.col("pp")[0].alias("lo"),
+                 F.col("pp")[1].alias("hi")))
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")) \
+        .when(F.col("value") > F.col("hi"), F.col("hi")) \
+        .otherwise(F.col("value"))
+    out_of_band = (F.col("value") < F.col("lo")) \
+        | (F.col("value") > F.col("hi"))
+    return (e.join(F.broadcast(b), e.event_type == F.col("et"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(out_of_band, 1).otherwise(0))
+                 .alias("n_clipped"),
+                 dsum(clipped).alias("clipped_sum")))

@@ -420,3 +420,26 @@ def test_pq_adc_recall_vs_exact(spark):
               .orderBy("d2", "vec_id").limit(30).collect())]
     overlap = len(set(approx) & set(exact))
     assert overlap >= 3, (approx, exact[:10], overlap)
+
+
+def test_winsorize_approx_close_to_exact(spark):
+    """The approx_percentile scale path of winsorization must land
+    within sketch tolerance of the exact PERCENT_RANK form: with
+    accuracy=10000 and sf0.01-sized groups the GK sketch's rank error
+    is < 1/10000, so bounds (and therefore clip counts/sums) should
+    be near-identical. Pinned loosely enough to survive data growth:
+    clip-count drift ≤ 2% of group size, sum drift ≤ 0.1% relative."""
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    specs = all_specs()
+    exact = {r["event_type"]: r for r in
+             specs["events_winsorize"].fn(spark, SF).collect()}
+    approx = {r["event_type"]: r for r in
+              specs["events_winsorize_approx"].fn(spark, SF).collect()}
+    assert set(exact) == set(approx) and exact
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert ap["n"] == ex["n"]
+        assert abs(ap["n_clipped"] - ex["n_clipped"]) <= 0.02 * ex["n"], et
+        denom = abs(float(ex["clipped_sum"])) or 1.0
+        rel = abs(float(ap["clipped_sum"]) - float(ex["clipped_sum"])) / denom
+        assert rel <= 1e-3, (et, rel)
