@@ -1436,3 +1436,294 @@ def tpcds_channel_overlap(spark, sf_dir):
         .alias("both_channels"),
         flag(F.col("ck").isNull()).alias("store_only"),
         flag(F.col("sk").isNull()).alias("cat_only"))
+
+
+@register(
+    "tpcds_channel_growth_gate",
+    f"""
+    WITH year_total AS (
+      SELECT o_custkey AS custkey,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                  WHEN o_orderpriority = '2-HIGH' THEN 'high'
+                  ELSE 'std' END AS channel,
+             {sql_dsum('o_totalprice')} AS total
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT u1.custkey AS custkey,
+           CAST(ROUND(u2.total / u1.total, 6) AS DOUBLE) AS urgent_growth,
+           CAST(ROUND(h2.total / h1.total, 6) AS DOUBLE) AS high_growth,
+           CAST(ROUND(s2.total / s1.total, 6) AS DOUBLE) AS std_growth
+    FROM year_total u1
+    JOIN year_total u2 ON u1.custkey = u2.custkey
+    JOIN year_total h1 ON u1.custkey = h1.custkey
+    JOIN year_total h2 ON u1.custkey = h2.custkey
+    JOIN year_total s1 ON u1.custkey = s1.custkey
+    JOIN year_total s2 ON u1.custkey = s2.custkey
+    WHERE u1.channel = 'urgent' AND u1.yr = 1996
+      AND u2.channel = 'urgent' AND u2.yr = 1997
+      AND h1.channel = 'high'   AND h1.yr = 1996
+      AND h2.channel = 'high'   AND h2.yr = 1997
+      AND s1.channel = 'std'    AND s1.yr = 1996
+      AND s2.channel = 'std'    AND s2.yr = 1997
+      AND u1.total > 0 AND h1.total > 0 AND s1.total > 0
+      AND u2.total / u1.total > h2.total / h1.total
+      AND u2.total / u1.total > s2.total / s1.total
+    """,
+    doc="TPC-DS q4/q11 shape: customers whose year-over-year growth "
+        "in the premium channel beats BOTH other channels' growth. "
+        "The oracle states the textbook year_total CTE self-joined "
+        "SIX ways (one alias per channel x year); the Spark plan "
+        "computes all six cells as conditional aggregates in ONE "
+        "pass over orders — zero joins, one shuffle, identical "
+        "result (inner-join existence = cell non-null). At 100 TB "
+        "the rewrite turns six fact scans + five fact-key joins "
+        "into one scan; growth ratios divide already-rounded "
+        "DOUBLEs so both engines compare bit-identical values.",
+)
+def tpcds_channel_growth_gate(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    ch = (F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+          .when(F.col("o_orderpriority") == "2-HIGH", "high")
+          .otherwise("std"))
+
+    def cell(channel, year):
+        return dsum(F.when((ch == channel) & (yr == year),
+                           F.col("o_totalprice")))
+
+    g = (o.groupBy(F.col("o_custkey").alias("custkey"))
+         .agg(cell("urgent", 1996).alias("u1"),
+              cell("urgent", 1997).alias("u2"),
+              cell("high", 1996).alias("h1"),
+              cell("high", 1997).alias("h2"),
+              cell("std", 1996).alias("s1"),
+              cell("std", 1997).alias("s2")))
+    present = (F.col("u1").isNotNull() & F.col("u2").isNotNull()
+               & F.col("h1").isNotNull() & F.col("h2").isNotNull()
+               & F.col("s1").isNotNull() & F.col("s2").isNotNull())
+    return (g.where(present
+                    & (F.col("u1") > 0) & (F.col("h1") > 0)
+                    & (F.col("s1") > 0)
+                    & (F.col("u2") / F.col("u1")
+                       > F.col("h2") / F.col("h1"))
+                    & (F.col("u2") / F.col("u1")
+                       > F.col("s2") / F.col("s1")))
+            .select("custkey",
+                    F.round(F.col("u2") / F.col("u1"), 6).cast("double")
+                    .alias("urgent_growth"),
+                    F.round(F.col("h2") / F.col("h1"), 6).cast("double")
+                    .alias("high_growth"),
+                    F.round(F.col("s2") / F.col("s1"), 6).cast("double")
+                    .alias("std_growth")))
+
+
+@register(
+    "tpcds_sold_returned_rebought",
+    """
+    WITH li AS (
+      SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+             l.l_returnflag AS flag, o.o_orderdate AS odate,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag IN ('N', 'R')
+    ), s AS (
+      SELECT custkey, partkey, MIN(odate) AS s_date,
+             CAST(SUM(qty) AS BIGINT) AS sold_qty
+      FROM li WHERE flag = 'N' GROUP BY 1, 2
+    ), r AS (
+      SELECT custkey, partkey, MIN(odate) AS r_date,
+             CAST(SUM(qty) AS BIGINT) AS ret_qty
+      FROM li WHERE flag = 'R' GROUP BY 1, 2
+    ), rebuy AS (
+      SELECT li.custkey, li.partkey,
+             CAST(SUM(li.qty) AS BIGINT) AS rebuy_qty
+      FROM li JOIN r ON li.custkey = r.custkey
+                    AND li.partkey = r.partkey
+      WHERE li.flag = 'N' AND li.odate > r.r_date
+      GROUP BY 1, 2
+    )
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_chains,
+           CAST(SUM(s.sold_qty) AS BIGINT) AS sold_qty,
+           CAST(SUM(r.ret_qty) AS BIGINT) AS ret_qty,
+           CAST(SUM(rb.rebuy_qty) AS BIGINT) AS rebuy_qty
+    FROM s
+    JOIN r ON s.custkey = r.custkey AND s.partkey = r.partkey
+          AND r.r_date >= s.s_date
+    JOIN rebuy rb ON s.custkey = rb.custkey AND s.partkey = rb.partkey
+    JOIN part p ON s.partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-DS q17/q25 shape: the three-fact chained join — items a "
+        "customer bought, then returned (return date after first "
+        "purchase), then bought AGAIN after the return — reported "
+        "per brand. All three 'facts' derive from lineitem x orders "
+        "(the customer key lives on orders), are PRE-AGGREGATED to "
+        "the (customer, part) join key before any fact-fact join "
+        "(aggregate-before-join: the chain joins carry one row per "
+        "key, not raw fact rows), and share the SAME base subplan so "
+        "AQE exchange reuse applies. part broadcasts. At 100 TB the "
+        "three keyed aggregates co-partition on (custkey, partkey) "
+        "and the chain is three same-key shuffles, no row explosion.",
+)
+def tpcds_sold_returned_rebought(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    base = (li.where(F.col("l_returnflag").isin("N", "R"))
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("l_partkey").alias("partkey"),
+                    F.col("l_returnflag").alias("flag"),
+                    F.col("o_orderdate").alias("odate"),
+                    F.col("l_quantity").cast("bigint").alias("qty")))
+    s = (base.where(F.col("flag") == "N")
+         .groupBy("custkey", "partkey")
+         .agg(F.min("odate").alias("s_date"),
+              F.sum("qty").alias("sold_qty")))
+    r = (base.where(F.col("flag") == "R")
+         .groupBy(F.col("custkey").alias("r_custkey"),
+                  F.col("partkey").alias("r_partkey"))
+         .agg(F.min("odate").alias("r_date"),
+              F.sum("qty").alias("ret_qty")))
+    rebuy = (base.where(F.col("flag") == "N")
+             .join(r, (F.col("custkey") == F.col("r_custkey"))
+                   & (F.col("partkey") == F.col("r_partkey"))
+                   & (F.col("odate") > F.col("r_date")))
+             .groupBy(F.col("custkey").alias("rb_custkey"),
+                      F.col("partkey").alias("rb_partkey"))
+             .agg(F.sum("qty").alias("rebuy_qty")))
+    chain = (s.join(r, (s.custkey == F.col("r_custkey"))
+                    & (s.partkey == F.col("r_partkey"))
+                    & (F.col("r_date") >= F.col("s_date")))
+             .join(rebuy, (s.custkey == F.col("rb_custkey"))
+                   & (s.partkey == F.col("rb_partkey"))))
+    return (chain.join(F.broadcast(p), s.partkey == p.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").alias("n_chains"),
+                 F.sum("sold_qty").alias("sold_qty"),
+                 F.sum("ret_qty").alias("ret_qty"),
+                 F.sum("rebuy_qty").alias("rebuy_qty")))
+
+
+@register(
+    "tpcds_wide_join_growth",
+    f"""
+    WITH wide AS (
+      SELECT p.p_brand AS brand, r.r_name AS region,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      WHERE su.s_acctbal > 0
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.brand AS brand, a.region AS region,
+           a.rev AS rev_prev, b.rev AS rev_this,
+           CAST(ROUND(b.rev / a.rev, 6) AS DOUBLE) AS growth
+    FROM wide a JOIN wide b ON a.brand = b.brand AND a.region = b.region
+    WHERE a.yr = 1996 AND b.yr = 1997 AND b.rev > a.rev
+    """,
+    doc="TPC-DS q64 shape: the widest join chain in the suite — "
+        "SEVEN tables (two facts + five dimensions) aggregated to "
+        "(brand, region, year), then the wide aggregate joined to "
+        "ITSELF across two consecutive years keeping growers. The "
+        "oracle states the self-join; the Spark plan computes both "
+        "year cells as conditional aggregates over ONE wide join "
+        "(cell non-null = inner-join existence), so the 100 TB fact "
+        "is joined and scanned once, not twice. Every dimension "
+        "broadcasts; the only data-sized exchanges are lineitem x "
+        "orders on the order key and the final (brand, region) agg.",
+)
+def tpcds_wide_join_growth(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "part")
+    su = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0)
+    wide = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(su), li.l_suppkey == su.s_suppkey))
+    yr = F.year("o_orderdate")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (wide.groupBy(F.col("p_brand").alias("brand"),
+                        F.col("r_name").alias("region"))
+           .agg(dsum(F.when(yr == 1996, amt)).alias("rev_prev"),
+                dsum(F.when(yr == 1997, amt)).alias("rev_this")))
+    return (per.where(F.col("rev_prev").isNotNull()
+                      & F.col("rev_this").isNotNull()
+                      & (F.col("rev_this") > F.col("rev_prev")))
+            .select("brand", "region", "rev_prev", "rev_this",
+                    F.round(F.col("rev_this") / F.col("rev_prev"), 6)
+                    .cast("double").alias("growth")))
+
+
+@register(
+    "tpcds_return_window_gap",
+    """
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT s.l_partkey) AS n_parts,
+           CAST(SUM(CAST(r.l_quantity - s.l_quantity AS BIGINT))
+                AS BIGINT) AS qty_gap
+    FROM lineitem s
+    JOIN lineitem r ON s.l_partkey = r.l_partkey
+     AND s.l_returnflag = 'N' AND r.l_returnflag = 'R'
+     AND r.l_shipdate >= s.l_shipdate
+     AND r.l_shipdate < s.l_shipdate + INTERVAL 7 DAY
+     AND r.l_quantity > s.l_quantity
+    JOIN part p ON s.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-DS q72 shape: the fact x fact date-window join — each "
+        "sale paired with any LARGER return of the same part shipped "
+        "within the following 7 days (the q72 'demand exceeds "
+        "on-hand inventory in the restock window' pattern). A naive "
+        "plan is an equi-join on part alone with the date range as a "
+        "post-filter — every (sale, return) of a part collides, "
+        "O(n_part^2) per key. This plan buckets both sides by "
+        "(partkey, 7-day-week): the probe side explodes into the "
+        "TWO buckets a 7-day window can span, the join key becomes "
+        "(partkey, week), and only same-week candidates meet — the "
+        "standard interval-join bucketing, 2x probe rows for a "
+        "~350x (weeks in the date range) smaller collision set. "
+        "part broadcasts onto the pair stream.",
+)
+def tpcds_return_window_gap(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    week = F.floor(F.datediff(F.col("l_shipdate"),
+                              F.lit("1995-01-01").cast("date")) / 7)
+    s = (li.where(F.col("l_returnflag") == "N")
+         .select(F.col("l_partkey").alias("s_part"),
+                 F.col("l_shipdate").alias("s_date"),
+                 F.col("l_quantity").alias("s_qty"),
+                 F.explode(F.array(week, week + 1)).alias("wk")))
+    r = (li.where(F.col("l_returnflag") == "R")
+         .select(F.col("l_partkey").alias("r_part"),
+                 F.col("l_shipdate").alias("r_date"),
+                 F.col("l_quantity").alias("r_qty"),
+                 week.alias("r_wk")))
+    pairs = s.join(r, (F.col("s_part") == F.col("r_part"))
+                   & (F.col("wk") == F.col("r_wk"))
+                   & (F.col("r_date") >= F.col("s_date"))
+                   & (F.col("r_date")
+                      < F.col("s_date") + F.expr("INTERVAL 7 DAYS"))
+                   & (F.col("r_qty") > F.col("s_qty")))
+    return (pairs.join(F.broadcast(p), F.col("s_part") == p.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("s_part").alias("n_parts"),
+                 F.sum((F.col("r_qty") - F.col("s_qty")).cast("bigint"))
+                 .alias("qty_gap")))

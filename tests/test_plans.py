@@ -375,3 +375,37 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
                 offenders.append(name)
                 break
     assert set(offenders) <= _BOUNDED_GLOBAL_WINDOWS, offenders
+
+
+def test_heavy_tpcds_shapes_plan_quality(spark, sf_dir):
+    """The four q4/q17/q64/q72-style heavy join shapes keep their
+    scale-critical plan properties: the q4 gate collapses six
+    self-joins into one scan + one shuffle; the q64 wide join scans
+    the fact once with every dimension broadcast; the q72 window
+    join is a bucketed equi-join (never a nested-loop/cartesian);
+    the q17 chain pre-aggregates before any fact-fact join."""
+    import re as _re
+    # q4: conditional aggregate — no join at all, single orders scan
+    p = plan(spark, "tpcds_channel_growth_gate", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "Join" not in body, body
+    assert body.count("Exchange") == 1, body
+    assert len(_re.findall(r"orders", p)) == 1
+
+    # q64: one lineitem scan, all five dims broadcast
+    p = plan(spark, "tpcds_wide_join_growth", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("BroadcastHashJoin") >= 5, body
+    assert len(_re.findall(r"lineitem", p)) == 1
+
+    # q72: bucketed interval join stays an equi-join
+    p = plan(spark, "tpcds_return_window_gap", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "Cartesian" not in body, body
+
+    # q17: no nested loops anywhere in the three-fact chain
+    p = plan(spark, "tpcds_sold_returned_rebought", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "Cartesian" not in body, body
