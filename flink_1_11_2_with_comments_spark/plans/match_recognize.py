@@ -528,34 +528,42 @@ def match_recognize(spark: SparkSession, sql: str,
                or next((s for s in reversed(b) if not s.negated),
                        b[-1]).min_times == 0)
         for b in branches)
-    if src.isStreaming and (alternation is not None or has_min0_edge):
+    if src.isStreaming and has_min0_edge:
         raise NotImplementedError(
-            "streaming MATCH_RECOGNIZE does not support alternation "
-            "`|` (the stateful NFA runs a single branch) or a min-0 "
+            "streaming MATCH_RECOGNIZE does not support a min-0 "
             "quantifier on the FIRST or LAST pattern variable (zero "
             "bindings there depend on events beyond the watermark) — "
-            "mid-pattern `*`/`?` and reluctant quantifiers run "
+            "mid-pattern `*`/`?`, reluctant quantifiers, alternation "
+            "`|`, group quantifiers and SKIP TO FIRST/LAST all run "
             "streaming")
     if all_rows:
         if src.isStreaming:
             return _all_rows_stream(src, cl, keys, ts_col, id_col,
                                     steps, within, after_match,
-                                    excluded=excluded, permute=permute)
+                                    excluded=excluded, permute=permute,
+                                    alternation=alternation)
         return _all_rows_per_match(src, cl, keys, ts_col, id_col,
                                    defines, steps, within, after_match,
                                    excluded=excluded, permute=permute,
                                    alternation=alternation)
     if src.isStreaming:
-        # streaming MATCH_RECOGNIZE (StreamExecMatch): SQL standard
-        # fixes SKIP PAST LAST ROW semantics, which is what the
-        # streaming NFA implements; other strategies are batch-only
+        # streaming MATCH_RECOGNIZE (StreamExecMatch): the stateful
+        # NFA implements SKIP PAST LAST ROW (the SQL default) and the
+        # overlap-allowing SKIP TO FIRST/LAST(V); SKIP TO NEXT ROW
+        # stays batch-only (its per-start-row emission would need
+        # anchored rescans of evicted prefixes)
         from ..streaming.cep import match_pattern_stream
-        if after_match != "skip_past_last":
+        if (after_match != "skip_past_last"
+                and not after_match.startswith(("skip_to_first:",
+                                                "skip_to_last:"))):
             raise NotImplementedError(
-                "streaming MATCH_RECOGNIZE supports SKIP PAST LAST ROW")
+                "streaming MATCH_RECOGNIZE supports SKIP PAST LAST "
+                "ROW and SKIP TO FIRST/LAST(V)")
         matched = match_pattern_stream(src, keys, ts_col, steps,
                                        within=within, id_col=id_col,
-                                       permute=permute)
+                                       permute=permute,
+                                       after_match=after_match,
+                                       alternation=alternation)
     else:
         lag_w = _lag_window(keys, ts_col, id_col)
         flag_exprs = [_parse_flag_expr(defines.get(s.name.upper(), "TRUE"),
@@ -608,39 +616,80 @@ def _all_rows_stream(src: DataFrame, cl: dict[str, str],
                      steps: list, within: str | None,
                      after_match: str,
                      excluded: set[str] = frozenset(),
-                     permute: bool = False) -> DataFrame:
+                     permute: bool = False,
+                     alternation: list | None = None) -> DataFrame:
     """Streaming ALL ROWS PER MATCH: the stateful NFA emits one row
     per matched event with MATCH_NUMBER() (a per-key counter persisted
-    across micro-batches) and CLASSIFIER(). Supported measures are
-    exactly those two — they are the NFA's emitted columns; RUNNING/
-    FINAL aggregate measures compile to window functions, which
-    append-mode streams cannot run, so they stay batch-only (raise)."""
-    if after_match != "skip_past_last":
+    across micro-batches) and CLASSIFIER(). Aggregate measures —
+    FIRST/LAST(V.id), COUNT(V.*), COUNT(*), bare V.id, each RUNNING
+    (default) or FINAL — are evaluated AT EMISSION inside the NFA
+    state function: a match is emitted atomically with all its rows in
+    hand, so the same frames the batch twin computes as window
+    functions over (keys, match_seq) are computable row-by-row with no
+    post-hoc window (which an append-mode stream could not run).
+    Exactly the batch `_all_rows_per_match` measure subset."""
+    if (after_match != "skip_past_last"
+            and not after_match.startswith(("skip_to_first:",
+                                            "skip_to_last:"))):
         raise NotImplementedError(
-            "streaming MATCH_RECOGNIZE supports SKIP PAST LAST ROW")
+            "streaming MATCH_RECOGNIZE supports SKIP PAST LAST ROW "
+            "and SKIP TO FIRST/LAST(V)")
     from ..streaming.cep import match_pattern_stream
-    rows = match_pattern_stream(src, keys, ts_col, steps,
-                                within=within, id_col=id_col,
-                                permute=permute, emit="rows")
-    sel = [*[F.col(k) for k in keys], F.col(ts_col), F.col(id_col)]
+    specs: list[dict] = []
+    sel_plan: list[tuple[str, str]] = []  # (source col, alias)
     for item in re.split(r",\s*(?=[^,]+\s+AS\s)", cl.get("MEASURES", ""),
                          flags=re.IGNORECASE):
         if not item.strip():
             continue
         expr, _, alias = re.split(r"\s+(AS)\s+", item.strip(),
                                   maxsplit=1, flags=re.IGNORECASE)
-        expr = expr.strip()
+        expr, alias = expr.strip(), alias.strip()
+        sm = re.match(r"^(RUNNING|FINAL)\s+(.*)$", expr,
+                      re.IGNORECASE | re.DOTALL)
+        # SQL standard: ALL ROWS PER MATCH defaults to RUNNING
+        final = bool(sm and sm.group(1).upper() == "FINAL")
+        if sm:
+            expr = sm.group(2).strip()
+        fm = re.match(rf"FIRST\s*\(\s*(\w+)\.{id_col}\s*\)$", expr,
+                      re.IGNORECASE)
+        lm = re.match(rf"LAST\s*\(\s*(\w+)\.{id_col}\s*\)$", expr,
+                      re.IGNORECASE)
+        cm = re.match(r"COUNT\s*\(\s*(\w+)\.\*\s*\)$", expr,
+                      re.IGNORECASE)
+        ca = re.match(r"COUNT\s*\(\s*\*\s*\)$", expr, re.IGNORECASE)
+        bm = re.match(rf"(\w+)\.{id_col}$", expr)
         if re.match(r"MATCH_NUMBER\s*\(\s*\)$", expr, re.IGNORECASE):
-            col = F.col("match_seq")
-        elif re.match(r"CLASSIFIER\s*\(\s*\)$", expr, re.IGNORECASE):
-            col = F.col("classifier")
+            sel_plan.append(("match_seq", alias))
+            continue
+        if re.match(r"CLASSIFIER\s*\(\s*\)$", expr, re.IGNORECASE):
+            sel_plan.append(("classifier", alias))
+            continue
+        if fm:
+            spec = {"kind": "first_id", "var": fm.group(1)}
+        elif lm:
+            spec = {"kind": "last_id", "var": lm.group(1)}
+        elif cm:
+            spec = {"kind": "count_var", "var": cm.group(1)}
+        elif ca:
+            spec = {"kind": "count_all"}
+        elif bm:  # bare V.id: RUNNING LAST semantics in ALL ROWS mode
+            spec = {"kind": "last_id", "var": bm.group(1)}
         else:
             raise NotImplementedError(
-                "streaming ALL ROWS PER MATCH measures are limited to "
-                f"MATCH_NUMBER() and CLASSIFIER(); got `{expr}` "
-                "(aggregate measures need window functions — batch "
-                "only)")
-        sel.append(col.alias(alias.strip()))
+                f"ALL ROWS MEASURES subset: `{expr}` (want "
+                f"MATCH_NUMBER(), CLASSIFIER(), FIRST/LAST(V.{id_col}),"
+                f" COUNT(V.*), COUNT(*), V.{id_col})")
+        spec.update(alias=f"__m{len(specs)}", final=final)
+        specs.append(spec)
+        sel_plan.append((spec["alias"], alias))
+    rows = match_pattern_stream(src, keys, ts_col, steps,
+                                within=within, id_col=id_col,
+                                permute=permute, emit="rows",
+                                after_match=after_match,
+                                alternation=alternation,
+                                row_measures=specs)
+    sel = [*[F.col(k) for k in keys], F.col(ts_col), F.col(id_col),
+           *[F.col(c).alias(a) for c, a in sel_plan]]
     out = rows.select(*sel, F.col("classifier").alias("__cls"))
     if excluded:
         out = out.where(~F.col("__cls").isin(*sorted(excluded)))

@@ -824,62 +824,99 @@ def match_pattern_stream(
     id_col: str = "event_id",
     permute: bool = False,
     emit: str = "match",
+    after_match: str = "skip_past_last",
+    alternation: list[list[QStep]] | None = None,
+    row_measures: list[dict] | None = None,
 ) -> DataFrame:
-    """Streaming quantified CEP under SKIP_PAST_LAST_EVENT.
+    """Streaming quantified CEP (reference: flink-cep/.../nfa/NFA.java
+    with AfterMatchSkipStrategy.java).
 
     ``emit="match"`` (default) yields one row per match with per-step
     first/last ids and counts; ``emit="rows"`` yields the ALL ROWS PER
     MATCH shape — one row per MATCHED EVENT with ``match_seq``
     (MATCH_NUMBER(), a per-key counter persisted in state across
-    micro-batches) and ``classifier`` (the matched variable).
+    micro-batches) and ``classifier`` (the matched variable), plus one
+    column per ``row_measures`` spec ({alias, kind, var, final}) with
+    kind in first_id/last_id/count_var/count_all — evaluated over the
+    RUNNING frame (rows of the match up to the current row) or, with
+    final=True, the whole match; measures are computable at emission
+    because the NFA emits complete matches atomically.
+
+    ``after_match``: 'skip_past_last' resumes past the match's end and
+    evicts the consumed prefix; 'skip_to_first:V'/'skip_to_last:V'
+    resume AT the first/last row mapped to V (overlapping matches
+    allowed — eviction only drops rows BEFORE the resume point; the
+    reference's skipToFirst/skipToLast, including its runtime error
+    when V is empty or resuming would not advance).
+
+    ``alternation``: branch step-lists (pattern `A B | C`, or a group
+    quantifier's unrolled branches). Flags are computed once over the
+    branch UNION; the scan anchors at each position and takes the
+    first branch (SQL alternation preference) that matches there.
+    Branch preference applies WITHIN the watermark-complete prefix;
+    when a lower-preference branch completes inside the prefix and a
+    higher-preference one would need out-of-watermark events, the
+    completed one is emitted — exactly the reference NFA's
+    completion-order behavior under a skip strategy (the pruning in
+    AfterMatchSkipStrategy kills the pending partial the same way).
 
     Per key: events are buffered with per-step predicate flags
     computed at ingestion; when the watermark advances, the NFA runs
-    over the watermark-complete prefix and every emitted match evicts
-    the buffer THROUGH its last event — SKIP_PAST_LAST_EVENT discards
-    every partial match starting at or before the emitted match's end
-    (AfterMatchSkipStrategy), so dropping only the consumed events
-    would fabricate strict-contiguity adjacencies across the gap.
-    Late events (ts ≤ watermark at arrival) are dropped, matching the
-    reference's watermark-ordered NFA. A match whose final step is an
-    unbounded quantifier and ends exactly at the prefix boundary is
-    deferred — a later in-watermark event could extend the greedy run
-    (the reference's NFA equally waits for the first non-matching
-    event or the within timeout).
+    over the watermark-complete prefix. Late events (ts ≤ watermark
+    at arrival) are dropped, matching the reference's
+    watermark-ordered NFA. A match whose final step is an unbounded
+    quantifier and ends exactly at the prefix boundary is deferred —
+    a later in-watermark event could extend the greedy run (the
+    reference's NFA equally waits for the first non-matching event or
+    the within timeout).
     """
-    if steps and steps[-1].negated:
-        raise ValueError("notFollowedBy cannot be the last pattern step")
-    if steps and (steps[0].min_times == 0
-                  or next((s for s in reversed(steps) if not s.negated),
-                          steps[-1]).min_times == 0):
-        # mid-pattern min-0 is safe under the watermark loop: the
-        # zero-binding sits between two CONSUMED events whose strict
-        # gap is immutable once inside the complete prefix. A min-0
-        # FIRST step breaks leftmost anchoring (a later consuming
-        # start would be preferred over zero-at-idx) and a min-0 LAST
-        # step makes emitted matches extensible by future events.
-        raise NotImplementedError(
-            "streaming CEP: a min-0 (optional/`*`) step must not be "
-            "the first or last pattern step — zero bindings there "
-            "depend on events beyond the watermark")
-    if any(a.negated and b.min_times == 0
-           for a, b in zip(steps, steps[1:])):
-        # same boundary _prepare_branches enforces for batch: the
-        # walk skips zero bindings after a negated step (the
-        # forbidden gap would be unbounded), which would silently
-        # REQUIRE the optional step here instead of raising
-        raise ValueError(
-            "notFollowedBy cannot precede an optional (min-0) step")
+    branches = alternation if alternation is not None else [steps]
+    for br in branches:
+        if br and br[-1].negated:
+            raise ValueError(
+                "notFollowedBy cannot be the last pattern step")
+        if br and (br[0].min_times == 0
+                   or next((s for s in reversed(br) if not s.negated),
+                           br[-1]).min_times == 0):
+            # mid-pattern min-0 is safe under the watermark loop: the
+            # zero-binding sits between two CONSUMED events whose
+            # strict gap is immutable once inside the complete prefix.
+            # A min-0 FIRST step breaks leftmost anchoring (a later
+            # consuming start would be preferred over zero-at-idx) and
+            # a min-0 LAST step makes emitted matches extensible by
+            # future events.
+            raise NotImplementedError(
+                "streaming CEP: a min-0 (optional/`*`) step must not "
+                "be the first or last pattern step — zero bindings "
+                "there depend on events beyond the watermark")
+        if any(a.negated and b.min_times == 0
+               for a, b in zip(br, br[1:])):
+            # same boundary _prepare_branches enforces for batch: the
+            # walk skips zero bindings after a negated step (the
+            # forbidden gap would be unbounded), which would silently
+            # REQUIRE the optional step here instead of raising
+            raise ValueError(
+                "notFollowedBy cannot precede an optional (min-0) step")
     if emit not in ("match", "rows"):
         raise ValueError("emit must be 'match' or 'rows'")
+    if (after_match != "skip_past_last"
+            and not after_match.startswith(("skip_to_first:",
+                                            "skip_to_last:"))):
+        raise NotImplementedError(
+            "streaming CEP after-match subset: SKIP PAST LAST ROW, "
+            "SKIP TO FIRST(V), SKIP TO LAST(V)")
     within_ms = _interval_ms(within) if within else None
-    pos_steps = [s for s in steps if not s.negated]
+    union = _union_steps(branches) if alternation is not None else steps
+    pos_steps = [s for s in union if not s.negated]
     key_fields = ", ".join(f"{k} bigint" for k in keys)
     if emit == "rows":
+        measure_fields = "".join(
+            f", {sp['alias']} bigint" for sp in (row_measures or []))
         out_schema = (f"{key_fields}, {id_col} bigint, "
                       f"{ts_col} timestamp, match_seq bigint, "
-                      f"classifier string")
-        cols = [*keys, id_col, ts_col, "match_seq", "classifier"]
+                      f"classifier string{measure_fields}")
+        cols = [*keys, id_col, ts_col, "match_seq", "classifier",
+                *[sp["alias"] for sp in (row_measures or [])]]
     else:
         step_fields = ", ".join(
             f"{s.name}_first_id bigint, {s.name}_last_id bigint, "
@@ -892,6 +929,28 @@ def match_pattern_stream(
                              f"{s.name}_n")],
                  "start_ts", "end_ts"])
 
+    # flag indices are UNION positions; branch steps rebind by name so
+    # a variable shared across branches (or repeated by a group
+    # quantifier's unrolling) reads the one flag computed for it
+    name_idx = {s.name: i for i, s in enumerate(union)}
+
+    def _flag_step(s: QStep) -> QStep:
+        i = name_idx[s.name]
+        return dataclasses.replace(
+            s, predicate=lambda ev, i=i: ev["__flags"][i],
+            until=(lambda ev, i=i: ev["__uflags"][i])
+            if s.until is not None else None)
+
+    flag_steps = [_flag_step(s) for s in union]
+    if alternation is not None:
+        alts = [[_flag_step(s) for s in br] for br in branches]
+        if permute:
+            alts = [p for br in alts for p in _permute_alts(br)]
+    elif permute:
+        alts = _permute_alts(flag_steps)
+    else:
+        alts = None
+
     def fn(key, rows: pd.DataFrame | None, state: KeyedState):
         import datetime as dt
         buf = state.get("buf", [])
@@ -903,9 +962,9 @@ def match_pattern_stream(
                 # predicate AND until flags are computed at ingestion —
                 # the buffer carries only booleans, never source columns
                 buf.append([rec[ts_col].isoformat(), int(rec[id_col]),
-                            [bool(s.predicate(rec)) for s in steps],
+                            [bool(s.predicate(rec)) for s in union],
                             [bool(s.until(rec)) if s.until else False
-                             for s in steps]])
+                             for s in union]])
         buf.sort()
         events = [{id_col: rid, ts_col: dt.datetime.fromisoformat(t_),
                    "__flags": fl, "__uflags": ufl}
@@ -913,17 +972,11 @@ def match_pattern_stream(
         n_complete = sum(1 for e in events
                          if utc_ms(e[ts_col]) <= wm) \
             if wm > 0 else 0
-        flag_steps = [dataclasses.replace(
-            s, predicate=lambda ev, i=i: ev["__flags"][i],
-            until=(lambda ev, i=i: ev["__uflags"][i])
-            if s.until is not None else None)
-            for i, s in enumerate(steps)]
-        alts = _permute_alts(flag_steps) if permute else None
         out = []
         idx = 0
+        evict_n = 0  # buf positions before this are consumed/passed
         complete = events[:n_complete]
         pos_of = {id(ev): i for i, ev in enumerate(complete)}
-        last_end = None  # (ts_iso, id) of the last emitted match's end
         while idx < n_complete:
             if alts is not None:
                 best = _find_best_alt(complete, alts, ts_col,
@@ -960,19 +1013,40 @@ def match_pattern_stream(
             if emit == "rows":
                 seq = state.get("seq", 0) + 1
                 state.put("seq", seq)
-                for s, reps in m:
-                    for ev in reps:
-                        out.append({
-                            **{k: key[i] for i, k in enumerate(keys)},
-                            id_col: ev[id_col], ts_col: ev[ts_col],
-                            "match_seq": seq, "classifier": s.name,
-                        })
+                # event order within the match (combinations may bind
+                # non-consecutive rows; steps are otherwise temporal)
+                mrows = sorted(((s.name, ev) for s, reps in m
+                                for ev in reps),
+                               key=lambda p: (p[1][ts_col],
+                                              p[1][id_col]))
+                for i, (cls, ev) in enumerate(mrows):
+                    rec = {**{k: key[j] for j, k in enumerate(keys)},
+                           id_col: ev[id_col], ts_col: ev[ts_col],
+                           "match_seq": seq, "classifier": cls}
+                    for sp in (row_measures or []):
+                        frame = mrows if sp.get("final") \
+                            else mrows[:i + 1]
+                        kind, var = sp["kind"], sp.get("var")
+                        if kind == "count_all":
+                            val = len(frame)
+                        elif kind == "count_var":
+                            val = sum(1 for c, _ in frame if c == var)
+                        else:  # first_id / last_id
+                            ids = [e[id_col] for c, e in frame
+                                   if c == var]
+                            if not ids:
+                                val = None
+                            else:
+                                val = ids[0] if kind == "first_id" \
+                                    else ids[-1]
+                        rec[sp["alias"]] = val
+                    out.append(rec)
             else:
                 row = {k: key[i] for i, k in enumerate(keys)}
                 all_evs = []
-                # zero-matched (min-0) steps report count 0 / NULL ids
-                # — the SQL unmatched-variable semantics, same as the
-                # batch builder
+                # zero-matched (min-0 / other-branch) steps report
+                # count 0 / NULL ids — the SQL unmatched-variable
+                # semantics, same as the batch builder
                 for s in pos_steps:
                     row[f"{s.name}_first_id"] = None
                     row[f"{s.name}_last_id"] = None
@@ -983,13 +1057,24 @@ def match_pattern_stream(
                     row[f"{s.name}_last_id"] = reps[-1][id_col]
                     row[f"{s.name}_n"] += len(reps)
                     all_evs.extend(reps)
+                all_evs.sort(key=lambda e: (e[ts_col], e[id_col]))
                 row["start_ts"] = all_evs[0][ts_col]
                 row["end_ts"] = all_evs[-1][ts_col]
                 out.append(row)
-            last_end = (buf[end - 1][0], buf[end - 1][1])
-            idx = end
-        if last_end is not None:
-            buf = [r for r in buf if (r[0], r[1]) > last_end]
+            if after_match == "skip_past_last":
+                idx = end
+            else:
+                # SKIP TO FIRST/LAST(V): resume AT the mapped row —
+                # overlapping matches allowed; _skip_to_resume raises
+                # the reference's runtime error if V bound no rows or
+                # resuming would not advance past the match's start
+                mode, _, var = after_match.partition(":")
+                idx = _skip_to_resume(m, var,
+                                      mode == "skip_to_first", pos_of)
+            # events before the resume point can never join a future
+            # match (every future match starts at or after it)
+            evict_n = idx
+        buf = buf[evict_n:]
         if within_ms is not None and wm > 0:
             cutoff = wm - within_ms
             buf = [r for r in buf

@@ -1369,3 +1369,153 @@ def test_cep_alternation_regex_equivalence_fuzz():
         assert nfa_spans(branches, s, am) == regex_spans(rx, s, am), \
             (am, pat, s)
     assert checked > 200
+
+
+def test_match_recognize_alternation_streaming(spark, events):
+    """Alternation `(A B | C D)` through the STREAMING NFA: flags are
+    computed once over the branch union, the anchored scan takes the
+    first matching branch per position (SQL alternation preference
+    within the watermark-complete prefix), and every streamed
+    emission is a batch-alternation match."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                   C.event_id AS c_id, D.event_id AS d_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B | C D)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click',
+                 C AS C.event_type = 'click',
+                 D AS D.event_type = 'purchase'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.a_id, r.b_id, r.c_id, r.d_id)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.a_id, r.b_id, r.c_id, r.d_id)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mralt_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
+
+
+def test_match_recognize_skip_to_first_streaming(spark, events):
+    """AFTER MATCH SKIP TO FIRST(B) through the STREAMING NFA:
+    overlapping matches are allowed — eviction keeps everything from
+    the resume point on — and every streamed emission is a batch
+    match under the same strategy."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS a_id,
+                   FIRST(B.event_id) AS b_first,
+                   LAST(B.event_id) AS b_last
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO FIRST B
+          PATTERN (A B+)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.a_id, r.b_first, r.b_last)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.a_id, r.b_first, r.b_last)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mrskipf_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
+
+
+def test_match_recognize_all_rows_aggregates_streaming(spark, events):
+    """Streaming ALL ROWS PER MATCH with AGGREGATE measures
+    (RUNNING COUNT(B.*), FIRST/LAST ids, FINAL COUNT(*)): the NFA
+    evaluates the same frames the batch twin computes as window
+    functions — at emission, since matches emit atomically. Every
+    streamed row must equal its batch-twin row."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mno,
+                   CLASSIFIER() AS var,
+                   FIRST(A.event_id) AS a_id,
+                   COUNT(B.*) AS n_clicks,
+                   FINAL COUNT(*) AS match_len,
+                   LAST(B.event_id) AS b_last
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.event_id, r.mno, r.var, r.a_id, r.n_clicks,
+            r.match_len, r.b_last)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.event_id, r.mno, r.var, r.a_id, r.n_clicks,
+            r.match_len, r.b_last)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mraragg_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
+
+
+def test_match_recognize_group_times_streaming(spark, events):
+    """Group quantifier `(A B){1,2}` through the STREAMING NFA: the
+    unrolled branches run as an alternation with union flags; every
+    streamed emission is a batch match."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS a_first,
+                   COUNT(A.*) AS n_a, COUNT(B.*) AS n_b
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ((A B){1,2})
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.a_first, r.n_a, r.n_b)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.a_first, r.n_a, r.n_b)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mrgrp_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.5
