@@ -28,69 +28,49 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 # The external correctness gate evaluates the registry in insertion order
 # and may only reach the first N entries (every round so far stopped at 50).
-# Round-4 rotation: rounds 1-3 hard-verified 140 of 141 checked queries
-# green (fn_math red on an output-type mismatch, since fixed). This list
-# front-loads (a) fn_math — re-verification proves the cast fix — then
-# (b) all 27 oracle-backed round-3 queries that never had a driver row
-# (MATCH_RECOGNIZE extensions, TPC-DS shapes, pipeline ops, streaming
-# batch twins), then (c) 14 of this round's 22 new operators, then
-# (d) 6 family canaries green in earlier rounds — including
-# graph_connected_components, whose implementation switched to the
-# frontier-delta iteration this round and therefore needs a fresh row.
-# The two oracle-less rows-only checks sit at slots 49-50: weakest
-# signal, but they have never had any driver row at all. The 8
-# remaining round-4 queries are queued right behind the window for the
-# round-5 rotation; previously green queries follow, TPC-H last.
+# Round-5 rotation: rounds 1-4 hard-verified 184 of the 208 pre-round-5
+# registry queries (182 oracle-green + 2 rows-only by design, 0 red).
+# This list front-loads (a) the 24 round-4 queries that never had a
+# driver row (salted skew join, PQ encode/ADC, k-anonymity, winsorize,
+# 15 TPC-DS shapes, ...), then (b) the two queries whose
+# IMPLEMENTATION changed since their last green row — heavy_hitters
+# (rewritten lazy in round 4) and corpus_pack_sequences (cumulative
+# sum re-sharded this round) — then (c) this round's five new queries
+# (four heavy TPC-DS join shapes + the rows-only winsorize scale
+# path), then (d) family canaries green in earlier rounds. Union
+# r1-r5 then covers every registry query.
 _PRIORITY: tuple[str, ...] = (
-    # (a) red in round 3 → output types aligned with the oracle
-    "fn_math",
-    # (b) never driver-checked: MATCH_RECOGNIZE / CEP extensions
-    "match_recognize_star", "match_recognize_alternation",
-    "match_recognize_skip_to_first", "match_recognize_permute",
-    "match_recognize_exclusion", "match_recognize_prev", "cep_until",
-    # TPC-DS-shaped analytics
-    "tpcds_channel_union", "tpcds_rollup_report", "tpcds_monthly_share",
-    "tpcds_repeat_customers", "tpcds_bucket_report",
-    "tpcds_two_fact_report", "tpcds_above_group_average",
-    "tpcds_line_count_band", "tpcds_period_over_period",
-    "tpcds_fraction_of_max", "tpcds_exists_chain",
-    "tpcds_window_over_rollup", "tpcds_channel_intersect",
-    "tpcds_semi_anti_chain",
-    # pipeline + streaming batch twins
-    "dedup_cluster_canonical", "text_redact", "sample_stratified",
-    "multimodal_decode", "over_time_range_preceding",
-    "temporal_sort_batch",
-    # (c) round-4-new operators (MATCH_RECOGNIZE group/reluctant
-    # quantifiers, WAV/MP4 codecs, corpus-pipeline ops, TPC-DS shapes)
-    "match_recognize_group_times", "match_recognize_reluctant",
-    "multimodal_audio_decode", "multimodal_video_boxes",
-    "text_entropy", "corpus_contamination", "boilerplate_ngrams",
-    "text_chunking", "corpus_pack_sequences", "corpus_tfidf_topterms",
-    "corpus_bigram_logprob", "tpcds_multi_band_count",
-    "tpcds_year_over_year_customer", "tpcds_returns_net",
-    # (d) family canaries, all green in rounds 1-3 —
-    # graph_connected_components switched to the frontier-delta
-    # implementation this round and needs a fresh row
-    "tpch_q1", "tpch_q21", "cep_funnel",
-    "dedup_minhash_lsh", "jdbc_lookup_join",
-    "graph_connected_components",
-    # oracle-less rows-only checks (slots 49-50; never driver-checked)
-    "approx_sketches", "corpus_sample",
-    # ROUND-5 ROTATION QUEUE — 24 round-4 queries have no driver row
-    # yet: these 8 plus 16 late-round additions that follow in
-    # registry insertion order (join_salted_skew, corpus_k_anonymity,
-    # events_winsorize, tpcds_frequent_buyers,
-    # tpcds_regional_growth, tpcds_yearly_brand_delta,
-    # tpcds_latency_band_matrix, tpcds_am_pm_ratio,
-    # tpcds_monthly_variance, tpcds_channel_equal_share,
-    # tpcds_disjunctive_bands, tpcds_promo_share,
-    # tpcds_excess_discount, tpcds_channel_overlap, ann_pq_encode,
-    # ann_pq_adc_topk). All are exact-checked by test_oracle_parity
-    # today; front-load them (plus fresh-row canaries) next round.
-    "unnest_map", "text_repetition_ngrams", "corpus_mixture_weights",
+    # (a) never driver-checked round-4 queries
+    "join_salted_skew", "corpus_k_anonymity", "events_winsorize",
+    "ann_pq_encode", "ann_pq_adc_topk", "unnest_map",
+    "text_repetition_ngrams", "corpus_mixture_weights",
     "tpcds_cumulative_channel_join", "tpcds_moving_avg_deviation",
     "tpcds_subsequent_period", "tpcds_channel_ratio",
-    "tpcds_two_metric_rank",
+    "tpcds_two_metric_rank", "tpcds_frequent_buyers",
+    "tpcds_regional_growth", "tpcds_yearly_brand_delta",
+    "tpcds_latency_band_matrix", "tpcds_am_pm_ratio",
+    "tpcds_monthly_variance", "tpcds_channel_equal_share",
+    "tpcds_disjunctive_bands", "tpcds_promo_share",
+    "tpcds_excess_discount", "tpcds_channel_overlap",
+    # (b) implementation changed since last green row
+    "heavy_hitters", "corpus_pack_sequences",
+    # (c) round-5-new: heavy TPC-DS join shapes (q4/q17/q64/q72
+    # style) + the approx-percentile winsorize scale path (rows-only
+    # by design; drift vs the exact form is pytest-pinned)
+    "tpcds_channel_growth_gate", "tpcds_sold_returned_rebought",
+    "tpcds_wide_join_growth", "tpcds_return_window_gap",
+    "events_winsorize_approx",
+    # (d) family canaries, all green in earlier rounds: relational
+    # core, pushdown, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN,
+    # graph, JDBC, as-of, windows, OVER, set ops, scalar fns, text,
+    # sampling, multimodal, changelog, grouping sets, pipeline chain
+    "tpch_q1", "tpch_q6", "tpch_q21", "match_recognize_star",
+    "cep_quantified", "dedup_minhash_lsh", "ann_ivf_lloyd",
+    "graph_connected_components", "jdbc_lookup_join",
+    "asof_join_batch", "window_session_agg",
+    "over_rows_unbounded_preceding", "setop_except_all", "fn_math",
+    "text_entropy", "sample_stratified", "multimodal_decode",
+    "changelog_rowkind", "agg_grouping_sets",
 )
 
 
