@@ -2,6 +2,14 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
+
+``--scale10``: replicates the base tables 10x with join-consistent
+key offsets (the SCALE.md recipe, now checked in), runs the headline
+set at BOTH scales in one session, and prints a scale-ratio JSON line
+instead — the per-round scale-sanity artifact (SCALE_r{N}.json). A
+ratio near 1x means the query is overhead-bound at sf0.1; near 10x
+means per-row cost dominates; above ~10x means the plan degrades
+superlinearly and needs attention.
 """
 
 from __future__ import annotations
@@ -31,6 +39,87 @@ HEADLINE = [
     "graph_connected_components", "approx_sketches",
     "pipeline_end_to_end",
 ]
+
+
+# 10x replication: per-table key columns to offset per replica so the
+# copies stay join-consistent (copy i's lineitem joins copy i's orders/
+# part/supplier; nation/region are fixed dimensions shared by all).
+_KEY_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+_STRIDE = 100_000_000  # larger than any base key domain
+
+
+def build_scale10(spark, base_dir: str, out_dir: str) -> None:
+    """Replicate every base table 10x with join-consistent key offsets
+    (replica i adds i*stride to each key column; timestamps unchanged,
+    so time windows see 10x density). 16 files per table, matching the
+    SCALE.md round-1/round-4 recipe."""
+    from pyspark.sql import functions as F
+    for table, key_cols in _KEY_COLS.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(base_dir,
+                                             f"{table}.parquet"))
+        if not key_cols:  # fixed dimension: single copy
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0),
+                                                        F.lit(9))))
+        for k in key_cols:
+            rep = rep.withColumn(k, F.col(k) + F.col("__r")
+                                 * F.lit(_STRIDE))
+        rep.drop("__r").repartition(16).write.mode("overwrite") \
+            .parquet(dst)
+
+
+def _time_queries(spark, specs, names, sf_dir, runs) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        took: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, sf_dir).count()
+            took.append(time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(min(took), 4)
+    return timings
+
+
+def scale10_main() -> None:
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = base_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR",
+                             "/tmp/spark_graft_scale10")
+    spark = get_spark("bench-scale10")
+    build_scale10(spark, base_dir, out_dir)
+    specs = q.all_specs()
+    names = [n for n in HEADLINE if n in specs]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    specs[names[0]].fn(spark, base_dir).count()  # warm
+    base = _time_queries(spark, specs, names, base_dir, runs)
+    x10 = _time_queries(spark, specs, names, out_dir, runs)
+    ratio = {n: (round(x10[n] / base[n], 2) if base[n] else None)
+             for n in names}
+    print(json.dumps({
+        "metric": "scale10_ratio",
+        "base_total": round(sum(base.values()), 4),
+        "x10_total": round(sum(x10.values()), 4),
+        "total_ratio": round(sum(x10.values()) / sum(base.values()), 2),
+        "base": base, "x10": x10, "ratio": ratio,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
 
 
 def main() -> None:
@@ -73,4 +162,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scale10" in sys.argv[1:]:
+        scale10_main()
+    else:
+        main()
