@@ -502,14 +502,34 @@ def match_recognize(spark: SparkSession, sql: str,
     all_rows = "ALL ROWS PER MATCH" in cl
 
     src = df if df is not None else spark.table(table)
-    has_prev = any(_COND_PREV.match(part.strip())
-                   for cond in defines.values()
-                   for part in re.split(r"\s+AND\s+", cond,
-                                        flags=re.IGNORECASE))
-    if has_prev and src.isStreaming:
-        raise NotImplementedError(
-            "PREV()/NEXT() DEFINE conditions are batch-only (the "
-            "streaming buffer carries per-row flags, not row history)")
+    # iterative-condition metadata: which variables navigate with
+    # PREV/NEXT, which source columns those conditions read, and the
+    # deepest offsets — the streaming NFA buffers exactly those
+    # columns and freezes nav flags once neighbors are watermark-final
+    nav_vars: set[str] = set()
+    nav_cols: set[str] = set()
+    max_prev = max_next = 0
+    for var, cond in defines.items():
+        parts = [p.strip() for p in re.split(r"\s+AND\s+", cond,
+                                             flags=re.IGNORECASE)]
+        if not any(_COND_PREV.match(p) for p in parts):
+            continue
+        nav_vars.add(var.upper())
+        for part in parts:
+            if (pm := _COND_PREV.match(part)):
+                nav_cols.update((pm.group(2), pm.group(6)))
+                off = int(pm.group(7) or 1)
+                if pm.group(4).upper() == "PREV":
+                    max_prev = max(max_prev, off)
+                else:
+                    max_next = max(max_next, off)
+            elif (m := _COND.match(part)):
+                # a nav variable's literal tests also evaluate at NFA
+                # time — their columns ride along in the buffer too
+                nav_cols.add(m.group(2))
+    nav_kw = dict(nav_steps=nav_vars, nav_cols=sorted(nav_cols),
+                  max_prev=max_prev, max_next=max_next) \
+        if nav_vars else {}
     # column pruning: ship only key/order/DEFINE-referenced columns
     # into the per-key NFA (the parser knows the full referenced set,
     # so the Arrow transfer carries nothing else)
@@ -541,7 +561,8 @@ def match_recognize(spark: SparkSession, sql: str,
             return _all_rows_stream(src, cl, keys, ts_col, id_col,
                                     steps, within, after_match,
                                     excluded=excluded, permute=permute,
-                                    alternation=alternation)
+                                    alternation=alternation,
+                                    nav_kw=nav_kw)
         return _all_rows_per_match(src, cl, keys, ts_col, id_col,
                                    defines, steps, within, after_match,
                                    excluded=excluded, permute=permute,
@@ -563,7 +584,8 @@ def match_recognize(spark: SparkSession, sql: str,
                                        within=within, id_col=id_col,
                                        permute=permute,
                                        after_match=after_match,
-                                       alternation=alternation)
+                                       alternation=alternation,
+                                       **nav_kw)
     else:
         lag_w = _lag_window(keys, ts_col, id_col)
         flag_exprs = [_parse_flag_expr(defines.get(s.name.upper(), "TRUE"),
@@ -617,7 +639,8 @@ def _all_rows_stream(src: DataFrame, cl: dict[str, str],
                      after_match: str,
                      excluded: set[str] = frozenset(),
                      permute: bool = False,
-                     alternation: list | None = None) -> DataFrame:
+                     alternation: list | None = None,
+                     nav_kw: dict | None = None) -> DataFrame:
     """Streaming ALL ROWS PER MATCH: the stateful NFA emits one row
     per matched event with MATCH_NUMBER() (a per-key counter persisted
     across micro-batches) and CLASSIFIER(). Aggregate measures —
@@ -687,7 +710,8 @@ def _all_rows_stream(src: DataFrame, cl: dict[str, str],
                                 permute=permute, emit="rows",
                                 after_match=after_match,
                                 alternation=alternation,
-                                row_measures=specs)
+                                row_measures=specs,
+                                **(nav_kw or {}))
     sel = [*[F.col(k) for k in keys], F.col(ts_col), F.col(id_col),
            *[F.col(c).alias(a) for c, a in sel_plan]]
     out = rows.select(*sel, F.col("classifier").alias("__cls"))

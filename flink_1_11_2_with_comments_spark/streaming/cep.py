@@ -827,6 +827,10 @@ def match_pattern_stream(
     after_match: str = "skip_past_last",
     alternation: list[list[QStep]] | None = None,
     row_measures: list[dict] | None = None,
+    nav_steps: set[str] | None = None,
+    nav_cols: list[str] | None = None,
+    max_prev: int = 0,
+    max_next: int = 0,
 ) -> DataFrame:
     """Streaming quantified CEP (reference: flink-cep/.../nfa/NFA.java
     with AfterMatchSkipStrategy.java).
@@ -869,6 +873,19 @@ def match_pattern_stream(
     a later in-watermark event could extend the greedy run (the
     reference's NFA equally waits for the first non-matching event or
     the within timeout).
+
+    Iterative conditions (``nav_steps``: variables whose DEFINE uses
+    PREV/NEXT over the input order): the buffer additionally carries
+    the nav-referenced columns (``nav_cols`` — ONLY those, the
+    flags-not-rows discipline otherwise stands), and those steps'
+    flags are evaluated lazily, FROZEN the first trigger the event's
+    neighbors are final: a complete event's predecessors are final
+    (late rows are dropped, new rows sort after the watermark), and
+    its NEXT(off) neighbor is final once `off` complete successors
+    exist — events short of that guard stay out of the matching
+    prefix. Eviction keeps the last ``max_prev`` consumed rows as
+    GHOSTS (nav neighbors only, never match candidates) so a
+    newly-complete event can still see its predecessor's values.
     """
     branches = alternation if alternation is not None else [steps]
     for br in branches:
@@ -951,6 +968,10 @@ def match_pattern_stream(
     else:
         alts = None
 
+    nav = bool(nav_steps)
+    nav_names = {n.upper() for n in (nav_steps or ())}
+    carry = list(nav_cols or [])
+
     def fn(key, rows: pd.DataFrame | None, state: KeyedState):
         import datetime as dt
         buf = state.get("buf", [])
@@ -960,22 +981,53 @@ def match_pattern_stream(
                 if wm > 0 and utc_ms(rec[ts_col]) <= wm:
                     continue  # late beyond watermark: drop
                 # predicate AND until flags are computed at ingestion —
-                # the buffer carries only booleans, never source columns
+                # the buffer carries only booleans plus (with nav
+                # conditions) the nav-referenced column values; a
+                # nav step's flags stay None until its neighbors are
+                # watermark-final (frozen below)
                 buf.append([rec[ts_col].isoformat(), int(rec[id_col]),
-                            [bool(s.predicate(rec)) for s in union],
+                            [None if s.name.upper() in nav_names
+                             else bool(s.predicate(rec))
+                             for s in union],
                             [bool(s.until(rec)) if s.until else False
-                             for s in union]])
+                             for s in union],
+                            [v.item() if hasattr(v, "item") else v
+                             for v in (rec[c] for c in carry)],
+                            0])
         buf.sort()
         events = [{id_col: rid, ts_col: dt.datetime.fromisoformat(t_),
-                   "__flags": fl, "__uflags": ufl}
-                  for t_, rid, fl, ufl in buf]
-        n_complete = sum(1 for e in events
-                         if utc_ms(e[ts_col]) <= wm) \
-            if wm > 0 else 0
+                   "__flags": fl, "__uflags": ufl, "__ghost": gh,
+                   **dict(zip(carry, car))}
+                  for t_, rid, fl, ufl, car, gh in buf]
+        n_total = sum(1 for e in events
+                      if utc_ms(e[ts_col]) <= wm) if wm > 0 else 0
+        if nav:
+            # input-order navigation chains across ghosts + live rows
+            for i, ev in enumerate(events):
+                ev["__prev"] = events[i - 1] if i > 0 else None
+                ev["__next"] = events[i + 1] \
+                    if i + 1 < len(events) else None
+            # freeze nav flags once final: predecessors of a complete
+            # event are final (late rows drop, new rows sort after the
+            # watermark); NEXT(off) needs `off` complete successors
+            for i, ev in enumerate(events[:n_total]):
+                if ev["__ghost"] or None not in ev["__flags"]:
+                    continue
+                if n_total - 1 - i < max_next:
+                    continue  # NEXT neighbor not final yet
+                for j, s in enumerate(union):
+                    if ev["__flags"][j] is None:
+                        ev["__flags"][j] = bool(s.predicate(ev))
+        # matching prefix: live watermark-complete events whose flags
+        # are all frozen (the all-known run is contiguous: earlier
+        # events have more complete successors)
+        complete = [e for e in events[:n_total]
+                    if not e["__ghost"] and None not in e["__flags"]]
+        n_ghost = sum(1 for e in events if e["__ghost"])
+        n_complete = len(complete)
         out = []
         idx = 0
-        evict_n = 0  # buf positions before this are consumed/passed
-        complete = events[:n_complete]
+        evict_n = 0  # live positions before this are consumed/passed
         pos_of = {id(ev): i for i, ev in enumerate(complete)}
         while idx < n_complete:
             if alts is not None:
@@ -1074,19 +1126,32 @@ def match_pattern_stream(
             # events before the resume point can never join a future
             # match (every future match starts at or after it)
             evict_n = idx
-        buf = buf[evict_n:]
+        consumed = buf[n_ghost:n_ghost + evict_n]
+        rest = buf[n_ghost + evict_n:]
         if within_ms is not None and wm > 0:
             cutoff = wm - within_ms
-            buf = [r for r in buf
-                   if utc_ms(dt.datetime.fromisoformat(r[0]))
-                   >= cutoff]
+            rest = [r for r in rest
+                    if utc_ms(dt.datetime.fromisoformat(r[0]))
+                    >= cutoff]
+        if nav and max_prev:
+            # keep the newest max_prev consumed rows as ghosts: nav
+            # neighbors for events that become complete later, never
+            # match candidates (bounded — the within cutoff does not
+            # apply to them)
+            ghosts = (buf[:n_ghost] + consumed)[-max_prev:]
+            for r in ghosts:
+                r[5] = 1
+        else:
+            ghosts = []
+        buf = ghosts + rest
         state.put("buf", buf)
-        if within_ms is not None and buf:
+        if within_ms is not None and rest:
             # arm the within-timeout: if this key goes quiet, fn must
             # still run once the watermark passes earliest + within so
             # the deferred-final emission above happens (the
-            # reference's NFA timeout — CepOperator.onEventTime)
-            earliest = utc_ms(dt.datetime.fromisoformat(buf[0][0]))
+            # reference's NFA timeout — CepOperator.onEventTime);
+            # keyed to the earliest LIVE row (ghosts never expire)
+            earliest = utc_ms(dt.datetime.fromisoformat(rest[0][0]))
             state.register_event_timer(
                 int(max(earliest + within_ms + 1, wm + 1)))
         return pd.DataFrame(out, columns=cols) if out else None

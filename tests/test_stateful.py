@@ -1519,3 +1519,61 @@ def test_match_recognize_group_times_streaming(spark, events):
     assert len(got) > 0
     assert got <= exp, list(got - exp)[:5]
     assert len(got) >= len(exp) * 0.5
+
+
+def test_match_recognize_prev_next_streaming(spark, events):
+    """Iterative DEFINE conditions (PREV/NEXT navigation) through the
+    STREAMING NFA: the buffer carries the nav-referenced columns, nav
+    flags freeze once the event's neighbors are watermark-final, and
+    evicted predecessors persist as bounded ghosts. Every streamed
+    emission must be a batch-twin match."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS a_first,
+                   LAST(A.event_id) AS a_last,
+                   COUNT(A.*) AS n_rising
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A{2,})
+          DEFINE A AS A.value > PREV(A.value)
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.a_first, r.a_last, r.n_rising)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.a_first, r.a_last, r.n_rising)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mrprev_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.5
+
+    sql_next = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(B.event_id) AS b_first, COUNT(B.*) AS n_b
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (B{2,})
+          DEFINE B AS B.value < NEXT(B.value)
+        )"""
+    exp2 = {(r.user_id, r.b_first, r.n_b)
+            for r in match_recognize(spark, sql_next).collect()}
+    stream2 = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got2 = {(r.user_id, r.b_first, r.n_b)
+            for r in write_stream_to_memory(
+                match_recognize(spark, sql_next, df=stream2),
+                "mrnext_out", output_mode="append").collect()}
+    assert len(got2) > 0
+    assert got2 <= exp2, list(got2 - exp2)[:5]
+    assert len(got2) >= len(exp2) * 0.5
