@@ -842,3 +842,72 @@ def test_small_file_compaction(spark):
         F.sum(F.crc32(F.col("o_orderkey").cast("string"))).alias("c")
     ).collect()[0].c
     assert chk(a) == chk(b)
+
+
+def test_avro_py_container_format_pinned():
+    """The pure-Python Avro codec is pinned against hand-assembled
+    spec bytes (not just its own inverse): zigzag-varint longs, a
+    length-prefixed utf8 string, a null-codec OCF with one block."""
+    import io
+    import json as _json
+
+    from flink_1_11_2_with_comments_spark.sources.avro_py import (
+        _read_long, _write_long, decode_container, encode_container)
+
+    # spec examples: 1 -> 0x02, -1 -> 0x01, 64 -> 0x80 0x01
+    for n, expect in ((0, b"\x00"), (1, b"\x02"), (-1, b"\x01"),
+                      (64, b"\x80\x01"), (-64, b"\x7f")):
+        out = io.BytesIO()
+        _write_long(out, n)
+        assert out.getvalue() == expect, n
+        back, _ = _read_long(memoryview(expect), 0)
+        assert back == n
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "s", "type": "string"}]}
+    sync = bytes(range(16))
+    raw = encode_container([(1, "hi")], schema, sync)
+    # hand-assembled: magic, 2-entry meta map, 0 terminator, sync,
+    # block(count=1, size=4, payload=zigzag(1) + len-prefixed 'hi'), sync
+    meta = io.BytesIO()
+    meta.write(b"Obj\x01\x04")
+    for k, v in (("avro.schema", _json.dumps(schema).encode()),
+                 ("avro.codec", b"null")):
+        _write_long(meta, len(k)); meta.write(k.encode())
+        _write_long(meta, len(v)); meta.write(v)
+    meta.write(b"\x00")
+    meta.write(sync)
+    meta.write(b"\x02\x08" + b"\x02" + b"\x04hi" + sync)
+    assert raw == meta.getvalue()
+    got_schema, rows = decode_container(raw)
+    assert rows == [(1, "hi")] and got_schema == schema
+
+
+def test_avro_py_roundtrip_distributed(spark):
+    """Distributed Avro OCF round-trip (pure-Python codec; the
+    spark-avro jar path stays gated separately): strings, longs,
+    doubles, timestamps and injected NULLs all come back exact, with
+    one container file per input partition."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.sources.avro_py import (
+        avro_read, avro_write)
+
+    ev = (load_table(spark, SF, "events")
+          .select("event_id", "ts", "event_type", "value")
+          .withColumn("value", F.when(F.col("event_id") % 7 == 0,
+                                      F.lit(None)).otherwise(
+                                          F.col("value")))
+          .repartition(4))
+    path = tempfile.mkdtemp(prefix="avro_py_") + "/events"
+    avro_write(ev, path)
+    assert len(glob.glob(path + "/*.avro")) == 4
+    back = avro_read(spark, path, ev.schema)
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, ev.collect()))
+    assert a == b
