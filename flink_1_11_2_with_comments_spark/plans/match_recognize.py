@@ -27,7 +27,9 @@ Supported subset (raise on anything else, loudly):
   navigate the input rows, classifier-agnostic) compile to
   LAG/LEAD(col, n) over (partition, order) — evaluated JVM-side like
   every other DEFINE flag; NULL beyond the partition bounds is false.
-  Batch only (the streaming buffer carries flags, not row history).
+  Streaming too: the NFA buffer carries the nav-referenced columns
+  and freezes nav flags once neighbors are watermark-final
+  (cep.match_pattern_stream nav_steps).
 
 - quantifiers: none (exactly once), `+`, `*`, `?`, `{n}`, `{m,n}`,
   `{m,}` — each RELUCTANT with a trailing `?` (`B+?`, `B*?`, `B??`,
@@ -45,11 +47,14 @@ Supported subset (raise on anything else, loudly):
 - alternation `A B | C D`: one branch per arm, SQL preference =
   textual order (ties at the same start row resolve to the earlier
   branch); a variable unmatched by the winning branch reports NULL
-  ids / COUNT 0. Batch only.
+  ids / COUNT 0. Batch and streaming (union flags + anchored
+  first-branch-wins scan).
 - AFTER MATCH SKIP TO [FIRST|LAST] V: resume AT the first/last row
   mapped to V (AfterMatchSkipStrategy.skipToFirst/skipToLast) —
   overlapping matches allowed; runtime error if V matched no rows or
-  the resume point would not advance. Batch only.
+  the resume point would not advance. Batch and streaming (eviction
+  keeps everything from the resume point on); SKIP TO NEXT ROW
+  streams via the anchored per-start-row scan.
 - PERMUTE(A, B, ...): any ordering of the elements — expanded to the
   alternation of permutations, ties at the same start row broken by
   permutation order (SqlMatchRecognize PERMUTE / Calcite expansion).
@@ -70,9 +75,11 @@ Supported subset (raise on anything else, loudly):
 - ALL ROWS PER MATCH output: PARTITION BY keys, order/id columns,
   then the measures (the pruned projection that crossed the NFA, not
   every input column — documented subset). Streaming inputs support
-  ALL ROWS with MATCH_NUMBER()/CLASSIFIER() measures (the NFA's
-  emitted columns, match numbering persisted in state); aggregate
-  measures compile to window functions and stay batch-only.
+  ALL ROWS with the FULL measure set — MATCH_NUMBER()/CLASSIFIER()
+  are the NFA's emitted columns (numbering persisted in state), and
+  the aggregate measures are evaluated at emission inside the state
+  function (matches emit atomically, so the batch window frames are
+  computable row-by-row).
 - pattern concatenation is consecutive rows (SQL standard); the match
   may begin at any row — first step anchors relaxed, the rest strict.
 - default after-match strategy is SKIP PAST LAST ROW (SQL standard,
@@ -569,17 +576,11 @@ def match_recognize(spark: SparkSession, sql: str,
                                    alternation=alternation)
     if src.isStreaming:
         # streaming MATCH_RECOGNIZE (StreamExecMatch): the stateful
-        # NFA implements SKIP PAST LAST ROW (the SQL default) and the
-        # overlap-allowing SKIP TO FIRST/LAST(V); SKIP TO NEXT ROW
-        # stays batch-only (its per-start-row emission would need
-        # anchored rescans of evicted prefixes)
+        # NFA implements every skip strategy — SKIP PAST LAST ROW
+        # (the SQL default), the overlap-allowing SKIP TO
+        # FIRST/LAST(V), and SKIP TO NEXT ROW (anchored
+        # per-start-row scan)
         from ..streaming.cep import match_pattern_stream
-        if (after_match != "skip_past_last"
-                and not after_match.startswith(("skip_to_first:",
-                                                "skip_to_last:"))):
-            raise NotImplementedError(
-                "streaming MATCH_RECOGNIZE supports SKIP PAST LAST "
-                "ROW and SKIP TO FIRST/LAST(V)")
         matched = match_pattern_stream(src, keys, ts_col, steps,
                                        within=within, id_col=id_col,
                                        permute=permute,
@@ -651,12 +652,6 @@ def _all_rows_stream(src: DataFrame, cl: dict[str, str],
     functions over (keys, match_seq) are computable row-by-row with no
     post-hoc window (which an append-mode stream could not run).
     Exactly the batch `_all_rows_per_match` measure subset."""
-    if (after_match != "skip_past_last"
-            and not after_match.startswith(("skip_to_first:",
-                                            "skip_to_last:"))):
-        raise NotImplementedError(
-            "streaming MATCH_RECOGNIZE supports SKIP PAST LAST ROW "
-            "and SKIP TO FIRST/LAST(V)")
     from ..streaming.cep import match_pattern_stream
     specs: list[dict] = []
     sel_plan: list[tuple[str, str]] = []  # (source col, alias)

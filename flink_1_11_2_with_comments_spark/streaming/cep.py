@@ -916,12 +916,12 @@ def match_pattern_stream(
                 "notFollowedBy cannot precede an optional (min-0) step")
     if emit not in ("match", "rows"):
         raise ValueError("emit must be 'match' or 'rows'")
-    if (after_match != "skip_past_last"
+    if (after_match not in ("skip_past_last", "skip_to_next_row")
             and not after_match.startswith(("skip_to_first:",
                                             "skip_to_last:"))):
         raise NotImplementedError(
             "streaming CEP after-match subset: SKIP PAST LAST ROW, "
-            "SKIP TO FIRST(V), SKIP TO LAST(V)")
+            "SKIP TO NEXT ROW, SKIP TO FIRST(V), SKIP TO LAST(V)")
     within_ms = _interval_ms(within) if within else None
     union = _union_steps(branches) if alternation is not None else steps
     pos_steps = [s for s in union if not s.negated]
@@ -965,6 +965,12 @@ def match_pattern_stream(
             alts = [p for br in alts for p in _permute_alts(br)]
     elif permute:
         alts = _permute_alts(flag_steps)
+    elif after_match == "skip_to_next_row":
+        # SKIP TO NEXT ROW emits the preferred match PER START ROW —
+        # the scan must anchor at every position (the batch
+        # _all_q_matches loop does the same), so route the single
+        # branch through the anchored-alternatives path
+        alts = [flag_steps]
     else:
         alts = None
 
@@ -1115,6 +1121,10 @@ def match_pattern_stream(
                 out.append(row)
             if after_match == "skip_past_last":
                 idx = end
+            elif after_match == "skip_to_next_row":
+                # one preferred match per start row; resume one past
+                # the match's START (anchored scan → start == idx)
+                idx += 1
             else:
                 # SKIP TO FIRST/LAST(V): resume AT the mapped row —
                 # overlapping matches allowed; _skip_to_resume raises

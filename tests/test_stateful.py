@@ -1577,3 +1577,39 @@ def test_match_recognize_prev_next_streaming(spark, events):
     assert len(got2) > 0
     assert got2 <= exp2, list(got2 - exp2)[:5]
     assert len(got2) >= len(exp2) * 0.5
+
+
+def test_match_recognize_skip_to_next_row_streaming(spark, events):
+    """AFTER MATCH SKIP TO NEXT ROW through the STREAMING NFA: the
+    anchored scan emits the preferred match per start row and resumes
+    one past the match's start — overlapping matches stream, and
+    every streamed emission is a batch-twin match."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS a_id,
+                   COUNT(B.*) AS n_b,
+                   LAST(B.event_id) AS b_last
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B+)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click'
+        )"""
+    events.createOrReplaceTempView("events")
+    exp = {(r.user_id, r.a_id, r.n_b, r.b_last)
+           for r in match_recognize(spark, sql).collect()}
+
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.a_id, r.n_b, r.b_last)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               "mrskipn_out", output_mode="append").collect()}
+    assert len(got) > 0
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
