@@ -59,17 +59,18 @@ _PRIORITY: tuple[str, ...] = (
     # by design; drift vs the exact form is pytest-pinned)
     "tpcds_channel_growth_gate", "tpcds_sold_returned_rebought",
     "tpcds_wide_join_growth", "tpcds_return_window_gap",
+    "tpcds_returns_adjusted_spend", "tpcds_unreturned_channel_ratio",
     "events_winsorize_approx",
     # (d) family canaries, all green in earlier rounds: relational
-    # core, pushdown, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN,
-    # graph, JDBC, as-of, windows, OVER, set ops, scalar fns, text,
-    # sampling, multimodal, changelog, grouping sets, pipeline chain
-    "tpch_q1", "tpch_q6", "tpch_q21", "match_recognize_star",
+    # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN,
+    # graph, JDBC, as-of, windows, OVER, set ops, scalar fns,
+    # sampling, multimodal, changelog, grouping sets
+    "tpch_q1", "tpch_q21", "match_recognize_star",
     "cep_quantified", "dedup_minhash_lsh", "ann_ivf_lloyd",
     "graph_connected_components", "jdbc_lookup_join",
     "asof_join_batch", "window_session_agg",
     "over_rows_unbounded_preceding", "setop_except_all", "fn_math",
-    "text_entropy", "sample_stratified", "multimodal_decode",
+    "sample_stratified", "multimodal_decode",
     "changelog_rowkind", "agg_grouping_sets",
 )
 

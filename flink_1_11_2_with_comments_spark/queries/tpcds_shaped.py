@@ -1727,3 +1727,115 @@ def tpcds_return_window_gap(spark, sf_dir):
                  F.countDistinct("s_part").alias("n_parts"),
                  F.sum((F.col("r_qty") - F.col("s_qty")).cast("bigint"))
                  .alias("qty_gap")))
+
+
+@register(
+    "tpcds_returns_adjusted_spend",
+    f"""
+    WITH ret AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ret_qty
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+    )
+    SELECT o.o_custkey AS custkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(s.l_quantity AS BIGINT)
+                    - COALESCE(r.ret_qty, 0)) AS BIGINT) AS eff_qty,
+           {sql_dsum('s.l_extendedprice * (CAST(s.l_quantity AS BIGINT)'
+                     ' - COALESCE(r.ret_qty, 0)) / s.l_quantity')}
+             AS eff_spend
+    FROM lineitem s
+    LEFT JOIN ret r ON s.l_orderkey = r.ok AND s.l_partkey = r.pk
+    JOIN orders o ON s.l_orderkey = o.o_orderkey
+    WHERE s.l_returnflag = 'N'
+    GROUP BY 1
+    """,
+    doc="TPC-DS q93 shape: effective (returns-adjusted) spend — every "
+        "sale LEFT-joined to the returns fact on the line key, the "
+        "returned quantity netted out, per-customer totals. The "
+        "returns side PRE-AGGREGATES to the join key before the "
+        "fact-fact outer join (one row per key, no explosion), and "
+        "both derivations share the one lineitem scan under AQE "
+        "exchange reuse. Per-row price proration happens in plain "
+        "double math (identical per-row in both engines); only the "
+        "SUM uses the decimal discipline.",
+)
+def tpcds_returns_adjusted_spend(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    ret = (li.where(F.col("l_returnflag") == "R")
+           .groupBy(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("pk"))
+           .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                .alias("ret_qty")))
+    s = li.where(F.col("l_returnflag") == "N")
+    eff = (F.col("l_quantity").cast("bigint")
+           - F.coalesce(F.col("ret_qty"), F.lit(0)))
+    return (s.join(ret, (s.l_orderkey == ret.ok)
+                   & (s.l_partkey == ret.pk), "left")
+            .join(o, s.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(eff).alias("eff_qty"),
+                 dsum(F.col("l_extendedprice") * eff
+                      / F.col("l_quantity")).alias("eff_spend")))
+
+
+@register(
+    "tpcds_unreturned_channel_ratio",
+    """
+    WITH clean AS (
+      SELECT s.l_partkey, s.l_shipdate, s.l_linestatus, s.l_quantity
+      FROM lineitem s
+      WHERE s.l_returnflag = 'N'
+        AND NOT EXISTS (SELECT 1 FROM lineitem r
+                        WHERE r.l_returnflag = 'R'
+                          AND r.l_orderkey = s.l_orderkey
+                          AND r.l_partkey = s.l_partkey)
+    ), per AS (
+      SELECT l_partkey AS partkey,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             CASE WHEN l_linestatus = 'F' THEN 'fin'
+                  ELSE 'open' END AS channel,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM clean GROUP BY 1, 2, 3
+    )
+    SELECT f.partkey AS partkey, f.yr AS yr,
+           f.qty AS fin_qty, o.qty AS open_qty,
+           CAST(ROUND(f.qty * 1.0 / o.qty, 6) AS DOUBLE) AS ratio
+    FROM per f JOIN per o ON f.partkey = o.partkey AND f.yr = o.yr
+    WHERE f.channel = 'fin' AND o.channel = 'open' AND f.qty > o.qty
+    """,
+    doc="TPC-DS q78 shape: strip sales that were later returned (the "
+        "fact-fact ANTI join on the line key), then compare each "
+        "item-year's quantity ACROSS channels, keeping items where "
+        "one channel out-sells the other — q78's cross-channel "
+        "same-item self-join. The oracle states NOT EXISTS + a "
+        "per-CTE self-join; the Spark plan is one LEFT ANTI join "
+        "(returns side pre-aggregated... distinct keys only) followed "
+        "by conditional per-channel cells over ONE pass — the "
+        "self-join disappears, the fact is scanned once per role.",
+)
+def tpcds_unreturned_channel_ratio(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ret_keys = (li.where(F.col("l_returnflag") == "R")
+                .select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("pk"))
+                .distinct())
+    clean = (li.where(F.col("l_returnflag") == "N")
+             .join(ret_keys, (li.l_orderkey == ret_keys.ok)
+                   & (li.l_partkey == ret_keys.pk), "left_anti"))
+    is_fin = F.col("l_linestatus") == "F"
+    qty = F.col("l_quantity").cast("bigint")
+    per = (clean.groupBy(F.col("l_partkey").alias("partkey"),
+                         F.year("l_shipdate").cast("bigint")
+                         .alias("yr"))
+           .agg(F.sum(F.when(is_fin, qty)).alias("fin_qty"),
+                F.sum(F.when(~is_fin, qty)).alias("open_qty")))
+    return (per.where(F.col("fin_qty").isNotNull()
+                      & F.col("open_qty").isNotNull()
+                      & (F.col("fin_qty") > F.col("open_qty")))
+            .select("partkey", "yr", "fin_qty", "open_qty",
+                    F.round(F.col("fin_qty").cast("double")
+                            / F.col("open_qty"), 6).cast("double")
+                    .alias("ratio")))
