@@ -35,10 +35,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # 15 TPC-DS shapes, ...), then (b) the two queries whose
 # IMPLEMENTATION changed since their last green row — heavy_hitters
 # (rewritten lazy in round 4) and corpus_pack_sequences (cumulative
-# sum re-sharded this round) — then (c) this round's five new queries
-# (four heavy TPC-DS join shapes + the rows-only winsorize scale
-# path), then (d) family canaries green in earlier rounds. Union
-# r1-r5 then covers every registry query.
+# sum re-sharded this round) — then (c) this round's eight new
+# queries (six heavy TPC-DS join shapes, exact-substring span dedup,
+# and the rows-only winsorize scale path), then (d) family canaries
+# green in earlier rounds. Union r1-r5 then covers every registry
+# query.
 _PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked round-4 queries
     "join_salted_skew", "corpus_k_anonymity", "events_winsorize",
@@ -54,13 +55,14 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_excess_discount", "tpcds_channel_overlap",
     # (b) implementation changed since last green row
     "heavy_hitters", "corpus_pack_sequences",
-    # (c) round-5-new: heavy TPC-DS join shapes (q4/q17/q64/q72
-    # style) + the approx-percentile winsorize scale path (rows-only
-    # by design; drift vs the exact form is pytest-pinned)
+    # (c) round-5-new: heavy TPC-DS join shapes (q4/q17/q64/q72/
+    # q93/q78 style), cross-doc exact-substring span dedup, and the
+    # approx-percentile winsorize scale path (rows-only by design;
+    # drift vs the exact form is pytest-pinned)
     "tpcds_channel_growth_gate", "tpcds_sold_returned_rebought",
     "tpcds_wide_join_growth", "tpcds_return_window_gap",
     "tpcds_returns_adjusted_spend", "tpcds_unreturned_channel_ratio",
-    "events_winsorize_approx",
+    "dedup_exact_substring_spans", "events_winsorize_approx",
     # (d) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN,
     # graph, JDBC, as-of, windows, OVER, set ops, scalar fns,
@@ -71,7 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_join_batch", "window_session_agg",
     "over_rows_unbounded_preceding", "setop_except_all", "fn_math",
     "sample_stratified", "multimodal_decode",
-    "changelog_rowkind", "agg_grouping_sets",
+    "changelog_rowkind",
 )
 
 

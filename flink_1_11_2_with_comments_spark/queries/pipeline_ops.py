@@ -1562,3 +1562,100 @@ def events_winsorize_approx(spark, sf_dir):
                  F.sum(F.when(out_of_band, 1).otherwise(0))
                  .alias("n_clipped"),
                  dsum(clipped).alias("clipped_sum")))
+
+
+@register(
+    "dedup_exact_substring_spans",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tk,
+             generate_subscripts(toks, 1) AS pos
+      FROM d
+    ), gram AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+               i -> {'s': i, 'g': array_to_string(toks[i:i+7], ' ')}))
+               AS u
+      FROM d WHERE len(toks) >= 8
+    ), g2 AS (SELECT doc_id, u.s AS s, u.g AS g FROM gram),
+    dup AS (
+      SELECT g FROM g2 GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT g2.doc_id, g2.s + o.off AS pos
+      FROM g2 JOIN dup USING (g)
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS off) o
+    ), kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tk
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                            AND tok.pos = cov.pos
+      WHERE cov.pos IS NULL
+    ), reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tk, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(r.cleaned, '') AS cleaned_text
+    FROM d LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="Cross-document EXACT-SUBSTRING span dedup (the ExactSubstr "
+        "step of Lee et al., 'Deduplicating Training Data Makes "
+        "Language Models Better'): any 8-token window that appears "
+        "verbatim in >= 2 distinct documents is removed from EVERY "
+        "document, and each text is rebuilt from its surviving "
+        "tokens. Span arithmetic avoids interval merging entirely: a "
+        "token is dropped iff ANY duplicated gram covers its "
+        "position, via a bounded 8-way offset explode + DISTINCT + "
+        "one LEFT ANTI join. Duplicated grams come from a two-level "
+        "countDistinct aggregate and join back onto the gram "
+        "occurrences — deliberately NOT a window-collect_set, whose "
+        "per-gram state is unbounded when a boilerplate gram appears "
+        "in millions of documents at 100 TB. Everything is JVM-side: "
+        "two explodes, two gram-keyed shuffles, one anti join, one "
+        "per-doc rebuild aggregate.",
+)
+def dedup_exact_substring_spans(spark, sf_dir):
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("toks")))
+    n = 8
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.concat_ws(" ", F.slice("toks", i, n)).alias("g")))
+    g2 = (d.where(F.size("toks") >= n)
+          .select("doc_id", F.explode(gram_structs).alias("u"))
+          .select("doc_id", F.col("u.s").alias("s"),
+                  F.col("u.g").alias("g")))
+    dup = (g2.groupBy("g")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2).select("g"))
+    cov = (g2.join(dup, "g")
+           .select("doc_id",
+                   F.explode(F.sequence(F.col("s"),
+                                        F.col("s") + (n - 1)))
+                   .alias("pos"))
+           .distinct())
+    tok = d.select("doc_id", F.posexplode("toks").alias("p0", "tk")) \
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "tk")
+    kept = tok.join(cov, ["doc_id", "pos"], "left_anti")
+    reb = (kept.groupBy("doc_id")
+           .agg(F.count("*").alias("n_kept"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("pos", "tk"))),
+                        lambda x: x.tk)).alias("cleaned")))
+    return (d.join(reb, "doc_id", "left")
+            .select("doc_id",
+                    F.size("toks").cast("bigint").alias("n_tokens"),
+                    (F.size("toks")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("bigint").alias("n_removed"),
+                    F.coalesce(F.col("cleaned"), F.lit(""))
+                    .alias("cleaned_text")))

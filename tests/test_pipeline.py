@@ -443,3 +443,28 @@ def test_winsorize_approx_close_to_exact(spark):
         denom = abs(float(ex["clipped_sum"])) or 1.0
         rel = abs(float(ap["clipped_sum"]) - float(ex["clipped_sum"])) / denom
         assert rel <= 1e-3, (et, rel)
+
+
+def test_exact_substring_dedup_postcondition(spark):
+    """ExactSubstr postcondition: after span removal, NO 8-token
+    window appears verbatim in two distinct cleaned documents (the
+    property the Lee-et-al. step guarantees), and only documents
+    sharing a duplicated gram lost tokens."""
+    from pyspark.sql import functions as F
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    out = all_specs()["dedup_exact_substring_spans"].fn(spark, SF) \
+        .cache()
+    assert out.where(F.col("n_removed") > 0).count() > 0
+    assert out.where(F.col("n_removed") > F.col("n_tokens")).count() == 0
+    toks = F.split("cleaned_text", " ")
+    grams = (out.where(F.size(toks) >= 8)
+             .select("doc_id",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.size(toks) - 7),
+                         lambda i: F.concat_ws(
+                             " ", F.slice(toks, i, 8)))).alias("g")))
+    survivors = (grams.groupBy("g")
+                 .agg(F.countDistinct("doc_id").alias("nd"))
+                 .where(F.col("nd") >= 2))
+    assert survivors.count() == 0, survivors.take(3)
+    out.unpersist()
