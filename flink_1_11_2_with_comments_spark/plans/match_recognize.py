@@ -19,8 +19,10 @@ Supported subset (raise on anything else, loudly):
        SKIP TO [FIRST|LAST] V]
       PATTERN ( V[q] V[q] ... [| V[q] ...] | PERMUTE(V, V, ...) )
         [WITHIN INTERVAL 'n' UNIT]
-      DEFINE V AS <conjunction of V.col <op> literal
-                   | V.col <op> PREV|NEXT(V.col [, n])> [, ...]
+      DEFINE V AS <OR-of-ANDs (SQL precedence, no parentheses) of
+                   V.col <op> literal
+                   | V.col <op> PREV|NEXT(V.col [, n])
+                   | V.col [NOT] IN (literal, ...)> [, ...]
     )
 
 - PREV/NEXT(V.col [, n]) iterative conditions (SQL standard: they
@@ -129,6 +131,30 @@ _OPS = {
     ">=": lambda a, b: a >= b,
 }
 
+# membership atom: V.col [NOT] IN ('a', 'b', 1, ...)
+_COND_IN = re.compile(
+    r"^(\w+)\.(\w+)\s+(NOT\s+)?IN\s*\(\s*([^)]+)\s*\)$",
+    re.IGNORECASE)
+
+
+def _in_values(raw: str) -> list:
+    vals = []
+    for item in raw.split(","):
+        lit = item.strip()
+        vals.append(lit[1:-1] if lit.startswith("'") else (
+            float(lit) if "." in lit else int(lit)))
+    return vals
+
+
+def _atoms(cond: str) -> list[list[str]]:
+    """DEFINE condition → disjuncts of conjunct atoms (AND binds
+    tighter than OR, SQL precedence; no parentheses in the subset —
+    the same boundary the rest of the parser draws)."""
+    return [[a.strip() for a in re.split(r"\s+AND\s+", d,
+                                         flags=re.IGNORECASE)]
+            for d in re.split(r"\s+OR\s+", cond.strip(),
+                              flags=re.IGNORECASE)]
+
 
 def _lag_window(keys: list[str], ts_col: str, id_col: str):
     """Row-order window for PREV() compilation."""
@@ -156,35 +182,48 @@ def _parse_predicate(cond: str, var: str):
     cond = cond.strip()
     if cond.upper() == "TRUE":
         return lambda ev: True
-    tests = []
-    for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
-        pm = _COND_PREV.match(part.strip())
-        if pm and pm.group(1).upper() == var.upper():
-            col, op = pm.group(2), _OPS[pm.group(3)]
-            link = ("__prev" if pm.group(4).upper() == "PREV"
-                    else "__next")
-            pcol, off = pm.group(6), int(pm.group(7) or 1)
+    disjuncts = []
+    for conj in _atoms(cond):
+        tests = []
+        for part in conj:
+            pm = _COND_PREV.match(part)
+            if pm and pm.group(1).upper() == var.upper():
+                col, op = pm.group(2), _OPS[pm.group(3)]
+                link = ("__prev" if pm.group(4).upper() == "PREV"
+                        else "__next")
+                pcol, off = pm.group(6), int(pm.group(7) or 1)
 
-            def nav_test(ev, col=col, op=op, pcol=pcol, off=off,
-                         link=link):
-                p = ev
-                for _ in range(off):
-                    p = p.get(link) if p else None
-                return p is not None and op(ev[col], p[pcol])
+                def nav_test(ev, col=col, op=op, pcol=pcol, off=off,
+                             link=link):
+                    p = ev
+                    for _ in range(off):
+                        p = p.get(link) if p else None
+                    return p is not None and op(ev[col], p[pcol])
 
-            tests.append(nav_test)
-            continue
-        m = _COND.match(part.strip())
-        if not m or m.group(1).upper() != var.upper():
-            raise NotImplementedError(
-                f"MATCH_RECOGNIZE DEFINE subset: `{part.strip()}` "
-                f"(want {var}.col <op> literal | PREV(V.col[, n]) "
-                f"[AND ...])")
-        col, op, lit = m.group(2), m.group(3), m.group(4)
-        val = lit[1:-1] if lit.startswith("'") else (
-            float(lit) if "." in lit else int(lit))
-        tests.append(lambda ev, c=col, o=_OPS[op], v=val: o(ev[c], v))
-    return lambda ev, tests=tests: all(t(ev) for t in tests)
+                tests.append(nav_test)
+                continue
+            im = _COND_IN.match(part)
+            if im and im.group(1).upper() == var.upper():
+                col, neg = im.group(2), bool(im.group(3))
+                vals = set(_in_values(im.group(4)))
+                tests.append(
+                    lambda ev, c=col, vs=vals, n=neg:
+                    (ev[c] not in vs) if n else (ev[c] in vs))
+                continue
+            m = _COND.match(part)
+            if not m or m.group(1).upper() != var.upper():
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE subset: `{part}` "
+                    f"(want {var}.col <op> literal | PREV(V.col[, n]) "
+                    f"| {var}.col [NOT] IN (...) [AND/OR ...])")
+            col, op, lit = m.group(2), m.group(3), m.group(4)
+            val = lit[1:-1] if lit.startswith("'") else (
+                float(lit) if "." in lit else int(lit))
+            tests.append(
+                lambda ev, c=col, o=_OPS[op], v=val: o(ev[c], v))
+        disjuncts.append(tests)
+    return lambda ev, ds=disjuncts: any(all(t(ev) for t in ts)
+                                        for ts in ds)
 
 
 def _parse_flag_expr(cond: str, var: str, lag_window=None):
@@ -199,39 +238,50 @@ def _parse_flag_expr(cond: str, var: str, lag_window=None):
     if cond.upper() == "TRUE":
         return F.lit(True)
     expr = None
-    for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
-        pm = _COND_PREV.match(part.strip())
-        if pm and pm.group(1).upper() != var.upper():
-            # same subset boundary as _parse_predicate: the LHS must be
-            # the variable being defined (DEFINE B AS C.v > PREV(C.v)
-            # is outside the subset in BOTH execution paths)
-            raise NotImplementedError(
-                f"MATCH_RECOGNIZE DEFINE subset: `{part.strip()}` "
-                f"(want {var}.col <op> ... )")
-        if pm:
-            if lag_window is None:
+    for conj in _atoms(cond):
+        cexpr = None
+        for part in conj:
+            pm = _COND_PREV.match(part)
+            if pm and pm.group(1).upper() != var.upper():
+                # same subset boundary as _parse_predicate: the LHS
+                # must be the variable being defined (DEFINE B AS
+                # C.v > PREV(C.v) is outside the subset in BOTH
+                # execution paths)
                 raise NotImplementedError(
-                    "PREV()/NEXT() conditions need a row order "
-                    "(batch only)")
-            col, pcol = pm.group(2), pm.group(6)
-            off = int(pm.group(7) or 1)
-            nav = (F.lag if pm.group(4).upper() == "PREV" else F.lead)
-            c = F.coalesce(
-                _OPS[pm.group(3)](F.col(col),
-                                  nav(pcol, off).over(lag_window)),
-                F.lit(False))
-        else:
-            m = _COND.match(part.strip())
-            if not m or m.group(1).upper() != var.upper():
-                raise NotImplementedError(
-                    f"MATCH_RECOGNIZE DEFINE subset: `{part.strip()}` "
-                    f"(want {var}.col <op> literal | PREV(V.col[, n]) "
-                    f"[AND ...])")
-            col, op, lit = m.group(2), m.group(3), m.group(4)
-            val = lit[1:-1] if lit.startswith("'") else (
-                float(lit) if "." in lit else int(lit))
-            c = _OPS[op](F.col(col), F.lit(val))
-        expr = c if expr is None else (expr & c)
+                    f"MATCH_RECOGNIZE DEFINE subset: `{part}` "
+                    f"(want {var}.col <op> ... )")
+            if pm:
+                if lag_window is None:
+                    raise NotImplementedError(
+                        "PREV()/NEXT() conditions need a row order "
+                        "(batch only)")
+                col, pcol = pm.group(2), pm.group(6)
+                off = int(pm.group(7) or 1)
+                nav = (F.lag if pm.group(4).upper() == "PREV"
+                       else F.lead)
+                c = F.coalesce(
+                    _OPS[pm.group(3)](F.col(col),
+                                      nav(pcol, off).over(lag_window)),
+                    F.lit(False))
+            elif (im := _COND_IN.match(part)) \
+                    and im.group(1).upper() == var.upper():
+                c = F.col(im.group(2)).isin(*_in_values(im.group(4)))
+                if im.group(3):
+                    c = ~c
+            else:
+                m = _COND.match(part)
+                if not m or m.group(1).upper() != var.upper():
+                    raise NotImplementedError(
+                        f"MATCH_RECOGNIZE DEFINE subset: `{part}` "
+                        f"(want {var}.col <op> literal | "
+                        f"PREV(V.col[, n]) | {var}.col [NOT] IN (...) "
+                        f"[AND/OR ...])")
+                col, op, lit = m.group(2), m.group(3), m.group(4)
+                val = lit[1:-1] if lit.startswith("'") else (
+                    float(lit) if "." in lit else int(lit))
+                c = _OPS[op](F.col(col), F.lit(val))
+            cexpr = c if cexpr is None else (cexpr & c)
+        expr = cexpr if expr is None else (expr | cexpr)
     return expr
 
 
@@ -517,8 +567,7 @@ def match_recognize(spark: SparkSession, sql: str,
     nav_cols: set[str] = set()
     max_prev = max_next = 0
     for var, cond in defines.items():
-        parts = [p.strip() for p in re.split(r"\s+AND\s+", cond,
-                                             flags=re.IGNORECASE)]
+        parts = [p for conj in _atoms(cond) for p in conj]
         if not any(_COND_PREV.match(p) for p in parts):
             continue
         nav_vars.add(var.upper())
@@ -531,9 +580,11 @@ def match_recognize(spark: SparkSession, sql: str,
                 else:
                     max_next = max(max_next, off)
             elif (m := _COND.match(part)):
-                # a nav variable's literal tests also evaluate at NFA
+                # a nav variable's non-nav tests also evaluate at NFA
                 # time — their columns ride along in the buffer too
                 nav_cols.add(m.group(2))
+            elif (im := _COND_IN.match(part)):
+                nav_cols.add(im.group(2))
     nav_kw = dict(nav_steps=nav_vars, nav_cols=sorted(nav_cols),
                   max_prev=max_prev, max_next=max_next) \
         if nav_vars else {}
@@ -542,11 +593,13 @@ def match_recognize(spark: SparkSession, sql: str,
     # so the Arrow transfer carries nothing else)
     cond_cols = set()
     for cond in defines.values():
-        for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
-            if (m := _COND.match(part.strip())):
+        for part in (p for conj in _atoms(cond) for p in conj):
+            if (m := _COND.match(part)):
                 cond_cols.add(m.group(2))
-            elif (pm := _COND_PREV.match(part.strip())):
+            elif (pm := _COND_PREV.match(part)):
                 cond_cols.update((pm.group(2), pm.group(6)))
+            elif (im := _COND_IN.match(part)):
+                cond_cols.add(im.group(2))
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)

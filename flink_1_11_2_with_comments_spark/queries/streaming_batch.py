@@ -1261,3 +1261,59 @@ def match_recognize_reluctant(spark, sf_dir):
                  B AS TRUE,
                  C AS C.event_type = 'purchase'
         )""")
+
+
+@register(
+    "match_recognize_or_define",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), b AS (
+      SELECT user_id, event_id, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS grp
+      FROM s WHERE event_type IN ('click', 'purchase')
+    ), runs AS (
+      SELECT user_id, grp, MIN(rn) AS first_rn, COUNT(*) AS n,
+             MIN(event_id) AS b_first, MAX(event_id) AS b_last
+      FROM b GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_id, a.event_id AS a_id,
+           CAST(r.n AS BIGINT) AS n_b,
+           r.b_first AS b_first, r.b_last AS b_last
+    FROM s a JOIN runs r ON r.user_id = a.user_id
+                        AND r.first_rn = a.rn + 1
+    WHERE a.event_type = 'view' OR a.event_type = 'signup'
+    """,
+    doc="MATCH_RECOGNIZE DEFINE with OR-disjunctions and IN lists — "
+        "PATTERN (A B+) where A is `view OR signup` and B is "
+        "`IN ('click', 'purchase')`: SQL precedence (AND over OR, no "
+        "parentheses — the parser's documented subset boundary), "
+        "compiled to one JVM boolean Column per variable exactly like "
+        "conjunctions (plans/match_recognize._atoms; reference: "
+        "generated IterativeCondition from the DEFINE RexNode, "
+        "MatchCodeGenerator.scala). Oracle: gaps-and-islands maximal "
+        "click/purchase run adjacent to a qualifying anchor (anchor "
+        "and run flags are disjoint event types, so SKIP PAST LAST "
+        "consumption can never hide a later anchor).",
+)
+def match_recognize_or_define(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS a_id,
+                   COUNT(B.*) AS n_b,
+                   FIRST(B.event_id) AS b_first,
+                   LAST(B.event_id) AS b_last
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE A AS A.event_type = 'view' OR A.event_type = 'signup',
+                 B AS B.event_type IN ('click', 'purchase')
+        )""")
