@@ -350,14 +350,27 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "tpcds_two_metric_rank",          # two ranks over |brands| agg rows
 }
 
+# Queries whose PURPOSE is the row-at-a-time Python surface itself:
+# a Python UDTF is the §2.10 operator being demonstrated, and Spark
+# executes every Python UDTF as BatchEvalPythonUDTF by design.
+_DELIBERATE_PY_ROW_PATH = {"udf_table_function"}
+
 
 def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
-    """Registry-wide sweep: no query may plan a Window node with an
-    empty partitionSpec over data-sized input.  A global window
-    funnels the ENTIRE input through one task (Spark logs 'No
-    Partition Defined for Window operation') — the canonical scale
-    anti-pattern corpus_pack_sequences once shipped.  Exceptions are
-    allow-listed above with a bounded-input justification."""
+    """Registry-wide sweep, two scale disciplines in one pass over
+    every query's plan:
+
+    1. No Window node with an empty partitionSpec over data-sized
+       input — a global window funnels the ENTIRE input through one
+       task (Spark logs 'No Partition Defined for Window operation'),
+       the canonical scale anti-pattern corpus_pack_sequences once
+       shipped. Exceptions allow-listed above with a bounded-input
+       justification.
+    2. No BatchEvalPython node anywhere — a row-at-a-time Python UDF
+       in a registered query is a 10-100x slow path vs JVM codegen or
+       Arrow-batched pandas UDFs; every Python crossing must be
+       Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas / 
+       mapInPandas are all fine and appear where intended)."""
 
     def walk(p):
         yield p
@@ -365,16 +378,19 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         for i in range(ch.size()):
             yield from walk(ch.apply(i))
 
-    offenders = []
+    offenders, row_udf = [], []
     for name, spec in SPECS.items():
         df = spec.fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().optimizedPlan()
-        for node in walk(plan):
+        qe = df._jdf.queryExecution()
+        for node in walk(qe.optimizedPlan()):
             if (node.nodeName() == "Window"
                     and node.partitionSpec().isEmpty()):
                 offenders.append(name)
                 break
+        if "BatchEvalPython" in qe.sparkPlan().toString():
+            row_udf.append(name)
     assert set(offenders) <= _BOUNDED_GLOBAL_WINDOWS, offenders
+    assert set(row_udf) <= _DELIBERATE_PY_ROW_PATH, row_udf
 
 
 def test_heavy_tpcds_shapes_plan_quality(spark, sf_dir):
