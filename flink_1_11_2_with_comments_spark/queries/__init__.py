@@ -63,7 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_wide_join_growth", "tpcds_return_window_gap",
     "tpcds_returns_adjusted_spend", "tpcds_unreturned_channel_ratio",
     "dedup_exact_substring_spans", "match_recognize_or_define",
-    "events_winsorize_approx",
+    "corpus_train_val_test_split", "events_winsorize_approx",
     # (d) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN,
     # graph, JDBC, as-of, windows, OVER, set ops, scalar fns,
@@ -73,7 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_connected_components", "jdbc_lookup_join",
     "asof_join_batch", "window_session_agg",
     "over_rows_unbounded_preceding", "setop_except_all", "fn_math",
-    "sample_stratified", "multimodal_decode",
+    "multimodal_decode",
 )
 
 

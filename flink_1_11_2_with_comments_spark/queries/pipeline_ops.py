@@ -1659,3 +1659,43 @@ def dedup_exact_substring_spans(spark, sf_dir):
                     .cast("bigint").alias("n_removed"),
                     F.coalesce(F.col("cleaned"), F.lit(""))
                     .alias("cleaned_text")))
+
+
+@register(
+    "corpus_train_val_test_split",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             {MD5I.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket = 98 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM d GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (98/1/1) with per-split "
+        "per-language stats: the bucket is md5(doc_id) mod 100, so "
+        "membership is a pure function of the document id — stable "
+        "across runs, machines and engine versions (the property that "
+        "makes a held-out set trustworthy; a rand()-based split is "
+        "not reproducible and leaks val into train across reshards). "
+        "One scan + one map-side-combinable aggregate; the assignment "
+        "column itself is what a writer would partitionBy, making the "
+        "physical split a side effect of one shuffle-free pass.",
+)
+def corpus_train_val_test_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id")
+                                       .cast("string")), 1, 15),
+                     16, 10).cast("bigint") % 100)
+    split = (F.when(bucket < 98, "train")
+             .when(bucket == 98, "val").otherwise("test"))
+    return (d.groupBy(split.alias("split"), F.col("lang"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(F.split("text", " ")))
+                 .alias("n_tokens")))
