@@ -806,11 +806,11 @@ def tpcds_returns_net(spark, sf_dir):
     WITH cohort AS (
       SELECT o_custkey, MIN(EXTRACT(year FROM o_orderdate)) AS first_yr
       FROM orders GROUP BY 1
-      HAVING MIN(EXTRACT(year FROM o_orderdate)) = 1993
+      HAVING MIN(EXTRACT(year FROM o_orderdate)) = 1995
     ), nxt AS (
       SELECT o.o_custkey, {sql_dsum('o.o_totalprice')} AS rev
       FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
-      WHERE EXTRACT(year FROM o.o_orderdate) = 1994
+      WHERE EXTRACT(year FROM o.o_orderdate) = 1996
       GROUP BY 1
     )
     SELECT CAST(floor(rev / 100000) AS BIGINT) AS rev_bucket,
@@ -818,7 +818,7 @@ def tpcds_returns_net(spark, sf_dir):
     FROM nxt GROUP BY 1
     """,
     doc="TPC-DS q54 shape: define a customer cohort from one condition "
-        "(first purchase in 1993), measure the cohort's spend in the "
+        "(first purchase in 1995), measure the cohort's spend in the "
         "FOLLOWING period, histogram into revenue buckets. The cohort "
         "reduces to a keyed id set before re-touching the fact (one "
         "aggregate + semi-join-shaped reuse); the bucket floor-divide "
@@ -828,9 +828,9 @@ def tpcds_subsequent_period(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     cohort = (o.groupBy("o_custkey")
               .agg(F.min(F.year("o_orderdate")).alias("first_yr"))
-              .where(F.col("first_yr") == 1993)
+              .where(F.col("first_yr") == 1995)
               .select(F.col("o_custkey").alias("ck")))
-    nxt = (o.where(F.year("o_orderdate") == 1994)
+    nxt = (o.where(F.year("o_orderdate") == 1996)
            .join(cohort, o.o_custkey == F.col("ck"), "left_semi")
            .groupBy("o_custkey")
            .agg(dsum("o_totalprice").alias("rev")))
@@ -856,7 +856,7 @@ def tpcds_subsequent_period(spark, sf_dir):
            CAST(ROUND(COALESCE(r.ret_rev, 0.0) / s.store_rev, 6)
                 AS DOUBLE) AS ret_ratio
     FROM store s LEFT JOIN ret r ON s.p_brand = r.p_brand
-    WHERE COALESCE(r.ret_rev, 0.0) < 0.27 * s.store_rev
+    WHERE COALESCE(r.ret_rev, 0.0) < 0.5 * s.store_rev
     """,
     doc="TPC-DS q78 shape: per-key cross-channel ratio with the sparse "
         "channel LEFT JOINed (keys absent from one channel keep "
@@ -882,7 +882,7 @@ def tpcds_channel_ratio(spark, sf_dir):
             .withColumn("ret_ratio",
                         F.round(F.col("ret_rev") / F.col("store_rev"), 6)
                         .cast("double"))
-            .where(F.col("ret_rev") < 0.27 * F.col("store_rev")))
+            .where(F.col("ret_rev") < 0.5 * F.col("store_rev")))
 
 
 @register(
@@ -1402,10 +1402,10 @@ def tpcds_excess_discount(spark, sf_dir):
     """
     WITH store AS (
       SELECT DISTINCT o_custkey FROM orders
-      WHERE EXTRACT(year FROM o_orderdate) <= 1994
+      WHERE EXTRACT(year FROM o_orderdate) <= 1997
     ), cat AS (
       SELECT DISTINCT o_custkey FROM orders
-      WHERE EXTRACT(year FROM o_orderdate) >= 1995
+      WHERE EXTRACT(year FROM o_orderdate) >= 1998
     )
     SELECT CAST(SUM(CASE WHEN s.o_custkey IS NOT NULL
                           AND c.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
@@ -1425,9 +1425,9 @@ def tpcds_excess_discount(spark, sf_dir):
 )
 def tpcds_channel_overlap(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    store = (o.where(F.year("o_orderdate") <= 1994)
+    store = (o.where(F.year("o_orderdate") <= 1997)
              .select(F.col("o_custkey").alias("sk")).distinct())
-    cat = (o.where(F.year("o_orderdate") >= 1995)
+    cat = (o.where(F.year("o_orderdate") >= 1998)
            .select(F.col("o_custkey").alias("ck")).distinct())
     j = store.join(cat, store.sk == cat.ck, "full_outer")
     flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
@@ -1444,76 +1444,63 @@ def tpcds_channel_overlap(spark, sf_dir):
     WITH year_total AS (
       SELECT o_custkey AS custkey,
              EXTRACT(year FROM o_orderdate) AS yr,
-             CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
-                  WHEN o_orderpriority = '2-HIGH' THEN 'high'
-                  ELSE 'std' END AS channel,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'pri' ELSE 'std' END AS channel,
              {sql_dsum('o_totalprice')} AS total
       FROM orders GROUP BY 1, 2, 3
     )
-    SELECT u1.custkey AS custkey,
-           CAST(ROUND(u2.total / u1.total, 6) AS DOUBLE) AS urgent_growth,
-           CAST(ROUND(h2.total / h1.total, 6) AS DOUBLE) AS high_growth,
+    SELECT p1.custkey AS custkey,
+           CAST(ROUND(p2.total / p1.total, 6) AS DOUBLE) AS pri_growth,
            CAST(ROUND(s2.total / s1.total, 6) AS DOUBLE) AS std_growth
-    FROM year_total u1
-    JOIN year_total u2 ON u1.custkey = u2.custkey
-    JOIN year_total h1 ON u1.custkey = h1.custkey
-    JOIN year_total h2 ON u1.custkey = h2.custkey
-    JOIN year_total s1 ON u1.custkey = s1.custkey
-    JOIN year_total s2 ON u1.custkey = s2.custkey
-    WHERE u1.channel = 'urgent' AND u1.yr = 1996
-      AND u2.channel = 'urgent' AND u2.yr = 1997
-      AND h1.channel = 'high'   AND h1.yr = 1996
-      AND h2.channel = 'high'   AND h2.yr = 1997
-      AND s1.channel = 'std'    AND s1.yr = 1996
-      AND s2.channel = 'std'    AND s2.yr = 1997
-      AND u1.total > 0 AND h1.total > 0 AND s1.total > 0
-      AND u2.total / u1.total > h2.total / h1.total
-      AND u2.total / u1.total > s2.total / s1.total
+    FROM year_total p1
+    JOIN year_total p2 ON p1.custkey = p2.custkey
+    JOIN year_total s1 ON p1.custkey = s1.custkey
+    JOIN year_total s2 ON p1.custkey = s2.custkey
+    WHERE p1.channel = 'pri' AND p1.yr = 1996
+      AND p2.channel = 'pri' AND p2.yr = 1997
+      AND s1.channel = 'std' AND s1.yr = 1996
+      AND s2.channel = 'std' AND s2.yr = 1997
+      AND p1.total > 0 AND s1.total > 0
+      AND p2.total / p1.total > s2.total / s1.total
     """,
     doc="TPC-DS q4/q11 shape: customers whose year-over-year growth "
-        "in the premium channel beats BOTH other channels' growth. "
-        "The oracle states the textbook year_total CTE self-joined "
-        "SIX ways (one alias per channel x year); the Spark plan "
-        "computes all six cells as conditional aggregates in ONE "
-        "pass over orders — zero joins, one shuffle, identical "
-        "result (inner-join existence = cell non-null). At 100 TB "
-        "the rewrite turns six fact scans + five fact-key joins "
-        "into one scan; growth ratios divide already-rounded "
-        "DOUBLEs so both engines compare bit-identical values.",
+        "in the priority channel beats the standard channel's growth "
+        "(two channels — a three-way gate over this schema's sparse "
+        "per-customer-per-year-per-priority cells returns nothing; "
+        "q11 itself is the two-channel variant). The oracle states "
+        "the textbook year_total CTE self-joined FOUR ways (one "
+        "alias per channel x year); the Spark plan computes all four "
+        "cells as conditional aggregates in ONE pass over orders — "
+        "zero joins, one shuffle, identical result (inner-join "
+        "existence = cell non-null). At 100 TB the rewrite turns "
+        "four fact scans + three fact-key joins into one scan; "
+        "growth ratios divide already-rounded DOUBLEs so both "
+        "engines compare bit-identical values.",
 )
 def tpcds_channel_growth_gate(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
-    ch = (F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
-          .when(F.col("o_orderpriority") == "2-HIGH", "high")
-          .otherwise("std"))
+    ch = (F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                 "pri").otherwise("std"))
 
     def cell(channel, year):
         return dsum(F.when((ch == channel) & (yr == year),
                            F.col("o_totalprice")))
 
     g = (o.groupBy(F.col("o_custkey").alias("custkey"))
-         .agg(cell("urgent", 1996).alias("u1"),
-              cell("urgent", 1997).alias("u2"),
-              cell("high", 1996).alias("h1"),
-              cell("high", 1997).alias("h2"),
+         .agg(cell("pri", 1996).alias("p1"),
+              cell("pri", 1997).alias("p2"),
               cell("std", 1996).alias("s1"),
               cell("std", 1997).alias("s2")))
-    present = (F.col("u1").isNotNull() & F.col("u2").isNotNull()
-               & F.col("h1").isNotNull() & F.col("h2").isNotNull()
+    present = (F.col("p1").isNotNull() & F.col("p2").isNotNull()
                & F.col("s1").isNotNull() & F.col("s2").isNotNull())
     return (g.where(present
-                    & (F.col("u1") > 0) & (F.col("h1") > 0)
-                    & (F.col("s1") > 0)
-                    & (F.col("u2") / F.col("u1")
-                       > F.col("h2") / F.col("h1"))
-                    & (F.col("u2") / F.col("u1")
+                    & (F.col("p1") > 0) & (F.col("s1") > 0)
+                    & (F.col("p2") / F.col("p1")
                        > F.col("s2") / F.col("s1")))
             .select("custkey",
-                    F.round(F.col("u2") / F.col("u1"), 6).cast("double")
-                    .alias("urgent_growth"),
-                    F.round(F.col("h2") / F.col("h1"), 6).cast("double")
-                    .alias("high_growth"),
+                    F.round(F.col("p2") / F.col("p1"), 6).cast("double")
+                    .alias("pri_growth"),
                     F.round(F.col("s2") / F.col("s1"), 6).cast("double")
                     .alias("std_growth")))
 
