@@ -153,3 +153,46 @@ def ivf_topk(embeddings: DataFrame, id_col: str, vec_col: str,
                 / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))), 9)
         .alias("cosine"))
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def semdedup_flags(embeddings: DataFrame, id_col: str, vec_col: str,
+                   n_cells: int = 16,
+                   threshold: float = 0.35) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every vector whose cosine similarity to a lower-id
+    cluster-mate exceeds the threshold (the lowest id in each
+    near-duplicate group survives — the paper's 'keep one per
+    semantic cluster' rule with a deterministic keeper).
+
+    Scale design: cluster assignment is the map-only broadcast-
+    centroid fold of ivf_assign (no corpus shuffle), and candidate
+    pairs are CLUSTER-LOCAL — one shuffle on the cell id, never an
+    all-pairs join. Pair volume is sum-of-squared-cell-sizes; a
+    production run raises n_cells with corpus size (the paper uses
+    k = O(sqrt N)) to keep cells bounded, which this plumbing takes
+    as a parameter. Returns every vector with its cell, the best
+    cosine to a lower-id cluster-mate (NULL when it has none), and
+    the drop flag.
+    """
+    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    a = _fold_assign(embeddings, cents, id_col, vec_col,
+                     carry=(vec_col, "n2"))
+    lo = a.select(F.col(id_col).alias("a_id"),
+                  F.col(vec_col).alias("a_vec"),
+                  F.col("n2").alias("a_n2"), "cell")
+    hi = a.select(F.col(id_col).alias("b_id"),
+                  F.col(vec_col).alias("b_vec"),
+                  F.col("n2").alias("b_n2"), "cell")
+    cos = F.round(
+        dot_product(F.col("a_vec"), F.col("b_vec")).cast("double")
+        / (F.sqrt(F.col("a_n2")) * F.sqrt(F.col("b_n2"))), 9)
+    best = (lo.join(hi, "cell")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("b_id")
+            .agg(F.max(cos).alias("best_lower_cosine")))
+    return (a.join(best, a[id_col] == best.b_id, "left")
+            .select(id_col, "cell", "best_lower_cosine",
+                    F.coalesce(F.col("best_lower_cosine")
+                               >= F.lit(threshold),
+                               F.lit(False)).alias("is_dup")))

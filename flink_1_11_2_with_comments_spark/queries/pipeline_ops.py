@@ -1699,3 +1699,195 @@ def corpus_train_val_test_split(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.size(F.split("text", " ")))
                  .alias("n_tokens")))
+
+
+@register(
+    "text_gopher_rules",
+    """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             length(text) AS nc
+      FROM documents
+    ), mx AS (
+      SELECT doc_id, MAX(c) AS maxc FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ), f AS (
+      SELECT d.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(ROUND((nc - len(toks) + 1) * 1.0 / len(toks), 6)
+                  AS DOUBLE) AS mean_wlen,
+             CAST(ROUND(maxc * 1.0 / len(toks), 6) AS DOUBLE)
+               AS top_share,
+             CAST(len(list_filter(['the','a','of','and','to','in','is'],
+                                  s -> list_contains(toks, s)))
+                  AS BIGINT) AS n_stop
+      FROM d JOIN mx ON d.doc_id = mx.doc_id
+    )
+    SELECT doc_id, n_words, mean_wlen, top_share, n_stop,
+           n_words BETWEEN 25 AND 90 AS r_wordcount,
+           mean_wlen BETWEEN 4.2 AND 10.0 AS r_meanlen,
+           top_share <= 0.11 AS r_repetition,
+           n_stop >= 2 AS r_stopword,
+           (n_words BETWEEN 25 AND 90) AND (mean_wlen BETWEEN 4.2 AND 10.0)
+             AND top_share <= 0.11 AND n_stop >= 2 AS keep
+    FROM f
+    """,
+    doc="Gopher-style composite quality filter (Rae et al. 2021 "
+        "§A1.1): word-count bounds, mean-word-length bounds, "
+        "most-frequent-token share cap, stopword containment — "
+        "per-rule flags plus the conjunction. The oracle needs a "
+        "per-document groupBy for the top-token count; the Spark "
+        "plan computes it as a sorted-run fold (sort_array + "
+        "aggregate) inside the scan projection, so the whole filter "
+        "is MAP-ONLY: zero shuffles at any corpus size "
+        "(pipeline/text.py gopher_rules).",
+)
+def text_gopher_rules(spark, sf_dir):
+    from ..pipeline.text import gopher_rules
+    d = t(spark, sf_dir, "documents")
+    g = gopher_rules("text")
+    return d.select("doc_id", *[v.alias(k) for k, v in g.items()])
+
+
+@register(
+    "dedup_semdedup",
+    _IVF_CTE + """
+    , cand AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ), pd AS (
+      SELECT c.a_id, c.b_id,
+             SUM(CAST(za.x * zb.x AS DECIMAL(18,10))) AS dot
+      FROM cand c
+      JOIN z za ON za.vec_id = c.a_id
+      JOIN z zb ON zb.vec_id = c.b_id AND zb.pos = za.pos
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT p.b_id AS vec_id,
+             MAX(ROUND(CAST(p.dot AS DOUBLE)
+                       / (sqrt(CAST(x.n2 AS DOUBLE))
+                          * sqrt(CAST(y.n2 AS DOUBLE))), 9))
+               AS best_lower_cosine
+      FROM pd p JOIN n2 x ON x.vec_id = p.a_id
+                JOIN n2 y ON y.vec_id = p.b_id
+      GROUP BY 1
+    )
+    SELECT a.vec_id, a.cell, b.best_lower_cosine,
+           COALESCE(b.best_lower_cosine >= 0.35, FALSE) AS is_dup
+    FROM assigned a LEFT JOIN best b ON a.vec_id = b.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): cluster embeddings to the 16 "
+        "IVF cells (map-only broadcast-centroid fold — no corpus "
+        "shuffle), then within each cluster flag every vector whose "
+        "cosine to a LOWER-ID cluster-mate reaches 0.35 (the lowest "
+        "id per semantic group survives). Candidate pairs are "
+        "cluster-local — one shuffle on the cell id, never all-pairs; "
+        "production raises n_cells ~ sqrt(N) to bound cells "
+        "(pipeline/ivf.py semdedup_flags).",
+)
+def dedup_semdedup(spark, sf_dir):
+    from ..pipeline.ivf import semdedup_flags
+    e = t(spark, sf_dir, "embeddings")
+    return semdedup_flags(e, "vec_id", "embedding",
+                          n_cells=16, threshold=0.35)
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    """
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+      GROUP BY 1
+    ), p AS (
+      SELECT wf, unnest(range(1, length(word))) AS i, word
+      FROM wf WHERE length(word) > 1
+    )
+    SELECT substr(word, CAST(i AS INT), 2) AS pair,
+           CAST(SUM(wf) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1
+    ORDER BY pair_count DESC, pair
+    LIMIT 50
+    """,
+    doc="BPE tokenizer training, round-1 pair statistics: adjacent "
+        "character-pair counts weighted by corpus word frequency "
+        "(Sennrich et al. 2016). The corpus is aggregated ONCE into "
+        "the word-frequency table; pair explosion runs over DISTINCT "
+        "words only — vocabulary-sized, orders of magnitude below "
+        "corpus size at 100 TB (pipeline/bpe.py bpe_pair_counts).",
+)
+def corpus_bpe_pair_counts(spark, sf_dir):
+    from ..pipeline.bpe import bpe_pair_counts
+    d = t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, "text", top_n=50)
+
+
+@register(
+    "corpus_bpe_merges",
+    None,  # iterative (8 greedy merge rounds) — not SQL-expressible;
+           # exact-pinned against a pure-Python BPE reference in
+           # tests/test_pipeline.py::test_bpe_merges_match_reference
+    doc="BPE vocabulary learning, first 8 merges (Sennrich et al. "
+        "2016): per round, count adjacent symbol pairs over the "
+        "vocabulary weighted by word frequency, pick the max "
+        "(ties lexicographic), merge it greedily left-to-right in "
+        "every word via a JVM-side aggregate fold. The winner is a "
+        "broadcast 1-row cross join — no driver collect; each "
+        "superstep localCheckpoints the vocabulary-sized table "
+        "(the operators/graph.py iteration discipline). Corpus "
+        "touched exactly once (pipeline/bpe.py bpe_learn).",
+)
+def corpus_bpe_merges(spark, sf_dir):
+    from ..pipeline.bpe import bpe_learn
+    d = t(spark, sf_dir, "documents")
+    return bpe_learn(d, "text", n_merges=8)
+
+
+@register(
+    "corpus_quality_weighted_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS nw,
+             length(text) AS nc
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(ROUND(least(1.0, greatest(0.0,
+                    ((nc - nw + 1) * 1.0 / nw - 4.0))), 6) AS DOUBLE)
+               AS weight,
+             CAST(({MD5I.format(
+                 x="concat(CAST(doc_id AS VARCHAR), '|qs')")}
+                   % 1000000) / 1000000.0 AS DOUBLE) AS urand
+      FROM d
+    )
+    SELECT doc_id, weight, urand FROM s WHERE urand < weight
+    """,
+    doc="Importance sampling by quality score: per-document keep "
+        "probability = clamp(mean word length - 4, 0, 1) (any "
+        "quality model drops in), decided against a DETERMINISTIC "
+        "md5(doc_id) uniform — reproducible across runs/machines "
+        "and resharding, unlike rand()-based sampling (the property "
+        "DoReMi/quality-resampling pipelines need). Map-only: one "
+        "scan, zero shuffles (same hash discipline as "
+        "sample_stratified).",
+)
+def corpus_quality_weighted_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " ")).cast("bigint")
+    mwl = (F.length("text") - nw + 1) / nw
+    weight = F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                                                    mwl - 4.0)),
+                     6).cast("double")
+    urand = ((F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|qs"))),
+        1, 15), 16, 10).cast("bigint") % 1000000)
+        / F.lit(1000000.0)).cast("double")
+    return (d.select("doc_id", weight.alias("weight"),
+                     urand.alias("urand"))
+            .where(F.col("urand") < F.col("weight")))

@@ -468,3 +468,92 @@ def test_exact_substring_dedup_postcondition(spark):
                  .where(F.col("nd") >= 2))
     assert survivors.count() == 0, survivors.take(3)
     out.unpersist()
+
+
+def test_bpe_merges_match_reference(spark, documents):
+    """bpe_learn's 8 distributed merge rounds must replay a plain
+    single-process BPE reference exactly: same pair chosen each
+    round (max weighted count, ties lexicographic on (left, right))
+    and same count — pinning both the pair statistics and the
+    greedy left-to-right merge fold."""
+    from collections import Counter
+
+    from flink_1_11_2_with_comments_spark.pipeline.bpe import bpe_learn
+
+    rows = documents.select("text").collect()
+    vocab = Counter()
+    for r in rows:
+        for w in r.text.split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+
+    def merge_word(s, l, r):
+        out, prev = [], None
+        for x in s:
+            if prev is not None and prev == l and x == r:
+                out.append(l + r)
+                prev = None
+            else:
+                if prev is not None:
+                    out.append(prev)
+                prev = x
+        if prev is not None:
+            out.append(prev)
+        return out
+
+    expected = []
+    for rank in range(1, 9):
+        pc = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += vocab[w]
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, l + r, c))
+        syms = {w: merge_word(s, l, r) for w, s in syms.items()}
+
+    got = [(x.merge_rank, x.pair, x.pair_count)
+           for x in bpe_learn(documents, "text", n_merges=8)
+           .orderBy("merge_rank").collect()]
+    assert got == expected
+
+
+def test_semdedup_keeps_canonical_and_cluster_local(spark, embeddings):
+    """SemDeDup postconditions: every vector appears exactly once;
+    the lowest vec_id of every cell is never flagged (it has no
+    lower-id cluster-mate); every flagged vector really has a
+    same-cell lower-id mate at cosine >= threshold (flag consistent
+    with the reported best cosine)."""
+    from flink_1_11_2_with_comments_spark.pipeline.ivf import (
+        semdedup_flags)
+
+    out = semdedup_flags(embeddings, "vec_id", "embedding",
+                         n_cells=16, threshold=0.35).collect()
+    assert len(out) == embeddings.count()
+    assert len({r.vec_id for r in out}) == len(out)
+    low = {}
+    for r in out:
+        low[r.cell] = min(low.get(r.cell, r.vec_id), r.vec_id)
+    for r in out:
+        if r.vec_id == low[r.cell]:
+            assert r.best_lower_cosine is None and not r.is_dup
+        assert r.is_dup == (r.best_lower_cosine is not None
+                            and r.best_lower_cosine >= 0.35)
+    assert any(r.is_dup for r in out)          # threshold bites
+    assert not all(r.is_dup for r in out if r.best_lower_cosine)
+
+
+def test_gopher_rules_map_only_plan(spark, documents):
+    """The Gopher filter must stay a single map-only projection:
+    no Exchange anywhere in the physical plan (the top-token share
+    is a sorted-run fold, not a per-document groupBy)."""
+    from flink_1_11_2_with_comments_spark.pipeline.text import (
+        gopher_rules)
+
+    g = gopher_rules("text")
+    df = documents.select("doc_id",
+                          *[v.alias(k) for k, v in g.items()])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    keeps = [r.keep for r in df.collect()]
+    assert any(keeps) and not all(keeps)       # rules discriminate
