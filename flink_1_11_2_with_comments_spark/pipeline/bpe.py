@@ -70,6 +70,32 @@ def word_frequencies(docs: DataFrame, text_col: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("wf")))
 
 
+def _learn_tops(docs: DataFrame, text_col: str,
+                n_merges: int) -> list[DataFrame]:
+    """The shared merge-learning loop: returns one 1-row DataFrame
+    (rank, ml, mr, pair_count) per round, each localCheckpointed."""
+    vocab = (word_frequencies(docs, text_col)
+             .select("wf",
+                     F.expr("transform(sequence(1, length(word)), "
+                            "i -> substring(word, i, 1))").alias("syms"))
+             .localCheckpoint())
+    tops: list[DataFrame] = []
+    for rank in range(1, n_merges + 1):
+        pairs = vocab.select("wf", F.explode(F.expr(_ADJ_PAIRS)).alias("p"))
+        top = (pairs.groupBy(F.col("p.l").alias("ml"),
+                             F.col("p.r").alias("mr"))
+               .agg(F.sum("wf").alias("pair_count"))
+               .orderBy(F.desc("pair_count"), "ml", "mr")
+               .limit(1)
+               .localCheckpoint())
+        tops.append(top.select(F.lit(rank).alias("rank"),
+                               "ml", "mr", "pair_count"))
+        vocab = (vocab.crossJoin(F.broadcast(top.select("ml", "mr")))
+                 .select("wf", F.expr(_MERGE_FOLD).alias("syms"))
+                 .localCheckpoint())
+    return tops
+
+
 def bpe_learn(docs: DataFrame, text_col: str,
               n_merges: int = 8) -> DataFrame:
     """Learn the first n_merges BPE merges over whitespace words.
@@ -80,28 +106,10 @@ def bpe_learn(docs: DataFrame, text_col: str,
     on (left, right) so the result is deterministic and replayable
     by the pytest reference implementation.
     """
-    vocab = (word_frequencies(docs, text_col)
-             .select("wf",
-                     F.expr("transform(sequence(1, length(word)), "
-                            "i -> substring(word, i, 1))").alias("syms"))
-             .localCheckpoint())
-    merges: list[DataFrame] = []
-    for rank in range(1, n_merges + 1):
-        pairs = vocab.select("wf", F.explode(F.expr(_ADJ_PAIRS)).alias("p"))
-        top = (pairs.groupBy(F.col("p.l").alias("ml"),
-                             F.col("p.r").alias("mr"))
-               .agg(F.sum("wf").alias("pair_count"))
-               .orderBy(F.desc("pair_count"), "ml", "mr")
-               .limit(1)
-               .localCheckpoint())
-        merges.append(top.select(
-            F.lit(rank).alias("merge_rank"),
-            F.concat("ml", "mr").alias("pair"),
-            F.col("pair_count")))
-        vocab = (vocab.crossJoin(F.broadcast(top.select("ml", "mr")))
-                 .select("wf", F.expr(_MERGE_FOLD).alias("syms"))
-                 .localCheckpoint())
-    return reduce(DataFrame.unionAll, merges)
+    return (reduce(DataFrame.unionAll, _learn_tops(docs, text_col, n_merges))
+            .select(F.col("rank").alias("merge_rank"),
+                    F.concat("ml", "mr").alias("pair"),
+                    "pair_count"))
 
 
 def bpe_pair_counts(docs: DataFrame, text_col: str,
@@ -119,3 +127,66 @@ def bpe_pair_counts(docs: DataFrame, text_col: str,
             .agg(F.sum("wf").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "pair")
             .limit(top_n))
+
+
+# Apply every learned merge, in rank order, to one word: the outer
+# fold walks the broadcast merges array<struct<l,r>>, the inner fold
+# is the same greedy left-to-right scan as _MERGE_FOLD (distinct
+# lambda variable names — Spark scopes higher-order lambdas
+# lexically, so nesting requires unique names).
+_APPLY_MERGES = """
+aggregate(
+  merges,
+  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+  (cur, m) -> aggregate(
+      cur,
+      struct(CAST(array() AS array<string>) AS out,
+             CAST(NULL AS string) AS prev),
+      (acc2, y) -> CASE
+          WHEN acc2.prev IS NOT NULL AND acc2.prev = m.l AND y = m.r
+            THEN struct(concat(acc2.out, array(concat(m.l, m.r))) AS out,
+                        CAST(NULL AS string) AS prev)
+          ELSE struct(CASE WHEN acc2.prev IS NULL THEN acc2.out
+                           ELSE concat(acc2.out, array(acc2.prev)) END
+                        AS out,
+                      y AS prev) END,
+      acc2 -> CASE WHEN acc2.prev IS NULL THEN acc2.out
+                   ELSE concat(acc2.out, array(acc2.prev)) END))
+"""
+
+
+def bpe_encode(docs: DataFrame, text_col: str,
+               n_merges: int = 8) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges: per document,
+    the whitespace words are each re-segmented by applying the
+    n_merges merges in rank order, and the document's BPE token
+    count, word count and compression ratio are reported.
+
+    Scale design: learning touches only the vocabulary (bpe_learn);
+    encoding is then a SINGLE map-only pass over the corpus — the
+    merge table is ONE broadcast row (array<struct<l,r>> in rank
+    order) and the per-word segmentation is a nested JVM-side fold,
+    so a 100 TB encode has zero shuffles and no Python in the loop.
+    """
+    tops = [t_.select("rank", F.col("ml").alias("l"),
+                      F.col("mr").alias("r"))
+            for t_ in _learn_tops(docs, text_col, n_merges)]
+    mrow = (reduce(DataFrame.unionAll, tops)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("rank", "l", "r"))),
+                lambda s: F.struct(s["l"].alias("l"), s["r"].alias("r")))
+                .alias("merges")))
+    per_word_len = F.expr(
+        f"aggregate(split({text_col}, ' '), CAST(0 AS BIGINT), "
+        f"(acc, w) -> acc + CASE WHEN length(w) = 0 THEN 0 "
+        f"ELSE size({_APPLY_MERGES}) END)")
+    return (docs.crossJoin(F.broadcast(mrow))
+            .select("doc_id",
+                    F.length(text_col).cast("bigint").alias("n_chars"),
+                    F.size(F.split(text_col, " ")).cast("bigint")
+                    .alias("n_words"),
+                    per_word_len.alias("n_bpe_tokens"))
+            .withColumn("compression",
+                        F.round(F.col("n_chars")
+                                / F.col("n_bpe_tokens"), 6)
+                        .cast("double")))

