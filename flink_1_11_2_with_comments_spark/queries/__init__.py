@@ -76,6 +76,13 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode",
 )
 
+# Round-6 rotation queue (registered late in round 5, behind the
+# 50-slot window; every one is already exact-checked locally by
+# tests/test_oracle_parity.py or the pure-Python BPE reference):
+# text_gopher_rules, dedup_semdedup, corpus_bpe_pair_counts,
+# corpus_bpe_merges (rows-only by design), corpus_bpe_encode
+# (rows-only by design), corpus_quality_weighted_sample.
+
 
 def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: add fn(spark, sf_dir) -> DataFrame to the registry."""
