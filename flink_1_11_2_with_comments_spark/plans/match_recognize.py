@@ -42,9 +42,13 @@ Supported subset (raise on anything else, loudly):
   left-to-right, earlier quantifiers' preference outranking later
   steps' (fuzz-pinned against Python's `re`; the reference NFA's
   OPTIONAL state, flink-cep/.../pattern/Quantifier.java). Streaming
-  runs mid-pattern min-0 and reluctant quantifiers too; a min-0
-  FIRST or LAST variable stays batch-only (its zero binding depends
-  on events beyond the watermark). Patterns that can match zero
+  runs min-0 at EVERY position: mid-pattern zero gaps are immutable
+  inside the watermark-complete prefix, a min-0 FIRST variable
+  routes through the anchored per-position scan (leftmost
+  preference survives zero leading bindings), and a min-0 LAST
+  variable rides the same boundary deferral as any greedy trailing
+  quantifier (held until a watermark-final successor fails to
+  extend, or the within timeout). Patterns that can match zero
   rows (all steps optional) raise.
 - alternation `A B | C D`: one branch per arm, SQL preference =
   textual order (ties at the same start row resolve to the earlier
@@ -603,19 +607,6 @@ def match_recognize(spark: SparkSession, sql: str,
     needed = [c for c in src.columns
               if c in {*keys, ts_col, id_col, *cond_cols}]
     src = src.select(*needed)
-    has_min0_edge = any(
-        b and (b[0].min_times == 0
-               or next((s for s in reversed(b) if not s.negated),
-                       b[-1]).min_times == 0)
-        for b in branches)
-    if src.isStreaming and has_min0_edge:
-        raise NotImplementedError(
-            "streaming MATCH_RECOGNIZE does not support a min-0 "
-            "quantifier on the FIRST or LAST pattern variable (zero "
-            "bindings there depend on events beyond the watermark) — "
-            "mid-pattern `*`/`?`, reluctant quantifiers, alternation "
-            "`|`, group quantifiers and SKIP TO FIRST/LAST all run "
-            "streaming")
     if all_rows:
         if src.isStreaming:
             return _all_rows_stream(src, cl, keys, ts_col, id_col,

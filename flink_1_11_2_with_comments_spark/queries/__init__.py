@@ -81,7 +81,8 @@ _PRIORITY: tuple[str, ...] = (
 # tests/test_oracle_parity.py or the pure-Python BPE reference):
 # text_gopher_rules, dedup_semdedup, corpus_bpe_pair_counts,
 # corpus_bpe_merges (rows-only by design), corpus_bpe_encode
-# (rows-only by design), corpus_quality_weighted_sample.
+# (rows-only by design), corpus_quality_weighted_sample,
+# match_recognize_min0_leading, match_recognize_min0_trailing.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

@@ -1317,3 +1317,101 @@ def match_recognize_or_define(spark, sf_dir):
           DEFINE A AS A.event_type = 'view' OR A.event_type = 'signup',
                  B AS B.event_type IN ('click', 'purchase')
         )""")
+
+
+@register(
+    "match_recognize_min0_leading",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type) OVER w AS pt, LAG(event_id) OVER w AS pid
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CASE WHEN pt = 'view' THEN pid END AS view_id,
+           CAST(CASE WHEN pt = 'view' THEN 1 ELSE 0 END AS BIGINT)
+             AS n_views,
+           event_id AS purchase_id
+    FROM s WHERE event_type = 'purchase'
+    """,
+    doc="MATCH_RECOGNIZE min-0 on the FIRST variable — PATTERN (A? B): "
+        "an optional view immediately before each purchase. Under SKIP "
+        "PAST LAST with disjoint DEFINEs a view precedes exactly one "
+        "row, so consumption never steals a later purchase's view and "
+        "the oracle reduces to one LAG. Streams too (anchored "
+        "per-position scan — streaming/cep.py; "
+        "test_match_recognize_min0_edge_streaming); reference: optional "
+        "start states, flink-cep/.../nfa/NFACompiler.java.",
+)
+def match_recognize_min0_leading(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS view_id,
+                   COUNT(A.*) AS n_views,
+                   B.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A? B)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'purchase'
+        )""").select("user_id", "view_id", "n_views", "purchase_id")
+
+
+@register(
+    "match_recognize_min0_trailing",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), clicks AS (
+      SELECT user_id, event_id, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS grp
+      FROM s WHERE event_type = 'click'
+    ), runs AS (
+      SELECT user_id, grp, MIN(rn) AS first_rn, COUNT(*) AS n,
+             MIN(event_id) AS b_first, MAX(event_id) AS b_last
+      FROM clicks GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.event_id AS purchase_id,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_clicks,
+           r.b_first AS click_first_id, r.b_last AS click_last_id
+    FROM s p
+    LEFT JOIN runs r ON r.user_id = p.user_id AND r.first_rn = p.rn + 1
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="MATCH_RECOGNIZE min-0 on the LAST variable — PATTERN (A B*): "
+        "each purchase with its (possibly empty) maximal consecutive "
+        "click run. Streams too: a boundary-ending match is deferred "
+        "until a watermark-final successor fails to extend the greedy "
+        "run — the zero-bound trailing step participates in the "
+        "open-ended check via the branch step list, not just the last "
+        "consumed step (streaming/cep.py; "
+        "test_match_recognize_min0_edge_streaming). Oracle: "
+        "gaps-and-islands click runs keyed to the preceding purchase.",
+)
+def match_recognize_min0_trailing(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir)
+    return env.sql_query("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS purchase_id,
+                   COUNT(B.*) AS n_clicks,
+                   FIRST(B.event_id) AS click_first_id,
+                   LAST(B.event_id) AS click_last_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B*)
+          DEFINE A AS A.event_type = 'purchase',
+                 B AS B.event_type = 'click'
+        )""").select("user_id", "purchase_id", "n_clicks",
+                     "click_first_id", "click_last_id")

@@ -432,7 +432,7 @@ def _find_best_alt(events, alts, ts_col, within_ms, start_idx, pos_of):
                                 anchored=True)
         if found:
             m, end = found[0]
-            return m, end, pos_of[id(m[0][1][0])]
+            return m, end, pos_of[id(m[0][1][0])], steps
     return None
 
 
@@ -465,7 +465,7 @@ def _all_alt_matches(events, alts, ts_col, within_ms, after_match,
         if found is None:
             idx += 1  # anchored: only start==idx was checked
             continue
-        m, end, start = found
+        m, end, start, _steps = found
         out.append(m)
         if after_match == "skip_to_next_row":
             idx = start + 1
@@ -868,11 +868,15 @@ def match_pattern_stream(
     computed at ingestion; when the watermark advances, the NFA runs
     over the watermark-complete prefix. Late events (ts ≤ watermark
     at arrival) are dropped, matching the reference's
-    watermark-ordered NFA. A match whose final step is an unbounded
-    quantifier and ends exactly at the prefix boundary is deferred —
-    a later in-watermark event could extend the greedy run (the
-    reference's NFA equally waits for the first non-matching event or
-    the within timeout).
+    watermark-ordered NFA. A match whose final step is a greedy
+    still-extensible quantifier (unbounded, under max_times, or a
+    min-0 step bound zero) and which ends exactly at the prefix
+    boundary is deferred — a later in-watermark event could extend
+    the greedy run (the reference's NFA equally waits for the first
+    non-matching event or the within timeout). Patterns whose first
+    positive step is min-0 (`A? B`, `A* B`) run through the anchored
+    per-position loop so leftmost preference survives zero leading
+    bindings; min-0 steps therefore stream at EVERY position.
 
     Iterative conditions (``nav_steps``: variables whose DEFINE uses
     PREV/NEXT over the input order): the buffer additionally carries
@@ -892,20 +896,17 @@ def match_pattern_stream(
         if br and br[-1].negated:
             raise ValueError(
                 "notFollowedBy cannot be the last pattern step")
-        if br and (br[0].min_times == 0
-                   or next((s for s in reversed(br) if not s.negated),
-                           br[-1]).min_times == 0):
-            # mid-pattern min-0 is safe under the watermark loop: the
-            # zero-binding sits between two CONSUMED events whose
-            # strict gap is immutable once inside the complete prefix.
-            # A min-0 FIRST step breaks leftmost anchoring (a later
-            # consuming start would be preferred over zero-at-idx) and
-            # a min-0 LAST step makes emitted matches extensible by
-            # future events.
-            raise NotImplementedError(
-                "streaming CEP: a min-0 (optional/`*`) step must not "
-                "be the first or last pattern step — zero bindings "
-                "there depend on events beyond the watermark")
+        # min-0 steps run streaming at EVERY position: mid-pattern
+        # zero-bindings sit between two CONSUMED events whose strict
+        # gap is immutable once inside the complete prefix; a min-0
+        # FIRST step would break leftmost anchoring under the
+        # un-anchored scan (a later consuming start would be
+        # preferred over zero-at-idx), so such patterns are routed
+        # through the anchored per-position loop below; a min-0 LAST
+        # step makes a boundary-ending match extensible by future
+        # events, which the generic open_ended deferral already
+        # holds back until a watermark-final successor fails to
+        # extend it (or the within timeout fires).
         if any(a.negated and b.min_times == 0
                for a, b in zip(br, br[1:])):
             # same boundary _prepare_branches enforces for batch: the
@@ -972,7 +973,16 @@ def match_pattern_stream(
         # branch through the anchored-alternatives path
         alts = [flag_steps]
     else:
-        alts = None
+        first_pos = next((s for s in flag_steps if not s.negated), None)
+        # leading min-0 (`A? B`, `A* B`): the un-anchored scan would
+        # prefer a later CONSUMING start over a zero-repetition at
+        # the current position, inverting SQL's leftmost preference —
+        # anchor at every position instead (the batch loop's model);
+        # the caller-advanced idx keeps leftmost ordering and a
+        # position that fails now is rescanned next trigger because
+        # nothing is evicted until a match emits
+        alts = ([flag_steps] if first_pos is not None
+                and first_pos.min_times == 0 else None)
 
     nav = bool(nav_steps)
     nav_names = {n.upper() for n in (nav_steps or ())}
@@ -1043,19 +1053,32 @@ def match_pattern_stream(
                     idx += 1  # anchored: only start==idx was checked
                     continue
                 found = [best[:2]]
+                bsteps = best[3]
             else:
                 found = _find_q_matches(complete, flag_steps,
                                         ts_col, within_ms, start_idx=idx,
                                         first_only=True)
+                bsteps = flag_steps
             if not found:
                 break
             m, end = found[0]
             last_step, last_reps = m[-1]
+            # extensible at the prefix boundary: the last CONSUMED
+            # step can take more reps, OR a trailing greedy min-0
+            # step bound zero (m omits zero-bound steps, so look past
+            # the last consumed step in the branch's step list — a
+            # future event binding it is preferred by greedy choice)
+            tail_from = next(i for i, s in enumerate(bsteps)
+                             if s is last_step) + 1
             open_ended = (end == n_complete
-                          and not last_step.negated
-                          and last_step.greedy
-                          and (last_step.max_times is None
-                               or len(last_reps) < last_step.max_times))
+                          and ((not last_step.negated
+                                and last_step.greedy
+                                and (last_step.max_times is None
+                                     or (len(last_reps)
+                                         < last_step.max_times)))
+                               or any(s.greedy and s.min_times == 0
+                                      and not s.negated
+                                      for s in bsteps[tail_from:])))
             if open_ended and within_ms is not None and wm > 0:
                 # any future non-late event has ts > wm; once
                 # first_ts + within ≤ wm it cannot satisfy within_ok,

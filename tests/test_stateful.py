@@ -1213,20 +1213,32 @@ def test_pattern_optional_step(spark):
     # bound match inside the watermarked prefix must be there
     assert set(got_s) <= set(got)
     assert (0, 1, 2) in got_s
-    # trailing optional stays batch-only
+    # trailing optional STREAMS too now: a boundary-ending match is
+    # deferred until a watermark-final successor fails to extend it,
+    # so emitted matches equal batch matches inside the prefix
     pat2 = (Pattern.begin("v")
             .where(lambda e: e["event_type"] == "view")
             .next("c").where(lambda e: e["event_type"] == "click")
             .optional())
-    with pytest.raises(NotImplementedError, match="first or last"):
-        pat2.match(stream, ["user_id"], "ts")
+    got2 = sorted((r.v_first_id, r.c_n)
+                  for r in pat2.match(df, ["user_id"], "ts").collect())
+    assert got2 == [(0, 1), (3, 0), (5, 1)]
+    stream2 = replay_as_stream(df, n_batches=2, order_by="ts") \
+        .withWatermark("ts", "1 minute")
+    out2 = write_stream_to_memory(
+        pat2.match(stream2, ["user_id"], "ts"), "opt_trail_out",
+        output_mode="append")
+    got2_s = sorted((r.v_first_id, r.c_n) for r in out2.collect())
+    assert set(got2_s) <= set(got2)
+    assert (0, 1) in got2_s  # consuming-c match emitted in-stream
 
 
 def test_match_recognize_star_streaming(spark, events):
     """Mid-pattern `B*` over a STREAMING input: zero bindings between
     consumed events are immutable inside the watermark prefix, so the
     streaming NFA emits true batch-MR matches — including COUNT(B.*)=0
-    direct conversions. First/last min-0 variables still raise."""
+    direct conversions. (Edge min-0 variables stream too —
+    test_match_recognize_min0_edge_streaming.)"""
     from flink_1_11_2_with_comments_spark.plans.match_recognize import (
         match_recognize)
 
@@ -1258,9 +1270,6 @@ def test_match_recognize_star_streaming(spark, events):
     assert got <= exp, list(got - exp)[:5]
     assert len(got) >= len(exp) * 0.6
     assert any(n == 0 for _u, _v, n, _p in got)  # zero-B matches too
-    bad = sql.replace("PATTERN (A B* C)", "PATTERN (A B C*)")
-    with pytest.raises(NotImplementedError, match="FIRST or LAST"):
-        match_recognize(spark, bad, df=stream)
 
 
 def test_group_reluctant_and_streaming_boundaries():
@@ -1613,3 +1622,68 @@ def test_match_recognize_skip_to_next_row_streaming(spark, events):
     assert len(got) > 0
     assert got <= exp, list(got - exp)[:5]
     assert len(got) >= len(exp) * 0.6
+
+
+def test_match_recognize_min0_edge_streaming(spark, events):
+    """min-0 quantifiers on the FIRST and LAST pattern variables now
+    stream (previously batch-only). Leading `A?` routes through the
+    anchored per-position scan so leftmost preference survives a zero
+    leading binding; trailing `B*` rides the greedy boundary deferral
+    (a match ending at the watermark edge is held until a final
+    successor fails to extend it). Streamed matches must be a subset
+    of the batch matches, cover most of them (tail matches may still
+    be deferred when the stream ends), and include zero-bound-edge
+    matches on both sides."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    events.createOrReplaceTempView("events")
+
+    leading = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(A.*) AS n_views,
+                   B.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A? B)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'purchase'
+        )"""
+    exp = {(r.user_id, r.n_views, r.purchase_id)
+           for r in match_recognize(spark, leading).collect()}
+    stream = replay_as_stream(events, n_batches=6, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.n_views, r.purchase_id)
+           for r in write_stream_to_memory(
+               match_recognize(spark, leading, df=stream),
+               "mr_min0_lead", output_mode="append").collect()}
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.6
+    assert any(n == 0 for _u, n, _p in got)   # zero-A matches stream
+    assert any(n == 1 for _u, n, _p in got)   # consuming-A too
+
+    trailing = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS purchase_id,
+                   COUNT(B.*) AS n_clicks
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B*)
+          DEFINE A AS A.event_type = 'purchase',
+                 B AS B.event_type = 'click'
+        )"""
+    exp = {(r.user_id, r.purchase_id, r.n_clicks)
+           for r in match_recognize(spark, trailing).collect()}
+    stream = replay_as_stream(events, n_batches=6, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {(r.user_id, r.purchase_id, r.n_clicks)
+           for r in write_stream_to_memory(
+               match_recognize(spark, trailing, df=stream),
+               "mr_min0_trail", output_mode="append").collect()}
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.5
+    assert any(n == 0 for _u, _p, n in got)   # zero-B matches stream
