@@ -171,28 +171,32 @@ def semdedup_flags(embeddings: DataFrame, id_col: str, vec_col: str,
     all-pairs join. Pair volume is sum-of-squared-cell-sizes; a
     production run raises n_cells with corpus size (the paper uses
     k = O(sqrt N)) to keep cells bounded, which this plumbing takes
-    as a parameter. Returns every vector with its cell, the best
-    cosine to a lower-id cluster-mate (NULL when it has none), and
-    the drop flag.
+    as a parameter. The lower-id side joins RIGHT OUTER into the
+    full assignment, so vectors with no lower-id cluster-mate keep a
+    NULL best cosine without a third corpus scan — the whole plan is
+    two scans, one cell-keyed shuffle, one aggregate. Returns every
+    vector with its cell, the best cosine to a lower-id cluster-mate
+    (NULL when it has none), and the drop flag.
     """
     cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
     a = _fold_assign(embeddings, cents, id_col, vec_col,
                      carry=(vec_col, "n2"))
     lo = a.select(F.col(id_col).alias("a_id"),
                   F.col(vec_col).alias("a_vec"),
-                  F.col("n2").alias("a_n2"), "cell")
+                  F.col("n2").alias("a_n2"),
+                  F.col("cell").alias("a_cell"))
     hi = a.select(F.col(id_col).alias("b_id"),
                   F.col(vec_col).alias("b_vec"),
                   F.col("n2").alias("b_n2"), "cell")
     cos = F.round(
         dot_product(F.col("a_vec"), F.col("b_vec")).cast("double")
         / (F.sqrt(F.col("a_n2")) * F.sqrt(F.col("b_n2"))), 9)
-    best = (lo.join(hi, "cell")
-            .where(F.col("a_id") < F.col("b_id"))
-            .groupBy("b_id")
+    best = (lo.join(hi, (F.col("a_cell") == F.col("cell"))
+                    & (F.col("a_id") < F.col("b_id")), "right")
+            .groupBy("b_id", "cell")
             .agg(F.max(cos).alias("best_lower_cosine")))
-    return (a.join(best, a[id_col] == best.b_id, "left")
-            .select(id_col, "cell", "best_lower_cosine",
-                    F.coalesce(F.col("best_lower_cosine")
-                               >= F.lit(threshold),
-                               F.lit(False)).alias("is_dup")))
+    return best.select(F.col("b_id").alias(id_col), "cell",
+                       "best_lower_cosine",
+                       F.coalesce(F.col("best_lower_cosine")
+                                  >= F.lit(threshold),
+                                  F.lit(False)).alias("is_dup"))

@@ -425,3 +425,34 @@ def test_heavy_tpcds_shapes_plan_quality(spark, sf_dir):
     body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     assert "BroadcastNestedLoopJoin" not in body, body
     assert "Cartesian" not in body, body
+
+
+def test_new_pipeline_op_plan_shapes(spark, sf_dir):
+    """Scale pins for the round-5 corpus operators: the quality-
+    weighted sample is MAP-ONLY (zero exchanges); BPE pair counting
+    touches the corpus once (word-frequency shuffle) plus one
+    vocabulary-sized pair shuffle; SemDeDup's cluster-local pair join
+    stays an equi-join on the cell id (never a nested-loop/cartesian)
+    and the right-outer formulation needs no third corpus scan —
+    two scans, bounded exchanges."""
+    def physical(name):
+        df = SPECS[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = physical("corpus_quality_weighted_sample")
+    assert "Exchange" not in p, p
+
+    p = physical("corpus_bpe_pair_counts")
+    assert p.count("Exchange") <= 2, p
+
+    p = physical("dedup_semdedup")
+    # the ONLY nested-loop joins are the two 1-row broadcast centroid
+    # folds (the crossJoin(broadcast(1-row-array)) map-only idiom);
+    # the cluster-pair join itself is a hash equi-join on the cell id
+    assert p.count("BroadcastNestedLoopJoin") == 2, p
+    assert "Cartesian" not in p, p
+    assert "RightOuter" in p, p
+    # 2 corpus scans + 2 centroid scans (vec_id < n_cells pushed down)
+    assert p.count("Scan parquet") == 4, p
+    assert p.count("PushedFilters: [IsNotNull(vec_id), "
+                   "LessThan(vec_id,16)]") >= 1, p
