@@ -82,7 +82,8 @@ _PRIORITY: tuple[str, ...] = (
 # text_gopher_rules, dedup_semdedup, corpus_bpe_pair_counts,
 # corpus_bpe_merges (rows-only by design), corpus_bpe_encode
 # (rows-only by design), corpus_quality_weighted_sample,
-# match_recognize_min0_leading, match_recognize_min0_trailing.
+# match_recognize_min0_leading, match_recognize_min0_trailing,
+# embedding_standardize.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

@@ -1911,3 +1911,52 @@ def corpus_bpe_encode(spark, sf_dir):
     from ..pipeline.bpe import bpe_encode
     d = t(spark, sf_dir, "documents")
     return bpe_encode(d, "text", n_merges=8)
+
+
+@register(
+    "embedding_standardize",
+    """
+    WITH z AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), st AS (
+      SELECT pos,
+             CAST(SUM(CAST(x AS DECIMAL(18,10))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,10))) AS DOUBLE)
+               / COUNT(*) AS m2
+      FROM z GROUP BY 1
+    )
+    SELECT z.vec_id, z.pos,
+           CAST(ROUND((z.x - st.mu)
+                      / sqrt(st.m2 - st.mu * st.mu), 6) AS DOUBLE)
+             AS zscore
+    FROM z JOIN st ON z.pos = st.pos
+    """,
+    doc="Per-dimension z-score standardization of the embedding "
+        "corpus — the feature-scaling pass before clustering or "
+        "similarity search. Two-pass: one (pos) aggregate computes "
+        "mean and E[x^2] with exact-decimal accumulation (shuffle "
+        "volume = dims x rows scalars, like the Lloyd step), then "
+        "the dims-row stats table BROADCASTS into a map-only "
+        "normalize over the second corpus scan — the corpus itself "
+        "never shuffles (population sigma = sqrt(E[x^2] - mu^2); "
+        "identical IEEE ops replay in the oracle).",
+)
+def embedding_standardize(spark, sf_dir):
+    from ..pipeline.similarity import DEC
+    e = t(spark, sf_dir, "embeddings")
+    z = e.select("vec_id",
+                 F.posexplode("embedding").alias("pos", "xf")) \
+         .select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    st = (z.groupBy("pos")
+          .agg((F.sum(F.col("x").cast(DEC)).cast("double")
+                / F.count("*")).alias("mu"),
+               (F.sum((F.col("x") * F.col("x")).cast(DEC))
+                .cast("double") / F.count("*")).alias("m2")))
+    sigma = F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))
+    return (z.join(F.broadcast(st), "pos")
+            .select("vec_id", "pos",
+                    F.round((F.col("x") - F.col("mu")) / sigma, 6)
+                    .cast("double").alias("zscore")))
