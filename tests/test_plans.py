@@ -435,6 +435,11 @@ def test_new_pipeline_op_plan_shapes(spark, sf_dir):
     stays an equi-join on the cell id (never a nested-loop/cartesian)
     and the right-outer formulation needs no third corpus scan —
     two scans, bounded exchanges."""
+    # other modules cache the fixture tables; a lingering
+    # InMemoryRelation would silently replace the parquet scans and
+    # hide the pushdown this test pins
+    spark.catalog.clearCache()
+
     def physical(name):
         df = SPECS[name].fn(spark, sf_dir)
         return df._jdf.queryExecution().executedPlan().toString()
