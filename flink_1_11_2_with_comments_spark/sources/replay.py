@@ -99,3 +99,36 @@ def write_stream_to_memory(stream_df: DataFrame, name: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def extend_replay(df: DataFrame, data_dir: str, n_batches: int = 1,
+                  order_by: str | None = None,
+                  start_index: int = 1000) -> None:
+    """Stage additional batch files into an EXISTING replay directory
+    — the restart-recovery scenario: a stopped streaming query is
+    resumed from its checkpoint and must pick up exactly the files
+    added after the stop (the file source's committed offsets live in
+    the checkpoint, the analogue of the reference's
+    CheckpointCoordinator offsets). File names and mtimes sort after
+    every previously staged batch."""
+    from ..catalog import instant_timestamps
+
+    df = instant_timestamps(df)
+    base = tempfile.mkdtemp(prefix="replay_ext_")
+    if order_by is not None:
+        w = Window.orderBy(order_by)
+        tagged = df.withColumn("__b", F.ntile(n_batches).over(w))
+    else:
+        tagged = df.withColumn(
+            "__b",
+            (F.monotonically_increasing_id() % n_batches + 1).cast("int"))
+    now = time.time() + 1
+    for i in range(1, n_batches + 1):
+        part = tagged.where(F.col("__b") == i).drop("__b")
+        tmp = os.path.join(base, f"stage_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(data_dir, f"batch_{start_index + i:04d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(base, ignore_errors=True)

@@ -911,3 +911,102 @@ def test_avro_py_roundtrip_distributed(spark):
     a = sorted(map(tuple, back.collect()))
     b = sorted(map(tuple, ev.collect()))
     assert a == b
+
+
+def test_checkpoint_restart_recovery(spark, orders):
+    """Stop a streaming query mid-input, RESTART it from the same
+    checkpoint, feed the rest: the file sink lands every input row
+    exactly once across the restart (no loss, no duplicates), and a
+    stateful running aggregation resumes from its CHECKPOINTED state
+    (final per-key counts equal the full-batch counts, not just the
+    post-restart half). This is the reference's recovery contract —
+    CheckpointCoordinator.java offsets + state snapshot restore,
+    TwoPhaseCommitSinkFunction.java for the sink side."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from flink_1_11_2_with_comments_spark.sources.replay import (
+        extend_replay, replay_as_stream)
+
+    half1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    half2 = orders.where(F.col("o_orderkey") % 2 != 0)
+
+    # --- sink exactly-once across restart (append -> parquet) ------
+    base = tempfile.mkdtemp(prefix="restart_")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    src_base = tempfile.mkdtemp(prefix="restart_src_")
+    stream = replay_as_stream(half1, n_batches=3,
+                              order_by="o_orderdate",
+                              base_dir=src_base)
+    data_dir = os.path.join(src_base, "data")
+    q = (stream.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == half1.count()
+
+    extend_replay(half2, data_dir, n_batches=3,
+                  order_by="o_orderdate")
+    # restart: same source dir, same checkpoint, same sink
+    stream2 = (spark.readStream.schema(spark.read.parquet(out).schema)
+               .option("maxFilesPerTrigger", 1).parquet(data_dir))
+    q2 = (stream2.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .start())
+    q2.processAllAvailable()
+    q2.stop()
+    # exactly once: nothing lost, nothing duplicated, keys disjoint
+    got = spark.read.parquet(out)
+    assert got.count() == orders.count()
+    assert got.select("o_orderkey").distinct().count() == orders.count()
+
+    # --- stateful agg state survives restart (update mode) ---------
+    base2 = tempfile.mkdtemp(prefix="restart_agg_")
+    epochs = os.path.join(base2, "epochs")
+    ckpt2 = os.path.join(base2, "ckpt")
+    os.makedirs(epochs)
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(
+            os.path.join(epochs, f"e={epoch_id}"))
+
+    def agg_query(src):
+        return (src.groupBy("o_custkey")
+                .agg(F.count("*").alias("n"),
+                     F.sum("o_totalprice").alias("rev"))
+                .writeStream.outputMode("update").foreachBatch(sink)
+                .option("checkpointLocation", ckpt2).start())
+
+    src2 = tempfile.mkdtemp(prefix="restart_src2_")
+    s1 = replay_as_stream(half1, n_batches=3, order_by="o_orderdate",
+                          base_dir=src2)
+    d2 = os.path.join(src2, "data")
+    qa = agg_query(s1)
+    qa.processAllAvailable()
+    qa.stop()
+    extend_replay(half2, d2, n_batches=3, order_by="o_orderdate")
+    s2 = (spark.readStream.schema(half1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(d2))
+    qb = agg_query(s2)
+    qb.processAllAvailable()
+    qb.stop()
+
+    # last update per key must equal the full-batch aggregate: if the
+    # restart had lost state, post-restart counts would cover half2
+    # only and every shared key would come up short
+    upd = (spark.read.option("basePath", epochs).parquet(epochs)
+           .withColumn("e", F.regexp_extract(
+               F.input_file_name(), r"e=(\d+)", 1).cast("long")))
+    last = (upd.withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("o_custkey").orderBy(F.desc("e"))))
+        .where(F.col("rk") == 1).select("o_custkey", "n"))
+    expected = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    diff = last.join(expected, "o_custkey") \
+        .where(last.n != expected.n).count()
+    assert diff == 0
+    assert last.count() == expected.count()
