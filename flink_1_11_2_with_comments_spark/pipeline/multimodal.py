@@ -6,10 +6,14 @@ correct batch shapes and partitioning. The HEADER codec is real too:
 synthesize_png builds spec-correct PNG containers and
 parse_png_header decodes signature/IHDR/width/height/bit-depth from
 the standard byte offsets entirely in whole-stage codegen (it parses
-genuine PNG files). Only the PIXEL decode (zlib IDAT inflate, JPEG
-DCT, audio resample, frame sampling) is STUBBED: those libraries are
-not in this container, so `decode_image` raises NotImplementedError
-unless the deterministic fake decoder is chosen. At 100 TB the
+genuine PNG files). PNG PIXEL decode is real too: png_decode
+inflates the IDAT stream with the stdlib zlib and undoes the full
+RFC-2083 filter set (None/Sub/Up/Average/Paeth), so genuine encoder
+output decodes in this container — see synthesize_png_pixels /
+decode_png_pixels. Only codecs that need external libraries (JPEG
+DCT, audio resample, video frame decode) remain gated:
+`decode_image` raises NotImplementedError unless the deterministic
+fake decoder is chosen. At 100 TB the
 pattern is: binary column stays columnar in parquet, header fields
 extract JVM-side (predicate pushdown on dimensions!), pixel decode
 runs in executor-side Python with Arrow batches, outputs are
@@ -263,3 +267,166 @@ def parse_mp4_boxes(media: DataFrame,
         .alias("box2_type"),
         box2_size.alias("box2_bytes"),
         (box2_size - 8).alias("payload_bytes"))
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode (PNG): stdlib-zlib IDAT inflate + spec unfiltering
+# ---------------------------------------------------------------------------
+
+PIXEL_SCHEMA = ("doc_id bigint, width int, height int, n_pixels bigint, "
+                "mean_r double, mean_g double, mean_b double, "
+                "alpha_opaque boolean, px_md5 string")
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def png_encode(width: int, height: int, rgba: bytes) -> bytes:
+    """Encode RGBA pixels as a fully valid PNG (8-bit, color type 6):
+    real IHDR/IDAT/IEND chunks with CRC32, zlib-compressed scanlines,
+    filter type 0 per row — openable by any image viewer."""
+    import struct
+    import zlib
+    assert len(rgba) == width * height * 4
+    ihdr = struct.pack(">II", width, height) + bytes([8, 6, 0, 0, 0])
+    stride = width * 4
+    raw = b"".join(b"\x00" + rgba[y * stride:(y + 1) * stride]
+                   for y in range(height))
+    return (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int = 4) -> bytes:
+    """Undo PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth) —
+    the full spec set, so the decoder handles genuine PNGs whatever
+    filter heuristic their encoder chose (RFC 2083 §6)."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if ft == 1:                                   # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:                                 # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:                                 # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                                 # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                        else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return bytes(out)
+
+
+def png_decode(data: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG pixel decode with the Python stdlib only: walk the
+    chunk stream, inflate the concatenated IDAT payload with zlib,
+    undo the per-scanline filters. Supports 8-bit RGBA (color type
+    6) — the full filter set, so genuine encoder output decodes."""
+    import struct
+    import zlib
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", body[:8])
+            depth, color = body[8], body[9]
+            if (depth, color) != (8, 6):
+                raise ValueError("decoder supports 8-bit RGBA")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    return width, height, _unfilter(raw, width, height, 4)
+
+
+def deterministic_pixels(doc_id: int, width: int, height: int) -> bytes:
+    """The test-corpus image: a deterministic RGBA gradient derived
+    from the doc id — enough structure that channel means and the
+    pixel checksum catch any decode error."""
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px += bytes(((x * 7 + doc_id) % 256, (y * 13 + doc_id) % 256,
+                         (x * y + 3 * doc_id) % 256, 255))
+    return bytes(px)
+
+
+def synthesize_png_pixels(documents: DataFrame) -> DataFrame:
+    """Fully valid PNGs (real IDAT) per document via Arrow-batched
+    mapInPandas — executor-side encode, fixed-width output schema."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = len(text) % 16 + 1, len(text) % 12 + 1
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "media": png_encode(
+                        w, h, deterministic_pixels(int(doc_id), w, h)),
+                    "media_type": "image/png",
+                    "width": w, "height": h, "n_bytes": 0})
+            out = pd.DataFrame(rows)
+            out["n_bytes"] = out["media"].map(len)
+            yield out
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, MEDIA_SCHEMA)
+
+
+def decode_png_pixels(media: DataFrame,
+                      media_col: str = "media") -> DataFrame:
+    """Pixel statistics over a PNG binary column — REAL decode
+    (stdlib zlib + full unfilter), Arrow-batched mapInPandas, no
+    image library needed. The former stub boundary: JPEG/DCT and
+    video frame decode still require external codecs, but PNG pixels
+    are now decoded for real in this container."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
+                w, h, px = png_decode(bytes(blob))
+                n = w * h
+                rows.append({
+                    "doc_id": int(doc_id), "width": w, "height": h,
+                    "n_pixels": n,
+                    "mean_r": round(sum(px[0::4]) / n, 6),
+                    "mean_g": round(sum(px[1::4]) / n, 6),
+                    "mean_b": round(sum(px[2::4]) / n, 6),
+                    "alpha_opaque": all(a == 255 for a in px[3::4]),
+                    "px_md5": hashlib.md5(px).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", media_col).mapInPandas(
+        run, PIXEL_SCHEMA)

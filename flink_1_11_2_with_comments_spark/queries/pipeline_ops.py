@@ -1960,3 +1960,28 @@ def embedding_standardize(spark, sf_dir):
             .select("vec_id", "pos",
                     F.round((F.col("x") - F.col("mu")) / sigma, 6)
                     .cast("double").alias("zscore")))
+
+
+@register(
+    "multimodal_pixel_decode",
+    None,  # zlib inflate is not SQL-expressible; pixel-exact
+           # round-trip + full-filter-set decode pinned in
+           # tests/test_pipeline.py::test_png_pixel_decode_*
+    doc="REAL PNG pixel decode — the former stub boundary: "
+        "synthesize_png_pixels writes fully valid PNGs (IHDR/IDAT/"
+        "IEND with CRC32, zlib-compressed scanlines) and "
+        "decode_png_pixels inflates with the Python STDLIB zlib and "
+        "undoes the full RFC-2083 filter set (None/Sub/Up/Average/"
+        "Paeth), so genuine encoder output decodes in this container "
+        "— no image library. Both sides are Arrow-batched "
+        "mapInPandas over the binary column: executor-side, "
+        "fixed-width outputs, zero shuffle, no driver movement — the "
+        "100 TB multimodal decode shape (pipeline/multimodal.py "
+        "png_decode). JPEG/DCT and video frame decode remain the "
+        "documented env-gated boundary.",
+)
+def multimodal_pixel_decode(spark, sf_dir):
+    from ..pipeline.multimodal import (decode_png_pixels,
+                                       synthesize_png_pixels)
+    d = t(spark, sf_dir, "documents")
+    return decode_png_pixels(synthesize_png_pixels(d))
