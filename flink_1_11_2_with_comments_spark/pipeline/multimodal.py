@@ -430,3 +430,85 @@ def decode_png_pixels(media: DataFrame,
 
     return media.select("doc_id", media_col).mapInPandas(
         run, PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio sample decode (WAV PCM): numpy frombuffer over the data chunk
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = ("doc_id bigint, sample_rate int, n_samples bigint, "
+                "mean_amp double, rms double, peak int, "
+                "zero_crossings bigint")
+
+
+def synthesize_wav_pcm(documents: DataFrame,
+                       sample_rate: int = 8000) -> DataFrame:
+    """Fully valid mono 16-bit PCM WAVs per document: a deterministic
+    sine tone whose frequency/length derive from the document —
+    openable by the stdlib `wave` module (pinned in tests). Arrow-
+    batched mapInPandas; the real-payload sibling of the codegen
+    synthesize_wav header twin."""
+    import math
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text) % 200 + 50
+                freq = 200 + (int(doc_id) % 40) * 20
+                pcm = b"".join(
+                    struct.pack("<h", int(12000 * math.sin(
+                        2 * math.pi * freq * i / sample_rate)))
+                    for i in range(n))
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm))
+                       + b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 1, 1,
+                                                   sample_rate,
+                                                   sample_rate * 2, 2, 16)
+                       + b"data" + struct.pack("<I", len(pcm)))
+                rows.append({"doc_id": int(doc_id), "media": hdr + pcm,
+                             "media_type": "audio/wav",
+                             "width": 0, "height": 0,
+                             "n_bytes": len(hdr) + len(pcm)})
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, MEDIA_SCHEMA)
+
+
+def decode_wav_samples(media: DataFrame,
+                       media_col: str = "media") -> DataFrame:
+    """REAL PCM sample decode: numpy.frombuffer over the RIFF data
+    chunk — amplitude statistics (mean, RMS, peak) and zero-crossing
+    count, the standard audio-quality screens of a speech-corpus
+    pipeline. Arrow-batched mapInPandas; no audio library —
+    compressed codecs (mp3/opus) and resampling remain the env-gated
+    boundary."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
+                b = bytes(blob)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                rate, = struct.unpack("<I", b[24:28])
+                size, = struct.unpack("<I", b[40:44])
+                x = np.frombuffer(b[44:44 + size], dtype="<i2") \
+                    .astype(np.int64)
+                n = len(x)
+                rows.append({
+                    "doc_id": int(doc_id), "sample_rate": int(rate),
+                    "n_samples": n,
+                    "mean_amp": round(float(np.abs(x).mean()), 6),
+                    "rms": round(float(np.sqrt((x * x).mean())), 6),
+                    "peak": int(np.abs(x).max()),
+                    "zero_crossings": int(
+                        np.count_nonzero(np.diff(np.signbit(x)))),
+                })
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", media_col).mapInPandas(
+        run, AUDIO_SCHEMA)

@@ -83,8 +83,8 @@ _PRIORITY: tuple[str, ...] = (
 # corpus_bpe_merges (rows-only by design), corpus_bpe_encode
 # (rows-only by design), corpus_quality_weighted_sample,
 # match_recognize_min0_leading, match_recognize_min0_trailing,
-# embedding_standardize, multimodal_pixel_decode (rows-only by
-# design).
+# embedding_standardize, multimodal_pixel_decode and
+# multimodal_audio_samples (both rows-only by design).
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

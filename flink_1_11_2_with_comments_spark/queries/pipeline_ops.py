@@ -1985,3 +1985,26 @@ def multimodal_pixel_decode(spark, sf_dir):
                                        synthesize_png_pixels)
     d = t(spark, sf_dir, "documents")
     return decode_png_pixels(synthesize_png_pixels(d))
+
+
+@register(
+    "multimodal_audio_samples",
+    None,  # PCM amplitude stats over a binary payload — not
+           # SQL-expressible; numpy-reference + stdlib-`wave`
+           # round-trip pinned in tests/test_pipeline.py
+    doc="REAL WAV PCM sample decode: synthesize_wav_pcm writes fully "
+        "valid mono 16-bit PCM files (deterministic sine tones — the "
+        "stdlib `wave` module opens them, pinned in tests) and "
+        "decode_wav_samples reads the samples back with "
+        "numpy.frombuffer to compute mean amplitude, RMS, peak and "
+        "zero-crossing count — the standard speech-corpus quality "
+        "screens. Arrow-batched mapInPandas both ways: executor-side, "
+        "fixed-width outputs, zero shuffle (pipeline/multimodal.py). "
+        "Compressed codecs (mp3/opus) and resampling remain the "
+        "env-gated boundary.",
+)
+def multimodal_audio_samples(spark, sf_dir):
+    from ..pipeline.multimodal import (decode_wav_samples,
+                                       synthesize_wav_pcm)
+    d = t(spark, sf_dir, "documents")
+    return decode_wav_samples(synthesize_wav_pcm(d))

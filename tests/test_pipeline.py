@@ -692,3 +692,46 @@ def test_png_pixel_decode_all_filter_types(spark):
     dw, dh, dpx = png_decode(data)
     assert (dw, dh) == (w, h)
     assert dpx == px
+
+
+def test_wav_pcm_decode_matches_numpy_and_wave_module(spark, documents):
+    """REAL audio sample decode: the synthesized PCM WAVs must open
+    in the stdlib `wave` module with the declared params (external
+    validation of container correctness), and decode_wav_samples'
+    amplitude stats must equal a local numpy reference computed from
+    the same deterministic sine construction."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        decode_wav_samples, synthesize_wav_pcm)
+
+    d = documents.where(F.col("doc_id") < 60)
+    blobs = {r.doc_id: bytes(r.media)
+             for r in synthesize_wav_pcm(d).collect()}
+    out = {r.doc_id: r for r in
+           decode_wav_samples(synthesize_wav_pcm(d)).collect()}
+    for row in d.select("doc_id", "text").collect():
+        blob = blobs[row.doc_id]
+        with wave.open(io.BytesIO(blob)) as w:
+            assert (w.getnchannels(), w.getsampwidth(),
+                    w.getframerate()) == (1, 2, 8000)
+            frames = w.readframes(w.getnframes())
+        n = len(row.text) % 200 + 50
+        freq = 200 + (row.doc_id % 40) * 20
+        ref = np.array([int(12000 * math.sin(
+            2 * math.pi * freq * i / 8000)) for i in range(n)],
+            dtype=np.int64)
+        assert frames == b"".join(
+            struct.pack("<h", int(v)) for v in ref)
+        got = out[row.doc_id]
+        assert got.n_samples == n and got.sample_rate == 8000
+        assert got.peak == int(np.abs(ref).max())
+        assert got.mean_amp == round(float(np.abs(ref).mean()), 6)
+        assert got.rms == round(float(np.sqrt((ref * ref).mean())), 6)
+        assert got.zero_crossings == int(
+            np.count_nonzero(np.diff(np.signbit(ref))))
