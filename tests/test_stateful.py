@@ -1687,3 +1687,51 @@ def test_match_recognize_min0_edge_streaming(spark, events):
     assert got <= exp, list(got - exp)[:5]
     assert len(got) >= len(exp) * 0.5
     assert any(n == 0 for _u, _p, n in got)   # zero-B matches stream
+
+
+@pytest.mark.parametrize("pattern,defines", [
+    # greedy star leading: zero-or-more views then a purchase
+    ("A* B", {"A": "view", "B": "purchase"}),
+    # both edges optional around a required core
+    ("A? B A?", {"A": "click", "B": "purchase"}),
+    # reluctant trailing min-0: prefer the bare purchase
+    ("B C??", {"B": "purchase", "C": "click"}),
+])
+def test_min0_edge_streaming_more_shapes(spark, events, pattern,
+                                         defines):
+    """Further min-0 edge coverage on STREAMS: leading `*`, optional
+    on both edges (same variable), and a reluctant trailing `??`.
+    Streamed matches must be a subset of batch matches with majority
+    coverage."""
+    from flink_1_11_2_with_comments_spark.plans.match_recognize import (
+        match_recognize)
+
+    events.createOrReplaceTempView("events")
+    define_sql = ",\n".join(
+        f"{v} AS {v}.event_type = '{t}'" for v, t in defines.items())
+    measure_vars = sorted(defines)
+    measures = ",\n".join(
+        f"COUNT({v}.*) AS n_{v.lower()}" for v in measure_vars)
+    sql = f"""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(B.event_id) AS anchor_id, {measures}
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ({pattern})
+          DEFINE {define_sql}
+        )"""
+    cols = ["user_id", "anchor_id"] + [f"n_{v.lower()}"
+                                       for v in measure_vars]
+    exp = {tuple(getattr(r, c) for c in cols)
+           for r in match_recognize(spark, sql).collect()}
+    stream = replay_as_stream(events, n_batches=5, order_by="ts") \
+        .withWatermark("ts", "30 seconds")
+    got = {tuple(getattr(r, c) for c in cols)
+           for r in write_stream_to_memory(
+               match_recognize(spark, sql, df=stream),
+               f"mr_min0_more_{abs(hash(pattern))}",
+               output_mode="append").collect()}
+    assert got <= exp, list(got - exp)[:5]
+    assert len(got) >= len(exp) * 0.5
