@@ -244,3 +244,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     closed = wedges.join(e3, (wedges.a == e3.a3) & (wedges.c == e3.c3))
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation — Gelly's
+    library algorithm (flink-gelly/.../library/LabelPropagation.java):
+    every node starts with its own id as label; each round it adopts
+    the MOST FREQUENT label among its neighbors, ties broken to the
+    smallest label (deterministic, engine-replayable). Fixed iteration
+    count so the oracle can unroll the identical rounds.
+
+    Per round: one join (edges x labels), one (node, label) count with
+    map-side partial aggregation, one per-node top-1 window — the
+    DataSet.iterate superstep shape, lineage truncated per round
+    (_superstep). Shuffle volume per round is |E| label pairs.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = und.select(F.col("src").alias("node")) \
+        .distinct().withColumn("lbl", F.col("node"))
+    from pyspark.sql import Window as W
+    for _ in range(iterations):
+        freq = (und.join(labels, und.dst == labels.node)
+                .groupBy(F.col("src").alias("n2"), "lbl")
+                .agg(F.count("*").alias("c")))
+        rn = F.row_number().over(
+            W.partitionBy("n2").orderBy(F.desc("c"), "lbl"))
+        labels = _superstep(
+            freq.withColumn("rn", rn).where(F.col("rn") == 1)
+            .select(F.col("n2").alias("node"), "lbl"))
+    return labels

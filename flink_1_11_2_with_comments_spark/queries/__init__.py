@@ -84,7 +84,8 @@ _PRIORITY: tuple[str, ...] = (
 # (rows-only by design), corpus_quality_weighted_sample,
 # match_recognize_min0_leading, match_recognize_min0_trailing,
 # embedding_standardize, multimodal_pixel_decode and
-# multimodal_audio_samples (both rows-only by design).
+# multimodal_audio_samples (both rows-only by design),
+# graph_label_propagation.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

@@ -206,3 +206,45 @@ def graph_sssp(spark, sf_dir):
 def graph_triangle_count(spark, sf_dir):
     from ..operators.graph import triangle_count
     return triangle_count(_edges(spark, sf_dir))
+
+
+def _lp_round(prev: str, cur: str) -> str:
+    return f"""
+    n{cur} AS (
+      SELECT u.src AS node, l.lbl, COUNT(*) AS c
+      FROM und u JOIN l{prev} l ON l.node = u.dst
+      GROUP BY 1, 2
+    ), l{cur} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM n{cur}) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH edges AS ({_EDGE_SQL}),
+    und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    l0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM und
+    ),{_lp_round('0', '1')},{_lp_round('1', '2')},{_lp_round('2', '3')}
+    SELECT node, lbl FROM l3
+    """,
+    doc="Community detection by synchronous label propagation, 3 "
+        "fixed rounds — Gelly's library algorithm "
+        "(flink-gelly/.../library/LabelPropagation.java): each node "
+        "adopts the most frequent neighbor label, ties to the "
+        "smallest (fully deterministic). Per round: one |E|-sized "
+        "join + one map-side-combinable count + one per-node top-1 "
+        "window, lineage truncated per superstep "
+        "(operators/graph.py label_propagation); the oracle unrolls "
+        "the identical three rounds.",
+)
+def graph_label_propagation(spark, sf_dir):
+    from ..operators.graph import label_propagation
+    return label_propagation(_edges(spark, sf_dir), iterations=3)
