@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import t
+from ._util import dsum, sql_dsum, t
 
 _EDGE_SQL = """
       SELECT CAST(n_nationkey + 2000 AS BIGINT) AS src,
@@ -248,3 +248,92 @@ def _lp_round(prev: str, cur: str) -> str:
 def graph_label_propagation(spark, sf_dir):
     from ..operators.graph import label_propagation
     return label_propagation(_edges(spark, sf_dir), iterations=3)
+
+
+@register(
+    "graph_jaccard_index",
+    f"""
+    WITH edges AS ({_EDGE_SQL}),
+    und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1),
+    common AS (
+      SELECT u1.src AS a, u2.src AS b, COUNT(*) AS c
+      FROM und u1 JOIN und u2
+        ON u1.dst = u2.dst AND u1.src < u2.src
+      GROUP BY 1, 2
+    )
+    SELECT c.a, c.b, CAST(c.c AS BIGINT) AS n_common,
+           CAST(ROUND(c.c * 1.0 / (da.d + db.d - c.c), 6) AS DOUBLE)
+             AS jaccard
+    FROM common c JOIN deg da ON da.node = c.a
+                  JOIN deg db ON db.node = c.b
+    """,
+    doc="Neighborhood Jaccard similarity for link prediction — "
+        "Gelly's library JaccardIndex "
+        "(flink-gelly/.../library/similarity/JaccardIndex.java): for "
+        "every vertex pair sharing at least one neighbor, "
+        "|N(a) n N(b)| / |N(a) u N(b)|. One wedge self-join keyed by "
+        "the shared neighbor (never all-pairs: pair volume is "
+        "sum-of-squared-degrees — at scale, degree-cap hub vertices "
+        "exactly as Gelly's implementation groups by source), one "
+        "count, two node-sized degree joins.",
+)
+def graph_jaccard_index(spark, sf_dir):
+    und = _edges(spark, sf_dir)
+    und = und.select("src", "dst").union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("d"))
+    u2 = und.select(F.col("src").alias("b"), F.col("dst").alias("n2"))
+    common = (und.join(u2, (und.dst == u2.n2) & (und.src < u2.b))
+              .groupBy(F.col("src").alias("a"), "b")
+              .agg(F.count("*").alias("c")))
+    da = deg.select(F.col("node").alias("ka"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("kb"), F.col("d").alias("db"))
+    return (common.join(da, common.a == da.ka)
+            .join(db, common.b == db.kb)
+            .select("a", "b", F.col("c").cast("bigint").alias("n_common"),
+                    F.round(F.col("c")
+                            / (F.col("da") + F.col("db") - F.col("c")),
+                            6).cast("double").alias("jaccard")))
+
+
+@register(
+    "graph_adamic_adar",
+    f"""
+    WITH edges AS ({_EDGE_SQL}),
+    und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1)
+    SELECT u1.src AS a, u2.src AS b,
+           {sql_dsum('1.0 / ln(dn.d)', 6)} AS aa_score
+    FROM und u1
+    JOIN und u2 ON u1.dst = u2.dst AND u1.src < u2.src
+    JOIN deg dn ON dn.node = u1.dst
+    WHERE dn.d > 1
+    GROUP BY 1, 2
+    """,
+    doc="Adamic-Adar link-prediction score — Gelly's library "
+        "AdamicAdar (flink-gelly/.../library/similarity/"
+        "AdamicAdar.java): sum over common neighbors n of "
+        "1/ln(deg(n)), weighting rare shared neighbors higher. Same "
+        "wedge join as Jaccard plus one degree join on the CENTER "
+        "vertex; the per-term doubles accumulate in exact decimal "
+        "(queries/_util.py discipline) so both engines sum "
+        "bit-identically in any order. Degree-1 centers are excluded "
+        "(ln 1 = 0 — Gelly filters them the same way).",
+)
+def graph_adamic_adar(spark, sf_dir):
+    und = _edges(spark, sf_dir)
+    und = und.select("src", "dst").union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("d"))
+    u2 = und.select(F.col("src").alias("b"), F.col("dst").alias("n2"))
+    return (und.join(u2, (und.dst == u2.n2) & (und.src < u2.b))
+            .join(deg.where(F.col("d") > 1), und.dst == F.col("node"))
+            .groupBy(F.col("src").alias("a"), "b")
+            .agg(dsum(1.0 / F.log(F.col("d")), 6).alias("aa_score")))
