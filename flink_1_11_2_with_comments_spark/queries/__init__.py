@@ -85,7 +85,8 @@ _PRIORITY: tuple[str, ...] = (
 # match_recognize_min0_leading, match_recognize_min0_trailing,
 # embedding_standardize, multimodal_pixel_decode and
 # multimodal_audio_samples (both rows-only by design),
-# graph_label_propagation, graph_jaccard_index, graph_adamic_adar.
+# graph_label_propagation, graph_jaccard_index, graph_adamic_adar,
+# graph_clustering_coefficient.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):
