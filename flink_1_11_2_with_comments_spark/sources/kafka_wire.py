@@ -161,9 +161,7 @@ def decode_record_batch(buf: memoryview, pos: int):
     # lastOffsetDelta(4) firstTs(8) maxTs(8) producerId(8)
     # producerEpoch(2) baseSequence(4)
     n_records, = struct.unpack_from(">I", buf, body_start + 36)
-    # fixed body prefix: attributes(2) lastOffsetDelta(4) firstTs(8)
-    # maxTs(8) producerId(8) producerEpoch(2) baseSequence(4) count(4)
-    p = body_start + 2 + 4 + 8 + 8 + 8 + 2 + 4 + 4
+    p = body_start + 40  # prefix above + count(4)
     out = []
     for _ in range(n_records):
         _rlen, p = _read_varint(buf, p)
@@ -251,3 +249,41 @@ def kafka_log_read(spark: SparkSession, path: str,
            .binaryFiles(os.path.join(path, f"{topic}-*.log"))
            .flatMap(decode_file))
     return spark.createDataFrame(rdd, LOG_SCHEMA)
+
+
+def kafka_log_read_stream(spark: SparkSession, path: str,
+                          topic: str) -> DataFrame:
+    """STREAMING read of a file-backed topic: Structured Streaming's
+    binaryFile source tails the log directory (offsets checkpointed
+    like any file source — new segments are new micro-batches, the
+    FlinkKafkaConsumer subscription shape), and each segment decodes
+    executor-side in an Arrow-batched mapInPandas."""
+    import pandas as pd
+
+    bin_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    files = (spark.readStream.format("binaryFile")
+             .schema(bin_schema)
+             .option("pathGlobFilter", f"{topic}-*.log")
+             .load(path))
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                part = int(str(fpath).rsplit("-", 1)[1]
+                           .removesuffix(".log"))
+                for off, ts, key, value in decode_log(bytes(raw)):
+                    rows.append({"partition": part, "offset": off,
+                                 "timestamp": ts, "key": key,
+                                 "value": value})
+            yield pd.DataFrame(
+                rows, columns=["partition", "offset", "timestamp",
+                               "key", "value"])
+
+    return files.select("path", "content").mapInPandas(
+        decode, LOG_SCHEMA)

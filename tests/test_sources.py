@@ -1073,3 +1073,37 @@ def test_kafka_log_roundtrip_distributed(spark, orders):
            .agg(F.count("*").alias("n"), F.min("offset").alias("lo"),
                 F.max("offset").alias("hi")).collect())
     assert all(r.lo == 0 and r.hi == r.n - 1 for r in per)
+
+
+def test_kafka_log_stream_read(spark, orders):
+    """Streaming consumption of the file-backed topic: binaryFile
+    stream source + executor-side RecordBatch decode must yield
+    exactly the batch read's records (the subscription shape of the
+    reference's FlinkKafkaConsumer, minus the network)."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        kafka_log_read, kafka_log_read_stream, kafka_log_write)
+
+    src = (orders.limit(200).repartition(3)
+           .select(F.unix_millis(
+               F.col("o_orderdate").cast("timestamp"))
+               .alias("timestamp"),
+               F.encode(F.col("o_orderkey").cast("string"), "utf-8")
+               .alias("key"),
+               F.encode("o_orderstatus", "utf-8").alias("value")))
+    path = tempfile.mkdtemp(prefix="kafka_stream_")
+    kafka_log_write(src, path, "t", batch_size=32)
+
+    stream = kafka_log_read_stream(spark, path, "t")
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory")
+         .queryName("kafka_stream_out").outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM kafka_stream_out")
+    exp = kafka_log_read(spark, path, "t")
+    assert got.count() == 200
+    assert ({(r.partition, r.offset, bytes(r.key)) for r in got.collect()}
+            == {(r.partition, r.offset, bytes(r.key))
+                for r in exp.collect()})
