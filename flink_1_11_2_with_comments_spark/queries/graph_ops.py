@@ -7,7 +7,11 @@ customers/suppliers → nations → regions.
 
 Oracles: connected components via a recursive CTE (min reachable
 label — the declarative fixpoint of the same label propagation);
-PageRank via three unrolled iterations of identical decimal math.
+PageRank and label propagation via unrolled iterations of identical
+math; Jaccard/Adamic-Adar/clustering-coefficient via the same wedge
+joins (Adamic-Adar terms in exact decimal). Clustering coefficient
+runs on the part co-purchase graph, where triangle structure is
+non-vacuous (the star graph is a forest).
 """
 
 from __future__ import annotations
