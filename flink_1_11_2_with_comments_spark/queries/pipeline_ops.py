@@ -2008,3 +2008,42 @@ def multimodal_audio_samples(spark, sf_dir):
                                        synthesize_wav_pcm)
     d = t(spark, sf_dir, "documents")
     return decode_wav_samples(synthesize_wav_pcm(d))
+
+
+@register(
+    "corpus_length_quantiles",
+    """
+    WITH d AS (
+      SELECT lang, len(string_split(text, ' ')) AS nw FROM documents
+    )
+    SELECT lang,
+           CAST(quantile_cont(nw, 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_cont(nw, 0.50) AS DOUBLE) AS q50,
+           CAST(quantile_cont(nw, 0.75) AS DOUBLE) AS q75,
+           COUNT(*) AS n_docs
+    FROM d GROUP BY 1
+    """,
+    doc="Per-language document-length quartiles — the length-"
+        "distribution audit a corpus build runs per source/language "
+        "before choosing filter thresholds. EXACT interpolated "
+        "percentiles: Spark's percentile() and DuckDB's "
+        "quantile_cont share the linear-interpolation definition, so "
+        "values match bit-for-bit (verified; the approx_percentile "
+        "scale swap is the same one events_winsorize_approx "
+        "documents). One scan + one map-side-combinable aggregate "
+        "per language; exact percentile sorts only within each "
+        "language group.",
+)
+def corpus_length_quantiles(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    g = (d.select("lang", nw.alias("nw"))
+         .groupBy("lang")
+         .agg(F.expr("percentile(nw, array(0.25, 0.5, 0.75))")
+              .alias("q"),
+              F.count("*").alias("n_docs")))
+    return g.select("lang",
+                    F.element_at("q", 1).alias("q25"),
+                    F.element_at("q", 2).alias("q50"),
+                    F.element_at("q", 3).alias("q75"),
+                    "n_docs")

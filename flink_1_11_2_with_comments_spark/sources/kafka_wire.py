@@ -104,9 +104,6 @@ def _read_vbytes(buf: memoryview, pos: int) -> tuple[bytes | None, int]:
 # RecordBatch v2
 # ---------------------------------------------------------------------------
 
-_BATCH_OVERHEAD = 61  # spec-fixed header size up to first record
-
-
 def encode_record_batch(base_offset: int,
                         records: list[tuple[int, bytes | None,
                                             bytes | None]]) -> bytes:
