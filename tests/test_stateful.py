@@ -1735,3 +1735,43 @@ def test_min0_edge_streaming_more_shapes(spark, events, pattern,
                output_mode="append").collect()}
     assert got <= exp, list(got - exp)[:5]
     assert len(got) >= len(exp) * 0.5
+
+
+def test_misra_gries_streaming_heavy_hitters(spark, events):
+    """Streaming Misra-Gries summary vs exact batch counts: after the
+    stream drains, for every partition key (1) every item with true
+    frequency > n/k appears in the final summary (the MG no-false-
+    negative guarantee), and (2) every reported count is an
+    UNDER-estimate within n/k of the truth."""
+    from flink_1_11_2_with_comments_spark.streaming.misra_gries import (
+        misra_gries_stream)
+
+    K = 4
+    src = events.select((F.col("user_id") % 3).alias("g"),
+                        "event_type", "ts", "event_id")
+    stream = replay_as_stream(src, n_batches=5, order_by="ts")
+    out = write_stream_to_memory(
+        misra_gries_stream(stream, ["g"], "event_type", k=K),
+        "mg_out", output_mode="update")
+    # latest summary per (g, item)
+    latest = (out.withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("g", "item").orderBy(F.desc("n_processed"))))
+        .where(F.col("rk") == 1))
+    summary = {(r.g, r.item): (r.est_count, r.n_processed)
+               for r in latest.collect()}
+    exact = {(str(r.g), r.event_type): r.n
+             for r in src.groupBy("g", "event_type")
+             .agg(F.count("*").alias("n")).collect()}
+    n_per_g = {}
+    for (g, _it), n in exact.items():
+        n_per_g[g] = n_per_g.get(g, 0) + n
+    assert summary, "no summary emitted"
+    for (g, item), true_n in exact.items():
+        thresh = n_per_g[g] / K
+        if true_n > thresh:
+            assert (g, item) in summary, (g, item, true_n, thresh)
+    for (g, item), (est, _np) in summary.items():
+        true_n = exact.get((g, item), 0)
+        assert est <= true_n, (g, item, est, true_n)
+        assert true_n - est <= n_per_g[g] / K, (g, item, est, true_n)
