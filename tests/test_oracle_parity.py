@@ -70,31 +70,30 @@ def test_oracle_dtypes_never_int_vs_float(spark, sf_dir, con):
     DuckDB's SUM(int)→HUGEINT→float64 silently causes). Benign
     asymmetries (int32 vs int64 widths, datetime ns vs us resolution)
     are allowed — the driver's hash renders those identically.
-    LIMIT-1 per oracle keeps this a schema check, not a data pass."""
+    DESCRIBE per oracle keeps this a pure schema check: declared
+    column types, no data pass — and unlike a LIMIT-1 fetchdf probe
+    it cannot flake when a nullable int column happens to surface a
+    NULL first row (pandas would widen it to float64)."""
     bad = []
     for name in WITH_ORACLE:
         spec = SPECS[name]
-        du = con.execute(
-            f"SELECT * FROM ({spec.oracle}) LIMIT 1").fetchdf()
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM ({spec.oracle})").fetchall()
         sp_types = {f.name: f.dataType.simpleString()
                     for f in spec.fn(spark, sf_dir).schema.fields}
-        for col in du.columns:
-            d = str(du[col].dtype)
+        for col, dtype, *_rest in desc:
+            d = dtype.upper()
             s = sp_types.get(col, "?")
             int_s = s in ("tinyint", "smallint", "int", "bigint")
-            float_d = d.startswith("float")
-            int_d = d.startswith(("int", "uint"))
-            # DuckDB NULL-able int columns surface as float64 in
-            # pandas, but then the Spark side's toPandas does the
-            # same — only flag when the Spark result CAN'T be float:
-            # a non-nullable int column against a float oracle dtype
+            # DECIMAL counts as float-like: fetchdf renders it with a
+            # decimal point, which hash-mismatches an integer column
+            float_d = (d in ("FLOAT", "DOUBLE", "REAL")
+                       or d.startswith("DECIMAL"))
+            int_d = d in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                          "HUGEINT", "UTINYINT", "USMALLINT",
+                          "UINTEGER", "UBIGINT")
             if int_s and float_d:
-                has_null = con.execute(
-                    f"SELECT COUNT(*) FROM (SELECT * FROM "
-                    f"({spec.oracle}) LIMIT 100) WHERE {col} IS NULL"
-                ).fetchone()[0]
-                if has_null == 0:
-                    bad.append((name, col, s, d))
+                bad.append((name, col, s, d))
             if s == "double" and int_d:
                 bad.append((name, col, s, d))
     assert not bad, bad
