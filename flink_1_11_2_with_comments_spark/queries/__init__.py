@@ -86,7 +86,8 @@ _PRIORITY: tuple[str, ...] = (
 # embedding_standardize, multimodal_pixel_decode and
 # multimodal_audio_samples (both rows-only by design),
 # graph_label_propagation, graph_jaccard_index, graph_adamic_adar,
-# graph_clustering_coefficient, corpus_length_quantiles.
+# graph_clustering_coefficient, corpus_length_quantiles,
+# text_langid_confusion.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

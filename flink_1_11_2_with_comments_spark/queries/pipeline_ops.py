@@ -2047,3 +2047,52 @@ def corpus_length_quantiles(spark, sf_dir):
                     F.element_at("q", 2).alias("q50"),
                     F.element_at("q", 3).alias("q75"),
                     "n_docs")
+
+
+@register(
+    "text_langid_confusion",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), t ->
+          list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+        len(list_filter(string_split(text,' '), t ->
+          list_contains(['the','and','of','to','a','in','is'], t))) AS s_en,
+        len(list_filter(string_split(text,' '), t ->
+          list_contains(['el','la','de','que','los','es'], t))) AS s_es,
+        len(list_filter(string_split(text,' '), t ->
+          list_contains(['le','la','les','des','est','une'], t))) AS s_fr
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+           CASE WHEN s_fr >= greatest(s_de, s_en, s_es) AND s_fr > 0 THEN 'fr'
+                WHEN s_es >= greatest(s_de, s_en) AND s_es > 0 THEN 'es'
+                WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n,
+           CAST(ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER
+                      (PARTITION BY lang), 6) AS DOUBLE) AS row_share
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="Language-ID evaluation: confusion matrix of the stopword-"
+        "marker classifier's prediction against the table's TRUE lang "
+        "label, with per-true-language row shares — the "
+        "model-evaluation step a corpus pipeline runs before trusting "
+        "a filter (here it also surfaces the heuristic's honest "
+        "failure modes, e.g. zh has no marker list and resolves to "
+        "'und'/'es' collisions). One scan + one count aggregate + a "
+        "partition-local share window; no shuffle beyond the "
+        "(lang, pred) agg.",
+)
+def text_langid_confusion(spark, sf_dir):
+    from ..pipeline.text import language_id
+    d = t(spark, sf_dir, "documents")
+    pred = d.select("lang", language_id("text").alias("lang_pred"))
+    g = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    share = F.round(F.col("n")
+                    / F.sum("n").over(W.partitionBy("lang")), 6)
+    return g.select("lang", "lang_pred", "n",
+                    share.cast("double").alias("row_share"))
