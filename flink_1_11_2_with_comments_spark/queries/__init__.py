@@ -87,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
 # multimodal_audio_samples (both rows-only by design),
 # graph_label_propagation, graph_jaccard_index, graph_adamic_adar,
 # graph_clustering_coefficient, corpus_length_quantiles,
-# text_langid_confusion.
+# text_langid_confusion, events_rate_anomaly.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

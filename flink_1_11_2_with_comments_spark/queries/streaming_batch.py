@@ -1415,3 +1415,53 @@ def match_recognize_min0_trailing(spark, sf_dir):
                  B AS B.event_type = 'click'
         )""").select("user_id", "purchase_id", "n_clicks",
                      "click_first_id", "click_last_id")
+
+
+@register(
+    "events_rate_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             COUNT(*) AS k,
+             CAST(SUM(CAST(n AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n * n AS DECIMAL(30,10))) AS DOUBLE) AS s2
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.h, CAST(h.n AS BIGINT) AS n,
+           CAST(ROUND((h.n - s.s1 / s.k)
+                      / sqrt(s.s2 / s.k - (s.s1 / s.k) * (s.s1 / s.k)),
+                      6) AS DOUBLE) AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE abs((h.n - s.s1 / s.k)
+              / sqrt(s.s2 / s.k - (s.s1 / s.k) * (s.s1 / s.k))) > 2
+    """,
+    doc="Rate-anomaly detection: per event_type, hourly counts more "
+        "than 2 population-sigmas from that type's own mean — the "
+        "standard monitoring query over an event stream. Two "
+        "aggregates (hourly counts, then per-type moment sums with "
+        "exact-decimal accumulation so mu/sigma replay bit-identically) "
+        "+ one broadcast-sized join back; at 100 TB the hourly rollup "
+        "is the only data-sized shuffle and it combines map-side.",
+)
+def events_rate_anomaly(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").alias("n")))
+    dec = "decimal(30,10)"
+    stats = (hourly.groupBy(F.col("event_type").alias("et"))
+             .agg(F.count("*").alias("k"),
+                  F.sum(F.col("n").cast(dec)).cast("double").alias("s1"),
+                  F.sum((F.col("n") * F.col("n")).cast(dec))
+                  .cast("double").alias("s2")))
+    mu = F.col("s1") / F.col("k")
+    sigma = F.sqrt(F.col("s2") / F.col("k") - mu * mu)
+    z = (F.col("n") - mu) / sigma
+    return (hourly.join(F.broadcast(stats),
+                        hourly.event_type == stats.et)
+            .where(F.abs(z) > 2)
+            .select("event_type", "h", F.col("n").cast("bigint").alias("n"),
+                    F.round(z, 6).cast("double").alias("zscore")))
