@@ -735,3 +735,55 @@ def test_wav_pcm_decode_matches_numpy_and_wave_module(spark, documents):
         assert got.rms == round(float(np.sqrt((ref * ref).mean())), 6)
         assert got.zero_crossings == int(
             np.count_nonzero(np.diff(np.signbit(ref))))
+
+
+def test_bpe_merges_randomized_corpora(spark):
+    """BPE merge learning pinned against the Python reference on
+    three seeded random corpora (different alphabet sizes and word
+    lengths) — guards the tie-break and greedy-fold semantics beyond
+    the fixed test corpus's particular collision pattern."""
+    import random
+    from collections import Counter
+
+    from flink_1_11_2_with_comments_spark.pipeline.bpe import bpe_learn
+
+    def merge_word(s, l, r):
+        out, prev = [], None
+        for x in s:
+            if prev is not None and prev == l and x == r:
+                out.append(l + r)
+                prev = None
+            else:
+                if prev is not None:
+                    out.append(prev)
+                prev = x
+        if prev is not None:
+            out.append(prev)
+        return out
+
+    for seed, alpha, maxlen in [(1, "ab", 6), (2, "abc", 4),
+                                (3, "abcd", 8)]:
+        rng = random.Random(seed)
+        docs = [" ".join("".join(rng.choice(alpha)
+                                 for _ in range(rng.randint(1, maxlen)))
+                         for _ in range(rng.randint(3, 12)))
+                for _ in range(40)]
+        df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                                   "doc_id bigint, text string")
+        vocab = Counter(w for d in docs for w in d.split(" ") if w)
+        syms = {w: list(w) for w in vocab}
+        expected = []
+        for rank in range(1, 6):
+            pc = Counter()
+            for w, s in syms.items():
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += vocab[w]
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            expected.append((rank, l + r, c))
+            syms = {w: merge_word(s, l, r) for w, s in syms.items()}
+        got = [(x.merge_rank, x.pair, x.pair_count)
+               for x in bpe_learn(df, "text", n_merges=len(expected))
+               .orderBy("merge_rank").collect()]
+        assert got == expected, (seed, got[:3], expected[:3])
