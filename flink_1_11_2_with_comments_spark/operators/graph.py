@@ -260,7 +260,8 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     (_superstep). Shuffle volume per round is |E| label pairs.
     """
     und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).distinct()
     labels = und.select(F.col("src").alias("node")) \
         .distinct().withColumn("lbl", F.col("node"))
     from pyspark.sql import Window as W

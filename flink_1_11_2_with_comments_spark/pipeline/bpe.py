@@ -183,8 +183,9 @@ def bpe_encode(docs: DataFrame, text_col: str,
     return (docs.crossJoin(F.broadcast(mrow))
             .select("doc_id",
                     F.length(text_col).cast("bigint").alias("n_chars"),
-                    F.size(F.split(text_col, " ")).cast("bigint")
-                    .alias("n_words"),
+                    F.size(F.filter(F.split(text_col, " "),
+                                    lambda w: F.length(w) > 0))
+                    .cast("bigint").alias("n_words"),
                     per_word_len.alias("n_bpe_tokens"))
             .withColumn("compression",
                         F.round(F.col("n_chars")

@@ -227,6 +227,11 @@ def decode_container(raw: bytes) -> tuple[dict, list[tuple]]:
         n, pos = _read_long(buf, pos)
         if n == 0:
             break
+        if n < 0:
+            # Avro spec: a negative block count is followed by the
+            # block's byte size (fast-skip aid); consume it so
+            # spec-legal files from other writers parse correctly.
+            _, pos = _read_long(buf, pos)
         for _ in range(abs(n)):
             k, pos = _read_bytes(buf, pos)
             v, pos = _read_bytes(buf, pos)

@@ -33,7 +33,13 @@ def misra_gries_stream(df: DataFrame, keys: list[str], item_col: str,
                        k: int = 8) -> DataFrame:
     """Maintain a k-counter Misra-Gries summary per key; emit the
     summary (key, item, est_count, n_processed) each micro-batch in
-    UPDATE mode — downstream reads the latest row per (key, item).
+    UPDATE mode.
+
+    Read pattern: counters evicted by the decrement-all step emit no
+    retraction, so "latest row per (key, item)" can show stale items.
+    Readers must restrict to rows carrying the key's MAX n_processed
+    (the full summary is re-emitted every batch, so that slice is
+    exactly the live counter set).
     """
     import pandas as pd
 
