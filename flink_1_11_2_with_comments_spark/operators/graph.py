@@ -258,6 +258,12 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     map-side partial aggregation, one per-node top-1 window — the
     DataSet.iterate superstep shape, lineage truncated per round
     (_superstep). Shuffle volume per round is |E| label pairs.
+
+    Simple-graph semantics: the undirected edge set is DISTINCT-ed, so
+    parallel edges do not weight a neighbor's label frequency. Gelly
+    sends one message per edge (multigraph multiplicity counts); this
+    matches the repo's SQL oracle instead (UNION dedupes) — alongside
+    the smallest-label tie-break, the documented deviation.
     """
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"),
@@ -275,3 +281,55 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             freq.withColumn("rn", rn).where(F.col("rn") == 1)
             .select(F.col("n2").alias("node"), "lbl"))
     return labels
+
+
+def salted_wedge_pairs(df: DataFrame, center: str, endpoint: str,
+                       cap: int = 2048) -> DataFrame:
+    """Wedge enumeration with hub salting: one row per (unordered
+    endpoint pair, shared center vertex) — columns (a, b, center,
+    center_degree), a < b.
+
+    The naive self-join keyed by the center puts ALL d^2 candidate
+    pairs of a degree-d hub on one task. Gelly caps this with
+    adjacency-group splitting (flink-gelly/.../library/similarity/
+    JaccardIndex.java — its GenerateGroupSpans/setGroupSize machinery);
+    the Spark-first equivalent here is a bucket-pair block join: each
+    (center, endpoint) row hashes into one of nb = ceil(d / cap)
+    buckets, the left side replicates to block keys (i, j>=i) and the
+    right to (i<=j, j), and the join shuffles on (center, i, j) — so a
+    task sees at most ~cap^2 candidates and a hub's pair space spreads
+    over nb(nb+1)/2 tasks. Same total work, no single-task hotspot.
+
+    Pair-once proof: endpoints live in fixed buckets (hash of the
+    value), so an unordered pair {x, y} with buckets bi < bj matches
+    exactly the (bi, bj) block in exactly one orientation; equal
+    buckets match both orientations and the va < vb predicate keeps
+    one. Assumes a simple graph: (center, endpoint) rows are distinct.
+
+    At testdata degrees nb == 1, so the plan degenerates to the plain
+    wedge self-join; the cap path is pinned by tests with tiny caps.
+    """
+    e = df.select(F.col(center).alias("c"), F.col(endpoint).alias("v"))
+    cdeg = e.groupBy("c").agg(F.count("*").alias("cd"))
+    ann = (e.join(cdeg, "c")
+           .withColumn("nb", F.greatest(
+               F.lit(1), F.ceil(F.col("cd") / cap)).cast("int"))
+           .withColumn("bk", F.pmod(F.xxhash64("v"),
+                                    F.col("nb")).cast("int")))
+    left = ann.select(
+        "c", "cd", F.col("v").alias("va"), F.col("bk").alias("i"),
+        F.explode(F.sequence(F.col("bk"), F.col("nb") - 1)).alias("j"))
+    right = ann.select(
+        F.col("c").alias("c2"), F.col("v").alias("vb"),
+        F.explode(F.sequence(F.lit(0), F.col("bk"))).alias("i2"),
+        F.col("bk").alias("j2"))
+    pairs = left.join(
+        right,
+        (left.c == right.c2) & (left.i == right.i2)
+        & (left.j == right.j2)
+        & ((left.i < left.j) | (left.va < right.vb)))
+    return pairs.select(
+        F.least("va", "vb").alias("a"),
+        F.greatest("va", "vb").alias("b"),
+        F.col("c").alias("center"),
+        F.col("cd").alias("center_degree"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import register
+from . import _REGISTRY, register
 from ._util import dsum, sql_dsum, t
 
 _EDGE_SQL = """
@@ -280,19 +280,53 @@ def graph_label_propagation(spark, sf_dir):
         "every vertex pair sharing at least one neighbor, "
         "|N(a) n N(b)| / |N(a) u N(b)|. One wedge self-join keyed by "
         "the shared neighbor (never all-pairs: pair volume is "
-        "sum-of-squared-degrees — at scale, degree-cap hub vertices "
-        "exactly as Gelly's implementation groups by source), one "
-        "count, two node-sized degree joins.",
+        "sum-of-squared-degrees), hub-salted via "
+        "operators/graph.salted_wedge_pairs — the Spark form of "
+        "Gelly's adjacency-group splitting (JaccardIndex.java "
+        "setGroupSize), so one hub cannot put d^2 candidate pairs on "
+        "one task — then one count and two node-sized degree joins.",
 )
 def graph_jaccard_index(spark, sf_dir):
+    from ..operators.graph import salted_wedge_pairs
     und = _edges(spark, sf_dir)
     und = und.select("src", "dst").union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = und.groupBy(F.col("src").alias("node")) \
         .agg(F.count("*").alias("d"))
-    u2 = und.select(F.col("src").alias("b"), F.col("dst").alias("n2"))
-    common = (und.join(u2, (und.dst == u2.n2) & (und.src < u2.b))
-              .groupBy(F.col("src").alias("a"), "b")
+    common = (salted_wedge_pairs(und, center="dst", endpoint="src")
+              .groupBy("a", "b")
+              .agg(F.count("*").alias("c")))
+    da = deg.select(F.col("node").alias("ka"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("kb"), F.col("d").alias("db"))
+    return (common.join(da, common.a == da.ka)
+            .join(db, common.b == db.kb)
+            .select("a", "b", F.col("c").cast("bigint").alias("n_common"),
+                    F.round(F.col("c")
+                            / (F.col("da") + F.col("db") - F.col("c")),
+                            6).cast("double").alias("jaccard")))
+
+
+@register(
+    "graph_jaccard_index_salted",
+    _REGISTRY["graph_jaccard_index"].oracle,
+    doc="graph_jaccard_index with the hub-salting cap forced DOWN to 4 "
+        "so the bucket-pair block join actually engages on testdata "
+        "degrees (the default 2048 cap degenerates to the plain wedge "
+        "join there): proves the salted enumeration is result-identical "
+        "against the same DuckDB oracle while spreading a degree-d "
+        "center over ceil(d/4)^2-ish block tasks. Gelly precedent: "
+        "JaccardIndex.setGroupSize "
+        "(flink-gelly/.../library/similarity/JaccardIndex.java).",
+)
+def graph_jaccard_index_salted(spark, sf_dir):
+    from ..operators.graph import salted_wedge_pairs
+    und = _edges(spark, sf_dir)
+    und = und.select("src", "dst").union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("d"))
+    common = (salted_wedge_pairs(und, center="dst", endpoint="src", cap=4)
+              .groupBy("a", "b")
               .agg(F.count("*").alias("c")))
     da = deg.select(F.col("node").alias("ka"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("kb"), F.col("d").alias("db"))
@@ -324,23 +358,25 @@ def graph_jaccard_index(spark, sf_dir):
         "AdamicAdar (flink-gelly/.../library/similarity/"
         "AdamicAdar.java): sum over common neighbors n of "
         "1/ln(deg(n)), weighting rare shared neighbors higher. Same "
-        "wedge join as Jaccard plus one degree join on the CENTER "
-        "vertex; the per-term doubles accumulate in exact decimal "
-        "(queries/_util.py discipline) so both engines sum "
-        "bit-identically in any order. Degree-1 centers are excluded "
-        "(ln 1 = 0 — Gelly filters them the same way).",
+        "hub-salted wedge enumeration as Jaccard "
+        "(operators/graph.salted_wedge_pairs) — and since the helper "
+        "already annotates the CENTER degree, the old post-wedge "
+        "degree join disappears entirely. The per-term doubles "
+        "accumulate in exact decimal (queries/_util.py discipline) so "
+        "both engines sum bit-identically in any order. Degree-1 "
+        "centers are excluded (ln 1 = 0 — Gelly filters them the "
+        "same way).",
 )
 def graph_adamic_adar(spark, sf_dir):
+    from ..operators.graph import salted_wedge_pairs
     und = _edges(spark, sf_dir)
     und = und.select("src", "dst").union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = und.groupBy(F.col("src").alias("node")) \
-        .agg(F.count("*").alias("d"))
-    u2 = und.select(F.col("src").alias("b"), F.col("dst").alias("n2"))
-    return (und.join(u2, (und.dst == u2.n2) & (und.src < u2.b))
-            .join(deg.where(F.col("d") > 1), und.dst == F.col("node"))
-            .groupBy(F.col("src").alias("a"), "b")
-            .agg(dsum(1.0 / F.log(F.col("d")), 6).alias("aa_score")))
+    return (salted_wedge_pairs(und, center="dst", endpoint="src")
+            .where(F.col("center_degree") > 1)
+            .groupBy("a", "b")
+            .agg(dsum(1.0 / F.log(F.col("center_degree")), 6)
+                 .alias("aa_score")))
 
 
 @register(
@@ -378,12 +414,15 @@ def graph_adamic_adar(spark, sf_dir):
         "the star-schema graph is a forest, so the metric would be "
         "vacuously zero there): per vertex, closed wedges / possible "
         "wedges = 2T(v)/(d(v)(d(v)-1)). Edge build is one "
-        "per-order self-join + DISTINCT; the wedge join is keyed by "
-        "the center vertex — at 100 TB, degree-order the wedge "
-        "enumeration (count from the lower-degree endpoint) exactly "
-        "as the reference's implementation annotates degrees first.",
+        "per-order self-join + DISTINCT; the wedge enumeration is "
+        "keyed by the center vertex and hub-salted "
+        "(operators/graph.salted_wedge_pairs), so a high-degree part "
+        "cannot put its d^2 neighbor pairs on one task — the "
+        "degree-aware enumeration Gelly's implementation gets by "
+        "annotating degrees first.",
 )
 def graph_clustering_coefficient(spark, sf_dir):
+    from ..operators.graph import salted_wedge_pairs
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     b = li.select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").alias("pb"))
@@ -397,12 +436,10 @@ def graph_clustering_coefficient(spark, sf_dir):
                                F.col("a").alias("dst")))
     deg = und.groupBy(F.col("src").alias("node")) \
         .agg(F.count("*").alias("d"))
-    u2 = und.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
+    w = salted_wedge_pairs(und, center="src", endpoint="dst")
     e = pairs.select(F.col("a").alias("ea"), F.col("b").alias("eb"))
-    tri = (und.join(u2, (und.src == u2.s2) & (und.dst < u2.d2))
-           .join(e, (F.col("dst") == F.col("ea"))
-                 & (F.col("d2") == F.col("eb")))
-           .groupBy(F.col("src").alias("tn"))
+    tri = (w.join(e, (w.a == F.col("ea")) & (w.b == F.col("eb")))
+           .groupBy(F.col("center").alias("tn"))
            .agg(F.count("*").alias("t")))
     return (deg.where(F.col("d") > 1)
             .join(tri, deg.node == tri.tn, "left")

@@ -288,3 +288,31 @@ def test_pagerank_plan_depth_constant(spark):
     # a growing lineage would make the 10-iter plan many times the
     # 2-iter one; a truncated one is byte-similar
     assert len(plans[10]) < 2 * len(plans[2])
+
+
+def test_salted_wedge_pairs_cap_invariant(spark):
+    """Hub-salted wedge enumeration (Gelly JaccardIndex group-split
+    analogue) must return the identical (a, b, center, degree) multiset
+    at ANY cap — including caps small enough that a degree-7 hub
+    splits into many buckets — and each unordered pair appears exactly
+    once per shared center (the pair-once proof in the docstring)."""
+    from flink_1_11_2_with_comments_spark.operators.graph import (
+        salted_wedge_pairs)
+    # one degree-7 hub (center 0), one degree-3 center (100), and a
+    # vertex pair sharing BOTH centers (1, 2) to exercise per-center
+    # multiplicity
+    adj = [(0, v) for v in range(1, 8)] + [(100, 1), (100, 2), (100, 3)]
+    df = spark.createDataFrame(adj, "c bigint, v bigint")
+
+    def run(cap):
+        rows = salted_wedge_pairs(
+            df, center="c", endpoint="v", cap=cap).collect()
+        return sorted((r.a, r.b, r.center, r.center_degree) for r in rows)
+
+    expect = sorted(
+        [(a, b, 0, 7) for a in range(1, 8) for b in range(1, 8) if a < b]
+        + [(a, b, 100, 3) for a in (1, 2, 3) for b in (1, 2, 3) if a < b])
+    for cap in (1, 2, 3, 10**9):
+        got = run(cap)
+        assert got == expect, f"cap={cap}"
+        assert all(a < b for a, b, *_ in got)
