@@ -172,13 +172,21 @@ class TableEnvironment:
         Accepts the Flink SQL dialect: TUMBLE/HOP/SESSION group
         windows, their _START/_END auxiliaries, and proc-time
         FOR SYSTEM_TIME AS OF are translated to Spark SQL first
-        (plans/flink_sql.py); MATCH_RECOGNIZE queries are parsed and
-        routed to the CEP engine (plans/match_recognize.py).
+        (plans/flink_sql.py); event-time FOR SYSTEM_TIME AS OF is
+        routed to the as-of join operator (the reference's
+        LogicalCorrelateToJoinFromTemporalTableRule rewrite);
+        MATCH_RECOGNIZE queries are parsed and routed to the CEP
+        engine (plans/match_recognize.py).
         """
-        from .plans.flink_sql import translate_flink_sql
+        from .plans.flink_sql import (event_time_temporal_join,
+                                      translate_flink_sql)
         if "MATCH_RECOGNIZE" in sql.upper():
             from .plans.match_recognize import match_recognize
             return match_recognize(self.spark, sql)
+        if "FOR SYSTEM_TIME AS OF" in sql.upper():
+            routed = event_time_temporal_join(self.spark, sql)
+            if routed is not None:
+                return routed
         return self.spark.sql(translate_flink_sql(sql))
 
     def execute_sql(self, sql: str) -> DataFrame:

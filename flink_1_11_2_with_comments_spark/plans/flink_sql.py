@@ -19,10 +19,16 @@ temporal join, StreamExecLookupJoin.scala:38 — joining against the
 dimension's CURRENT version, which in micro-batch Spark is exactly
 the stream-static join over the table as-read this batch, so the
 clause erases to a plain join). Event-time `FOR SYSTEM_TIME AS OF
-x.<rowtime>` still raises: point-in-time versioned semantics need
-streaming/asof.asof_join (no SQL-only rewrite is correct for it).
-MATCH_RECOGNIZE is parsed by plans/match_recognize.py (routed from
-TableEnvironment.sql_query), not here.
+x.<rowtime>` is routed by event_time_temporal_join below to the
+as-of operator (streaming/asof.asof_join) — the reference rewrites
+this exact syntax to its event-time temporal join
+(flink-table-planner-blink/.../rules/logical/
+LogicalCorrelateToJoinFromTemporalTableRule.scala:1, executed by
+TemporalRowTimeJoinOperator.java:72; TemporalJoinITCase pins the SQL
+form). No SQL-only rewrite is correct for it, so translate_flink_sql
+still raises when handed one directly. MATCH_RECOGNIZE is parsed by
+plans/match_recognize.py (routed from TableEnvironment.sql_query),
+not here.
 """
 
 from __future__ import annotations
@@ -45,6 +51,105 @@ _SYSTEM_TIME_PROC = re.compile(
     r"(?:\w+\.(?:proctime|proc_time)\b|PROCTIME\s*\(\s*\))",
     re.IGNORECASE)
 
+# event-time versioned-table join, the documented subset: one aliased
+# probe table, one versioned table, AND-combined equi ON, optional
+# trailing WHERE
+_SYSTEM_TIME_EVENT = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+"
+    r"FROM\s+(?P<ltab>\w+)\s+(?:AS\s+)?(?P<la>(?!LEFT\b|JOIN\b)\w+)\s+"
+    r"(?P<outer>LEFT\s+)?JOIN\s+(?P<rtab>\w+)\s+"
+    r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<lqa>\w+)\.(?P<lts>\w+)\s+"
+    r"(?:AS\s+)?(?P<ra>\w+)\s+"
+    r"ON\s+(?P<on>.+?)(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def event_time_temporal_join(spark, sql: str):
+    """Route event-time `JOIN v FOR SYSTEM_TIME AS OF probe.rowtime`
+    to streaming/asof.asof_join — the rewrite the reference planner
+    performs (LogicalCorrelateToJoinFromTemporalTableRule.scala:1 →
+    TemporalRowTimeJoinOperator.java:72). Returns None when the
+    statement is not an event-time temporal join (the caller falls
+    through to the plain dialect translation); raises
+    NotImplementedError for shapes outside the documented subset.
+
+    The versioned side's rowtime comes from its DDL watermark
+    (catalog.WATERMARKS) when declared, else its unique timestamp
+    column — mirroring Flink, where the versioned table's event-time
+    attribute is table metadata, never spelled in the join clause.
+    INNER drops probe rows with no preceding version; LEFT keeps them
+    with NULL payloads (both per TemporalJoinITCase).
+    """
+    m = _SYSTEM_TIME_EVENT.match(sql)
+    if m is None:
+        return None
+    if m["lts"].lower() in ("proctime", "proc_time"):
+        return None  # proc-time form: erased to a plain join instead
+    from ..catalog import WATERMARKS
+    from ..streaming.asof import asof_join
+
+    la, ra = m["la"], m["ra"]
+    if m["lqa"] != la:
+        raise NotImplementedError(
+            f"AS OF must reference the probe alias {la!r}, "
+            f"got {m['lqa']!r}")
+    left = spark.table(m["ltab"])
+    right = spark.table(m["rtab"])
+
+    keys = []
+    for cond in re.split(r"\s+AND\s+", m["on"].strip(), flags=re.I):
+        cm = re.fullmatch(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)",
+                          cond.strip())
+        if cm is None:
+            raise NotImplementedError(
+                f"temporal join ON supports AND-ed equi conditions "
+                f"alias.col = alias.col, got {cond!r}")
+        (a1, c1), (a2, c2) = (cm.group(1), cm.group(2)), \
+            (cm.group(3), cm.group(4))
+        if {a1, a2} != {la, ra}:
+            raise NotImplementedError(
+                f"ON condition must relate {la!r} to {ra!r}: {cond!r}")
+        keys.append((c1, c2) if a1 == la else (c2, c1))
+
+    # versioned side's event-time attribute: DDL watermark, else the
+    # single timestamp-typed column
+    right_ts = WATERMARKS.get(m["rtab"], (None, None))[0]
+    if right_ts is None or right_ts not in right.columns:
+        ts_cols = [f.name for f in right.schema.fields
+                   if f.dataType.simpleString().startswith("timestamp")]
+        if len(ts_cols) != 1:
+            raise NotImplementedError(
+                f"versioned table {m['rtab']!r} needs a WATERMARK "
+                f"declaration or exactly one timestamp column, "
+                f"found {ts_cols}")
+        right_ts = ts_cols[0]
+
+    # align right key names to the probe side's
+    for lk, rk in keys:
+        if rk != lk:
+            right = right.withColumnRenamed(rk, lk)
+    on = [lk for lk, _ in keys]
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    clash = [c for c in payload if c in left.columns]
+    if clash:
+        raise NotImplementedError(
+            f"non-key columns shared by both sides: {clash} — alias "
+            f"them apart in views first")
+
+    joined = asof_join(
+        left, right, on=on, left_ts=m["lts"], right_ts=right_ts,
+        right_payload=payload,
+        how="left" if m["outer"] else "inner")
+    strip = re.compile(rf"\b(?:{re.escape(la)}|{re.escape(ra)})\.")
+    view = "__temporal_join_probe_build"
+    joined.createOrReplaceTempView(view)
+    q = f"SELECT {strip.sub('', m['select'])} FROM {view}"
+    if m["where"]:
+        q += f" WHERE {strip.sub('', m['where'])}"
+    out = spark.sql(q)
+    spark.catalog.dropTempView(view)
+    return out
+
 
 def translate_flink_sql(sql: str) -> str:
     """Rewrite Flink group-window SQL into Spark SQL."""
@@ -58,7 +163,9 @@ def translate_flink_sql(sql: str) -> str:
     out = _SYSTEM_TIME_PROC.sub("", sql)
     if "FOR SYSTEM_TIME AS OF" in out.upper():
         raise NotImplementedError(
-            "event-time temporal table syntax: use streaming.asof.asof_join")
+            "event-time temporal table syntax has no SQL-only rewrite:"
+            " go through TableEnvironment.sql_query (which routes it to"
+            " event_time_temporal_join) or streaming.asof.asof_join")
 
     # auxiliaries first (longer tokens): TUMBLE_START(ts, INTERVAL..)
     # etc. *_ROWTIME is the window's event-time attribute = end − 1ms

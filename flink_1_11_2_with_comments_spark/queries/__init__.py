@@ -52,7 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_length_quantiles", "text_langid_confusion",
     "events_rate_anomaly",
     # (b) round-7-new queries
-    "graph_jaccard_index_salted",
+    "graph_jaccard_index_salted", "temporal_join_event_sql",
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

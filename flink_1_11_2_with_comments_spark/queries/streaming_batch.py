@@ -1465,3 +1465,43 @@ def events_rate_anomaly(spark, sf_dir):
             .where(F.abs(z) > 2)
             .select("event_type", "h", F.col("n").cast("bigint").alias("n"),
                     F.round(z, 6).cast("double").alias("zscore")))
+
+
+@register(
+    "temporal_join_event_sql",
+    """
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           c.ts AS click_ts, r.value AS version_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    ASOF JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') r
+      ON c.user_id = r.user_id AND r.ts <= c.ts
+    """,
+    doc="Event-time temporal join spelled in SQL — `JOIN v FOR "
+        "SYSTEM_TIME AS OF probe.rowtime` routed through "
+        "TableEnvironment.sql_query to the as-of operator, the exact "
+        "rewrite the reference planner performs "
+        "(LogicalCorrelateToJoinFromTemporalTableRule.scala:1 → "
+        "TemporalRowTimeJoinOperator.java:72; SQL form pinned by "
+        "TemporalJoinITCase). INNER semantics: clicks with no prior "
+        "purchase version are dropped. Oracle: DuckDB's native ASOF "
+        "JOIN (inner).",
+)
+def temporal_join_event_sql(spark, sf_dir):
+    from ..catalog import TableEnvironment
+    env = TableEnvironment(spark, sf_dir, tables=("events",))
+    e = spark.table("events")
+    (e.where(F.col("event_type") == "click")
+     .select("event_id", "user_id", "ts")
+     ).createOrReplaceTempView("tj_clicks")
+    (e.where(F.col("event_type") == "purchase")
+     .select("user_id", "ts", "value")
+     ).createOrReplaceTempView("tj_rates")
+    return env.sql_query("""
+        SELECT c.event_id AS click_id, c.user_id AS user_id,
+               c.ts AS click_ts, r.value AS version_value
+        FROM tj_clicks c
+        JOIN tj_rates FOR SYSTEM_TIME AS OF c.ts AS r
+        ON c.user_id = r.user_id
+    """)

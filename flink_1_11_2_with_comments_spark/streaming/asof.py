@@ -48,35 +48,37 @@ def asof_join(
         c for c in right.columns if c not in on and c != right_ts]
 
     lcols = [c for c in left.columns]
+    # __is_right doubles as the version-presence marker: its forward
+    # fill is non-null exactly when SOME version precedes the probe
+    # row, so inner semantics stay correct even for all-NULL payloads
     r2 = right.select(
         *on, F.col(right_ts).alias("__ts"), F.lit(1).alias("__is_right"),
         *[F.col(c) for c in right_payload],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in on])
     l2 = left.select(
-        *on, F.col(left_ts).alias("__ts"), F.lit(0).alias("__is_right"),
+        *on, F.col(left_ts).alias("__ts"),
+        F.lit(None).cast("int").alias("__is_right"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c)
           for c in right_payload],
         *[F.col(c) for c in lcols if c not in on])
 
     unioned = r2.unionByName(l2)
     w = (W.partitionBy(*on)
-         .orderBy(F.col("__ts"), F.desc("__is_right"))
+         .orderBy(F.col("__ts"), F.desc_nulls_last("__is_right"))
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     filled = unioned.select(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
-               for c in right_payload])
-    out = (filled.where(F.col("__is_right") == 0)
-           .select(*on, F.col("__ts").alias(left_ts),
-                   *[F.col(c) for c in lcols if c not in on and c != left_ts],
-                   *[F.col(f"__f_{c}").alias(c) for c in right_payload]))
+               for c in right_payload],
+        F.last("__is_right", ignorenulls=True).over(w).alias("__f_ver"))
+    left_rows = filled.where(F.col("__is_right").isNull())
     if how == "inner":
-        cond = None
-        for c in right_payload:
-            nn = F.col(c).isNotNull()
-            cond = nn if cond is None else (cond | nn)
-        out = out.where(cond)
-    return out
+        left_rows = left_rows.where(F.col("__f_ver").isNotNull())
+    return (left_rows
+            .select(*on, F.col("__ts").alias(left_ts),
+                    *[F.col(c) for c in lcols
+                      if c not in on and c != left_ts],
+                    *[F.col(f"__f_{c}").alias(c) for c in right_payload]))
 
 
 def temporal_join_proctime(

@@ -1107,3 +1107,62 @@ def test_kafka_log_stream_read(spark, orders):
     assert ({(r.partition, r.offset, bytes(r.key)) for r in got.collect()}
             == {(r.partition, r.offset, bytes(r.key))
                 for r in exp.collect()})
+
+
+def test_event_time_temporal_join_sql(spark):
+    """Event-time FOR SYSTEM_TIME AS OF routes to the as-of join via
+    TableEnvironment.sql_query (the reference's
+    LogicalCorrelateToJoinFromTemporalTableRule rewrite): newest
+    version with version_ts <= probe rowtime; INNER drops unversioned
+    probes, LEFT keeps them with NULL payload; out-of-subset shapes
+    raise loudly."""
+    import pytest
+    from flink_1_11_2_with_comments_spark.plans.flink_sql import (
+        event_time_temporal_join)
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100),
+         (1, "2024-01-01 12:00:00", 101),
+         (2, "2024-01-01 11:00:00", 200)],
+        "k bigint, rowtime string, oid bigint",
+    ).selectExpr("k", "CAST(rowtime AS TIMESTAMP_NTZ) AS rowtime",
+                 "oid").createOrReplaceTempView("tj_orders")
+    spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0),
+         (1, "2024-01-01 11:00:00", 2.0)],
+        "rk bigint, vts string, rate double",
+    ).selectExpr("rk", "CAST(vts AS TIMESTAMP_NTZ) AS vts",
+                 "rate").createOrReplaceTempView("tj_rates_v")
+
+    inner = event_time_temporal_join(spark, """
+        SELECT o.oid AS oid, r.rate AS rate
+        FROM tj_orders o
+        JOIN tj_rates_v FOR SYSTEM_TIME AS OF o.rowtime AS r
+        ON o.k = r.rk
+    """)
+    assert sorted((r.oid, r.rate) for r in inner.collect()) \
+        == [(100, 1.0), (101, 2.0)]  # k=2 probe dropped (no version)
+
+    left = event_time_temporal_join(spark, """
+        SELECT o.oid AS oid, r.rate AS rate
+        FROM tj_orders o
+        LEFT JOIN tj_rates_v FOR SYSTEM_TIME AS OF o.rowtime AS r
+        ON o.k = r.rk
+        WHERE o.oid > 100
+    """)
+    assert sorted((r.oid, r.rate) for r in left.collect()) \
+        == [(101, 2.0), (200, None)]
+
+    # not an event-time temporal join → None (caller falls through)
+    assert event_time_temporal_join(
+        spark, "SELECT a FROM t1 x JOIN t2 y ON x.a = y.a") is None
+    assert event_time_temporal_join(spark, """
+        SELECT o.oid FROM tj_orders o
+        JOIN d FOR SYSTEM_TIME AS OF o.proctime AS r ON o.k = r.k
+    """) is None
+    # out-of-subset: non-equi ON
+    with pytest.raises(NotImplementedError, match="equi"):
+        event_time_temporal_join(spark, """
+            SELECT o.oid FROM tj_orders o
+            JOIN tj_rates_v FOR SYSTEM_TIME AS OF o.rowtime AS r
+            ON o.k > r.rk
+        """)
