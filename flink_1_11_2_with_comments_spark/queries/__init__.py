@@ -53,6 +53,9 @@ _PRIORITY: tuple[str, ...] = (
     "events_rate_anomaly",
     # (b) round-7-new queries
     "graph_jaccard_index_salted", "temporal_join_event_sql",
+    "tpcds_profit_rollup_report", "tpcds_exists_demographics",
+    "tpcds_exists_activity_profile", "tpcds_cross_channel_shared_items",
+    "tpcds_shared_item_channel_matrix",
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

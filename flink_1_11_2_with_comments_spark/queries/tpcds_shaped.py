@@ -1826,3 +1826,250 @@ def tpcds_unreturned_channel_ratio(spark, sf_dir):
                     F.round(F.col("fin_qty").cast("double")
                             / F.col("open_qty"), 6).cast("double")
                     .alias("ratio")))
+
+
+_AMT = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "tpcds_profit_rollup_report",
+    f"""
+    SELECT c.c_mktsegment AS channel, r.r_name AS region,
+           CAST(GROUPING(c.c_mktsegment) AS INT) AS g_channel,
+           CAST(GROUPING(r.r_name) AS INT) AS g_region,
+           {sql_dsum(f"CASE WHEN l.l_returnflag <> 'R' THEN {_AMT} ELSE 0 END")} AS sales,
+           {sql_dsum(f"CASE WHEN l.l_returnflag = 'R' THEN {_AMT} ELSE 0 END")} AS returned,
+           {sql_dsum(f"CASE WHEN l.l_returnflag = 'R' THEN -({_AMT}) ELSE {_AMT} END")} AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(c.c_mktsegment, r.r_name)
+    """,
+    doc="TPC-DS q5/q77 shape: the multi-channel profit report — "
+        "sales, returns and profit per (channel, region) cell with "
+        "ROLLUP subtotals and a grand total. TPC-DS states it as a "
+        "UNION ALL of per-channel sales+returns scans; here the "
+        "channel is the customer segment and returns are flagged "
+        "rows, so the fact is scanned ONCE with conditional "
+        "aggregates (at 100 TB the union form multiplies fact I/O by "
+        "the channel count), every dimension broadcasts, and "
+        "Catalyst's Expand gives all three grouping levels in one "
+        "shuffle. Profit is its own decimal accumulate (sign-flipped "
+        "terms), never a double subtraction of two rounded sums.",
+)
+def tpcds_profit_rollup_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    wide = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    is_r = F.col("l_returnflag") == "R"
+    return (wide.rollup("c_mktsegment", "r_name")
+            .agg(F.grouping("c_mktsegment").cast("int").alias("g_channel"),
+                 F.grouping("r_name").cast("int").alias("g_region"),
+                 dsum(F.when(~is_r, amt).otherwise(F.lit(0)))
+                 .alias("sales"),
+                 dsum(F.when(is_r, amt).otherwise(F.lit(0)))
+                 .alias("returned"),
+                 dsum(F.when(is_r, -amt).otherwise(amt)).alias("profit"))
+            .select(F.col("c_mktsegment").alias("channel"),
+                    F.col("r_name").alias("region"),
+                    "g_channel", "g_region", "sales", "returned",
+                    "profit"))
+
+
+@register(
+    "tpcds_exists_demographics",
+    f"""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           {sql_davg('c.c_acctbal')} AS avg_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '5-LOW')
+    GROUP BY 1, 2
+    """,
+    doc="TPC-DS q69 shape: the demographic EXISTS / NOT-EXISTS "
+        "chain — profile customers who bought in one channel but "
+        "never in another (urgent-priority orders but no low-priority "
+        "ones), grouped by demographics with count and average "
+        "balance. Spark plan: one LEFT SEMI + one LEFT ANTI join on "
+        "the customer key (Catalyst's exact rewrite of correlated "
+        "EXISTS), the nation dim broadcast; the fact is filtered "
+        "before either join so the semi/anti shuffles carry keys, "
+        "not order payloads.",
+)
+def tpcds_exists_demographics(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    urgent = (o.where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("u_ck")))
+    low = (o.where(F.col("o_orderpriority") == "5-LOW")
+           .select(F.col("o_custkey").alias("l_ck")))
+    return (c.join(urgent, c.c_custkey == F.col("u_ck"), "left_semi")
+            .join(low, c.c_custkey == F.col("l_ck"), "left_anti")
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_customers"),
+                 davg("c_acctbal").alias("avg_bal")))
+
+
+@register(
+    "tpcds_exists_activity_profile",
+    f"""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           {sql_davg('c.c_acctbal')} AS avg_bal,
+           MIN(c.c_acctbal) AS min_bal, MAX(c.c_acctbal) AS max_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(year FROM o.o_orderdate) = 1996)
+      AND (EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'F')
+           OR EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '2-HIGH'))
+    GROUP BY 1, 2
+    """,
+    doc="TPC-DS q35 shape: EXISTS plus an OR of two more EXISTS — "
+        "customers active in the anchor channel (a 1996 order) who "
+        "also appear in EITHER secondary channel, profiled with "
+        "count/avg/min/max demographics. The OR-of-EXISTS is one "
+        "LEFT SEMI join against the UNION of the two secondary key "
+        "sets (a correlated OR would otherwise block the semi-join "
+        "rewrite); the anchor is a second semi join; nation "
+        "broadcasts.",
+)
+def tpcds_exists_activity_profile(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    anchor = (o.where(F.year("o_orderdate") == 1996)
+              .select(F.col("o_custkey").alias("a_ck")))
+    either = (o.where(F.col("o_orderstatus") == "F")
+              .select(F.col("o_custkey").alias("e_ck"))
+              .unionAll(o.where(F.col("o_orderpriority") == "2-HIGH")
+                        .select(F.col("o_custkey").alias("e_ck"))))
+    return (c.join(anchor, c.c_custkey == F.col("a_ck"), "left_semi")
+            .join(either, c.c_custkey == F.col("e_ck"), "left_semi")
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_customers"),
+                 davg("c_acctbal").alias("avg_bal"),
+                 F.min("c_acctbal").alias("min_bal"),
+                 F.max("c_acctbal").alias("max_bal")))
+
+
+@register(
+    "tpcds_cross_channel_shared_items",
+    f"""
+    WITH shared AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY 1 HAVING COUNT(DISTINCT l_returnflag) = 3
+    ), sl AS (
+      SELECT * FROM lineitem
+      WHERE l_partkey IN (SELECT l_partkey FROM shared)
+    ), a AS (
+      SELECT {sql_davg(_AMT)} AS avg_amt FROM sl
+    )
+    SELECT p.p_brand AS brand, COUNT(*) AS n_lines,
+           {sql_dsum('sl.l_extendedprice * (1 - sl.l_discount)')} AS rev
+    FROM sl JOIN part p ON sl.l_partkey = p.p_partkey, a
+    WHERE sl.l_extendedprice * (1 - sl.l_discount) > a.avg_amt
+    GROUP BY 1
+    """,
+    doc="TPC-DS q14 shape: the cross-channel shared-item set feeding "
+        "a second aggregate — items sold through ALL channels "
+        "(every l_returnflag value) form the set; sales of those "
+        "items above the set's average line amount roll up per "
+        "brand. The set membership is one count-distinct aggregate + "
+        "LEFT SEMI join (never materialized to the driver); the "
+        "q14 avg_sales scalar is a 1-row aggregate broadcast via "
+        "crossJoin — at 100 TB the only data-sized exchanges are "
+        "the membership agg and the semi join, and part broadcasts.",
+)
+def tpcds_cross_channel_shared_items(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    shared = (li.groupBy("l_partkey")
+              .agg(F.countDistinct("l_returnflag").alias("nch"))
+              .where(F.col("nch") == 3)
+              .select(F.col("l_partkey").alias("sk")))
+    sl = li.join(shared, li.l_partkey == F.col("sk"), "left_semi")
+    avg_row = sl.agg(davg(amt).alias("avg_amt"))
+    return (sl.crossJoin(F.broadcast(avg_row))
+            .where(amt > F.col("avg_amt"))
+            .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").alias("n_lines"),
+                 dsum(amt).alias("rev")))
+
+
+@register(
+    "tpcds_shared_item_channel_matrix",
+    f"""
+    WITH shared AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY 1 HAVING COUNT(DISTINCT l_returnflag) = 3
+    ), sl AS (
+      SELECT l.* FROM lineitem l
+      WHERE l.l_partkey IN (SELECT l_partkey FROM shared)
+    ), cell AS (
+      SELECT p.p_brand AS brand, sl.l_returnflag AS channel,
+             {sql_dsum(_AMT)} AS rev
+      FROM sl JOIN part p ON sl.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT p.p_brand AS brand, {sql_dsum(_AMT)} AS trev
+      FROM sl JOIN part p ON sl.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT cell.brand AS brand, cell.channel AS channel, cell.rev AS rev,
+           CAST(ROUND(cell.rev / tot.trev, 6) AS DOUBLE) AS share
+    FROM cell JOIN tot ON cell.brand = tot.brand
+    """,
+    doc="TPC-DS q14 second phase: the shared-item set reused across "
+        "per-channel cells — (brand, channel) revenue over the "
+        "shared items with each cell's share of its brand total. "
+        "Both the cell and the total aggregate derive from the same "
+        "semi-joined scan (AQE exchange reuse); the share divides "
+        "two decimal-exact sums (no window over doubles, whose "
+        "addition order differs between engines). Totals join on "
+        "brand — a |brands|-sized exchange.",
+)
+def tpcds_shared_item_channel_matrix(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    shared = (li.groupBy("l_partkey")
+              .agg(F.countDistinct("l_returnflag").alias("nch"))
+              .where(F.col("nch") == 3)
+              .select(F.col("l_partkey").alias("sk")))
+    sl = (li.join(shared, li.l_partkey == F.col("sk"), "left_semi")
+          .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey))
+    cell = (sl.groupBy(F.col("p_brand").alias("brand"),
+                       F.col("l_returnflag").alias("channel"))
+            .agg(dsum(amt).alias("rev")))
+    tot = (sl.groupBy(F.col("p_brand").alias("tbrand"))
+           .agg(dsum(amt).alias("trev")))
+    return (cell.join(tot, cell.brand == F.col("tbrand"))
+            .select("brand", "channel", "rev",
+                    F.round(F.col("rev") / F.col("trev"), 6)
+                    .cast("double").alias("share")))

@@ -461,3 +461,45 @@ def test_new_pipeline_op_plan_shapes(spark, sf_dir):
     assert p.count("Scan parquet") == 4, p
     assert p.count("PushedFilters: [IsNotNull(vec_id), "
                    "LessThan(vec_id,16)]") >= 1, p
+
+
+def test_round7_tpcds_shapes_plan_quality(spark, sf_dir):
+    """The q5/q77 / q35/q69 / q14-style shapes keep their
+    scale-critical plan properties: the profit rollup scans the fact
+    ONCE (no per-channel union re-scan) and grouping levels come from
+    one Expand; the EXISTS chains compile to semi/anti hash joins
+    (never a nested loop); the shared-item set stays a semi join and
+    the q14 avg scalar is a broadcast, not a cartesian product."""
+    import re as _re
+    # q5/q77: one fact scan, Expand-based rollup, all dims broadcast
+    p = plan(spark, "tpcds_profit_rollup_report", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert len(_re.findall(r"lineitem", p)) == 1
+    assert "Expand" in body, body
+    assert body.count("BroadcastHashJoin") >= 3, body
+
+    # q69: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, no nested loop
+    p = plan(spark, "tpcds_exists_demographics", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "Cartesian" not in body, body
+
+    # q35: anchor EXISTS + OR-of-EXISTS = two semi joins, no anti
+    p = plan(spark, "tpcds_exists_activity_profile", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert p.count("LeftSemi") >= 2, p
+    assert "Cartesian" not in body, body
+
+    # q14: membership semi join; the 1-row avg scalar broadcast is
+    # the ONLY nested-loop (a broadcast cross of exactly one row)
+    p = plan(spark, "tpcds_cross_channel_shared_items", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in body, body
+
+    p = plan(spark, "tpcds_shared_item_channel_matrix", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "Cartesian" not in body, body
