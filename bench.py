@@ -40,6 +40,14 @@ HEADLINE = [
     "pipeline_end_to_end",
 ]
 
+# Extra queries measured only by --scale10 (linearity evidence for the
+# round-5 pipeline newcomers; kept out of HEADLINE so the headline
+# total stays comparable round-over-round against BENCH_r01).
+SCALE10_EXTRA = [
+    "corpus_bpe_pair_counts", "dedup_semdedup",
+    "dedup_exact_substring_spans", "embedding_standardize",
+]
+
 
 # 10x replication: per-table key columns to offset per replica so the
 # copies stay join-consistent (copy i's lineitem joins copy i's orders/
@@ -104,7 +112,7 @@ def scale10_main() -> None:
     spark = get_spark("bench-scale10")
     build_scale10(spark, base_dir, out_dir)
     specs = q.all_specs()
-    names = [n for n in HEADLINE if n in specs]
+    names = [n for n in HEADLINE + SCALE10_EXTRA if n in specs]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     specs[names[0]].fn(spark, base_dir).count()  # warm
     base = _time_queries(spark, specs, names, base_dir, runs)

@@ -1166,3 +1166,161 @@ def test_event_time_temporal_join_sql(spark):
             JOIN tj_rates_v FOR SYSTEM_TIME AS OF o.rowtime AS r
             ON o.k > r.rk
         """)
+
+
+def test_kafka_topic_log_end_to_end_restart(spark):
+    """The reference's flagship topology composed from the repo's
+    real pieces: file-backed RecordBatch v2 topic log
+    (sources/kafka_wire.py) -> STREAMING decode -> payload parse ->
+    watermarked tumbling-window aggregate -> checkpointed sink —
+    with a broker-style stop/restart in the middle (new log segments
+    arrive while the query is down). Exactly-once across the
+    restart: final per-window aggregates equal the full-batch
+    ground truth, nothing lost or double-counted
+    (FlinkKafkaConsumer -> window agg -> TwoPhaseCommitSinkFunction;
+    offsets live in the checkpoint like KafkaConsumerBase's state).
+    """
+    import glob as _glob
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        kafka_log_read_stream, kafka_log_write)
+
+    ev = (load_table(spark, SF, "events")
+          .select("event_id", "user_id", "ts", "event_type"))
+
+    # producer side: event-time travels INSIDE the payload as a
+    # string (TZ-independent for naive timestamps); the record
+    # timestamp field is the event id (monotonic, broker-style)
+    def produce(df, topic, log_dir):
+        kafka_log_write(
+            df.select(F.col("event_id").alias("timestamp"),
+                      F.col("user_id").cast("string").cast("binary")
+                      .alias("key"),
+                      F.concat_ws(
+                          ",", "event_id", "event_type",
+                          F.col("ts").cast("string")).cast("binary")
+                      .alias("value")).repartition(2),
+            log_dir, topic)
+
+    log_dir = tempfile.mkdtemp(prefix="kafka_e2e_")
+    # split on TIME, like a real broker: later segments carry later
+    # event times (half2 stays ahead of the checkpointed watermark;
+    # windows spanning the cutoff accumulate across the restart)
+    cutoff = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0].m
+    half1 = ev.where(F.col("ts") < F.lit(cutoff))
+    half2 = ev.where(F.col("ts") >= F.lit(cutoff))
+    assert half1.count() > 0 and half2.count() > 0
+    produce(half1, "t7", log_dir)
+
+    def consume():
+        raw = kafka_log_read_stream(spark, log_dir, "t7")
+        parsed = raw.select(
+            F.split(F.col("value").cast("string"), ",").alias("p")
+        ).select(
+            F.element_at("p", 1).cast("bigint").alias("event_id"),
+            F.element_at("p", 2).alias("event_type"),
+            F.to_timestamp(F.element_at("p", 3)).alias("ts"))
+        return (parsed.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "6 hours").alias("w"),
+                         "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("event_id").alias("id_sum")))
+
+    base = tempfile.mkdtemp(prefix="kafka_e2e_sink_")
+    epochs = os.path.join(base, "epochs")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(epochs)
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(
+            os.path.join(epochs, f"e={epoch_id}"))
+
+    q = (consume().writeStream.outputMode("update")
+         .foreachBatch(sink)
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    q.stop()
+
+    # broker keeps producing while the consumer is down: new segments
+    produce(half2, "t7-seg2", log_dir)
+    assert len(_glob.glob(os.path.join(log_dir, "t7*-*.log"))) == 4
+
+    q2 = (consume().writeStream.outputMode("update")
+          .foreachBatch(sink)
+          .option("checkpointLocation", ckpt).start())
+    q2.processAllAvailable()
+    q2.stop()
+
+    # newest state per (window, type) across update-mode epochs
+    got = {}
+    for edir in sorted(_glob.glob(os.path.join(epochs, "e=*")),
+                       key=lambda d: int(d.rsplit("=", 1)[1])):
+        df = spark.read.parquet(edir)
+        if "w" not in df.columns:  # empty no-data epoch
+            continue
+        for r in df.collect():
+            got[(r.w.start, r.w.end, r.event_type)] = (r.n, r.id_sum)
+
+    truth = {(r.w.start, r.w.end, r.event_type): (r.n, r.id_sum)
+             for r in (ev.groupBy(F.window("ts", "6 hours").alias("w"),
+                                  "event_type")
+                       .agg(F.count("*").alias("n"),
+                            F.sum("event_id").alias("id_sum"))
+                       .collect())}
+    assert got == truth
+
+
+def test_avro_negative_block_count_metadata():
+    """Avro spec: a map/array block may use a NEGATIVE item count
+    followed by the block's byte size (a fast-skip aid some writers
+    emit). Our writer never produces it, so hand-assemble an OCF whose
+    metadata map uses count=-2 + byte size and assert decode_container
+    parses it identically to the positive-count form."""
+    import io
+    import json
+
+    from flink_1_11_2_with_comments_spark.sources.avro_py import (
+        _MAGIC, _write_bytes, _write_long, decode_container,
+        encode_container)
+
+    schema = {"type": "record", "name": "row",
+              "fields": [{"name": "a", "type": "long"}]}
+    sync = bytes(range(16))
+    # reference bytes from our own writer (positive metadata count)
+    rows = [(1,), (2,), (3,)]
+    positive = encode_container(rows, schema, sync)
+
+    # same file, metadata map re-encoded with a negative block count
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    entries = io.BytesIO()
+    _write_bytes(entries, b"avro.schema")
+    _write_bytes(entries, json.dumps(schema).encode())
+    _write_bytes(entries, b"avro.codec")
+    _write_bytes(entries, b"null")
+    payload = entries.getvalue()
+    _write_long(out, -2)            # negative count: 2 entries follow
+    _write_long(out, len(payload))  # ... prefixed by their byte size
+    out.write(payload)
+    _write_long(out, 0)             # map terminator
+    out.write(sync)
+    # reuse the data blocks verbatim from the positive-form file
+    meta_pos, p = {}, 4
+    buf = memoryview(positive)
+    from flink_1_11_2_with_comments_spark.sources.avro_py import \
+        _read_bytes, _read_long
+    while True:
+        n, p = _read_long(buf, p)
+        if n == 0:
+            break
+        for _ in range(n):
+            _, p = _read_bytes(buf, p)
+            _, p = _read_bytes(buf, p)
+    p += 16  # sync
+    out.write(positive[p:])
+
+    got_schema, got_rows = decode_container(out.getvalue())
+    ref_schema, ref_rows = decode_container(positive)
+    assert got_rows == ref_rows == rows
+    assert got_schema == ref_schema
