@@ -1775,3 +1775,44 @@ def test_misra_gries_streaming_heavy_hitters(spark, events):
         true_n = exact.get((g, item), 0)
         assert est <= true_n, (g, item, est, true_n)
         assert true_n - est <= n_per_g[g] / K, (g, item, est, true_n)
+
+
+def test_streaming_running_moments_parity(spark):
+    """Incremental per-dimension moments in keyed state (the streaming
+    variant of embedding_standardize's stats pass) converge to
+    BIT-EQUAL statistics vs the batch DECIMAL(18,10) aggregate, at
+    two different micro-batchings — the GroupAggFunction accumulator
+    contract (per-key ValueState, update stream downstream)."""
+    from flink_1_11_2_with_comments_spark.streaming.moments import (
+        running_moments)
+
+    e = load_table(spark, SF, "embeddings")
+    z = (e.select(F.posexplode("embedding").alias("pos", "xf"))
+         .select("pos", F.col("xf").cast("double").alias("x")))
+
+    DEC = "decimal(18,10)"
+    batch = {r.pos: (r.n, r.mu, r.m2) for r in (
+        z.groupBy("pos")
+        .agg(F.count("*").alias("n"),
+             (F.sum(F.col("x").cast(DEC)).cast("double")
+              / F.count("*")).alias("mu"),
+             (F.sum((F.col("x") * F.col("x")).cast(DEC))
+              .cast("double") / F.count("*")).alias("m2"))
+        .collect())}
+
+    for n_batches, name in ((3, "mom3"), (7, "mom7")):
+        stream = replay_as_stream(z, n_batches=n_batches)
+        got = write_stream_to_memory(
+            running_moments(stream, key="pos", value="x"), name)
+        # update semantics: the row with the highest n per key is the
+        # final statistic
+        final = {}
+        for r in got.collect():
+            if r.pos not in final or r.n > final[r.pos][0]:
+                final[r.pos] = (r.n, r.mu, r.m2, r.sigma)
+        assert set(final) == set(batch)
+        for pos, (n, mu, m2) in batch.items():
+            fn_, fmu, fm2, fsig = final[pos]
+            assert (fn_, fmu, fm2) == (n, mu, m2), pos
+            import math as _m
+            assert fsig == _m.sqrt(fm2 - fmu * fmu)
