@@ -512,3 +512,100 @@ def decode_wav_samples(media: DataFrame,
 
     return media.select("doc_id", media_col).mapInPandas(
         run, AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id bigint, media binary, width int, height int, "
+                 "n_bytes bigint, px_md5 string")
+
+
+def resize_png_nearest(media: DataFrame, out_w: int, out_h: int,
+                       media_col: str = "media") -> DataFrame:
+    """REAL image resize over a PNG binary column: decode (stdlib
+    zlib + full unfilter), NEAREST-NEIGHBOR resample in numpy, and
+    re-encode as a fully valid PNG — the decode→transform→re-encode
+    multimodal pipeline stage, with no image library. Arrow-batched
+    mapInPandas; each row is independent, so the op is map-only and
+    the binary column never shuffles (the 100 TB multimodal shape).
+    Bilinear/DCT-domain resampling stays with the JPEG/video
+    env-gated boundary; nearest-neighbor is exactly representable in
+    integer index math, so the test can pin output pixels
+    source-exactly: out[x, y] = src[x*sw//ow, y*sh//oh]."""
+    import hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
+                sw, sh, px = png_decode(bytes(blob))
+                a = np.frombuffer(px, dtype=np.uint8) \
+                    .reshape(sh, sw, 4)
+                ix = (np.arange(out_w) * sw) // out_w
+                iy = (np.arange(out_h) * sh) // out_h
+                out = a[iy][:, ix]
+                raw = out.tobytes()
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "media": png_encode(out_w, out_h, raw),
+                    "width": out_w, "height": out_h, "n_bytes": 0,
+                    "px_md5": hashlib.md5(raw).hexdigest()})
+            out_pdf = pd.DataFrame(rows)
+            out_pdf["n_bytes"] = out_pdf["media"].map(len)
+            yield out_pdf
+
+    return media.select("doc_id", media_col).mapInPandas(
+        run, RESIZE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = ("doc_id bigint, sample_rate int, n_samples bigint, "
+                   "mean_amp double, rms double, peak int")
+
+
+def resample_pcm_linear(media: DataFrame, target_rate: int,
+                        media_col: str = "media") -> DataFrame:
+    """REAL audio resample over a WAV binary column: decode the PCM
+    data chunk, LINEAR-interpolate to target_rate in numpy, report
+    amplitude statistics of the resampled signal. Output position i
+    samples the source at t = i * src_rate / target_rate; y(t) =
+    x[⌊t⌋] + frac·(x[⌊t⌋+1] − x[⌊t⌋]) — per-sample math a pure-Python
+    reference replays exactly (pinned in tests). Band-limited (sinc /
+    polyphase) resampling needs scipy-class kernels and stays the
+    documented env-gated boundary. Arrow-batched mapInPandas,
+    map-only, zero shuffle."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
+                b = bytes(blob)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                src_rate, = struct.unpack("<I", b[24:28])
+                size, = struct.unpack("<I", b[40:44])
+                x = np.frombuffer(b[44:44 + size], dtype="<i2") \
+                    .astype(np.float64)
+                n = len(x)
+                if n < 2:  # nothing to interpolate between
+                    y, n_out = x, n
+                else:
+                    n_out = (n - 1) * target_rate // src_rate + 1
+                    t = np.arange(n_out) * (src_rate / target_rate)
+                    lo = np.minimum(t.astype(np.int64), n - 2)
+                    frac = t - lo
+                    y = x[lo] + frac * (x[lo + 1] - x[lo])
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "sample_rate": int(target_rate),
+                    "n_samples": int(n_out),
+                    "mean_amp": round(float(np.abs(y).mean()), 6)
+                    if n_out else 0.0,
+                    "rms": round(float(np.sqrt((y * y).mean())), 6)
+                    if n_out else 0.0,
+                    "peak": int(np.abs(y).max()) if n_out else 0})
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", media_col).mapInPandas(
+        run, RESAMPLE_SCHEMA)

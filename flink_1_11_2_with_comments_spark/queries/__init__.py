@@ -56,6 +56,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_profit_rollup_report", "tpcds_exists_demographics",
     "tpcds_exists_activity_profile", "tpcds_cross_channel_shared_items",
     "tpcds_shared_item_channel_matrix",
+    "multimodal_image_resize",  # rows-only by design
+    "multimodal_audio_resample",  # rows-only by design
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

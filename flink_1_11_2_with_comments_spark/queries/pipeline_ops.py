@@ -2096,3 +2096,45 @@ def text_langid_confusion(spark, sf_dir):
                     / F.sum("n").over(W.partitionBy("lang")), 6)
     return g.select("lang", "lang_pred", "n",
                     share.cast("double").alias("row_share"))
+
+
+@register(
+    "multimodal_image_resize",
+    None,  # zlib inflate/deflate is not SQL-expressible; output
+           # pixels are pinned source-exactly in
+           # tests/test_pipeline.py::test_png_resize_nearest_exact
+    doc="REAL image resize: PNG decode (stdlib zlib, full RFC-2083 "
+        "unfilter) -> nearest-neighbor resample in numpy -> re-encode "
+        "as a fully valid PNG, reporting the resized dimensions and "
+        "pixel checksum. decode->transform->re-encode is the "
+        "multimodal pipeline stage between raw crawl bytes and a "
+        "training shard; map-only Arrow-batched mapInPandas, the "
+        "binary column never shuffles (pipeline/multimodal.py "
+        "resize_png_nearest). Bilinear/JPEG-domain resizing stays the "
+        "documented env-gated boundary.",
+)
+def multimodal_image_resize(spark, sf_dir):
+    from ..pipeline.multimodal import (resize_png_nearest,
+                                       synthesize_png_pixels)
+    d = t(spark, sf_dir, "documents")
+    return (resize_png_nearest(synthesize_png_pixels(d), 8, 8)
+            .select("doc_id", "width", "height", "n_bytes", "px_md5"))
+
+
+@register(
+    "multimodal_audio_resample",
+    None,  # per-sample linear interpolation over a binary payload —
+           # pinned against a pure-Python reference in
+           # tests/test_pipeline.py::test_pcm_resample_linear_exact
+    doc="REAL audio resample: WAV PCM decode -> LINEAR interpolation "
+        "to 16 kHz in numpy -> amplitude statistics of the resampled "
+        "signal. The sample-rate normalize every speech corpus needs "
+        "before featurization; map-only Arrow-batched mapInPandas "
+        "(pipeline/multimodal.py resample_pcm_linear). Band-limited "
+        "sinc/polyphase kernels stay the env-gated boundary.",
+)
+def multimodal_audio_resample(spark, sf_dir):
+    from ..pipeline.multimodal import (resample_pcm_linear,
+                                       synthesize_wav_pcm)
+    d = t(spark, sf_dir, "documents")
+    return resample_pcm_linear(synthesize_wav_pcm(d), 16000)

@@ -787,3 +787,72 @@ def test_bpe_merges_randomized_corpora(spark):
                for x in bpe_learn(df, "text", n_merges=len(expected))
                .orderBy("merge_rank").collect()]
         assert got == expected, (seed, got[:3], expected[:3])
+
+
+def test_png_resize_nearest_exact(spark, documents):
+    """Nearest-neighbor resize is exactly representable in integer
+    index math: out[y][x] == src[y*sh//oh][x*sw//ow] for every pixel
+    of every corpus image, and the re-encoded PNG round-trips to the
+    identical resized pixels."""
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        deterministic_pixels, png_decode, resize_png_nearest,
+        synthesize_png_pixels)
+
+    ow, oh = 8, 8
+    d = documents.where(F.col("doc_id") < 60)
+    out = {r.doc_id: r for r in
+           resize_png_nearest(synthesize_png_pixels(d), ow, oh)
+           .collect()}
+    for row in d.select("doc_id", "text").collect():
+        sw, sh = len(row.text) % 16 + 1, len(row.text) % 12 + 1
+        src = deterministic_pixels(row.doc_id, sw, sh)
+        expect = bytearray()
+        for y in range(oh):
+            sy = (y * sh) // oh
+            for x in range(ow):
+                sx = (x * sw) // ow
+                o = (sy * sw + sx) * 4
+                expect += src[o:o + 4]
+        got = out[row.doc_id]
+        assert (got.width, got.height) == (ow, oh)
+        w2, h2, px2 = png_decode(bytes(got.media))
+        assert (w2, h2) == (ow, oh)
+        assert px2 == bytes(expect)
+
+
+def test_pcm_resample_linear_exact(spark, documents):
+    """Linear PCM resampling pinned per-sample against a pure-Python
+    reference: y(i) = x[lo] + frac*(x[lo+1]-x[lo]) at
+    t = i*src/target, for both up- and down-sampling; statistics are
+    the reference's to the rounding digit."""
+    import math
+    import struct
+
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        resample_pcm_linear, synthesize_wav_pcm)
+
+    d = documents.where(F.col("doc_id") < 60)
+    src_rate = 8000
+    for target in (16000, 3000):
+        out = {r.doc_id: r for r in
+               resample_pcm_linear(synthesize_wav_pcm(d), target)
+               .collect()}
+        for row in d.select("doc_id", "text").collect():
+            n = len(row.text) % 200 + 50
+            freq = 200 + (row.doc_id % 40) * 20
+            x = [int(12000 * math.sin(2 * math.pi * freq * i / src_rate))
+                 for i in range(n)]
+            n_out = (n - 1) * target // src_rate + 1
+            y = []
+            for i in range(n_out):
+                t = i * (src_rate / target)
+                lo = min(int(t), n - 2)
+                y.append(x[lo] + (t - lo) * (x[lo + 1] - x[lo]))
+            got = out[row.doc_id]
+            assert got.n_samples == n_out
+            assert got.sample_rate == target
+            assert got.mean_amp == round(
+                sum(abs(v) for v in y) / n_out, 6)
+            assert got.rms == round(
+                math.sqrt(sum(v * v for v in y) / n_out), 6)
+            assert got.peak == int(max(abs(v) for v in y))
