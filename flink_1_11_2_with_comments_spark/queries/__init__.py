@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_shared_item_channel_matrix",
     "multimodal_image_resize",  # rows-only by design
     "multimodal_audio_resample",  # rows-only by design
+    "tpcds_frequent_item_best_customer",
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

@@ -2073,3 +2073,56 @@ def tpcds_shared_item_channel_matrix(spark, sf_dir):
             .select("brand", "channel", "rev",
                     F.round(F.col("rev") / F.col("trev"), 6)
                     .cast("double").alias("share")))
+
+
+@register(
+    "tpcds_frequent_item_best_customer",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey AS ck, {sql_dsum('o_totalprice')} AS sp
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT MAX(sp) AS m FROM spend
+    ), best AS (
+      SELECT ck FROM spend, mx WHERE sp > 0.5 * m
+    ), freq AS (
+      SELECT l_partkey FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) = 1996
+      GROUP BY 1 HAVING COUNT(*) >= 5
+    )
+    SELECT EXTRACT(month FROM o.o_orderdate) AS mo,
+           COUNT(*) AS n_lines, {sql_dsum(_AMT)} AS rev
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+      AND o.o_custkey IN (SELECT ck FROM best)
+    GROUP BY 1
+    """,
+    doc="TPC-DS q23 shape: two independently derived qualifying sets "
+        "— frequent items (sold >= 5 times in the anchor year) and "
+        "best customers (spend above half the maximum customer "
+        "spend) — intersected into the final monthly sales "
+        "aggregate. The max-spend threshold is a 1-row aggregate "
+        "broadcast (q23's 95th-percentile scalar subquery shape — "
+        "never a data-sized window over customers); both sets apply "
+        "as LEFT SEMI joins, so the fact join carries only "
+        "qualifying rows.",
+)
+def tpcds_frequent_item_best_customer(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    spend = (o.groupBy(F.col("o_custkey").alias("ck"))
+             .agg(dsum("o_totalprice").alias("sp")))
+    mx = spend.agg(F.max("sp").alias("m"))
+    best = (spend.crossJoin(F.broadcast(mx))
+            .where(F.col("sp") > 0.5 * F.col("m")).select("ck"))
+    freq = (li.where(F.year("l_shipdate") == 1996)
+            .groupBy("l_partkey").agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 5)
+            .select(F.col("l_partkey").alias("fk")))
+    return (li.join(freq, li.l_partkey == F.col("fk"), "left_semi")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(best, o.o_custkey == F.col("ck"), "left_semi")
+            .groupBy(F.month("o_orderdate").alias("mo"))
+            .agg(F.count("*").alias("n_lines"),
+                 dsum(amt).alias("rev")))

@@ -503,3 +503,10 @@ def test_round7_tpcds_shapes_plan_quality(spark, sf_dir):
     assert "LeftSemi" in p, p
     assert "BroadcastNestedLoopJoin" not in body, body
     assert "Cartesian" not in body, body
+
+    # q23: both qualifying sets apply as semi joins; the max-spend
+    # scalar is the only nested-loop (1-row broadcast)
+    p = plan(spark, "tpcds_frequent_item_best_customer", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert p.count("LeftSemi") >= 2, p
+    assert "CartesianProduct" not in body, body
