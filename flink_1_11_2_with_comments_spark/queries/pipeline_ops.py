@@ -2138,3 +2138,86 @@ def multimodal_audio_resample(spark, sf_dir):
                                        synthesize_wav_pcm)
     d = t(spark, sf_dir, "documents")
     return resample_pcm_linear(synthesize_wav_pcm(d), 16000)
+
+
+@register(
+    "text_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+                '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+                '555-[0-9]{4}')) AS INT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+',
+                                '<EMAIL>', 'g'),
+                 '555-[0-9]{4}', '<PHONE>', 'g')) AS masked_md5
+    FROM aug
+    """,
+    doc="PII scrubbing — the redaction pass every training corpus "
+        "runs before the tokenizer: count and mask email/phone "
+        "patterns (the corpus is synthetic, so deterministic PII is "
+        "INJECTED identically on both engines first, making the "
+        "masking logic itself the thing under test — masked-text md5 "
+        "must agree byte-for-byte). Regexes stay in the common "
+        "Java-regex/RE2 subset so both engines match identically. "
+        "Map-only whole-stage codegen: zero shuffles, linear in "
+        "corpus bytes at 100 TB.",
+)
+def text_pii_scrub(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    email_re = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+    phone_re = "555-[0-9]{4}"
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(email_re)).cast("int")
+        .alias("n_emails"),
+        F.regexp_count(aug, F.lit(phone_re)).cast("int")
+        .alias("n_phones"),
+        F.md5(F.regexp_replace(
+            F.regexp_replace(aug, email_re, "<EMAIL>"),
+            phone_re, "<PHONE>")).alias("masked_md5"))
+
+
+@register(
+    "corpus_lang_cap_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 30
+    """,
+    doc="Per-language capped sampling — the mixture-rebalancing op "
+        "that stops one dominant language/source from swamping a "
+        "training mix: keep a deterministic pseudo-random 30 docs per "
+        "language (order by md5 of the id — engine-replayable, no "
+        "RNG state). One partitioned window; the per-group sort is "
+        "the rank-topN shape Catalyst pushes a per-partition top-K "
+        "limit into. At 100 TB pre-reduce with a per-partition local "
+        "top-K before the per-language sort if a single language "
+        "outgrows an executor (same two-stage rewrite as "
+        "streaming TopN).",
+)
+def corpus_lang_cap_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (d.select("doc_id", "lang", rn.alias("rn"))
+            .where(F.col("rn") <= 30).select("doc_id", "lang"))
