@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_resample",  # rows-only by design
     "tpcds_frequent_item_best_customer",
     "text_pii_scrub", "corpus_lang_cap_sample",
+    "agg_listagg", "embedding_quantize_int8",
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

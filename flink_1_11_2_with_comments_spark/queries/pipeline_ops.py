@@ -2221,3 +2221,41 @@ def corpus_lang_cap_sample(spark, sf_dir):
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
     return (d.select("doc_id", "lang", rn.alias("rn"))
             .where(F.col("rn") <= 30).select("doc_id", "lang"))
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH z AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), sc AS (
+      SELECT pos, MAX(ABS(x)) AS mx FROM z GROUP BY 1
+    )
+    SELECT z.vec_id, z.pos,
+           CAST(CASE WHEN sc.mx = 0 THEN 0
+                ELSE ROUND(z.x / sc.mx * 127) END AS INT) AS q,
+           sc.mx AS scale
+    FROM z JOIN sc ON z.pos = sc.pos
+    """,
+    doc="Symmetric int8 embedding quantization — the compression "
+        "step before an ANN index ships to serving (per-dimension "
+        "scale = max |x|, q = round(x/scale*127)). One per-dimension "
+        "MAX aggregate (dims-row output) BROADCASTS into a map-only "
+        "quantize over the second corpus scan — the corpus never "
+        "shuffles, the same two-pass shape as embedding_standardize. "
+        "MAX is exact (no accumulation), so both engines quantize "
+        "bit-identically.",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    z = (e.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+         .select("vec_id", "pos", F.col("xf").cast("double").alias("x")))
+    sc = z.groupBy("pos").agg(F.max(F.abs("x")).alias("mx"))
+    return (z.join(F.broadcast(sc), "pos")
+            .select("vec_id", "pos",
+                    F.when(F.col("mx") == 0, F.lit(0))
+                    .otherwise(F.round(F.col("x") / F.col("mx") * 127))
+                    .cast("int").alias("q"),
+                    F.col("mx").alias("scale")))
