@@ -60,7 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_resample",  # rows-only by design
     "tpcds_frequent_item_best_customer",
     "text_pii_scrub", "corpus_lang_cap_sample",
-    "agg_listagg", "embedding_quantize_int8",
+    "embedding_quantize_int8",
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline
@@ -76,6 +76,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: add fn(spark, sf_dir) -> DataFrame to the registry."""
 
     def wrap(fn):
+        if name in _REGISTRY:  # a silent overwrite once shadowed a
+            raise ValueError(  # driver-green query — fail loudly
+                f"duplicate registry query name: {name}")
         _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
         return fn
 

@@ -874,30 +874,3 @@ def join_salted_skew(spark, sf_dir):
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("n"),
                  dsum("o_totalprice").alias("total_price")))
-
-
-@register(
-    "agg_listagg",
-    """
-    SELECT n_regionkey,
-           string_agg(n_name, ',' ORDER BY n_name) AS names,
-           COUNT(*) AS n
-    FROM nation GROUP BY 1
-    """,
-    doc="LISTAGG string aggregation — FlinkSqlOperatorTable LISTAGG "
-        "(the SQL:2016 string_agg; Flink's ListAggFunction in "
-        "flink-table-planner-blink aggfunctions). Spark has no "
-        "ordered string_agg, so the deterministic equivalent is "
-        "collect_list -> array_sort -> concat_ws — order-independent "
-        "across any shuffle/partitioning, which is exactly why the "
-        "reference's LISTAGG specifies WITHIN-GROUP ordering. "
-        "collect_list is bounded by the group's value count — fine "
-        "for dimension-sized groups; cap or sketch for fact-sized "
-        "ones.",
-)
-def agg_listagg(spark, sf_dir):
-    n = t(spark, sf_dir, "nation")
-    return (n.groupBy("n_regionkey")
-            .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
-                 .alias("names"),
-                 F.count("*").alias("n")))
