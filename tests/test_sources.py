@@ -1262,9 +1262,16 @@ def test_kafka_topic_log_end_to_end_restart(spark):
         for r in df.collect():
             got[(r.w.start, r.w.end, r.event_type)] = (r.n, r.id_sum)
 
+    # truth goes through the IDENTICAL wall->instant conversion the
+    # consumer performs (to_timestamp of the payload string), so the
+    # window boundaries agree whatever the session/host timezone —
+    # windowing an instant buckets on the epoch, not the wall clock
     truth = {(r.w.start, r.w.end, r.event_type): (r.n, r.id_sum)
-             for r in (ev.groupBy(F.window("ts", "6 hours").alias("w"),
-                                  "event_type")
+             for r in (ev.withColumn(
+                           "ts",
+                           F.to_timestamp(F.col("ts").cast("string")))
+                       .groupBy(F.window("ts", "6 hours").alias("w"),
+                                "event_type")
                        .agg(F.count("*").alias("n"),
                             F.sum("event_id").alias("id_sum"))
                        .collect())}
