@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_frequent_item_best_customer",
     "text_pii_scrub", "corpus_lang_cap_sample",
     "embedding_quantize_int8",
+    "tpcds_monthly_shipmode_matrix", "tpcds_disjunctive_membership",
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

@@ -2126,3 +2126,98 @@ def tpcds_frequent_item_best_customer(spark, sf_dir):
             .groupBy(F.month("o_orderdate").alias("mo"))
             .agg(F.count("*").alias("n_lines"),
                  dsum(amt).alias("rev")))
+
+
+@register(
+    "tpcds_monthly_shipmode_matrix",
+    f"""
+    SELECT p.p_brand AS brand,
+           {sql_dsum("CASE WHEN EXTRACT(month FROM l.l_shipdate) = 1"
+                     " AND l.l_linestatus = 'F'"
+                     f" THEN {_AMT} ELSE 0 END")} AS jan_fin,
+           {sql_dsum("CASE WHEN EXTRACT(month FROM l.l_shipdate) = 1"
+                     " AND l.l_linestatus = 'O'"
+                     f" THEN {_AMT} ELSE 0 END")} AS jan_open,
+           {sql_dsum("CASE WHEN EXTRACT(month FROM l.l_shipdate) = 2"
+                     " AND l.l_linestatus = 'F'"
+                     f" THEN {_AMT} ELSE 0 END")} AS feb_fin,
+           {sql_dsum("CASE WHEN EXTRACT(month FROM l.l_shipdate) = 2"
+                     " AND l.l_linestatus = 'O'"
+                     f" THEN {_AMT} ELSE 0 END")} AS feb_open,
+           {sql_dsum("CASE WHEN EXTRACT(month FROM l.l_shipdate) = 3"
+                     " AND l.l_linestatus = 'F'"
+                     f" THEN {_AMT} ELSE 0 END")} AS mar_fin,
+           {sql_dsum("CASE WHEN EXTRACT(month FROM l.l_shipdate) = 3"
+                     " AND l.l_linestatus = 'O'"
+                     f" THEN {_AMT} ELSE 0 END")} AS mar_open
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE EXTRACT(year FROM l.l_shipdate) = 1996
+      AND EXTRACT(month FROM l.l_shipdate) <= 3
+    GROUP BY 1
+    """,
+    doc="TPC-DS q66 shape: the (period x ship-mode) matrix report — "
+        "per brand, revenue cells for each (month, line status) "
+        "combination, all from ONE fact scan with conditional "
+        "aggregates (TPC-DS states q66 as two UNIONed scans, one per "
+        "ship-mode family; the single-scan pivot halves fact I/O at "
+        "100 TB for the identical cells). The year+month predicate "
+        "pushes into the parquet scan; part broadcasts.",
+)
+def tpcds_monthly_shipmode_matrix(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mo = F.month("l_shipdate")
+    fin = F.col("l_linestatus") == "F"
+
+    def cell(m, f):
+        cond = (mo == m) & (fin if f else ~fin)
+        return dsum(F.when(cond, amt).otherwise(F.lit(0)))
+
+    return (li.where((F.year("l_shipdate") == 1996) & (mo <= 3))
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(cell(1, True).alias("jan_fin"),
+                 cell(1, False).alias("jan_open"),
+                 cell(2, True).alias("feb_fin"),
+                 cell(2, False).alias("feb_open"),
+                 cell(3, True).alias("mar_fin"),
+                 cell(3, False).alias("mar_open")))
+
+
+@register(
+    "tpcds_disjunctive_membership",
+    f"""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+       OR c.c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_orderpriority = '1-URGENT'
+                            AND o_totalprice > 250000)
+    GROUP BY 1
+    """,
+    doc="TPC-DS q45 shape: a DISJUNCTION of a cheap attribute "
+        "predicate and a subquery membership test (zip-list OR "
+        "item-subquery in q45). An OR across a semi join blocks the "
+        "semi-join rewrite, so the plan is the UNION of the two "
+        "qualifying sets de-duplicated on the key — attribute arm as "
+        "a plain filter, membership arm as a LEFT SEMI join — then "
+        "one distinct-on-key pass; each arm stays pushdown-friendly "
+        "instead of devolving to a per-row correlated probe.",
+)
+def tpcds_disjunctive_membership(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    urgent = (o.where((F.col("o_orderpriority") == "1-URGENT")
+                      & (F.col("o_totalprice") > 250000))
+              .select(F.col("o_custkey").alias("uk")))
+    arm_attr = c.where(F.col("c_mktsegment")
+                       .isin("BUILDING", "MACHINERY"))
+    arm_member = c.join(urgent, c.c_custkey == F.col("uk"), "left_semi")
+    qual = arm_attr.unionAll(arm_member).dropDuplicates(["c_custkey"])
+    return (qual.join(F.broadcast(n), qual.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_customers"),
+                 dsum("c_acctbal").alias("total_bal")))
