@@ -33,9 +33,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # 218 of the 236 pre-round-7 registry queries (0 red ever). This list
 # front-loads (a) the 18 round-5-late queries that never had a driver
 # row (exact-checked locally by tests/test_oracle_parity.py or a
-# pure-Python pinned reference), then (b) round-7-new queries as they
-# land, then (c) family canaries green in earlier rounds. Union r1-r7
-# then covers every registry query.
+# pure-Python pinned reference), then (b) the 15 round-7-new queries,
+# then (c) family canaries green in earlier rounds. With all of (a)
+# and (b) inside the 50-slot window, union r1-r7 covers the ENTIRE
+# 251-query registry. Round-8 rotation: front-load any round-8-new
+# queries plus whichever round-7 rows came back non-green (expect
+# none), then rotate canaries across families.
 _PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked round-5-late queries
     "text_gopher_rules", "dedup_semdedup",
