@@ -316,3 +316,36 @@ def test_salted_wedge_pairs_cap_invariant(spark):
         got = run(cap)
         assert got == expect, f"cap={cap}"
         assert all(a < b for a, b, *_ in got)
+
+
+def test_salted_wedge_block_coverage_property():
+    """Property (pure block math, no Spark per example): for ANY
+    bucket count nb and ANY bucket assignment, the bucket-pair block
+    scheme of operators/graph.salted_wedge_pairs — left row (bucket
+    bk) replicates to keys (bk, j>=bk), right row (bucket bk2) to
+    keys (i<=bk2, bk2), pair kept when keys match and (i < j or
+    va < vb) — covers every unordered pair of distinct values
+    EXACTLY once. This is the docstring's pair-once proof, fuzzed."""
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.integers(1, 6),
+           st.lists(st.integers(0, 10**6), min_size=2, max_size=24,
+                    unique=True))
+    @settings(max_examples=300, deadline=None)
+    def check(nb, values):
+        bucket = {v: hash(v) % nb for v in values}
+        left = [(v, bucket[v], j) for v in values
+                for j in range(bucket[v], nb)]
+        right = [(v, i, bucket[v]) for v in values
+                 for i in range(0, bucket[v] + 1)]
+        seen = {}
+        for va, li_, lj in left:
+            for vb, ri, rj in right:
+                if (li_, lj) == (ri, rj) and (li_ < lj or va < vb):
+                    k = (min(va, vb), max(va, vb))
+                    seen[k] = seen.get(k, 0) + 1
+        expect = {(min(a, b), max(a, b)): 1
+                  for a in values for b in values if a < b}
+        assert seen == expect, (nb, values)
+
+    check()

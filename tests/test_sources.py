@@ -1331,3 +1331,28 @@ def test_avro_negative_block_count_metadata():
     ref_schema, ref_rows = decode_container(positive)
     assert got_rows == ref_rows == rows
     assert got_schema == ref_schema
+
+
+def test_avro_varint_roundtrip_property():
+    """Property: zigzag-varint encode/decode round-trips every int64
+    (Avro spec 'long' wire type) — fuzzed across the full range plus
+    boundary values."""
+    import io
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_1_11_2_with_comments_spark.sources.avro_py import (
+        _read_long, _write_long)
+
+    @given(st.one_of(
+        st.integers(-2**63, 2**63 - 1),
+        st.sampled_from([0, -1, 1, 2**62, -2**62, 2**63 - 1, -2**63])))
+    @settings(max_examples=500, deadline=None)
+    def check(n):
+        out = io.BytesIO()
+        _write_long(out, n)
+        got, pos = _read_long(memoryview(out.getvalue()), 0)
+        assert got == n
+        assert pos == len(out.getvalue())
+
+    check()
