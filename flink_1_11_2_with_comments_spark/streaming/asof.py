@@ -70,10 +70,12 @@ def asof_join(
     filled = unioned.select(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
                for c in right_payload],
-        F.last("__is_right", ignorenulls=True).over(w).alias("__f_ver"))
+        F.last("__is_right", ignorenulls=True).over(w)
+        .alias("__asof_has_version"))
     left_rows = filled.where(F.col("__is_right").isNull())
     if how == "inner":
-        left_rows = left_rows.where(F.col("__f_ver").isNotNull())
+        left_rows = left_rows.where(
+            F.col("__asof_has_version").isNotNull())
     return (left_rows
             .select(*on, F.col("__ts").alias(left_ts),
                     *[F.col(c) for c in lcols
