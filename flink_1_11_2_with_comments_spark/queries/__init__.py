@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_pii_scrub", "corpus_lang_cap_sample",
     "embedding_quantize_int8",
     "tpcds_monthly_shipmode_matrix", "tpcds_disjunctive_membership",
+    "tpcds_order_composition_report", "tpcds_tri_period_repeat",
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

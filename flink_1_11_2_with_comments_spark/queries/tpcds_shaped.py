@@ -2221,3 +2221,119 @@ def tpcds_disjunctive_membership(spark, sf_dir):
             .groupBy(F.col("n_name").alias("nation"))
             .agg(F.count("*").alias("n_customers"),
                  dsum("c_acctbal").alias("total_bal")))
+
+
+@register(
+    "tpcds_order_composition_report",
+    f"""
+    WITH per_order AS (
+      SELECT l_orderkey AS ok,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_disc,
+             {sql_dsum(_AMT)} AS order_rev
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) * 2
+             > COUNT(*)
+    )
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           CAST(SUM(p.n_lines) AS BIGINT) AS total_lines,
+           {sql_dsum('p.order_rev')} AS total_rev
+    FROM per_order p
+    JOIN orders o ON p.ok = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    doc="TPC-DS q46/q68 shape: the per-entity COMPOSITION filter — "
+        "aggregate each order's lines first, keep orders where "
+        "discount-heavy lines form the majority (HAVING over "
+        "conditional counts — q46's 'out-of-town buyers with high "
+        "vehicle counts' composition test), then roll the surviving "
+        "orders up by customer geography. The per-order aggregate "
+        "runs BEFORE the joins, so the orders/customer joins carry "
+        "one row per qualifying order, never raw lines; customer and "
+        "nation broadcast.",
+)
+def tpcds_order_composition_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+    per = (li.groupBy(F.col("l_orderkey").alias("ok"))
+           .agg(F.count("*").alias("n_lines"),
+                F.sum(disc).cast("bigint").alias("n_disc"),
+                dsum(amt).alias("order_rev"))
+           .where(F.col("n_disc") * 2 > F.col("n_lines")))
+    return (per.join(o, per.ok == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("n_lines").cast("bigint").alias("total_lines"),
+                 dsum("order_rev").alias("total_rev")))
+
+
+@register(
+    "tpcds_tri_period_repeat",
+    """
+    WITH s1 AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1
+      FROM lineitem
+      WHERE l_returnflag = 'N' AND l_shipdate >= DATE '1995-01-01'
+        AND l_shipdate < DATE '1995-07-01'
+      GROUP BY 1
+    ), r2 AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q2
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_shipdate >= DATE '1995-07-01'
+        AND l_shipdate < DATE '1996-01-01'
+      GROUP BY 1
+    ), s3 AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q3
+      FROM lineitem
+      WHERE l_returnflag = 'N' AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-07-01'
+      GROUP BY 1
+    )
+    SELECT s1.pk AS partkey, s1.q1 AS sold_q, r2.q2 AS returned_q,
+           s3.q3 AS resold_q
+    FROM s1 JOIN r2 ON s1.pk = r2.pk JOIN s3 ON s1.pk = s3.pk
+    WHERE r2.q2 < s1.q1
+    """,
+    doc="TPC-DS q29/q25 shape: the tri-period repeat-business chain "
+        "— items SOLD in period 1, (partially) RETURNED in period 2, "
+        "SOLD AGAIN in period 3, one row per item with all three "
+        "quantities. Each period slice PRE-AGGREGATES to the item "
+        "key before any join (the joins carry item-level aggregates, "
+        "never raw fact rows — q25's aggregate-before-join "
+        "discipline), the date predicates push into each slice scan, "
+        "and AQE exchange reuse shares the single underlying "
+        "lineitem scan across the three slices.",
+)
+def tpcds_tri_period_repeat(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+
+    def sl(flag, lo, hi, alias):
+        return (li.where((F.col("l_returnflag") == flag)
+                         & (F.col("l_shipdate") >= F.lit(lo).cast("date"))
+                         & (F.col("l_shipdate") < F.lit(hi).cast("date")))
+                .groupBy(F.col("l_partkey").alias(f"pk_{alias}"))
+                .agg(F.sum(qty).alias(alias)))
+
+    s1 = sl("N", "1995-01-01", "1995-07-01", "q1")
+    r2 = sl("R", "1995-07-01", "1996-01-01", "q2")
+    s3 = sl("N", "1996-01-01", "1996-07-01", "q3")
+    return (s1.join(r2, s1.pk_q1 == r2.pk_q2)
+            .join(s3, s1.pk_q1 == s3.pk_q3)
+            .where(F.col("q2") < F.col("q1"))
+            .select(F.col("pk_q1").alias("partkey"),
+                    F.col("q1").alias("sold_q"),
+                    F.col("q2").alias("returned_q"),
+                    F.col("q3").alias("resold_q")))
