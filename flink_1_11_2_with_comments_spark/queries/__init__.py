@@ -33,12 +33,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # 218 of the 236 pre-round-7 registry queries (0 red ever). This list
 # front-loads (a) the 18 round-5-late queries that never had a driver
 # row (exact-checked locally by tests/test_oracle_parity.py or a
-# pure-Python pinned reference), then (b) the 15 round-7-new queries,
+# pure-Python pinned reference), then (b) the 17 round-7-new queries,
 # then (c) family canaries green in earlier rounds. With all of (a)
-# and (b) inside the 50-slot window, union r1-r7 covers the ENTIRE
-# 251-query registry. Round-8 rotation: front-load any round-8-new
-# queries plus whichever round-7 rows came back non-green (expect
-# none), then rotate canaries across families.
+# and (b) inside the 50-slot window, union r1-r7 covers the whole
+# registry EXCEPT the round-8 queue noted below. Round-8 rotation:
+# front-load that queue plus any round-8-new queries plus whichever
+# round-7 rows came back non-green (expect none), then rotate
+# canaries across families.
 _PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked round-5-late queries
     "text_gopher_rules", "dedup_semdedup",
@@ -66,6 +67,8 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "tpcds_monthly_shipmode_matrix", "tpcds_disjunctive_membership",
     "tpcds_order_composition_report", "tpcds_tri_period_repeat",
+    # Round-8 rotation queue (registered late in round 7, beyond the
+    # 50-slot window; exact-checked locally): corpus_stratified_split.
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

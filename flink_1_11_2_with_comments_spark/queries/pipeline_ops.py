@@ -2259,3 +2259,52 @@ def embedding_quantize_int8(spark, sf_dir):
                     .otherwise(F.round(F.col("x") / F.col("mx") * 127))
                     .cast("int").alias("q"),
                     F.col("mx").alias("scale")))
+
+
+@register(
+    "corpus_stratified_split",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) - 1 AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN rk * 10 < n * 8 THEN 'train'
+                WHEN rk * 10 < n * 9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM r GROUP BY 1, 2
+    """,
+    doc="STRATIFIED train/val/test split — exact 80/10/10 WITHIN "
+        "every language, unlike the global md5-bucket split "
+        "(corpus_train_val_test_split) whose per-stratum proportions "
+        "only hold in expectation. Deterministic: rank by md5 of the "
+        "id inside each language, cut at floor boundaries — "
+        "engine-replayable, no RNG. One partitioned window per "
+        "language (rank + stratum count share the sort); at 100 TB "
+        "pre-reduce with per-partition local ranks if one language "
+        "outgrows an executor, or fall back to the expectation-exact "
+        "global-hash split.",
+)
+def corpus_stratified_split(spark, sf_dir):
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents")
+    wl = W.partitionBy("lang")
+    rk = F.row_number().over(
+        wl.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")) - 1
+    n = F.count("*").over(wl)
+    split = (F.when(F.col("rk") * 10 < F.col("n") * 8, "train")
+             .when(F.col("rk") * 10 < F.col("n") * 9, "val")
+             .otherwise("test"))
+    return (d.select("doc_id", "lang", rk.alias("rk"), n.alias("n"))
+            .select("doc_id", "lang", split.alias("split"))
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").cast("bigint").alias("min_doc"),
+                 F.max("doc_id").cast("bigint").alias("max_doc")))
