@@ -68,7 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_monthly_shipmode_matrix", "tpcds_disjunctive_membership",
     "tpcds_order_composition_report", "tpcds_tri_period_repeat",
     # Round-8 rotation queue (registered late in round 7, beyond the
-    # 50-slot window; exact-checked locally): corpus_stratified_split.
+    # 50-slot window; exact-checked locally): corpus_stratified_split,
+    # dedup_url_canonical.
     # (c) family canaries, all green in earlier rounds: relational
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
     # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline

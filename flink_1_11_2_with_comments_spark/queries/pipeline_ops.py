@@ -2308,3 +2308,63 @@ def corpus_stratified_split(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").cast("bigint").alias("min_doc"),
                  F.max("doc_id").cast("bigint").alias("max_doc")))
+
+
+@register(
+    "dedup_url_canonical",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             'HTTP://WWW.EXAMPLE' || CAST(doc_id % 7 AS VARCHAR)
+             || '.COM:80/path/' || CAST(doc_id % 50 AS VARCHAR)
+             || '/?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+             || '&utm_campaign=x#frag' AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*$', ''),
+                     '^http://(www\\.)?', ''),
+                   ':80/', '/'),
+                 'utm_[a-z]+=[^&]*&?', '', 'g'),
+               '[?&]+$', '') AS curl
+      FROM aug
+    )
+    SELECT curl, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM canon GROUP BY 1
+    """,
+    doc="URL canonicalization dedup — the crawl-frontier/document-key "
+        "normalize every web corpus needs: lowercase, strip scheme + "
+        "www + default port + fragment + utm_* tracking params, then "
+        "group by the canonical form keeping the smallest doc id as "
+        "canonical. The corpus has no URLs, so deterministic messy "
+        "URLs are INJECTED identically on both engines (the "
+        "PII-scrub pattern) — the normalize chain is the thing under "
+        "test, byte-agreed across engines. Map-only regexp chain in "
+        "whole-stage codegen + one count shuffle; linear at 100 TB.",
+)
+def dedup_url_canonical(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://WWW.EXAMPLE"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/path/"), (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit("&utm_campaign=x#frag"))
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(url), "#.*$", ""),
+                    "^http://(www\\.)?", ""),
+                ":80/", "/"),
+            "utm_[a-z]+=[^&]*&?", ""),
+        "[?&]+$", "")
+    return (d.select("doc_id", curl.alias("curl"))
+            .groupBy("curl")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").cast("bigint").alias("canonical_doc")))
