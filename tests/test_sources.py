@@ -1356,3 +1356,27 @@ def test_avro_varint_roundtrip_property():
         assert pos == len(out.getvalue())
 
     check()
+
+
+def test_kafka_varint_roundtrip_property():
+    """Property: the Kafka RecordBatch v2 zigzag-varint round-trips
+    every int64 (record framing uses it for all deltas/lengths)."""
+    import io
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        _read_varint, _write_varint)
+
+    @given(st.one_of(
+        st.integers(-2**63, 2**63 - 1),
+        st.sampled_from([0, -1, 1, 2**62, -2**62, 2**63 - 1, -2**63])))
+    @settings(max_examples=500, deadline=None)
+    def check(n):
+        out = io.BytesIO()
+        _write_varint(out, n)
+        got, pos = _read_varint(memoryview(out.getvalue()), 0)
+        assert got == n
+        assert pos == len(out.getvalue())
+
+    check()
