@@ -2337,3 +2337,309 @@ def tpcds_tri_period_repeat(spark, sf_dir):
                     F.col("q1").alias("sold_q"),
                     F.col("q2").alias("returned_q"),
                     F.col("q3").alias("resold_q")))
+
+
+@register(
+    "tpcds_weekly_yoy_pivot",
+    f"""
+    WITH wk AS (
+      SELECT weekofyear(l_shipdate) AS week, isodow(l_shipdate) AS dow,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             {_AMT} AS amt
+      FROM lineitem
+      WHERE (l_shipdate >= DATE '1995-01-08' AND l_shipdate <= DATE '1995-12-24')
+         OR (l_shipdate >= DATE '1996-01-08' AND l_shipdate <= DATE '1996-12-24')
+    )
+    SELECT week,
+           CASE WHEN {sql_dsum("CASE WHEN yr = 1995 AND dow = 1 THEN amt ELSE 0 END")} <> 0
+                THEN ROUND({sql_dsum("CASE WHEN yr = 1996 AND dow = 1 THEN amt ELSE 0 END")}
+                         / {sql_dsum("CASE WHEN yr = 1995 AND dow = 1 THEN amt ELSE 0 END")}, 6) END AS mon_ratio,
+           CASE WHEN {sql_dsum("CASE WHEN yr = 1995 AND dow = 3 THEN amt ELSE 0 END")} <> 0
+                THEN ROUND({sql_dsum("CASE WHEN yr = 1996 AND dow = 3 THEN amt ELSE 0 END")}
+                         / {sql_dsum("CASE WHEN yr = 1995 AND dow = 3 THEN amt ELSE 0 END")}, 6) END AS wed_ratio,
+           CASE WHEN {sql_dsum("CASE WHEN yr = 1995 AND dow = 5 THEN amt ELSE 0 END")} <> 0
+                THEN ROUND({sql_dsum("CASE WHEN yr = 1996 AND dow = 5 THEN amt ELSE 0 END")}
+                         / {sql_dsum("CASE WHEN yr = 1995 AND dow = 5 THEN amt ELSE 0 END")}, 6) END AS fri_ratio,
+           CASE WHEN {sql_dsum("CASE WHEN yr = 1995 AND dow = 7 THEN amt ELSE 0 END")} <> 0
+                THEN ROUND({sql_dsum("CASE WHEN yr = 1996 AND dow = 7 THEN amt ELSE 0 END")}
+                         / {sql_dsum("CASE WHEN yr = 1995 AND dow = 7 THEN amt ELSE 0 END")}, 6) END AS sun_ratio
+    FROM wk GROUP BY week
+    """,
+    doc="TPC-DS q2 shape: the week-over-week year-on-year pivot — per "
+        "ISO week, the ratio of this year's weekday revenue to last "
+        "year's, one column per weekday. TPC-DS states q2 as two "
+        "CTE scans (one per year) pivoted to day columns and "
+        "self-joined on the shifted week key; deriving (year, dow) "
+        "cells as conditional aggregates in ONE pass removes both the "
+        "second fact scan and the self-join shuffle — at 100 TB the "
+        "join key (week) would carry the whole fact through one "
+        "52-key shuffle, while the rewrite's aggregate is two-phase "
+        "with map-side partials. The two year-range predicates push "
+        "into the parquet scan (dates clamped to Jan-08..Dec-24 so "
+        "ISO week and calendar year never disagree).",
+)
+def tpcds_weekly_yoy_pivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    d = F.col("l_shipdate")
+    in95 = (d >= F.lit("1995-01-08").cast("date")) & \
+           (d <= F.lit("1995-12-24").cast("date"))
+    in96 = (d >= F.lit("1996-01-08").cast("date")) & \
+           (d <= F.lit("1996-12-24").cast("date"))
+    yr = F.year(d)
+    dow = F.expr("weekday(l_shipdate)") + 1  # isodow: Mon=1..Sun=7
+
+    def cell(y, w):
+        return dsum(F.when((yr == y) & (dow == w), amt).otherwise(F.lit(0)))
+
+    agg = (li.where(in95 | in96)
+           .groupBy(F.weekofyear(d).alias("week"))
+           .agg(*[cell(y, w).alias(f"c_{y}_{w}")
+                  for y in (1995, 1996) for w in (1, 3, 5, 7)]))
+
+    def ratio(w):
+        den, num = F.col(f"c_1995_{w}"), F.col(f"c_1996_{w}")
+        return F.when(den != 0, F.round(num / den, 6))
+
+    return agg.select(
+        "week", ratio(1).alias("mon_ratio"), ratio(3).alias("wed_ratio"),
+        ratio(5).alias("fri_ratio"), ratio(7).alias("sun_ratio"))
+
+
+@register(
+    "tpcds_distinct_band_buckets",
+    f"""
+    SELECT
+      {sql_davg('CASE WHEN l_quantity < 10 THEN l_extendedprice END')} AS b1_avg,
+      COUNT(CASE WHEN l_quantity < 10 THEN l_extendedprice END) AS b1_n,
+      COUNT(DISTINCT CASE WHEN l_quantity < 10 THEN l_extendedprice END) AS b1_nd,
+      {sql_davg('CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN l_extendedprice END')} AS b2_avg,
+      COUNT(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN l_extendedprice END) AS b2_n,
+      COUNT(DISTINCT CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN l_extendedprice END) AS b2_nd,
+      {sql_davg('CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN l_extendedprice END')} AS b3_avg,
+      COUNT(CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN l_extendedprice END) AS b3_n,
+      COUNT(DISTINCT CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN l_extendedprice END) AS b3_nd,
+      {sql_davg('CASE WHEN l_quantity >= 30 AND l_quantity < 40 THEN l_extendedprice END')} AS b4_avg,
+      COUNT(CASE WHEN l_quantity >= 30 AND l_quantity < 40 THEN l_extendedprice END) AS b4_n,
+      COUNT(DISTINCT CASE WHEN l_quantity >= 30 AND l_quantity < 40 THEN l_extendedprice END) AS b4_nd,
+      {sql_davg('CASE WHEN l_quantity >= 40 THEN l_extendedprice END')} AS b5_avg,
+      COUNT(CASE WHEN l_quantity >= 40 THEN l_extendedprice END) AS b5_n,
+      COUNT(DISTINCT CASE WHEN l_quantity >= 40 THEN l_extendedprice END) AS b5_nd
+    FROM lineitem
+    """,
+    doc="TPC-DS q28 shape: N quantity-band buckets, each reporting "
+        "average price, row count AND a per-band COUNT(DISTINCT) — "
+        "from ONE fact scan. TPC-DS states q28 as six scalar "
+        "subqueries (six scans); the conditional-aggregate rewrite "
+        "reads the fact once. The multiple DISTINCT aggregates "
+        "compile to Catalyst's single Expand (one extra shuffle "
+        "keyed by the distinct value, map-side deduplicated) rather "
+        "than per-band scans — the same plan Blink's "
+        "distinct-agg-split rule produces. At 100 TB this is 1 scan "
+        "+ 2 shuffles vs TPC-DS's literal 6 scans.",
+)
+def tpcds_distinct_band_buckets(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    bands = [(q < 10), ((q >= 10) & (q < 20)), ((q >= 20) & (q < 30)),
+             ((q >= 30) & (q < 40)), (q >= 40)]
+    aggs = []
+    for i, cond in enumerate(bands, 1):
+        sub = F.when(cond, p)
+        aggs += [davg(sub).alias(f"b{i}_avg"),
+                 F.count(sub).alias(f"b{i}_n"),
+                 F.countDistinct(sub).alias(f"b{i}_nd")]
+    return li.agg(*aggs)
+
+
+@register(
+    "tpcds_best_worst_rank_join",
+    f"""
+    WITH m AS (
+      SELECT l_partkey AS pk, {sql_dsum(_AMT)} AS rev
+      FROM lineitem GROUP BY 1
+    ), best AS (
+      SELECT pk, rev, ROW_NUMBER() OVER (ORDER BY rev DESC, pk) AS pos
+      FROM m ORDER BY rev DESC, pk LIMIT 10
+    ), worst AS (
+      SELECT pk, rev, ROW_NUMBER() OVER (ORDER BY rev ASC, pk) AS pos
+      FROM m ORDER BY rev ASC, pk LIMIT 10
+    )
+    SELECT b.pos AS pos, b.pk AS best_part, b.rev AS best_rev,
+           w.pk AS worst_part, w.rev AS worst_rev
+    FROM best b JOIN worst w ON b.pos = w.pos
+    """,
+    doc="TPC-DS q44 shape: the best/worst performer pairing — rank "
+        "items by revenue ascending AND descending from one reused "
+        "aggregate, pair rank i best with rank i worst. The "
+        "scale-critical choice: positions come from orderBy().limit(10) "
+        "— Spark's TakeOrderedAndProject, a per-partition top-k merged "
+        "on one tiny task — NOT a global ROW_NUMBER sort of all items "
+        "(TPC-DS's literal form ranks every item; at 100 TB that is a "
+        "full sort of the item aggregate through one unpartitioned "
+        "window). The row_number that assigns positions runs AFTER "
+        "the limit, over exactly 10 rows; the final join is 10x10 "
+        "broadcast. Ties broken by partkey so both engines agree.",
+)
+def tpcds_best_worst_rank_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    m = (li.groupBy(F.col("l_partkey").alias("pk"))
+         .agg(dsum(amt).alias("rev")))
+
+    def topk(asc):
+        order = [F.col("rev").asc() if asc else F.col("rev").desc(),
+                 F.col("pk").asc()]
+        ten = m.orderBy(*order).limit(10)
+        pos = F.row_number().over(W.orderBy(*order))  # 10 rows only
+        return ten.withColumn("pos", pos)
+
+    b, w = topk(False), topk(True)
+    return (b.join(w.select(F.col("pk").alias("wpk"),
+                            F.col("rev").alias("wrev"), "pos"), "pos")
+            .select("pos", F.col("pk").alias("best_part"),
+                    F.col("rev").alias("best_rev"),
+                    F.col("wpk").alias("worst_part"),
+                    F.col("wrev").alias("worst_rev")))
+
+
+@register(
+    "tpcds_multi_supplier_returned_orders",
+    f"""
+    WITH per AS (
+      SELECT l_orderkey AS ok,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price
+    FROM orders o JOIN per ON o.o_orderkey = per.ok
+    WHERE per.n_supp >= 2 AND per.ret = 1
+    GROUP BY 1
+    """,
+    doc="TPC-DS q95 shape: orders shipped from at least two distinct "
+        "suppliers that also have a returned line ('ws_order_number "
+        "in orders with >1 warehouse AND in web_returns'). TPC-DS "
+        "states it as two correlated EXISTS self-joins with an "
+        "inequality (ws1.warehouse <> ws2.warehouse) — a fact x fact "
+        "self-join that explodes on popular orders. The rewrite "
+        "pre-aggregates each order ONCE (COUNT(DISTINCT supplier), "
+        "MAX(returned)) so both existence tests become one grouped "
+        "pass; the join to orders then carries one row per "
+        "qualifying order. One fact scan, two shuffles (order-key "
+        "agg, orders join — co-partitioned on the same key), no "
+        "self-join. The q95 semi-join semantics are exactly "
+        "preserved: DISTINCT supplier count >= 2 is the inequality "
+        "EXISTS, MAX(ret)=1 is the returns EXISTS.",
+)
+def tpcds_multi_supplier_returned_orders(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    per = (li.groupBy(F.col("l_orderkey").alias("ok"))
+           .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                F.max(F.when(F.col("l_returnflag") == "R", 1)
+                      .otherwise(0)).alias("ret"))
+           .where((F.col("n_supp") >= 2) & (F.col("ret") == 1)))
+    return (o.join(per, o.o_orderkey == per.ok)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").alias("n_orders"),
+                 dsum("o_totalprice").alias("total_price")))
+
+
+@register(
+    "tpcds_attr_combo_names",
+    """
+    WITH qual_brand AS (
+      SELECT p_brand FROM part
+      GROUP BY p_brand
+      HAVING SUM(CASE
+          WHEN (p_type = 'PROMO'    AND p_size BETWEEN 1  AND 10)
+            OR (p_type = 'ECONOMY'  AND p_size BETWEEN 11 AND 20)
+            OR (p_type = 'STANDARD' AND p_size BETWEEN 21 AND 30)
+          THEN 1 ELSE 0 END) > 0
+    )
+    SELECT DISTINCT p.p_name AS product_name
+    FROM part p JOIN qual_brand q ON p.p_brand = q.p_brand
+    ORDER BY product_name LIMIT 100
+    """,
+    doc="TPC-DS q41 shape: the attribute-combination probe — "
+        "product names of brands ('manufacturers' in q41) that make "
+        "at least one item matching an OR of attribute conjunctions; "
+        "q41's correlated 'COUNT(*) > 0' subquery over the same "
+        "dimension becomes a grouped HAVING over conditional counts "
+        "(one pass over the dim, no correlated re-probe per row). "
+        "Entirely dimension-side: at 100 TB the item dim is ~millions "
+        "of rows — the qualifying-brand set aggregates map-side, "
+        "broadcasts back for the semi join, and the final "
+        "DISTINCT+ORDER+LIMIT is TakeOrdered over the deduplicated "
+        "name set. No fact scan at all, matching q41.",
+)
+def tpcds_attr_combo_names(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    ty, sz = F.col("p_type"), F.col("p_size")
+    combo = ((ty == "PROMO") & sz.between(1, 10)) | \
+            ((ty == "ECONOMY") & sz.between(11, 20)) | \
+            ((ty == "STANDARD") & sz.between(21, 30))
+    qual = (p.groupBy("p_brand")
+            .agg(F.sum(F.when(combo, 1).otherwise(0)).alias("nq"))
+            .where(F.col("nq") > 0)
+            .select(F.col("p_brand").alias("qb")))
+    return (p.join(F.broadcast(qual), p.p_brand == F.col("qb"), "left_semi")
+            .select(F.col("p_name").alias("product_name"))
+            .distinct()
+            .orderBy("product_name").limit(100))
+
+
+@register(
+    "tpcds_before_after_split",
+    """
+    SELECT s.s_name AS supplier, per.q_before, per.q_after
+    FROM (
+      SELECT l_suppkey AS sk,
+             CAST(SUM(CASE WHEN l_shipdate < DATE '1995-06-17'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+                  AS q_before,
+             CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-06-17'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+                  AS q_after
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-03-01'
+        AND l_shipdate < DATE '1995-10-01'
+      GROUP BY 1
+    ) per JOIN supplier s ON per.sk = s.s_suppkey
+    WHERE per.q_before > 0
+      AND per.q_after * 4 <= per.q_before * 5
+      AND per.q_before * 4 <= per.q_after * 5
+    """,
+    doc="TPC-DS q21 shape: the before/after pivot-date balance screen "
+        "— per supplier ('warehouse/item' in q21), quantity shipped "
+        "in the window before vs after a pivot date, keeping entities "
+        "whose after/before ratio lies in [0.8, 1.25]. One scan with "
+        "the outer date range pushed into parquet; both period sums "
+        "are conditional cells of a single grouped aggregate (TPC-DS "
+        "states the two sums as CASE cells too — q21 is the canonical "
+        "single-scan pivot). The ratio band compares integer "
+        "cross-products (q_after*4 <= q_before*5), never a float "
+        "division — BIGINT-exact in both engines, and a 1000-executor "
+        "run cannot drift it. Supplier dim broadcasts.",
+)
+def tpcds_before_after_split(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    d = F.col("l_shipdate")
+    pivot = F.lit("1995-06-17").cast("date")
+    qty = F.col("l_quantity").cast("bigint")
+    per = (li.where((d >= F.lit("1995-03-01").cast("date"))
+                    & (d < F.lit("1995-10-01").cast("date")))
+           .groupBy(F.col("l_suppkey").alias("sk"))
+           .agg(F.sum(F.when(d < pivot, qty).otherwise(F.lit(0)))
+                .cast("bigint").alias("q_before"),
+                F.sum(F.when(d >= pivot, qty).otherwise(F.lit(0)))
+                .cast("bigint").alias("q_after"))
+           .where((F.col("q_before") > 0)
+                  & (F.col("q_after") * 4 <= F.col("q_before") * 5)
+                  & (F.col("q_before") * 4 <= F.col("q_after") * 5)))
+    return (per.join(F.broadcast(s), per.sk == s.s_suppkey)
+            .select(F.col("s_name").alias("supplier"),
+                    "q_before", "q_after"))

@@ -348,6 +348,8 @@ def test_pq_corpus_never_shuffles(spark, sf_dir):
 _BOUNDED_GLOBAL_WINDOWS = {
     "tpcds_cumulative_channel_join",  # cum over |months| agg rows
     "tpcds_two_metric_rank",          # two ranks over |brands| agg rows
+    "tpcds_best_worst_rank_join",     # row_number AFTER limit(10) —
+                                      # window input is exactly 10 rows
 }
 
 # Queries whose PURPOSE is the row-at-a-time Python surface itself:
