@@ -2368,3 +2368,191 @@ def dedup_url_canonical(spark, sf_dir):
             .groupBy("curl")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").cast("bigint").alias("canonical_doc")))
+
+
+@register(
+    "corpus_dsir_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tokn
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, lang, {MD5I.format(x='tokn')} % 64 AS b,
+             COUNT(*) AS c
+      FROM tok GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS n_r,
+             CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END)
+                  AS BIGINT) AS n_t
+      FROM tb GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_r) AS BIGINT) AS nr_tot,
+             CAST(SUM(n_t) AS BIGINT) AS nt_tot
+      FROM stats
+    ), r AS (
+      SELECT b, ROUND(ln(((n_t + 1) * (nr_tot + 64) * 1.0)
+                         / ((n_r + 1) * (nt_tot + 64))), 12) AS lr
+      FROM stats, tot
+    )
+    SELECT tb.doc_id,
+           CAST(SUM(tb.c) AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM(CAST(tb.c * r.lr AS DECIMAL(30,14))), 6)
+                AS DOUBLE) AS dsir_logw
+    FROM tb JOIN r ON tb.b = r.b
+    GROUP BY 1
+    """,
+    doc="DSIR-style data-selection importance weights (Xie et al. "
+        "2023, 'Data Selection for Language Models via Importance "
+        "Resampling'): hash every token into B=64 buckets, fit "
+        "add-1-smoothed bucket distributions for the TARGET slice "
+        "(lang='en' here; a quality domain in production) and the "
+        "RAW corpus, and score each document by the sum of its "
+        "tokens' log probability ratios — the importance weight used "
+        "to resample raw data toward the target domain. The Spark "
+        "plan makes the corpus pay ONE token-level shuffle total: "
+        "explode collapses to per-(doc, bucket) counts with map-side "
+        "partial aggregation, bucket statistics aggregate those "
+        "(doc x 64)-sized rows, and the 64-row log-ratio table "
+        "broadcasts back — the raw text is never shuffled and never "
+        "re-scanned. Per-term log-ratio rounds to 12 dp and "
+        "accumulates in DECIMAL (order-independent, engine-exact; "
+        "the ratio itself is a quotient of exact BIGINT products). "
+        "B=64 keeps the hashed feature space small for the oracle; "
+        "production uses B~10^4 with the identical plan.",
+)
+def corpus_dsir_weights(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    d = t(spark, sf_dir, "documents")
+    tb = (d.select("doc_id", "lang",
+                   F.explode(F.split("text", " ")).alias("tokn"))
+          .withColumn("b", md5_int_expr(F.col("tokn")) % 64)
+          .groupBy("doc_id", "lang", "b")
+          .agg(F.count("*").alias("c")))
+    stats = (tb.groupBy("b")
+             .agg(F.sum("c").cast("bigint").alias("n_r"),
+                  F.sum(F.when(F.col("lang") == "en", F.col("c"))
+                        .otherwise(F.lit(0))).cast("bigint")
+                  .alias("n_t")))
+    tot = stats.agg(F.sum("n_r").cast("bigint").alias("nr_tot"),
+                    F.sum("n_t").cast("bigint").alias("nt_tot"))
+    r = (stats.crossJoin(F.broadcast(tot))
+         .select("b", F.round(F.log(
+             ((F.col("n_t") + 1) * (F.col("nr_tot") + 64) * F.lit(1.0))
+             / ((F.col("n_r") + 1) * (F.col("nt_tot") + 64))), 12)
+             .alias("lr")))
+    term = (F.col("c") * F.col("lr")).cast("decimal(30,14)")
+    return (tb.join(F.broadcast(r), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum(term), 6).cast("double")
+                 .alias("dsir_logw")))
+
+
+@register(
+    "corpus_source_overlap",
+    """
+    WITH d AS (
+      SELECT source, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                    toks[i+2] || ' ' || toks[i+3])) AS g
+      FROM d
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n FROM sh GROUP BY 1
+    ), shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.n_shared,
+           ROUND(s.n_shared * 1.0 / (x.n + y.n - s.n_shared), 9)
+               AS jaccard
+    FROM shared s JOIN sizes x ON s.src_a = x.source
+                  JOIN sizes y ON s.src_b = y.source
+    """,
+    doc="Cross-source contamination census: for every pair of corpus "
+        "sources, the number of word 4-gram shingles they share and "
+        "the Jaccard similarity of their shingle sets — the audit a "
+        "training-data pipeline runs to find mirrored/scraped-twice "
+        "sources before mixing weights are chosen. The self-join is "
+        "keyed by the SHINGLE, so a shingle appearing in k sources "
+        "contributes C(k,2) <= C(|sources|,2) pairs — bounded by the "
+        "source count (tiny), never by document count; per-source "
+        "shingle sets come from one explode + distinct with map-side "
+        "dedup. At 100 TB: one token-level shuffle for the distinct, "
+        "one shingle-keyed join whose fan-out is capped at 190 pairs "
+        "per shingle for 20 sources, output is |sources|^2 rows.",
+)
+def corpus_source_overlap(spark, sf_dir):
+    from ..pipeline.dedup import shingles
+    d = t(spark, sf_dir, "documents")
+    sh = (d.select("source", F.explode(shingles("text", 4)).alias("g"))
+          .distinct())
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), F.col("g").alias("g2"))
+    shared = (a.join(b, (F.col("g") == F.col("g2"))
+                     & (F.col("src_a") < F.col("src_b")))
+              .groupBy("src_a", "src_b")
+              .agg(F.count("*").alias("n_shared")))
+    sx = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    sy = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (shared.join(F.broadcast(sx), F.col("src_a") == F.col("sa"))
+            .join(F.broadcast(sy), F.col("src_b") == F.col("sb"))
+            .select("src_a", "src_b", "n_shared",
+                    F.round(F.col("n_shared") * F.lit(1.0)
+                            / (F.col("na") + F.col("nb")
+                               - F.col("n_shared")), 9).alias("jaccard")))
+
+
+@register(
+    "corpus_vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tokn
+      FROM documents
+    ), wc AS (
+      SELECT tokn, COUNT(*) AS c FROM tok GROUP BY 1
+    ), vocab AS (
+      SELECT tokn FROM wc ORDER BY c DESC, tokn LIMIT 10
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tokn IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.tokn IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 9) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.tokn = v.tokn
+    GROUP BY 1
+    """,
+    doc="Vocabulary-coverage (OOV-rate) filter: build the top-K "
+        "corpus vocabulary by frequency (K=10 here against the tiny "
+        "31-token synthetic vocabulary; production uses K~10^5 with "
+        "the identical plan), then score every document by its "
+        "fraction of out-of-vocabulary tokens — the cheap "
+        "tokenizer-compatibility screen run before BPE training. "
+        "One token shuffle for the word counts; the vocabulary "
+        "itself is selected with orderBy().limit() — Spark's "
+        "TakeOrdered, a per-partition top-K merge, never a global "
+        "sort — and broadcasts to the per-document scoring pass, "
+        "which LEFT JOINs exploded tokens against the broadcast "
+        "vocab and aggregates with map-side partials. Frequency "
+        "ties at the K boundary break lexicographically so the "
+        "vocabulary is deterministic on any cluster.",
+)
+def corpus_vocab_coverage(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tokn"))
+    wc = tok.groupBy("tokn").agg(F.count("*").alias("c"))
+    vocab = (wc.orderBy(F.desc("c"), "tokn").limit(10)
+             .select(F.col("tokn").alias("vtok")))
+    oov = F.when(F.col("vtok").isNull(), 1).otherwise(0)
+    return (tok.join(F.broadcast(vocab),
+                     tok.tokn == F.col("vtok"), "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(oov).cast("bigint").alias("n_oov"),
+                 F.round(F.sum(oov) * F.lit(1.0) / F.count("*"), 9)
+                 .alias("oov_rate")))
