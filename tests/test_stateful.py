@@ -1816,3 +1816,48 @@ def test_streaming_running_moments_parity(spark):
             assert (fn_, fmu, fm2) == (n, mu, m2), pos
             import math as _m
             assert fsig == _m.sqrt(fm2 - fmu * fmu)
+
+
+def test_streaming_gk_quantiles_bound(spark, events):
+    """Streaming Greenwald-Khanna quantile sketch vs exact sorted
+    ranks: after the stream drains, for every partition key and every
+    queried phi, the TRUE rank of the reported value lies within
+    eps*n of phi*n (the GK guarantee), and the summary stays at
+    O((1/eps)*log(eps*n)) tuples — bounded state on unbounded input."""
+    import bisect
+
+    from flink_1_11_2_with_comments_spark.streaming.gk_quantiles import (
+        PHIS, gk_quantiles_stream)
+
+    EPS = 0.05
+    src = events.select((F.col("user_id") % 3).alias("g"),
+                        "value", "ts", "event_id")
+    stream = replay_as_stream(src, n_batches=5, order_by="ts")
+    out = write_stream_to_memory(
+        gk_quantiles_stream(stream, ["g"], "value", eps=EPS),
+        "gk_out", output_mode="update")
+    latest = (out.withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("g", "phi").orderBy(F.desc("n_processed"))))
+        .where(F.col("rk") == 1))
+    got = {(r.g, r.phi): (r.est, r.n_processed, r.n_tuples)
+           for r in latest.collect()}
+    exact = {}
+    for r in src.collect():
+        exact.setdefault(str(r.g % 3), []).append(r.value)
+    for vals in exact.values():
+        vals.sort()
+    assert got, "no quantiles emitted"
+    for (g, phi), (est, n_proc, n_tuples) in got.items():
+        vals = exact[g]
+        n = len(vals)
+        assert n_proc == n, (g, n_proc, n)
+        # the final summary must stay tiny vs the exact multiset
+        assert n_tuples <= 60, (g, n_tuples)
+        lo = bisect.bisect_left(vals, est) + 1
+        hi = bisect.bisect_right(vals, est)
+        target = phi * n
+        err = 0 if lo <= target <= hi else min(
+            abs(lo - target), abs(hi - target))
+        assert err <= EPS * n, (g, phi, est, err, EPS * n)
+    assert {phi for (_g, phi) in got} == set(PHIS)
