@@ -67,17 +67,20 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "tpcds_monthly_shipmode_matrix", "tpcds_disjunctive_membership",
     "tpcds_order_composition_report", "tpcds_tri_period_repeat",
-    # Round-8 rotation queue (registered late in round 7, beyond the
-    # 50-slot window; exact-checked locally): corpus_stratified_split,
-    # dedup_url_canonical.
-    # (c) family canaries, all green in earlier rounds: relational
-    # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, graph,
-    # JDBC, as-of, windows, OVER, TPC-DS joins, pipeline
+    # (c) round-7-late additions (all exact-checked locally): the two
+    # queries registered just past the previous window plus the
+    # continuation tranche (6 TPC-DS shapes + DSIR weights)
+    "corpus_stratified_split", "dedup_url_canonical",
+    "tpcds_weekly_yoy_pivot", "tpcds_distinct_band_buckets",
+    "tpcds_best_worst_rank_join", "tpcds_multi_supplier_returned_orders",
+    "tpcds_attr_combo_names", "tpcds_before_after_split",
+    "corpus_dsir_weights",
+    # Round-8 rotation queue (beyond the 50-slot window; exact-checked
+    # locally): corpus_source_overlap, corpus_vocab_coverage.
+    # (d) family canaries, all green in earlier rounds: relational/agg
+    # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, pipeline
     "tpch_q1", "tpch_q21", "match_recognize_star",
-    "cep_quantified", "dedup_minhash_lsh", "ann_ivf_lloyd",
-    "graph_connected_components", "jdbc_lookup_join",
-    "asof_join_batch", "window_session_agg",
-    "tpcds_wide_join_growth", "pipeline_end_to_end",
+    "dedup_minhash_lsh", "ann_ivf_lloyd", "pipeline_end_to_end",
 )
 
 
