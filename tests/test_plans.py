@@ -512,3 +512,32 @@ def test_round7_tpcds_shapes_plan_quality(spark, sf_dir):
     body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     assert p.count("LeftSemi") >= 2, p
     assert "CartesianProduct" not in body, body
+
+
+def test_r7_tpcds_shapes_plan_quality(spark, sf_dir):
+    """The round-7 continuation shapes keep their scale-critical plan
+    properties: the q2 weekly pivot derives all (year, weekday) cells
+    from ONE scan + ONE shuffle (no self-join on the week key); the
+    q44 best/worst pairing selects both top-10s with TakeOrdered and
+    AQE reuses the item-aggregate exchange so the fact is scanned once
+    at runtime; the q95 rewrite never self-joins the fact (no nested
+    loop / cartesian anywhere)."""
+    spark.catalog.clearCache()
+    specs = SPECS
+
+    df = specs["tpcds_weekly_yoy_pivot"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+    df = specs["tpcds_best_worst_rank_join"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+    df = specs["tpcds_multi_supplier_returned_orders"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
