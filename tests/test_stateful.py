@@ -1861,3 +1861,44 @@ def test_streaming_gk_quantiles_bound(spark, events):
             abs(lo - target), abs(hi - target))
         assert err <= EPS * n, (g, phi, est, err, EPS * n)
     assert {phi for (_g, phi) in got} == set(PHIS)
+
+
+def test_gk_sketch_bound_fuzz():
+    """Property: on arbitrary float streams (any length, any order,
+    heavy duplicates included), the pure-Python GK core maintains the
+    rank-error-within-eps*n guarantee for every queried phi, and the
+    summary size stays far below n. Fuzzes the sketch independently
+    of the streaming harness (which test_streaming_gk_quantiles_bound
+    covers)."""
+    import bisect
+    from hypothesis import given, settings, strategies as st
+
+    from flink_1_11_2_with_comments_spark.streaming.gk_quantiles import (
+        PHIS, gk_compress, gk_insert, gk_query)
+
+    EPS = 0.1
+    period = max(int(1 / (2 * EPS)), 1)
+
+    @given(st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def check(data):
+        tuples, n = [], 0
+        for v in data:
+            gk_insert(tuples, v, n, EPS)
+            n += 1
+            if n % period == 0:
+                gk_compress(tuples, n, EPS)
+        srt = sorted(data)
+        for phi in PHIS:
+            est = gk_query(tuples, phi, n, EPS)
+            lo = bisect.bisect_left(srt, est) + 1
+            hi = bisect.bisect_right(srt, est)
+            target = phi * n
+            err = 0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target))
+            assert err <= EPS * n + 1, (data, phi, est, err)
+
+    check()
