@@ -76,7 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_attr_combo_names", "tpcds_before_after_split",
     "corpus_dsir_weights",
     # Round-8 rotation queue (beyond the 50-slot window; exact-checked
-    # locally): corpus_source_overlap, corpus_vocab_coverage.
+    # locally): corpus_source_overlap, corpus_vocab_coverage,
+    # embedding_pca_covariance, embedding_pca_project_top1.
     # (d) family canaries, all green in earlier rounds: relational/agg
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, pipeline
     "tpch_q1", "tpch_q21", "match_recognize_star",

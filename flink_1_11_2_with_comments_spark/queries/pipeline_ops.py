@@ -2556,3 +2556,103 @@ def corpus_vocab_coverage(spark, sf_dir):
                  F.sum(oov).cast("bigint").alias("n_oov"),
                  F.round(F.sum(oov) * F.lit(1.0) / F.count("*"), 9)
                  .alias("oov_rate")))
+
+
+_PCA_Z = """
+    WITH z AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), covs AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(ROUND(SUM(CAST(a.x * b.x AS DECIMAL(30,14))), 9)
+                  AS DOUBLE) AS sxy,
+             CAST(ROUND(SUM(CAST(a.x AS DECIMAL(30,14))), 9)
+                  AS DOUBLE) AS sx,
+             CAST(ROUND(SUM(CAST(b.x AS DECIMAL(30,14))), 9)
+                  AS DOUBLE) AS sy,
+             COUNT(*) AS n
+      FROM z a JOIN z b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ), covf AS (
+      SELECT i, j, ROUND(sxy / n - (sx / n) * (sy / n), 12) AS cov
+      FROM covs
+    )"""
+
+
+def _pca_power_oracle(rounds: int = 8) -> str:
+    """Unrolled power-iteration oracle: the SQL replays the identical
+    rounds (mat-vec, L2 norm, normalize — all decimal-rounded to the
+    same 12 dp) so DuckDB reproduces the Spark iterates bit-exactly."""
+    parts = [_PCA_Z, """, d1 AS (
+      SELECT COUNT(DISTINCT i) AS d FROM covf
+    ), v0 AS (
+      SELECT DISTINCT i, 1.0 / sqrt(d) AS v FROM covf, d1
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", w{r} AS (
+      SELECT c.i,
+             CAST(ROUND(SUM(CAST(c.cov * v.v AS DECIMAL(30,14))), 12)
+                  AS DOUBLE) AS w
+      FROM covf c JOIN v{r - 1} v ON c.j = v.i GROUP BY 1
+    ), n{r} AS (
+      SELECT ROUND(sqrt(CAST(ROUND(SUM(CAST(w * w AS DECIMAL(30,14))),
+                                   12) AS DOUBLE)), 12) AS nrm
+      FROM w{r}
+    ), v{r} AS (
+      SELECT i, ROUND(w / nrm, 12) AS v FROM w{r}, n{r}
+    )""")
+    parts.append(f"""
+    SELECT z.vec_id,
+           CAST(ROUND(SUM(CAST(z.x * vf.v AS DECIMAL(30,14))), 6)
+                AS DOUBLE) AS pc1
+    FROM z JOIN v{rounds} vf ON z.i = vf.i
+    GROUP BY 1""")
+    return "".join(parts)
+
+
+@register(
+    "embedding_pca_covariance",
+    _PCA_Z + """
+    SELECT i, j, cov FROM covf WHERE i <= j
+    """,
+    doc="Distributed covariance matrix of the embedding corpus "
+        "(upper triangle): the data-heavy half of PCA. One self-join "
+        "of the exploded (vec_id, dim, x) rows keyed by vec_id — "
+        "each vector contributes D^2 pair rows aggregated per (i, j) "
+        "with map-side partials, and ALL per-cell statistics "
+        "(sum xy, sum x, sum y, n) come from that single aggregation "
+        "— no mean-side join, no second corpus pass, no .collect(). "
+        "Output is D^2/2 rows however large the corpus. "
+        "cov = E[xy] - E[x]E[y] with decimal-exact expectations, "
+        "rounded to 12 dp (engine-exact).",
+)
+def embedding_pca_covariance(spark, sf_dir):
+    from ..pipeline.pca import covariance, explode_embedding
+    emb = t(spark, sf_dir, "embeddings")
+    return covariance(explode_embedding(emb), upper_only=True)
+
+
+@register(
+    "embedding_pca_project_top1",
+    _pca_power_oracle(8),
+    doc="Top-principal-component projection by POWER ITERATION — "
+        "PCA with no driver-side eigensolver and no .collect(): "
+        "v <- normalize(C v) eight times from the uniform unit "
+        "start, entirely as D^2-row join + D-row aggregate per round "
+        "over the ONCE-materialized covariance (superstep lineage "
+        "truncation, the DataSet.iterate contract of "
+        "operators/graph.py). Each iterate rounds to 12 dp, so the "
+        "DuckDB oracle replays the identical rounds bit-exactly — "
+        "an exact-checked iterative algorithm, like "
+        "graph_label_propagation. The final projection broadcasts "
+        "the 64-row component and aggregates the corpus map-side: "
+        "corpus touched once for the Gram pass, once to project.",
+)
+def embedding_pca_project_top1(spark, sf_dir):
+    from ..pipeline.pca import (covariance, explode_embedding,
+                                power_top1, project_top1)
+    emb = t(spark, sf_dir, "embeddings")
+    z = explode_embedding(emb)
+    v = power_top1(covariance(z), rounds=8)
+    return project_top1(z, v, scale=6)
