@@ -77,7 +77,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_dsir_weights",
     # Round-8 rotation queue (beyond the 50-slot window; exact-checked
     # locally): corpus_source_overlap, corpus_vocab_coverage,
-    # embedding_pca_covariance, embedding_pca_project_top1.
+    # embedding_pca_covariance, embedding_pca_project_top1,
+    # corpus_bm25_topterms, embedding_random_projection,
+    # scd2_dimension_build.
     # (d) family canaries, all green in earlier rounds: relational/agg
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, pipeline
     "tpch_q1", "tpch_q21", "match_recognize_star",

@@ -2656,3 +2656,141 @@ def embedding_pca_project_top1(spark, sf_dir):
     z = explode_embedding(emb)
     v = power_top1(covariance(z), rounds=8)
     return project_top1(z, v, scale=6)
+
+
+@register(
+    "corpus_bm25_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), df AS (
+      SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM dl
+    ), scored AS (
+      SELECT f.doc_id, f.tk,
+             CAST(ROUND(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                / (s.total_tokens * 1.0 / s.n_docs))),
+               9) AS DOUBLE) AS bm25
+      FROM tf f
+      JOIN df d ON f.tk = d.tk
+      JOIN dl l ON f.doc_id = l.doc_id
+      CROSS JOIN stats s
+    ), ranked AS (
+      SELECT doc_id, tk, bm25,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY bm25 DESC, tk) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tk AS term, bm25, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="BM25 (k1=1.2, b=0.75, Lucene-style non-negative idf) top-3 "
+        "terms per document — the retrieval scorer a contamination / "
+        "quality pipeline uses where raw TF-IDF over-weights long "
+        "docs. The oracle states the textbook tf/df/dl CTE joins "
+        "(four derivations of the token stream); the Spark plan "
+        "materializes the (doc, term, tf) table ONCE (localCheckpoint "
+        "— the corpus TEXT column is tokenized exactly once) and "
+        "derives doc length and document frequency as windows OVER "
+        "the tf rows, and N/avgdl as one broadcast 1-row aggregate of "
+        "the same table. At 100 TB the token explode is the whole "
+        "cost and it happens once; everything downstream is "
+        "(docs x distinct-terms)-sized. All score inputs are exact "
+        "integers except avgdl (identical double in both engines); "
+        "the score rounds to 9 dp BEFORE ranking so both engines "
+        "rank identically (ties broken by term).",
+)
+def corpus_bm25_topterms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    tf = (tok.groupBy("doc_id", "tk").agg(F.count("*").alias("tf"))
+          .localCheckpoint())
+    with_dl = tf.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+    with_df = with_dl.withColumn("df", F.count("*").over(W.partitionBy("tk")))
+    stats = tf.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("total_tokens"))
+    avgdl = F.col("total_tokens") * F.lit(1.0) / F.col("n_docs")
+    idf = F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    score = F.round(
+        idf * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75)
+                                       * F.col("dl") / avgdl)),
+        9).cast("double")
+    scored = (with_df.crossJoin(F.broadcast(stats))
+              .select("doc_id", "tk", score.alias("bm25")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("bm25"), "tk")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("doc_id", F.col("tk").alias("term"), "bm25", "rn"))
+
+
+@register(
+    "embedding_random_projection",
+    """
+    WITH z AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), dims AS (
+      SELECT DISTINCT i FROM z
+    ), sgn AS (
+      SELECT d.i, j.j,
+             CASE WHEN substr(md5(d.i || '_' || j.j), 1, 1)
+                       BETWEEN '0' AND '7'
+                  THEN 1 ELSE -1 END AS s
+      FROM dims d
+      CROSS JOIN (SELECT CAST(unnest(generate_series(1, 16)) AS INT)
+                         AS j) j
+    )
+    SELECT z.vec_id, sgn.j,
+           CAST(ROUND(SUM(CAST(z.x * sgn.s * 0.25 AS DECIMAL(30,14))),
+                      6) AS DOUBLE) AS y
+    FROM z JOIN sgn ON z.i = sgn.i
+    GROUP BY 1, 2
+    """,
+    doc="Johnson-Lindenstrauss random projection D -> 16 with an "
+        "Achlioptas +/-1 sign matrix derived DETERMINISTICALLY from "
+        "md5(i || '_' || j) (first hex nibble < 8 => +1), scaled by "
+        "1/sqrt(16): the cheap dimensionality reducer in front of "
+        "LSH / clustering when D is large. No materialized random "
+        "state anywhere — both engines re-derive the identical "
+        "matrix from the hash, so the op is reproducible on any "
+        "cluster. Scale: the D x 16 sign matrix is built from the "
+        "corpus's own distinct dimension ids (a D-row aggregate) and "
+        "BROADCAST; the corpus explodes once, joins map-side, and "
+        "aggregates (vec_id, j) with map-side partials — one shuffle "
+        "of 16 rows per vector, nothing all-pairs, no .collect(). "
+        "x * s * 0.25 is exact in binary floating point (sign flip + "
+        "power-of-two scale), so the decimal-accumulated sum is "
+        "engine-exact at 6 dp.",
+)
+def embedding_random_projection(spark, sf_dir):
+    from ..pipeline.pca import explode_embedding
+    emb = t(spark, sf_dir, "embeddings")
+    z = explode_embedding(emb)
+    ks = spark.range(1, 17).select(F.col("id").cast("int").alias("j"))
+    sgn = (z.select("i").distinct().crossJoin(ks)
+           .select("i", "j",
+                   F.when(F.substring(
+                       F.md5(F.concat_ws("_", F.col("i"), F.col("j"))),
+                       1, 1).between("0", "7"),
+                       F.lit(1)).otherwise(F.lit(-1)).alias("s")))
+    return (z.join(F.broadcast(sgn), "i")
+            .groupBy("vec_id", "j")
+            .agg(F.round(
+                F.sum((F.col("x") * F.col("s") * F.lit(0.25))
+                      .cast("decimal(30,14)")), 6)
+                .cast("double").alias("y")))

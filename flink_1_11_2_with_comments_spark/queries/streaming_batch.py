@@ -1505,3 +1505,55 @@ def temporal_join_event_sql(spark, sf_dir):
         JOIN tj_rates FOR SYSTEM_TIME AS OF c.ts AS r
         ON c.user_id = r.user_id
     """)
+
+
+@register(
+    "scd2_dimension_build",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS INT)
+             AS version,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+    doc="Slowly-changing-dimension type-2 build from a change stream: "
+        "per key, collapse no-change updates (LAG change detection), "
+        "then close each version with the next change's timestamp "
+        "(LEAD) and stamp version numbers — the batch materialization "
+        "of the VERSIONED TABLE that the event-time temporal join "
+        "probes (`FOR SYSTEM_TIME AS OF` consumes exactly these "
+        "[valid_from, valid_to) intervals; reference: "
+        "flink-table/flink-table-api-java/src/main/java/org/apache/"
+        "flink/table/functions/TemporalTableFunction.java:35 and the "
+        "changelog semantics of streaming/changelog.py). Scale: every "
+        "window partitions by user_id — high-cardinality at 100 TB, "
+        "so parallelism is per-key and no global sort exists; the "
+        "change-filter drops rows BEFORE the second/third windows, "
+        "and Catalyst runs the two same-key windows in one sort pass.",
+)
+def scd2_dimension_build(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    wk = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (e.select("user_id", "ts", "event_id", "event_type",
+                        F.lag("event_type").over(wk).alias("prev"))
+               .where(F.col("prev").isNull()
+                      | (F.col("prev") != F.col("event_type"))))
+    return (changes.select(
+        "user_id", F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wk).alias("valid_to"),
+        F.row_number().over(wk).cast("int").alias("version"),
+        F.lead("ts").over(wk).isNull().alias("is_current")))
