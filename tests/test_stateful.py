@@ -1902,3 +1902,65 @@ def test_gk_sketch_bound_fuzz():
             assert err <= EPS * n + 1, (data, phi, est, err)
 
     check()
+
+
+def test_streaming_cosine_dedup_parity(spark):
+    """Online keep-first near-dup filter vs the exact offline
+    simulation: buckets from the SAME md5 hyperplanes, per-bucket
+    greedy admission in vec_id order with the same rounded-numpy
+    cosine — decisions (is_dup, dup_of) must match EXACTLY at two
+    different micro-batchings, and cross-batch state must carry
+    (a survivor admitted in batch 1 must suppress its near-dups in
+    batch 4)."""
+    import numpy as np
+    from flink_1_11_2_with_comments_spark.pipeline.similarity import (
+        lsh_buckets)
+    from flink_1_11_2_with_comments_spark.streaming.neardup import (
+        streaming_cosine_dedup)
+
+    TH, PLANES = 0.8, 4
+    base = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # inject guaranteed near-dups: 2x-scaled copies have bit-identical
+    # unit vectors (power-of-two scaling is exact), hence the same
+    # bucket and cosine 1.0 against their originals
+    e = base.unionAll(base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0))
+        .alias("embedding")))
+    rows = (e.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+            .join(lsh_buckets(e, "vec_id", "embedding", n_planes=PLANES),
+                  "vec_id")
+            .orderBy("vec_id").collect())
+
+    expect, state = {}, {}
+    for r in rows:
+        v = np.asarray(r.v, dtype=np.float64)
+        nrm = float(np.sqrt(v @ v))
+        ids, vecs = state.setdefault(r.bucket, ([], []))
+        best, bid = None, None
+        if nrm > 0.0 and vecs:
+            cos = np.round(np.array(vecs, dtype=np.float64) @ (v / nrm), 9)
+            k = int(np.argmax(cos))
+            best, bid = float(cos[k]), ids[k]
+        dup = best is not None and best >= TH
+        expect[r.vec_id] = (r.bucket, dup, bid if dup else None)
+        if not dup and nrm > 0.0:
+            ids.append(r.vec_id)
+            vecs.append((v / nrm).tolist())
+    assert any(d for (_b, d, _o) in expect.values()), \
+        "threshold found no dups; test would be vacuous"
+
+    for n_batches, name in ((1, "nd1"), (4, "nd4")):
+        stream = replay_as_stream(e, n_batches=n_batches,
+                                  order_by="vec_id")
+        got = write_stream_to_memory(
+            streaming_cosine_dedup(stream, "vec_id", "embedding",
+                                   "vec_id", threshold=TH,
+                                   n_planes=PLANES), name)
+        gm = {r.id: (r.bucket, r.is_dup, r.dup_of)
+              for r in got.collect()}
+        assert gm == expect, {
+            k: (gm.get(k), expect[k])
+            for k in set(gm) | set(expect) if gm.get(k) != expect[k]}
