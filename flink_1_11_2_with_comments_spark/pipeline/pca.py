@@ -10,11 +10,13 @@ flink-java/.../DataSet.java:1139 — the same superstep contract the
 Gelly ops here already mirror via operators/graph._superstep).
 
 Scale design (100 TB embeddings, dimension D):
-- The DATA-heavy step is the Gram/covariance pass: one self-join of
-  the exploded (vec_id, i, x) rows keyed by vec_id — each vector
-  contributes D^2 pair rows, aggregated per (i, j) with map-side
-  partials. The output is D^2 rows (4096 for D=64) — tiny — and is
-  materialized ONCE (localCheckpoint) before iteration.
+- The DATA-heavy step is the Gram/covariance pass: each row computes
+  its own D x D outer product ROW-LOCALLY (nested transform, no
+  join), and one hash aggregate reduces the cells — the shuffle
+  carries only map-side partials (<= partitions * D^2 rows,
+  corpus-size-independent). The output is D^2 rows (4096 for D=64)
+  — tiny — and is materialized ONCE (localCheckpoint) before
+  iteration.
 - Power iteration then touches ONLY the D^2-row matrix and a D-row
   vector per round: matrix-vector product as a join+groupBy, L2
   normalization as a 1-row aggregate broadcast back. Corpus data is
@@ -45,22 +47,33 @@ def explode_embedding(emb: DataFrame) -> DataFrame:
                     F.col("xf").cast("double").alias("x")))
 
 
-def covariance(z: DataFrame, upper_only: bool = False) -> DataFrame:
-    """Population covariance matrix of the exploded embedding rows:
+def covariance(emb: DataFrame, upper_only: bool = False) -> DataFrame:
+    """Population covariance matrix of the embedding corpus:
     (i, j, cov), full D x D (or upper triangle for reporting).
 
-    One self-join keyed by vec_id; every per-(i, j) statistic —
-    sum(x*y), sum(x), sum(y), n — comes from the SAME single
-    aggregation, so the whole matrix costs one pair-shuffle and no
-    mean-side join. cov = E[xy] - E[x]E[y], each expectation exact
-    via decimal accumulation, final value rounded to 12 dp.
+    NO JOIN: each row computes its own D x D outer product ROW-LOCALLY
+    (nested `transform` with indices), explodes to (i, j, xy, x, y)
+    cells, and one hash aggregate reduces them. The oracle states the
+    textbook exploded self-join; that form shuffles N*D rows by
+    vec_id before it can pair — this form shuffles only the MAP-SIDE
+    PARTIALS (at most partitions * D^2 rows, corpus-size-independent),
+    which is the difference between a 100 TB shuffle and a kilobyte
+    one. Every per-(i, j) statistic — sum(x*y), sum(x), sum(y), n —
+    comes from the SAME single aggregation, so there is no mean-side
+    join either. cov = E[xy] - E[x]E[y], each expectation exact via
+    decimal accumulation, final value rounded to 12 dp (identical
+    cell values to the join form: same products, order-independent
+    decimal sums).
     """
-    a = z
-    b = z.select(F.col("vec_id").alias("vid2"), F.col("i").alias("j"),
-                 F.col("x").alias("y"))
-    pairs = a.join(b, a.vec_id == b.vid2)
-    s = (pairs.groupBy("i", "j")
-         .agg(F.round(F.sum((F.col("x") * F.col("y")).cast(DEC)), 9)
+    cells = emb.select(F.explode(F.expr(
+        "flatten(transform(embedding, (x, i) -> "
+        "transform(embedding, (y, j) -> struct("
+        "i + 1 AS i, j + 1 AS j, "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS xy, "
+        "CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y))))"))
+        .alias("c")).select("c.i", "c.j", "c.xy", "c.x", "c.y")
+    s = (cells.groupBy("i", "j")
+         .agg(F.round(F.sum(F.col("xy").cast(DEC)), 9)
               .cast("double").alias("sxy"),
               F.round(F.sum(F.col("x").cast(DEC)), 9)
               .cast("double").alias("sx"),

@@ -2617,20 +2617,23 @@ def _pca_power_oracle(rounds: int = 8) -> str:
     SELECT i, j, cov FROM covf WHERE i <= j
     """,
     doc="Distributed covariance matrix of the embedding corpus "
-        "(upper triangle): the data-heavy half of PCA. One self-join "
-        "of the exploded (vec_id, dim, x) rows keyed by vec_id — "
-        "each vector contributes D^2 pair rows aggregated per (i, j) "
-        "with map-side partials, and ALL per-cell statistics "
-        "(sum xy, sum x, sum y, n) come from that single aggregation "
-        "— no mean-side join, no second corpus pass, no .collect(). "
-        "Output is D^2/2 rows however large the corpus. "
-        "cov = E[xy] - E[x]E[y] with decimal-exact expectations, "
-        "rounded to 12 dp (engine-exact).",
+        "(upper triangle): the data-heavy half of PCA. NO JOIN — the "
+        "oracle states the textbook exploded self-join, but the Spark "
+        "plan computes each row's D x D outer product ROW-LOCALLY "
+        "(nested transform) and hash-aggregates the cells, so the "
+        "shuffle carries only map-side partials (<= partitions * D^2 "
+        "rows, corpus-size-independent — the self-join form would "
+        "shuffle N*D rows). ALL per-cell statistics (sum xy, sum x, "
+        "sum y, n) come from that single aggregation — no mean-side "
+        "join, no second corpus pass, no .collect(). Output is "
+        "D^2/2 rows however large the corpus. cov = E[xy] - E[x]E[y] "
+        "with decimal-exact expectations, rounded to 12 dp "
+        "(engine-exact, identical to the join form).",
 )
 def embedding_pca_covariance(spark, sf_dir):
-    from ..pipeline.pca import covariance, explode_embedding
+    from ..pipeline.pca import covariance
     emb = t(spark, sf_dir, "embeddings")
-    return covariance(explode_embedding(emb), upper_only=True)
+    return covariance(emb, upper_only=True)
 
 
 @register(
@@ -2653,9 +2656,8 @@ def embedding_pca_project_top1(spark, sf_dir):
     from ..pipeline.pca import (covariance, explode_embedding,
                                 power_top1, project_top1)
     emb = t(spark, sf_dir, "embeddings")
-    z = explode_embedding(emb)
-    v = power_top1(covariance(z), rounds=8)
-    return project_top1(z, v, scale=6)
+    v = power_top1(covariance(emb), rounds=8)
+    return project_top1(explode_embedding(emb), v, scale=6)
 
 
 @register(
