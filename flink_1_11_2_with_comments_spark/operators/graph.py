@@ -333,3 +333,75 @@ def salted_wedge_pairs(df: DataFrame, center: str, endpoint: str,
         F.greatest("va", "vb").alias("b"),
         F.col("c").alias("center"),
         F.col("cd").alias("center_degree"))
+
+
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """HITS (hubs & authorities) — Gelly's link-analysis library
+    algorithm (flink-gelly/.../library/linkanalysis/HITS.java:66):
+    authority(v) = sum of hub over in-neighbors, hub(v) = sum of
+    authority over out-neighbors, each score vector L2-normalized
+    per iteration. Fixed iteration count; every reduction is a
+    DECIMAL sum and every iterate rounds (12 dp raw / 9 dp
+    normalized), so the trajectory replays bit-exactly in the SQL
+    oracle. Returns (node, hub, authority).
+
+    Scale: per iteration two |E|-row join+aggregate stages and two
+    1-row L2 norms broadcast back — the same superstep shape as
+    pagerank; no .collect(), lineage truncated per round.
+    """
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .persist())
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(1.0))
+
+    def _phase(scores: DataFrame, score_col: str, edge_from: str,
+               edge_to: str, out_col: str) -> DataFrame:
+        raw = (edges.join(scores, edges[edge_from] == scores.node)
+               .groupBy(F.col(edge_to).alias("n2"))
+               .agg(F.round(F.sum(F.col(score_col).cast(DEC)), 12)
+                    .cast("double").alias("raw")))
+        filled = (nodes.join(raw, nodes.node == F.col("n2"), "left")
+                  .select("node", F.coalesce("raw", F.lit(0.0))
+                          .alias("raw")))
+        nrm = filled.agg(
+            F.round(F.sqrt(F.round(F.sum((F.col("raw") * F.col("raw"))
+                                         .cast(DEC)), 12)
+                           .cast("double")), 12).alias("nrm"))
+        return _superstep(
+            filled.crossJoin(F.broadcast(nrm))
+            .select("node", F.round(F.col("raw") / F.col("nrm"), 9)
+                    .alias(out_col)))
+
+    for _ in range(iterations):
+        auth = _phase(hub, "hub", "src", "dst", "auth")
+        hub = _phase(auth, "auth", "dst", "src", "hub")
+    out = (hub.join(auth.select(F.col("node").alias("n3"), "auth"),
+                    hub.node == F.col("n3"))
+           .select("node", "hub", F.col("auth").alias("authority"))
+           .localCheckpoint(eager=True))
+    nodes.unpersist()
+    return out
+
+
+def summarize(edges: DataFrame, groups: DataFrame) -> dict:
+    """Graph summarization — Gelly's Summarization library algorithm
+    (flink-gelly/.../library/Summarization.java:70): collapse every
+    vertex into its group value; emit one summary vertex per group
+    with its member count and one summary edge per (source group,
+    target group) with the count of original edges it represents.
+
+    groups: (node, grp). Returns {'vertices': DF(grp, n_members),
+    'edges': DF(src_grp, dst_grp, n_edges)} — two broadcast joins
+    (the group map is vertex-sized but grp cardinality is small;
+    at 100 TB keep it a plain shuffle join if the map outgrows
+    broadcast) and two aggregates.
+    """
+    vertices = groups.groupBy("grp").agg(F.count("*").alias("n_members"))
+    g1 = groups.select(F.col("node").alias("ns"), F.col("grp").alias("src_grp"))
+    g2 = groups.select(F.col("node").alias("nd"), F.col("grp").alias("dst_grp"))
+    sedges = (edges.join(g1, edges.src == F.col("ns"))
+              .join(g2, edges.dst == F.col("nd"))
+              .groupBy("src_grp", "dst_grp")
+              .agg(F.count("*").alias("n_edges")))
+    return {"vertices": vertices, "edges": sedges}

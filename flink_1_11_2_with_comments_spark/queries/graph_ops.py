@@ -449,3 +449,117 @@ def graph_clustering_coefficient(spark, sf_dir):
                     F.round(2.0 * F.coalesce(F.col("t"), F.lit(0))
                             / (F.col("d") * (F.col("d") - 1)), 6)
                     .cast("double").alias("lcc")))
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    """Unrolled HITS: each round replays the identical decimal-summed
+    mat-vec + L2 normalization at the same rounding, so DuckDB
+    reproduces the Spark trajectory bit-exactly."""
+    ctes = [f"edges AS ({_EDGE_SQL})",
+            """nodes AS (SELECT DISTINCT src AS node FROM edges
+                 UNION SELECT DISTINCT dst FROM edges)""",
+            "h0 AS (SELECT node, 1.0 AS hub FROM nodes)"]
+    phase = """
+    {out}_raw AS (
+      SELECT nodes.node, COALESCE(s.raw, 0.0) AS raw
+      FROM nodes LEFT JOIN (
+        SELECT e.{to_col} AS node,
+               CAST(ROUND(SUM(CAST(p.{score} AS DECIMAL(38,10))), 12)
+                    AS DOUBLE) AS raw
+        FROM edges e JOIN {prev} p ON e.{from_col} = p.node
+        GROUP BY e.{to_col}
+      ) s ON nodes.node = s.node
+    ), {out}_n AS (
+      SELECT ROUND(sqrt(CAST(ROUND(SUM(CAST(raw * raw
+                                            AS DECIMAL(38,10))), 12)
+                             AS DOUBLE)), 12) AS nrm
+      FROM {out}_raw
+    ), {out} AS (
+      SELECT node, ROUND(raw / nrm, 9) AS {alias}
+      FROM {out}_raw, {out}_n
+    )"""
+    for r in range(1, iterations + 1):
+        ctes.append(phase.format(out=f"a{r}", prev=f"h{r - 1}",
+                                 score="hub", from_col="src",
+                                 to_col="dst", alias="auth"))
+        ctes.append(phase.format(out=f"h{r}", prev=f"a{r}",
+                                 score="auth", from_col="dst",
+                                 to_col="src", alias="hub"))
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+    SELECT h.node, h.hub, a.auth AS authority
+    FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node""")
+
+
+@register(
+    "graph_hits",
+    _hits_oracle(3),
+    doc="HITS hubs & authorities, 3 fixed iterations with per-round "
+        "L2 normalization — Gelly's link-analysis library algorithm "
+        "(flink-gelly/.../library/linkanalysis/HITS.java:66). "
+        "Authority mass concentrates on nations/regions (in-degree "
+        "hubs of the star schema), hub mass on the leaf suppliers/"
+        "customers. Decimal-summed contributions and rounded "
+        "iterates (12/9 dp) make the trajectory engine-exact; the "
+        "oracle unrolls the same six half-steps in SQL.",
+)
+def graph_hits(spark, sf_dir):
+    from ..operators.graph import hits
+    return hits(_edges(spark, sf_dir), iterations=3)
+
+
+@register(
+    "graph_summarization",
+    f"""
+    WITH edges AS ({_EDGE_SQL}),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    groups AS (
+      SELECT node, CAST(node // 1000 AS BIGINT) AS grp FROM nodes
+    ),
+    members AS (
+      SELECT grp, COUNT(*) AS n_members FROM groups GROUP BY grp
+    ),
+    sedges AS (
+      SELECT gs.grp AS src_grp, gd.grp AS dst_grp,
+             COUNT(*) AS n_edges
+      FROM edges e
+      JOIN groups gs ON e.src = gs.node
+      JOIN groups gd ON e.dst = gd.node
+      GROUP BY 1, 2
+    )
+    SELECT s.src_grp, s.dst_grp, s.n_edges,
+           ms.n_members AS src_members, md.n_members AS dst_members
+    FROM sedges s
+    JOIN members ms ON s.src_grp = ms.grp
+    JOIN members md ON s.dst_grp = md.grp
+    """,
+    doc="Graph summarization — Gelly's Summarization library "
+        "algorithm (flink-gelly/.../library/Summarization.java:70): "
+        "collapse vertices into their group value (node-id band = "
+        "entity type: region/nation/supplier/customer), emit one "
+        "summary edge per (source group, target group) with the "
+        "original edge count plus both groups' member counts. Two "
+        "joins against the vertex-group map + three aggregates; "
+        "group cardinality is tiny so the summary joins broadcast.",
+)
+def graph_summarization(spark, sf_dir):
+    from ..operators.graph import summarize
+    edges = _edges(spark, sf_dir)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    groups = nodes.select(
+        "node", F.floor(F.col("node") / 1000).cast("bigint").alias("grp"))
+    s = summarize(edges, groups)
+    sv = s["vertices"]
+    se = s["edges"]
+    ms = sv.select(F.col("grp").alias("g1"),
+                   F.col("n_members").alias("src_members"))
+    md = sv.select(F.col("grp").alias("g2"),
+                   F.col("n_members").alias("dst_members"))
+    return (se.join(F.broadcast(ms), se.src_grp == F.col("g1"))
+            .join(F.broadcast(md), se.dst_grp == F.col("g2"))
+            .select("src_grp", "dst_grp", "n_edges",
+                    "src_members", "dst_members"))
