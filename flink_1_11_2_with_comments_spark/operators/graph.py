@@ -405,3 +405,55 @@ def summarize(edges: DataFrame, groups: DataFrame) -> dict:
               .groupBy("src_grp", "dst_grp")
               .agg(F.count("*").alias("n_edges")))
     return {"vertices": vertices, "edges": sedges}
+
+
+def pregel(edges: DataFrame, initial: DataFrame, send_msg,
+           merge_msg, update, max_iter: int = 20,
+           algo: str = "pregel") -> DataFrame:
+    """Vertex-centric (Pregel / scatter-gather) iteration — the
+    abstraction Gelly's library algorithms are built ON
+    (flink-gelly/.../pregel/VertexCentricIteration.java:88 and
+    spi/ScatterGatherIteration.java:90), re-expressed as a
+    frontier-delta DataFrame loop.
+
+    edges   : (src, dst, ...payload) directed.
+    initial : (node, value) — the initially-active vertex set.
+    send_msg: Column over the scatter join (edge payload columns +
+              the source vertex's `value`) — the message sent to dst.
+    merge_msg: aggregation fn, e.g. ``lambda c: F.min(c)`` — the
+              combiner applied per destination (runs map-side too).
+    update  : fn(old_value, merged_msg) -> new value Column; old is
+              NULL on first activation.
+    Per superstep: ONLY vertices whose value changed scatter (the
+    delta-iteration workset contract, DataSet.iterateDelta /
+    DataSet.java:1179) — one |frontier-out-edges| join + one
+    combiner-aggregated shuffle + one state merge; lineage truncated
+    per round. Terminates when the frontier empties (or max_iter,
+    loudly).
+    """
+    state = initial
+    frontier = initial
+    for _ in range(max_iter):
+        msgs = (edges.join(frontier.select(F.col("node").alias("__s"),
+                                           "value"),
+                           edges.src == F.col("__s"))
+                .select(F.col("dst").alias("node"),
+                        send_msg.alias("msg")))
+        inbox = msgs.groupBy("node").agg(merge_msg(F.col("msg"))
+                                         .alias("msg"))
+        merged = (state.join(inbox, "node", "full")
+                  .select("node",
+                          F.col("value").alias("__old"),
+                          update(F.col("value"), F.col("msg"))
+                          .alias("value")))
+        merged = _superstep(merged)
+        frontier = (merged.where(F.col("__old").isNull()
+                                 | (F.col("value") != F.col("__old")))
+                    .select("node", "value"))
+        state = merged.select("node", "value")
+        if frontier.limit(1).count() == 0:
+            break
+    else:
+        if frontier.limit(1).count() > 0:
+            _warn_not_converged(algo, max_iter)
+    return state

@@ -79,7 +79,8 @@ _PRIORITY: tuple[str, ...] = (
     # locally): corpus_source_overlap, corpus_vocab_coverage,
     # embedding_pca_covariance, embedding_pca_project_top1,
     # corpus_bm25_topterms, embedding_random_projection,
-    # scd2_dimension_build, graph_hits, graph_summarization.
+    # scd2_dimension_build, graph_hits, graph_summarization,
+    # graph_pregel_sssp, graph_pregel_components.
     # (d) family canaries, all green in earlier rounds: relational/agg
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, pipeline
     "tpch_q1", "tpch_q21", "match_recognize_star",

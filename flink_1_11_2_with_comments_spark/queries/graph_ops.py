@@ -563,3 +563,55 @@ def graph_summarization(spark, sf_dir):
             .join(F.broadcast(md), se.dst_grp == F.col("g2"))
             .select("src_grp", "dst_grp", "n_edges",
                     "src_members", "dst_members"))
+
+
+@register(
+    "graph_pregel_sssp",
+    _REGISTRY["graph_sssp"].oracle,
+    doc="SSSP re-derived through the GENERIC vertex-centric iteration "
+        "(operators/graph.pregel — Gelly's VertexCentricIteration.java"
+        ":88 / ScatterGatherIteration.java:90 abstraction): scatter = "
+        "value + edge weight, combine = MIN, update = LEAST(old, msg),"
+        " frontier-delta supersteps (only changed vertices scatter). "
+        "Same recursive-CTE oracle as graph_sssp — the abstraction "
+        "must reproduce the library algorithm exactly.",
+)
+def graph_pregel_sssp(spark, sf_dir):
+    from ..operators.graph import pregel
+    edges = _sssp_edges(spark, sf_dir)
+    initial = spark.createDataFrame([(1000, 0.0)],
+                                    "node bigint, value double")
+    out = pregel(
+        edges, initial,
+        send_msg=F.col("value") + F.col("weight"),
+        merge_msg=lambda c: F.min(c),
+        update=lambda old, msg: F.least(old, msg),
+        max_iter=10, algo="pregel_sssp")
+    return out.select("node", F.col("value").alias("distance"))
+
+
+@register(
+    "graph_pregel_components",
+    _REGISTRY["graph_connected_components"].oracle,
+    doc="Connected components through the same generic pregel "
+        "operator: every vertex starts with its own id, scatters its "
+        "current label along (undirected) edges, combine = MIN, "
+        "update = LEAST — the label-flood formulation Gelly's "
+        "ConnectedComponents library algorithm runs on its "
+        "scatter-gather iteration. Same min-reachable-label "
+        "recursive-CTE oracle as graph_connected_components.",
+)
+def graph_pregel_components(spark, sf_dir):
+    from ..operators.graph import pregel
+    edges = _edges(spark, sf_dir)
+    und = edges.unionAll(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+    initial = (und.select(F.col("src").alias("node")).distinct()
+               .withColumn("value", F.col("node")))
+    out = pregel(
+        und, initial,
+        send_msg=F.col("value"),
+        merge_msg=lambda c: F.min(c),
+        update=lambda old, msg: F.least(old, msg),
+        max_iter=20, algo="pregel_components")
+    return out.select("node", F.col("value").alias("component"))
