@@ -2796,3 +2796,59 @@ def embedding_random_projection(spark, sf_dir):
                 F.sum((F.col("x") * F.col("s") * F.lit(0.25))
                       .cast("decimal(30,14)")), 6)
                 .cast("double").alias("y")))
+
+
+def _z_interleave_sql(a: str, b: str, bits: int = 8) -> str:
+    """Bit-interleave two `bits`-wide ints into a Z-order (Morton)
+    key — pure integer shifts/masks, identical text in Spark SQL and
+    DuckDB."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({a} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({b} >> {k}) & 1) << {2 * k + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZKEY = _z_interleave_sql("(user_id & 255)",
+                         "(CAST(hour(ts) AS BIGINT) & 255)")
+
+
+@register(
+    "events_zorder_stats",
+    f"""
+    WITH z AS (
+      SELECT event_id, user_id & 255 AS a,
+             CAST(hour(ts) AS BIGINT) & 255 AS b,
+             {_ZKEY} AS zkey
+      FROM events
+    )
+    SELECT zkey >> 6 AS zbucket, COUNT(*) AS n,
+           MIN(a) AS min_a, MAX(a) AS max_a,
+           MIN(b) AS min_b, MAX(b) AS max_b
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering key + per-bucket dimension-range "
+        "stats — the multi-dimensional LAYOUT op behind data skipping "
+        "at 100 TB: writing files ordered by zkey makes each file's "
+        "min/max TIGHT in BOTH user_id and hour simultaneously, so "
+        "predicates on EITHER column prune files (1-D sort prunes "
+        "only its own leading column). The interleave is pure integer "
+        "shift/mask JVM codegen — a map-only scan; the bucket stats "
+        "here ARE the min/max pruning metadata a writer would emit "
+        "per file. Production use: "
+        "df.repartitionByRange(N, zkey).sortWithinPartitions(zkey)"
+        ".write — each output file covers one tight Z-curve segment. "
+        "Engine-exact: integer arithmetic only, identical expression "
+        "text in both engines.",
+)
+def events_zorder_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    z = e.select(
+        "event_id",
+        F.expr("user_id & 255").alias("a"),
+        F.expr("CAST(hour(ts) AS BIGINT) & 255").alias("b"),
+        F.expr(_ZKEY).alias("zkey"))
+    return (z.groupBy(F.expr("zkey >> 6").alias("zbucket"))
+            .agg(F.count("*").alias("n"),
+                 F.min("a").alias("min_a"), F.max("a").alias("max_a"),
+                 F.min("b").alias("min_b"), F.max("b").alias("max_b")))

@@ -856,3 +856,20 @@ def test_pcm_resample_linear_exact(spark, documents):
             assert got.rms == round(
                 math.sqrt(sum(v * v for v in y) / n_out), 6)
             assert got.peak == int(max(abs(v) for v in y))
+
+
+def test_zorder_bucket_tile_bound(spark):
+    """The data-skipping guarantee of the Z-order key: bucket =
+    zkey >> 6 fixes all but 6 interleaved bits (3 per dimension), so
+    every bucket is an 8x8 tile — per-bucket min/max spread must be
+    <= 7 in BOTH dimensions simultaneously. A 1-D sort cannot bound
+    the non-leading dimension this way (its per-file spread on the
+    other column is the full domain)."""
+    from flink_1_11_2_with_comments_spark.queries.pipeline_ops import (
+        events_zorder_stats)
+
+    rows = events_zorder_stats(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.max_a - r.min_a <= 7, (r.zbucket, r.min_a, r.max_a)
+        assert 0 <= r.max_b - r.min_b <= 7, (r.zbucket, r.min_b, r.max_b)
