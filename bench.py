@@ -46,6 +46,12 @@ HEADLINE = [
 SCALE10_EXTRA = [
     "corpus_bpe_pair_counts", "dedup_semdedup",
     "dedup_exact_substring_spans", "embedding_standardize",
+    # round-7-late newcomers: linearity evidence for the PCA Gram
+    # pass (row-local outer products), BM25 single-tokenize plan,
+    # the broadcast JL projection, and the windowed SCD2 build
+    "embedding_pca_covariance", "corpus_bm25_topterms",
+    "embedding_random_projection", "scd2_dimension_build",
+    "events_zorder_stats",
 ]
 
 

@@ -80,7 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     # embedding_pca_covariance, embedding_pca_project_top1,
     # corpus_bm25_topterms, embedding_random_projection,
     # scd2_dimension_build, graph_hits, graph_summarization,
-    # graph_pregel_sssp, graph_pregel_components, events_zorder_stats.
+    # graph_pregel_sssp, graph_pregel_components, events_zorder_stats,
+    # cdc_debezium_materialize.
     # (d) family canaries, all green in earlier rounds: relational/agg
     # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, pipeline
     "tpch_q1", "tpch_q21", "match_recognize_star",

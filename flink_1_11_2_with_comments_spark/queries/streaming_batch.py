@@ -1557,3 +1557,47 @@ def scd2_dimension_build(spark, sf_dir):
         F.lead("ts").over(wk).alias("valid_to"),
         F.row_number().over(wk).cast("int").alias("version"),
         F.lead("ts").over(wk).isNull().alias("is_current")))
+
+
+@register(
+    "cdc_debezium_materialize",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT ts, event_id, user_id, value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="debezium-json round trip — the flagship Flink 1.11 CDC "
+        "format (DebeziumJsonDeserializationSchema.java:122): events "
+        "are serialized into Debezium envelopes ('error' rows as op=d "
+        "deletes with a before-image, everything else op=c), parsed "
+        "back into +I/-U/+U/-D changelog rows (sources/cdc.py, pure "
+        "JVM from_json/to_json — no Python in the path), and the "
+        "changelog is materialized to final table state: last change "
+        "per user_id wins, a trailing delete erases the key. The "
+        "oracle states the endpoint directly (last row per user, "
+        "dropped if it is a delete). Scale: serialize+parse are "
+        "map-only; materialization is ONE shuffle by primary key.",
+)
+def cdc_debezium_materialize(spark, sf_dir):
+    from ..sources.cdc import materialize_upsert, parse_debezium_json
+    e = t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    payload = F.struct(F.col("user_id"), F.col("value"))
+    env = e.select(
+        "ts", "event_id",
+        F.to_json(F.struct(
+            F.when(is_del, payload).alias("before"),
+            F.when(~is_del, payload).alias("after"),
+            F.when(is_del, F.lit("d")).otherwise(F.lit("c")).alias("op"),
+            (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+        )).alias("payload"))
+    parsed = parse_debezium_json(env, "payload",
+                                 "user_id bigint, value double",
+                                 keep_cols=("ts", "event_id"))
+    return materialize_upsert(parsed, keys=["user_id"],
+                              order_cols=["ts", "event_id"])

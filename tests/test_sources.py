@@ -1380,3 +1380,106 @@ def test_kafka_varint_roundtrip_property():
         assert pos == len(out.getvalue())
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# CDC formats: debezium-json / canal-json (Flink 1.11 flagship formats)
+# ---------------------------------------------------------------------------
+
+_DBZ_SCHEMA = "id bigint, v string, ver int"
+
+
+def _dbz_rows(spark):
+    envs = [
+        '{"before": null, "after": {"id": 1, "v": "a", "ver": 1}, '
+        '"op": "c", "ts_ms": 100}',
+        '{"before": null, "after": {"id": 2, "v": "b", "ver": 1}, '
+        '"op": "r", "ts_ms": 101}',
+        '{"before": {"id": 1, "v": "a", "ver": 1}, '
+        '"after": {"id": 1, "v": "a2", "ver": 2}, "op": "u", '
+        '"ts_ms": 102}',
+        '{"before": {"id": 2, "v": "b", "ver": 1}, "after": null, '
+        '"op": "d", "ts_ms": 103}',
+    ]
+    return spark.createDataFrame([(i, e) for i, e in enumerate(envs)],
+                                 "offset int, payload string")
+
+
+def test_debezium_json_parse(spark):
+    """Debezium op mapping pinned field-by-field — c/r -> +I(after),
+    u -> -U(before) + +U(after), d -> -D(before)
+    (DebeziumJsonDeserializationSchema.java:122)."""
+    from flink_1_11_2_with_comments_spark.sources.cdc import (
+        parse_debezium_json)
+
+    out = parse_debezium_json(_dbz_rows(spark), "payload", _DBZ_SCHEMA)
+    got = {(r.rowkind, r.id, r.v, r.ver, r.change_seq)
+           for r in out.collect()}
+    assert got == {
+        ("+I", 1, "a", 1, 0), ("+I", 2, "b", 1, 0),
+        ("-U", 1, "a", 1, 0), ("+U", 1, "a2", 2, 1),
+        ("-D", 2, "b", 1, 0)}
+
+
+def test_debezium_json_parse_streaming(spark):
+    """The same parse expressions run unchanged under readStream —
+    the format is a stateless projection, exactly why the reference
+    registers one DeserializationSchema for both batch and
+    streaming."""
+    from flink_1_11_2_with_comments_spark.sources.cdc import (
+        parse_debezium_json)
+
+    stream = replay_as_stream(_dbz_rows(spark), n_batches=2,
+                              order_by="offset")
+    out = write_stream_to_memory(
+        parse_debezium_json(stream, "payload", _DBZ_SCHEMA), "dbz_s")
+    got = {(r.rowkind, r.id, r.v, r.ver) for r in out.collect()}
+    assert got == {("+I", 1, "a", 1), ("+I", 2, "b", 1),
+                   ("-U", 1, "a", 1), ("+U", 1, "a2", 2),
+                   ("-D", 2, "b", 1)}
+
+
+def test_canal_json_parse(spark):
+    """Canal mapping pinned: data is an array (multi-row batches),
+    UPDATE's old[i] carries ONLY changed fields and the -U row is
+    data[i] patched with them (CanalJsonDeserializationSchema
+    .java:112,131)."""
+    from flink_1_11_2_with_comments_spark.sources.cdc import (
+        parse_canal_json)
+
+    envs = [
+        '{"data": [{"id": 1, "v": "a", "ver": 1}, '
+        '{"id": 2, "v": "b", "ver": 1}], "old": null, '
+        '"type": "INSERT"}',
+        # old[0] changes only v — ver must patch from data
+        '{"data": [{"id": 1, "v": "a2", "ver": 2}], '
+        '"old": [{"id": null, "v": "a", "ver": null}], '
+        '"type": "UPDATE"}',
+        '{"data": [{"id": 2, "v": "b", "ver": 1}], "old": null, '
+        '"type": "DELETE"}',
+    ]
+    df = spark.createDataFrame([(i, e) for i, e in enumerate(envs)],
+                               "offset int, payload string")
+    out = parse_canal_json(df, "payload", _DBZ_SCHEMA)
+    got = {(r.rowkind, r.id, r.v, r.ver, r.change_seq)
+           for r in out.collect()}
+    assert got == {
+        ("+I", 1, "a", 1, 0), ("+I", 2, "b", 1, 0),
+        ("-U", 1, "a", 2, 0),  # v patched from old, ver from data
+        ("+U", 1, "a2", 2, 1),
+        ("-D", 2, "b", 1, 0)}
+
+
+def test_cdc_materialize_upsert(spark):
+    """Changelog -> final table state: last change per key wins, a
+    trailing -D erases the key, an update's +U outranks its own -U."""
+    from flink_1_11_2_with_comments_spark.sources.cdc import (
+        materialize_upsert, parse_debezium_json)
+
+    out = materialize_upsert(
+        parse_debezium_json(_dbz_rows(spark), "payload", _DBZ_SCHEMA,
+                            keep_cols=("offset",)),
+        keys=["id"], order_cols=["offset"])
+    got = {(r.id, r.v, r.ver) for r in out.collect()}
+    assert got == {(1, "a2", 2)}  # id=2 deleted; id=1 at version 2
+    assert "offset" in out.columns
