@@ -541,3 +541,51 @@ def test_r7_tpcds_shapes_plan_quality(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Hive-style bucketed tables co-locate join keys at WRITE time:
+    joining two tables bucketed 8-ways on the join key must produce a
+    SortMergeJoin with ZERO Exchange operators — the layout that
+    replaces the per-query shuffle of a 100 TB fact-fact join with a
+    one-time bucketed write (SURVEY scale mandate; the Spark analogue
+    of the reference's pre-partitioned batch table sources /
+    DataSet.partitionByHash reuse). Contrast pinned: the same join on
+    plain parquet MUST show Exchanges."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .mode("overwrite").saveAsTable("b_customer"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("b_orders")
+             .join(spark.table("b_customer"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n")))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the join itself is exchange-free; the only exchange allowed
+        # is the post-join single-column aggregate's
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in join_part, join_part
+        flat = (orders.join(cust,
+                            F.col("o_custkey") == F.col("c_custkey"))
+                .groupBy("c_mktsegment").agg(F.count("*").alias("n")))
+        flat.collect()
+        plain = flat._jdf.queryExecution().executedPlan().toString()
+        assert plain.split("SortMergeJoin")[-1].count("Exchange") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
