@@ -1483,3 +1483,63 @@ def test_cdc_materialize_upsert(spark):
     got = {(r.id, r.v, r.ver) for r in out.collect()}
     assert got == {(1, "a2", 2)}  # id=2 deleted; id=1 at version 2
     assert "offset" in out.columns
+
+
+def test_kafka_debezium_cdc_topology(spark):
+    """The reference's flagship CDC topology composed from the two
+    REAL in-container pieces: Debezium envelopes produced into the
+    file-backed Kafka topic log (RecordBatch v2), STREAMED back out
+    (binaryFile source + executor-side decode), parsed by the
+    debezium-json format, and materialized to final table state —
+    Kafka -> debezium-json -> changelog -> upsert sink
+    (FlinkKafkaConsumer + DebeziumJsonDeserializationSchema +
+    upsert materialization). End state must equal the direct
+    last-write-wins computation on the source rows."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.cdc import (
+        materialize_upsert, parse_debezium_json)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        kafka_log_read_stream, kafka_log_write)
+
+    from pyspark.sql import Window
+
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events").limit(400)
+    is_del = F.col("event_type") == "error"
+    # the payload carries its own total order (ts_ms = event_id)
+    payload = F.struct(F.col("user_id"), F.col("value"),
+                       F.col("event_id").alias("ts_ms"))
+    env = src.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct(
+            F.when(is_del, payload).alias("before"),
+            F.when(~is_del, payload).alias("after"),
+            F.when(is_del, F.lit("d")).otherwise(F.lit("c"))
+            .alias("op"))), "utf-8").alias("value"))
+    path = tempfile.mkdtemp(prefix="kafka_cdc_")
+    kafka_log_write(env.repartition(2), path, "cdc", batch_size=64)
+
+    stream = kafka_log_read_stream(spark, path, "cdc")
+    parsed = parse_debezium_json(
+        stream.select(F.decode("value", "utf-8").alias("payload"),
+                      "partition", "offset"),
+        "payload", "user_id bigint, value double, ts_ms bigint",
+        keep_cols=("partition", "offset"))
+    q = (parsed.writeStream.format("memory").queryName("cdc_chg")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    chg = spark.sql("SELECT * FROM cdc_chg")
+    final = materialize_upsert(chg, keys=["user_id"],
+                               order_cols=["ts_ms"])
+    got = {(r.user_id, r.value) for r in final.collect()}
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    exp = {(r.user_id, r.value) for r in
+           (src.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & ~is_del)
+            .select("user_id", "value").collect())}
+    assert got == exp and got
