@@ -28,64 +28,40 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 # The external correctness gate evaluates the registry in insertion order
 # and may only reach the first N entries (every round so far stopped at 50).
-# Round-7 rotation (round 6 was cut short before the rotation landed,
-# so its driver window duplicated round 5's): union r1-r6 hard-verified
-# 218 of the 236 pre-round-7 registry queries (0 red ever). This list
-# front-loads (a) the 18 round-5-late queries that never had a driver
-# row (exact-checked locally by tests/test_oracle_parity.py or a
-# pure-Python pinned reference), then (b) the 17 round-7-new queries,
-# then (c) family canaries green in earlier rounds. With all of (a)
-# and (b) inside the 50-slot window, union r1-r7 covers the whole
-# registry EXCEPT the round-8 queue noted below. Round-8 rotation:
-# front-load that queue plus any round-8-new queries plus whichever
-# round-7 rows came back non-green (expect none), then rotate
-# canaries across families.
+# Round-8 rotation: union r1-r7 hard-verified 262 of the 275 pre-round-8
+# registry queries (253 green + 9 rows-only by design, 0 red ever). This
+# list front-loads (a) the 13 queries that have never had a driver row
+# (the documented round-8 queue — every one exact-checked locally by
+# tests/test_oracle_parity.py or a pinned pure-Python reference), then
+# (b) the round-8-new queries, then (c) family canaries green in earlier
+# rounds. With (a) and (b) inside the 50-slot window, union r1-r8 covers
+# the ENTIRE registry. Round-9 rotation: front-load any round-9-new
+# queries plus whichever round-8 rows came back non-green (expect none),
+# then rotate canaries across families not exercised recently.
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked round-5-late queries
-    "text_gopher_rules", "dedup_semdedup",
-    "corpus_bpe_pair_counts",
-    "corpus_bpe_merges",  # rows-only by design
-    "corpus_bpe_encode",  # rows-only by design
-    "corpus_quality_weighted_sample",
-    "match_recognize_min0_leading", "match_recognize_min0_trailing",
-    "embedding_standardize",
-    "multimodal_pixel_decode",  # rows-only by design
-    "multimodal_audio_samples",  # rows-only by design
-    "graph_label_propagation", "graph_jaccard_index",
-    "graph_adamic_adar", "graph_clustering_coefficient",
-    "corpus_length_quantiles", "text_langid_confusion",
-    "events_rate_anomaly",
-    # (b) round-7-new queries
-    "graph_jaccard_index_salted", "temporal_join_event_sql",
-    "tpcds_profit_rollup_report", "tpcds_exists_demographics",
-    "tpcds_exists_activity_profile", "tpcds_cross_channel_shared_items",
-    "tpcds_shared_item_channel_matrix",
-    "multimodal_image_resize",  # rows-only by design
-    "multimodal_audio_resample",  # rows-only by design
-    "tpcds_frequent_item_best_customer",
-    "text_pii_scrub", "corpus_lang_cap_sample",
-    "embedding_quantize_int8",
-    "tpcds_monthly_shipmode_matrix", "tpcds_disjunctive_membership",
-    "tpcds_order_composition_report", "tpcds_tri_period_repeat",
-    # (c) round-7-late additions (all exact-checked locally): the two
-    # queries registered just past the previous window plus the
-    # continuation tranche (6 TPC-DS shapes + DSIR weights)
-    "corpus_stratified_split", "dedup_url_canonical",
-    "tpcds_weekly_yoy_pivot", "tpcds_distinct_band_buckets",
-    "tpcds_best_worst_rank_join", "tpcds_multi_supplier_returned_orders",
-    "tpcds_attr_combo_names", "tpcds_before_after_split",
-    "corpus_dsir_weights",
-    # Round-8 rotation queue (beyond the 50-slot window; exact-checked
-    # locally): corpus_source_overlap, corpus_vocab_coverage,
-    # embedding_pca_covariance, embedding_pca_project_top1,
-    # corpus_bm25_topterms, embedding_random_projection,
-    # scd2_dimension_build, graph_hits, graph_summarization,
-    # graph_pregel_sssp, graph_pregel_components, events_zorder_stats,
-    # cdc_debezium_materialize.
-    # (d) family canaries, all green in earlier rounds: relational/agg
-    # core, heavy join, MATCH_RECOGNIZE/CEP, dedup, ANN, pipeline
-    "tpch_q1", "tpch_q21", "match_recognize_star",
-    "dedup_minhash_lsh", "ann_ivf_lloyd", "pipeline_end_to_end",
+    # (a) the round-8 queue: never driver-checked
+    "corpus_source_overlap", "corpus_vocab_coverage",
+    "embedding_pca_covariance", "embedding_pca_project_top1",
+    "corpus_bm25_topterms", "embedding_random_projection",
+    "scd2_dimension_build", "graph_hits", "graph_summarization",
+    "graph_pregel_sssp", "graph_pregel_components",
+    "events_zorder_stats", "cdc_debezium_materialize",
+    # (b) round-8-new queries — appended here as each lands in-round
+    # (the registry loader hard-fails on unknown names, so this block
+    # only ever lists registered queries)
+    # (c) family canaries, all green in earlier rounds, rotated to
+    # families whose last hard row is oldest: relational/agg core,
+    # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,
+    # set ops, windows
+    "tpch_q1", "tpch_q9", "tpch_q21",
+    "setop_intersect_all", "over_range_bounded",
+    "window_tumble_agg", "interval_join_batch",
+    "match_recognize_star", "cep_quantified",
+    "dedup_minhash_lsh", "dedup_exact",
+    "ann_ivf_lloyd", "ann_bruteforce_topk",
+    "temporal_join_event_sql",
+    "pipeline_end_to_end", "graph_connected_components",
+    "tpcds_distinct_band_buckets", "corpus_bpe_pair_counts",
 )
 
 
