@@ -423,7 +423,14 @@ def pregel(edges: DataFrame, initial: DataFrame, send_msg,
     merge_msg: aggregation fn, e.g. ``lambda c: F.min(c)`` — the
               combiner applied per destination (runs map-side too).
     update  : fn(old_value, merged_msg) -> new value Column; old is
-              NULL on first activation.
+              NULL on first activation. Invoked ONLY for vertices
+              whose merged inbox is non-null (the Pregel contract:
+              compute() runs where messages arrived); a vertex with
+              no inbound message keeps its old value untouched, so
+              non-null-identity updates (sum-accumulate, last-writer)
+              are safe. Messages themselves must be non-null — a
+              null merged message is indistinguishable from "no
+              message" and is treated as such.
     Per superstep: ONLY vertices whose value changed scatter (the
     delta-iteration workset contract, DataSet.iterateDelta /
     DataSet.java:1179) — one |frontier-out-edges| join + one
@@ -444,7 +451,9 @@ def pregel(edges: DataFrame, initial: DataFrame, send_msg,
         merged = (state.join(inbox, "node", "full")
                   .select("node",
                           F.col("value").alias("__old"),
-                          update(F.col("value"), F.col("msg"))
+                          F.when(F.col("msg").isNull(), F.col("value"))
+                          .otherwise(update(F.col("value"),
+                                            F.col("msg")))
                           .alias("value")))
         merged = _superstep(merged)
         frontier = (merged.where(F.col("__old").isNull()

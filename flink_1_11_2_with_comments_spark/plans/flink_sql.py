@@ -33,7 +33,10 @@ not here.
 
 from __future__ import annotations
 
+import itertools
 import re
+
+_TEMPORAL_VIEW_SEQ = itertools.count()
 
 _INTERVAL = r"INTERVAL\s+'([^']+)'\s+(\w+)"
 
@@ -141,13 +144,18 @@ def event_time_temporal_join(spark, sql: str):
         right_payload=payload,
         how="left" if m["outer"] else "inner")
     strip = re.compile(rf"\b(?:{re.escape(la)}|{re.escape(ra)})\.")
-    view = "__temporal_join_probe_build"
+    # unique per call: a fixed name would clobber a user view of the
+    # same name and is unsafe for two concurrent temporal-join plans
+    # in one session
+    view = f"__temporal_join_probe_build_{next(_TEMPORAL_VIEW_SEQ)}"
     joined.createOrReplaceTempView(view)
-    q = f"SELECT {strip.sub('', m['select'])} FROM {view}"
-    if m["where"]:
-        q += f" WHERE {strip.sub('', m['where'])}"
-    out = spark.sql(q)
-    spark.catalog.dropTempView(view)
+    try:
+        q = f"SELECT {strip.sub('', m['select'])} FROM {view}"
+        if m["where"]:
+            q += f" WHERE {strip.sub('', m['where'])}"
+        out = spark.sql(q)
+    finally:
+        spark.catalog.dropTempView(view)
     return out
 
 

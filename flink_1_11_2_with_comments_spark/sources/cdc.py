@@ -69,9 +69,14 @@ def parse_canal_json(df: DataFrame, json_col: str,
     """Parse Canal envelopes into changelog rows.
 
     Canal batches rows: data is an ARRAY of rows; for UPDATE, old[i]
-    holds ONLY the changed fields of data[i] — the -U row is data[i]
-    patched with old[i]'s non-null fields (the coalesce in
-    CanalJsonDeserializationSchema.java:131).
+    holds ONLY the fields of data[i] that changed — the -U row is
+    data[i] patched with the fields PRESENT in old[i]
+    (CanalJsonDeserializationSchema.java:131 checks field presence).
+    Presence is decided by a second parse of `old` as
+    array<map<string,string>> — a struct parse alone cannot
+    distinguish a field whose old value was explicitly null from a
+    field absent from the patch, and an UPDATE of a column FROM null
+    must put null in the before-image, not the new value.
     Output: (change_seq int, rowkind string, <payload columns>).
     """
     fields = [p.strip().split()[0] for p in row_schema.split(",")]
@@ -79,17 +84,23 @@ def parse_canal_json(df: DataFrame, json_col: str,
         "_e", F.from_json(
             F.col(json_col),
             f"data array<struct<{row_schema}>>, "
-            f"old array<struct<{row_schema}>>, type string"))
+            f"old array<struct<{row_schema}>>, type string")
+    ).withColumn(
+        "_op", F.from_json(F.col(json_col),
+                           "old array<map<string,string>>"))
     keep = [F.col(c) for c in keep_cols]
     exploded = env.select(
         *keep, "_e.type",
         F.posexplode("_e.data").alias("_i", "_row"),
-        F.col("_e.old").alias("_old"))
+        F.col("_e.old").alias("_old"),
+        F.col("_op.old").alias("_oldmap"))
     ins = (exploded.where(F.col("type") == "INSERT")
            .select(*keep, F.lit(0).alias("change_seq"),
                    F.lit("+I").alias("rowkind"), F.col("_row.*")))
-    patched = [F.coalesce(F.col("_old")[F.col("_i")][c],
-                          F.col("_row")[c]).alias(c) for c in fields]
+    patched = [
+        F.when(F.map_contains_key(F.col("_oldmap")[F.col("_i")], c),
+               F.col("_old")[F.col("_i")][c])
+        .otherwise(F.col("_row")[c]).alias(c) for c in fields]
     upd_b = (exploded.where(F.col("type") == "UPDATE")
              .select(*keep, F.lit(0).alias("change_seq"),
                      F.lit("-U").alias("rowkind"), *patched))

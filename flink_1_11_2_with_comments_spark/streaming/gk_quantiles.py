@@ -88,7 +88,9 @@ def gk_quantiles_stream(df: DataFrame, keys: list[str], value_col: str,
     period = max(int(1 / (2 * eps)), 1)  # compress cadence
 
     def fn(key, rows: pd.DataFrame | None, state):
-        if rows is None:
+        # a zero-row (but non-None) batch on a fresh key would leave
+        # n=0/tuples empty and gk_query would hit tuples[-1]
+        if rows is None or len(rows) == 0:
             return None
         tuples = [list(t) for t in state.get("tuples", [])]
         n = state.get("n", 0)

@@ -52,7 +52,8 @@ def running_moments(df: DataFrame, key: str = "pos",
     """
 
     def fn(k, rows: pd.DataFrame | None, state: KeyedState):
-        if rows is None:
+        # zero-row non-None batch on a fresh key would divide by n=0
+        if rows is None or len(rows) == 0:
             return None
         n = state.get("n", 0) + len(rows)
         s = decimal.Decimal(state.get("s", "0"))

@@ -349,3 +349,33 @@ def test_salted_wedge_block_coverage_property():
         assert seen == expect, (nb, values)
 
     check()
+
+
+def test_pregel_null_inbox_keeps_old_value(spark):
+    """Pregel contract (VertexCentricIteration.java:88): compute()
+    runs ONLY for vertices that received messages — a quiet vertex
+    keeps its value untouched. Pinned with a sum-accumulate update
+    (old + msg), which is NOT identity on a null message: under the
+    buggy apply-to-everyone formulation a quiet vertex's value would
+    go NULL (old + NULL) on the first superstep it sits out."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_2_with_comments_spark.operators.graph import pregel
+
+    # 0 -> 1 -> 2; vertex 0 never receives a message, and after the
+    # wave passes vertex 1 sits quiet while 2 still updates
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src bigint, dst bigint")
+    initial = spark.createDataFrame(
+        [(0, 10.0), (1, 1.0), (2, 1.0)], "node bigint, value double")
+    out = pregel(
+        edges, initial,
+        send_msg=F.col("value"),
+        merge_msg=lambda c: F.sum(c),
+        update=lambda old, msg: F.coalesce(old, F.lit(0.0)) + msg,
+        max_iter=3)
+    got = {r.node: r.value for r in out.collect()}
+    # superstep 1: 1 += 10 -> 11, 2 += 1 -> 2 (frontier {1,2})
+    # superstep 2: 2 += 11 -> 13 (frontier {2}); 0 and 1 quiet
+    # superstep 3: nothing (2 has no out-edges) -> converged
+    assert got == {0: 10.0, 1: 11.0, 2: 13.0}

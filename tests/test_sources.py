@@ -1441,9 +1441,11 @@ def test_debezium_json_parse_streaming(spark):
 
 def test_canal_json_parse(spark):
     """Canal mapping pinned: data is an array (multi-row batches),
-    UPDATE's old[i] carries ONLY changed fields and the -U row is
-    data[i] patched with them (CanalJsonDeserializationSchema
-    .java:112,131)."""
+    UPDATE's old[i] carries ONLY changed fields — keys ABSENT from
+    old[i] patch from data[i], while a key PRESENT with an explicit
+    null means the old value WAS null and must stay null in the -U
+    row (CanalJsonDeserializationSchema.java:112,131 checks field
+    presence, not non-nullness)."""
     from flink_1_11_2_with_comments_spark.sources.cdc import (
         parse_canal_json)
 
@@ -1451,9 +1453,15 @@ def test_canal_json_parse(spark):
         '{"data": [{"id": 1, "v": "a", "ver": 1}, '
         '{"id": 2, "v": "b", "ver": 1}], "old": null, '
         '"type": "INSERT"}',
-        # old[0] changes only v — ver must patch from data
+        # old[0] changes only v (id/ver absent -> patch from data)
         '{"data": [{"id": 1, "v": "a2", "ver": 2}], '
-        '"old": [{"id": null, "v": "a", "ver": null}], '
+        '"old": [{"v": "a"}], '
+        '"type": "UPDATE"}',
+        # id=3: v updated FROM NULL -> old carries an explicit null,
+        # which must survive into the before-image (the coalesce
+        # formulation would wrongly show the new value "c")
+        '{"data": [{"id": 3, "v": "c", "ver": 2}], '
+        '"old": [{"v": null}], '
         '"type": "UPDATE"}',
         '{"data": [{"id": 2, "v": "b", "ver": 1}], "old": null, '
         '"type": "DELETE"}',
@@ -1467,6 +1475,8 @@ def test_canal_json_parse(spark):
         ("+I", 1, "a", 1, 0), ("+I", 2, "b", 1, 0),
         ("-U", 1, "a", 2, 0),  # v patched from old, ver from data
         ("+U", 1, "a2", 2, 1),
+        ("-U", 3, None, 2, 0),  # explicit-null old value preserved
+        ("+U", 3, "c", 2, 1),
         ("-D", 2, "b", 1, 0)}
 
 
