@@ -49,6 +49,7 @@ _PRIORITY: tuple[str, ...] = (
     # (b) round-8-new queries — appended here as each lands in-round
     # (the registry loader hard-fails on unknown names, so this block
     # only ever lists registered queries)
+    "cdc_canal_materialize",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest: relational/agg core,
     # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,

@@ -1601,3 +1601,68 @@ def cdc_debezium_materialize(spark, sf_dir):
                                  keep_cols=("ts", "event_id"))
     return materialize_upsert(parsed, keys=["user_id"],
                               order_cols=["ts", "event_id"])
+
+
+@register(
+    "cdc_canal_materialize",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, epoch_ms(ts) AS ts_ms, event_id,
+             event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT ts_ms, event_id, user_id, value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="canal-json round trip — the second Flink 1.11 CDC format "
+        "(CanalJsonDeserializationSchema.java:112), exercising the "
+        "parts debezium lacks: multi-row `data` ARRAYS (envelopes "
+        "batch up to a handful of rows, like Canal batching one MySQL "
+        "transaction) and UPDATE `old` entries carrying ONLY the "
+        "changed field (the before-image patches absent keys from "
+        "data — presence-checked, sources/cdc.py). Events serialize "
+        "as INSERT (first row per user), UPDATE (later rows, old = "
+        "{value: previous value}), DELETE ('error' rows); parse back "
+        "to +I/-U/+U/-D and materialize last-change-wins per user_id. "
+        "The oracle states the endpoint directly (last row per user, "
+        "dropped if delete). Scale: serialize is one keyed window + "
+        "one groupBy into envelopes; parse is map-only JVM from_json; "
+        "materialization is ONE shuffle by primary key.",
+)
+def cdc_canal_materialize(spark, sf_dir):
+    from ..sources.cdc import materialize_upsert, parse_canal_json
+    e = t(spark, sf_dir, "events")
+    wk = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = e.select(
+        "user_id", "value", "event_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.row_number().over(wk).alias("_rn"),
+        F.lag("value").over(wk).alias("_prev"))
+    op = (F.when(F.col("event_type") == "error", F.lit("DELETE"))
+          .when(F.col("_rn") == 1, F.lit("INSERT"))
+          .otherwise(F.lit("UPDATE")))
+    d = F.struct("ts_ms", "event_id", "user_id", "value")
+    # old carries ONLY the changed field; a null prev would be
+    # dropped by to_json, degrading to patch-everything-from-data —
+    # still spec-legal, so coalesce keeps the envelope deterministic
+    o = F.struct(F.coalesce(F.col("_prev"), F.col("value"))
+                 .alias("value"))
+    env = (rows
+           .withColumn("op", op)
+           .withColumn("pair", F.struct(d.alias("d"), o.alias("o")))
+           .groupBy("user_id", "op",
+                    F.pmod(F.col("event_id"), F.lit(2)).alias("_b"))
+           .agg(F.array_sort(F.collect_list("pair")).alias("pairs"))
+           .select(F.to_json(F.struct(
+               F.transform("pairs", lambda x: x["d"]).alias("data"),
+               F.when(F.col("op") == "UPDATE",
+                      F.transform("pairs", lambda x: x["o"]))
+               .alias("old"),
+               F.col("op").alias("type"))).alias("payload")))
+    parsed = parse_canal_json(
+        env, "payload",
+        "ts_ms bigint, event_id bigint, user_id bigint, value double")
+    return materialize_upsert(parsed, keys=["user_id"],
+                              order_cols=["ts_ms", "event_id"])
