@@ -50,6 +50,10 @@ _PRIORITY: tuple[str, ...] = (
     # (the registry loader hard-fails on unknown names, so this block
     # only ever lists registered queries)
     "cdc_canal_materialize",
+    "tpcds_rollup_rank_within_parent", "tpcds_geo_prefix_revenue",
+    "tpcds_supplier_latency_matrix", "tpcds_dual_correlated_spend",
+    "tpcds_bulk_basket_customers", "tpcds_channel_pair_ratio",
+    "tpcds_net_after_returns", "tpcds_spend_histogram",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest: relational/agg core,
     # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,

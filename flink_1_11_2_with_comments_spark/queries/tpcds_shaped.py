@@ -2643,3 +2643,374 @@ def tpcds_before_after_split(spark, sf_dir):
     return (per.join(F.broadcast(s), per.sk == s.s_suppkey)
             .select(F.col("s_name").alias("supplier"),
                     "q_before", "q_after"))
+
+
+@register(
+    "tpcds_rollup_rank_within_parent",
+    f"""
+    WITH agg AS (
+      SELECT r_name, n_name,
+             CAST(GROUPING(r_name) AS INT) AS g_r,
+             CAST(GROUPING(n_name) AS INT) AS g_n,
+             ROUND({sql_dsum('l_extendedprice * (1 - l_discount)', 6)}
+                   / {sql_dsum('l_extendedprice', 6)}, 6) AS margin
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+    )
+    SELECT r_name, n_name, g_r + g_n AS lochierarchy, margin,
+           CAST(RANK() OVER (
+             PARTITION BY g_r + g_n,
+                          CASE WHEN g_n = 0 THEN r_name END
+             ORDER BY margin) AS INT) AS rank_within_parent
+    FROM agg
+    """,
+    doc="TPC-DS q36/q86 shape: gross-margin ROLLUP hierarchy with "
+        "RANK WITHIN PARENT — the lochierarchy trick: rank rows at "
+        "each grouping level within their parent key (PARTITION BY "
+        "grouping-level + CASE-gated parent). Adaptation: "
+        "category/class -> region/nation via the customer dimension; "
+        "margin = discounted / gross revenue, decimal-accumulated "
+        "and ROUNDED to 6dp BEFORE ranking so both engines order "
+        "identical values. Scale: one fact scan, Expand-based "
+        "rollup in a single shuffle, all dims broadcast; the rank "
+        "window runs over |regions x nations| aggregate rows.",
+)
+def tpcds_rollup_rank_within_parent(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    agg = (j.rollup("r_name", "n_name")
+           .agg(F.grouping("r_name").cast("int").alias("g_r"),
+                F.grouping("n_name").cast("int").alias("g_n"),
+                F.round(
+                    dsum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount")), 6)
+                    / dsum("l_extendedprice", 6), 6).alias("margin")))
+    w = (W.partitionBy(F.col("g_r") + F.col("g_n"),
+                       F.when(F.col("g_n") == 0, F.col("r_name")))
+         .orderBy("margin"))
+    return agg.select(
+        "r_name", "n_name",
+        (F.col("g_r") + F.col("g_n")).alias("lochierarchy"), "margin",
+        F.rank().over(w).cast("int").alias("rank_within_parent"))
+
+
+@register(
+    "tpcds_geo_prefix_revenue",
+    f"""
+    SELECT n_name, {sql_dsum('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE (substr(n_name, 1, 1) IN ('A', 'E', 'I', 'U')
+           OR c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+           OR o_totalprice > 150000)
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-DS q8/q15 shape: geographic aggregate gated by a "
+        "DISJUNCTION spanning a dimension substring (zip-prefix "
+        "membership), a second dimension attribute (state list), and "
+        "a fact measure (sales > threshold) — the filter no single "
+        "scan can absorb. Adaptation: zip prefix -> nation initial, "
+        "state -> market segment, quarter -> one order year. Scale: "
+        "the date filter DOES push to the fact scan; the cross-table "
+        "OR evaluates post-join on broadcast-joined rows, no "
+        "re-scan, one shuffle for the aggregate.",
+)
+def tpcds_geo_prefix_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    j = (o.where(
+            (F.col("o_orderdate")
+             >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit("1997-01-01").cast("timestamp")))
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    disj = (F.substring("n_name", 1, 1).isin("A", "E", "I", "U")
+            | F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            | (F.col("o_totalprice") > 150000))
+    return (j.where(disj).groupBy("n_name")
+            .agg(dsum("o_totalprice").alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+@register(
+    "tpcds_supplier_latency_matrix",
+    """
+    SELECT n_name, o_orderpriority,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate,
+                                        l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate,
+                                        l_shipdate) > 30
+                          AND date_diff('day', o_orderdate,
+                                        l_shipdate) <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate,
+                                        l_shipdate) > 60
+                          AND date_diff('day', o_orderdate,
+                                        l_shipdate) <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate,
+                                        l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d_over
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name, o_orderpriority
+    """,
+    doc="TPC-DS q50 shape (the dimension-attributed variant of the "
+        "q62 band matrix already shipped): ship-latency bands keyed "
+        "by a JOINED dimension identity x order attribute — q50 "
+        "groups its bands by the full store row; here supplier "
+        "nation x order priority, filtered to one sold year. Scale: "
+        "the year predicate pushes to the orders scan; "
+        "supplier/nation broadcast; the only shuffle is the "
+        "fact-fact order-key join feeding one conditional aggregate.",
+)
+def tpcds_supplier_latency_matrix(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    j = (li.join(o.where(
+            (F.col("o_orderdate")
+             >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit("1998-01-01").cast("timestamp"))),
+            li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    return (j.groupBy("n_name", "o_orderpriority")
+            .agg(band(lat <= 30, "d30"),
+                 band((lat > 30) & (lat <= 60), "d60"),
+                 band((lat > 60) & (lat <= 90), "d90"),
+                 band(lat > 90, "d_over")))
+
+
+@register(
+    "tpcds_dual_correlated_spend",
+    f"""
+    WITH spend AS (
+      SELECT c_custkey, c_name, p_brand,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 6)}
+               AS netpaid
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, p_brand
+    )
+    SELECT c_custkey, c_name, p_brand, netpaid
+    FROM spend
+    WHERE netpaid > (SELECT 1.3 * {sql_davg('netpaid')} FROM spend)
+    """,
+    doc="TPC-DS q24 shape: per-(customer, item-attribute) net paid "
+        "on RETURNED lines, kept only where it exceeds a multiple of "
+        "the average over the SAME aggregate — the dual-correlated "
+        "pattern where the qualifying threshold is itself computed "
+        "from the query's own first-stage result. Adaptation: "
+        "store_returns -> l_returnflag = 'R', color -> brand, 0.05 x "
+        "sum -> 1.3 x avg (the trimmed data has no per-color "
+        "concentration). Scale: the spend aggregate materializes "
+        "once; AQE reuses its exchange for both the 1-row threshold "
+        "and the probe, so the fact is scanned once; the threshold "
+        "joins as a 1-row broadcast, never a cartesian.",
+)
+def tpcds_dual_correlated_spend(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    spend = (li.where(F.col("l_returnflag") == "R")
+             .join(o, li.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .groupBy("c_custkey", "c_name", "p_brand")
+             .agg(dsum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), 6)
+                  .alias("netpaid")))
+    thr = spend.agg((F.lit(1.3) * davg("netpaid")).alias("thr"))
+    return (spend.join(F.broadcast(thr))
+            .where(F.col("netpaid") > F.col("thr"))
+            .select("c_custkey", "c_name", "p_brand", "netpaid"))
+
+
+@register(
+    "tpcds_bulk_basket_customers",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS INT) AS n_lines
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING COUNT(*) BETWEEN 6 AND 7
+    )
+    SELECT c_custkey, c_name, o_orderkey, n_lines
+    FROM baskets
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="TPC-DS q34/q73 shape: find the baskets (tickets) whose line "
+        "count falls in a band, then join back out to the customer "
+        "for identification — the 'bulk shopper' report. Adaptation: "
+        "ticket -> order, 15-20 band -> 6-7 (the trimmed lineitem "
+        "caps at 7 lines per order). Scale: the basket aggregate "
+        "reduces the fact to |orders| rows BEFORE any join "
+        "(aggregate-before-join), the HAVING band cuts most of "
+        "those, and customer joins broadcast.",
+)
+def tpcds_bulk_basket_customers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.count("*").cast("int").alias("n_lines"))
+               .where(F.col("n_lines").between(6, 7)))
+    return (baskets.join(o, baskets.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "n_lines"))
+
+
+@register(
+    "tpcds_net_after_returns",
+    f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum("CASE WHEN l_returnflag = 'R' "
+                     "THEN GREATEST(l_quantity - 5, 0) "
+                     "     * (l_extendedprice / l_quantity) "
+                     "ELSE l_extendedprice END", 2)} AS net_spend,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="TPC-DS q93 shape: customer net spend where RETURNED lines "
+        "contribute only their unreturned remainder — q93's "
+        "(ss_quantity - sr_return_quantity) * price credit, "
+        "re-expressed on the trimmed schema as returned lines "
+        "keeping GREATEST(quantity - 5, 0) units at the line's unit "
+        "price. The per-row unit-price division is IEEE-deterministic "
+        "and the sum decimal-accumulates, so both engines agree "
+        "bit-exactly. Scale: one fact-fact join on the order key "
+        "(inherent), customer broadcast, single aggregate shuffle.",
+)
+def tpcds_net_after_returns(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    net = (F.when(F.col("l_returnflag") == "R",
+                  F.greatest(F.col("l_quantity") - 5, F.lit(0.0))
+                  * (F.col("l_extendedprice") / F.col("l_quantity")))
+           .otherwise(F.col("l_extendedprice")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(dsum(net, 2).alias("net_spend"),
+                 F.count("*").alias("n_lines")))
+
+
+@register(
+    "tpcds_channel_pair_ratio",
+    f"""
+    WITH n_ch AS (
+      SELECT o_custkey AS custkey, EXTRACT(year FROM o_orderdate)
+               AS yr, {sql_dsum('l_extendedprice', 6)} AS rev_n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'N'
+      GROUP BY 1, 2
+    ), a_ch AS (
+      SELECT o_custkey AS custkey, EXTRACT(year FROM o_orderdate)
+               AS yr, {sql_dsum('l_extendedprice', 6)} AS rev_a
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'A'
+      GROUP BY 1, 2
+    )
+    SELECT n_ch.custkey AS custkey, CAST(n_ch.yr AS INT) AS yr,
+           rev_n, rev_a, ROUND(rev_n / rev_a, 4) AS ratio
+    FROM n_ch JOIN a_ch
+      ON n_ch.custkey = a_ch.custkey AND n_ch.yr = a_ch.yr
+    WHERE rev_n > 2 * rev_a
+    """,
+    doc="TPC-DS q78 shape: pair each customer-year's sales across "
+        "two channels and keep the skewed pairs (one channel's "
+        "revenue more than double the other), reporting the ratio — "
+        "q78's store/web pairing with its 'present in both channels' "
+        "inner-join gate. Adaptation: channels -> returnflag N/A. "
+        "The oracle states the literal two-aggregate join; the Spark "
+        "plan pivots both channels out of ONE conditional aggregate "
+        "of a single fact scan (null = absent from channel, the "
+        "inner-join gate becomes IS NOT NULL), halving fact I/O. "
+        "Ratio rounds AFTER the decimal-exact sums, 4dp.",
+)
+def tpcds_channel_pair_ratio(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    j = (li.where(F.col("l_returnflag").isin("N", "A"))
+         .join(o, li.l_orderkey == o.o_orderkey))
+    agg = (j.groupBy(F.col("o_custkey").alias("custkey"),
+                     F.year("o_orderdate").cast("int").alias("yr"))
+           .agg(dsum(F.when(F.col("l_returnflag") == "N",
+                            F.col("l_extendedprice")), 6)
+                .alias("rev_n"),
+                dsum(F.when(F.col("l_returnflag") == "A",
+                            F.col("l_extendedprice")), 6)
+                .alias("rev_a")))
+    return (agg.where(F.col("rev_n").isNotNull()
+                      & F.col("rev_a").isNotNull()
+                      & (F.col("rev_n") > 2 * F.col("rev_a")))
+            .select("custkey", "yr", "rev_n", "rev_a",
+                    F.round(F.col("rev_n") / F.col("rev_a"), 4)
+                    .alias("ratio")))
+
+
+@register(
+    "tpcds_spend_histogram",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey, {sql_dsum('o_totalprice', 2)} AS rev
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(FLOOR(rev / 100000) AS INT) AS bucket,
+           COUNT(*) AS n_customers
+    FROM spend GROUP BY 1
+    """,
+    doc="TPC-DS q54 tail shape: the revenue-segment histogram — "
+        "aggregate per customer, then count customers per fixed-width "
+        "revenue bucket (q54 buckets by 50-dollar segments; 100k "
+        "here for the order-value domain). The aggregate-of-aggregate "
+        "needs only |customers| intermediate rows; bucket FLOOR runs "
+        "on the decimal-rounded double so both engines bucket "
+        "identically. Two shuffles total, second over tiny keyspace.",
+)
+def tpcds_spend_histogram(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(dsum("o_totalprice", 2).alias("rev")))
+    return (spend.groupBy(F.floor(F.col("rev") / 100000).cast("int")
+                          .alias("bucket"))
+            .agg(F.count("*").alias("n_customers")))

@@ -589,3 +589,67 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_r8_tpcds_shapes_plan_quality(spark, sf_dir):
+    """The round-8 tranche keeps its scale-critical plan properties:
+    the q36/q86 rollup-rank derives all grouping levels from ONE
+    Expand over ONE fact scan with dims broadcast; the q50 latency
+    matrix pushes its year predicate into the orders scan; the q24
+    dual-correlated threshold is a 1-row broadcast (never a
+    cartesian) and AQE reuses the spend aggregate's exchange; the
+    q34/q73 basket band aggregates the fact BEFORE any join; the
+    q78 pairing reads the fact exactly once (conditional-pivot
+    rewrite of the two-channel join); the q54 histogram prunes the
+    orders scan to its two needed columns."""
+    import re as _re
+    spark.catalog.clearCache()
+    specs = SPECS
+
+    def body(p):
+        return p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+
+    p = plan(spark, "tpcds_rollup_rank_within_parent", sf_dir)
+    b = body(p)
+    assert b.count("Scan parquet") == 5, b       # 1 fact + 4 dims
+    assert "Expand" in b, b
+    assert b.count("BroadcastHashJoin") >= 3, b
+    assert "CartesianProduct" not in b, b
+
+    p = plan(spark, "tpcds_geo_prefix_revenue", sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    assert "CartesianProduct" not in p, p
+    assert body(p).count("BroadcastHashJoin") == 2, p
+
+    p = plan(spark, "tpcds_supplier_latency_matrix", sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    assert body(p).count("Scan parquet") == 4, p
+    assert "CartesianProduct" not in p, p
+
+    df = specs["tpcds_dual_correlated_spend"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the exchange reuse at runtime
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert "CartesianProduct" not in final, final
+    assert "ReusedExchange" in final, final
+    # the only nested loop is the 1-row threshold broadcast
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final
+
+    p = plan(spark, "tpcds_bulk_basket_customers", sf_dir)
+    assert "CartesianProduct" not in p, p
+    assert body(p).count("Scan parquet") == 3, p
+
+    p = plan(spark, "tpcds_channel_pair_ratio", sf_dir)
+    # conditional-pivot rewrite: ONE lineitem scan + the orders scan
+    assert body(p).count("Scan parquet") == 2, p
+    assert len(_re.findall(r"lineitem", p)) == 1, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(spark, "tpcds_net_after_returns", sf_dir)
+    assert body(p).count("Scan parquet") == 3, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(spark, "tpcds_spend_histogram", sf_dir)
+    assert body(p).count("Scan parquet") == 1, p
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" \
+        in p, p  # column pruning down to the two needed columns
