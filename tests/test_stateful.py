@@ -1964,3 +1964,92 @@ def test_streaming_cosine_dedup_parity(spark):
         assert gm == expect, {
             k: (gm.get(k), expect[k])
             for k in set(gm) | set(expect) if gm.get(k) != expect[k]}
+
+
+def test_streaming_scd2_parity(spark, events):
+    """Stream-maintained SCD2 state equals the batch build at several
+    micro-batchings — the reference's temporal-table maintenance
+    contract (TemporalRowTimeJoinOperator.java:72: right-side keyed
+    state holds the version history; the batch build materializes the
+    same history with windows). Each key's final emission (max
+    n_seen) must be row-identical to scd2_dimension_build: same
+    version chain, same [valid_from, valid_to) intervals, same
+    is_current flags — no-change updates collapsed identically."""
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+
+    batch = all_specs()["scd2_dimension_build"].fn(spark, SF)
+    exp = sorted(
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.version,
+         r.is_current) for r in batch.collect())
+
+    for n_batches in (1, 4, 9):
+        stream = replay_as_stream(events, n_batches=n_batches,
+                                  order_by="ts")
+        got = write_stream_to_memory(
+            scd2_maintain(stream), f"scd2_{n_batches}",
+            output_mode="update")
+        latest = (got.withColumn(
+            "mx", F.max("n_seen").over(W.partitionBy("user_id")))
+            .where(F.col("n_seen") == F.col("mx")))
+        rows = sorted(
+            (r.user_id, r.status, r.valid_from, r.valid_to, r.version,
+             r.is_current) for r in latest.collect())
+        assert rows == exp, f"n_batches={n_batches}"
+
+
+def test_cdc_to_scd2_composition(spark, events):
+    """The temporal-table topology end-to-end: Debezium envelopes
+    (the CDC changelog) streamed through parse_debezium_json into
+    scd2_maintain — the stream-maintained version history must equal
+    the batch SCD2 build over the same upsert rows. This is the
+    reference's full story: changelog source -> versioned table
+    (DebeziumJsonDeserializationSchema feeding the temporal table
+    that TemporalRowTimeJoinOperator probes)."""
+    from flink_1_11_2_with_comments_spark.sources.cdc import (
+        parse_debezium_json)
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+
+    src = events.select("user_id", "event_type", "ts", "event_id")
+    env = src.select(
+        "ts", "event_id",
+        F.to_json(F.struct(
+            F.lit(None).cast("struct<user_id bigint, event_type string,"
+                             " ts_ns bigint, event_id bigint>")
+            .alias("before"),
+            F.struct("user_id", "event_type",
+                     F.unix_micros(F.col("ts").cast("timestamp"))
+                     .alias("ts_ns"), "event_id").alias("after"),
+            F.lit("u").alias("op"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+            .cast("bigint").alias("ts_ms"))).alias("payload"))
+
+    stream = replay_as_stream(env, n_batches=4, order_by="ts")
+    parsed = parse_debezium_json(
+        stream, "payload",
+        "user_id bigint, event_type string, ts_ns bigint, "
+        "event_id bigint", keep_cols=("ts",))
+    upserts = parsed.where(F.col("rowkind").isin("+I", "+U"))
+    got = write_stream_to_memory(
+        scd2_maintain(upserts), "cdc_scd2", output_mode="update")
+    latest = (got.withColumn(
+        "mx", F.max("n_seen").over(W.partitionBy("user_id")))
+        .where(F.col("n_seen") == F.col("mx")))
+    rows = sorted(
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.version)
+        for r in latest.collect())
+
+    wk = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (src.withColumn("prev", F.lag("event_type").over(wk))
+               .where(F.col("prev").isNull()
+                      | (F.col("prev") != F.col("event_type"))))
+    exp = sorted(
+        (r.user_id, r.event_type, r.ts, r.valid_to, r.version)
+        for r in changes.select(
+            "user_id", "event_type", "ts",
+            F.lead("ts").over(wk).alias("valid_to"),
+            F.row_number().over(wk).cast("int").alias("version"))
+        .collect())
+    assert rows == exp
