@@ -54,6 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_supplier_latency_matrix", "tpcds_dual_correlated_spend",
     "tpcds_bulk_basket_customers", "tpcds_channel_pair_ratio",
     "tpcds_net_after_returns", "tpcds_spend_histogram",
+    "corpus_dsir_score_broadcast",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest: relational/agg core,
     # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,

@@ -2852,3 +2852,28 @@ def events_zorder_stats(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.min("a").alias("min_a"), F.max("a").alias("max_a"),
                  F.min("b").alias("min_b"), F.max("b").alias("max_b")))
+
+
+from . import _REGISTRY as _REG
+
+
+@register(
+    "corpus_dsir_score_broadcast",
+    _REG["corpus_dsir_weights"].oracle,  # the paths are bit-equal
+    doc="The streaming DSIR scorer (streaming/dsir.py — broadcast-"
+        "state pattern: 64-bucket log-ratio table fitted offline, "
+        "documents scored map-only in Arrow batches, mirroring the "
+        "batch query's DECIMAL arithmetic op for op) run over the "
+        "batch documents table: mapInPandas is streaming/batch "
+        "agnostic, so the driver can hard-verify the operator "
+        "against the SAME oracle as corpus_dsir_weights — "
+        "bit-equality of the two paths is additionally pinned at two "
+        "micro-batchings by tests/test_stateful.py::"
+        "test_streaming_dsir_parity. Scale: fit touches the "
+        "reference corpus once (one token shuffle); scoring "
+        "shuffles nothing.",
+)
+def corpus_dsir_score_broadcast(spark, sf_dir):
+    from ..streaming.dsir import dsir_fit, dsir_score_stream
+    d = t(spark, sf_dir, "documents")
+    return dsir_score_stream(d, dsir_fit(d))

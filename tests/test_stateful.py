@@ -2053,3 +2053,30 @@ def test_cdc_to_scd2_composition(spark, events):
             F.row_number().over(wk).cast("int").alias("version"))
         .collect())
     assert rows == exp
+
+
+def test_streaming_dsir_parity(spark):
+    """Streaming DSIR scoring (broadcast-state pattern: the 64-bucket
+    log-ratio table fitted offline, documents scored map-only) is
+    BIT-EQUAL to the batch corpus_dsir_weights query per document, at
+    two micro-batchings — the BroadcastProcessFunction contract: the
+    control table rides along, the data stream never shuffles."""
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    from flink_1_11_2_with_comments_spark.streaming.dsir import (
+        dsir_fit, dsir_score_stream)
+
+    docs = load_table(spark, SF, "documents")
+    batch = all_specs()["corpus_dsir_weights"].fn(spark, SF)
+    exp = sorted((r.doc_id, r.n_tokens, r.dsir_logw)
+                 for r in batch.collect())
+
+    ratios = dsir_fit(docs)
+    assert len(ratios) == 64
+    for n_batches in (2, 5):
+        stream = replay_as_stream(docs.select("doc_id", "text"),
+                                  n_batches=n_batches)
+        got = write_stream_to_memory(
+            dsir_score_stream(stream, ratios), f"dsir{n_batches}",
+            output_mode="append")
+        rows = sorted(map(tuple, got.collect()))
+        assert rows == exp, f"n_batches={n_batches}"
