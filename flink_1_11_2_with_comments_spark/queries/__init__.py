@@ -55,6 +55,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_bulk_basket_customers", "tpcds_channel_pair_ratio",
     "tpcds_net_after_returns", "tpcds_spend_histogram",
     "corpus_dsir_score_broadcast",
+    "events_hll_distinct", "events_kmv_distinct_union",
+    "events_countmin_point",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest: relational/agg core,
     # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,

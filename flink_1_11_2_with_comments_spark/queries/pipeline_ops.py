@@ -2877,3 +2877,248 @@ def corpus_dsir_score_broadcast(spark, sf_dir):
     from ..streaming.dsir import dsir_fit, dsir_score_stream
     d = t(spark, sf_dir, "documents")
     return dsir_score_stream(d, dsir_fit(d))
+
+
+# -- deterministic sketches -------------------------------------------
+# approx_sketches (above) demonstrates Spark's built-in HLL++ /
+# quantile sketches, which are rows-only by design (engine-specific
+# bits). These three state the SAME sketch algorithm in both engines
+# over the portable 60-bit md5 hash, so the driver hash-compares the
+# sketch CONTENTS — hard signal for the sketch family. Reference:
+# the reference cannot do this either (its HLL lives in library code);
+# stating the algorithm relationally is the Spark-first move.
+
+_HLL_RHO_SQL = """
+    CASE WHEN w = 0 THEN 55
+         ELSE 4 * (14 - length(ltrim(lpad(hex(w), 14, '0'), '0')))
+              + CASE WHEN substring(ltrim(lpad(hex(w), 14, '0'), '0'),
+                                    1, 1)
+                          IN ('8','9','A','B','C','D','E','F') THEN 0
+                     WHEN substring(ltrim(lpad(hex(w), 14, '0'), '0'),
+                                    1, 1) IN ('4','5','6','7') THEN 1
+                     WHEN substring(ltrim(lpad(hex(w), 14, '0'), '0'),
+                                    1, 1) IN ('2','3') THEN 2
+                     ELSE 3 END - 1 END
+"""
+
+
+@register(
+    "events_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS hv
+      FROM events
+    ), b AS (
+      SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h
+    ), m AS (
+      SELECT event_type, bucket, MAX({_HLL_RHO_SQL}) AS mj
+      FROM b GROUP BY 1, 2
+    ), reg AS (
+      SELECT event_type,
+             CAST(64 - COUNT(*) AS INT) AS n_zero,
+             CAST(SUM(CAST(1 AS BIGINT) << (55 - mj))
+                  + (64 - COUNT(*))
+                    * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+      FROM m GROUP BY 1
+    ), ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT)
+               AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT reg.event_type, n_zero, s_scaled,
+           ROUND(CASE WHEN n_zero > 0
+                       AND CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+                           / CAST(s_scaled AS DOUBLE) <= 160.0
+                      THEN 64.0 * ln(64.0 / n_zero)
+                      ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+                           / CAST(s_scaled AS DOUBLE) END, 4)
+             AS est_distinct,
+           exact_distinct
+    FROM reg JOIN ex ON reg.event_type = ex.event_type
+    """,
+    doc="HyperLogLog stated relationally and DETERMINISTICALLY: "
+        "bucket = low 6 bits of the portable 60-bit md5 hash, rho = "
+        "leading-zero count of the remaining 54 bits computed by "
+        "hex-string arithmetic (no float log2 — engine-exact), "
+        "registers = MAX(rho) per bucket, and the register sum kept "
+        "EXACT as sum of integer 2^(55-rho) (never a float 2^-M "
+        "accumulation). Small-range linear counting applies below "
+        "the classic 2.5m threshold. The driver hash-compares "
+        "registers AND estimate bit-for-bit — hard signal the "
+        "built-in approx_count_distinct (engine-specific sketch "
+        "bits) cannot give. Scale: one groupBy to 64*|keys| register "
+        "rows; mergeable by MAX, so partial aggregation does the "
+        "map-side combine; the streaming twin (streaming/hll.py) "
+        "maintains the identical registers in keyed state.",
+)
+def events_hll_distinct(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    e = t(spark, sf_dir, "events")
+    h = e.select("event_type",
+                 md5_int_expr(F.col("event_id").cast("string"))
+                 .alias("hv"))
+    b = h.select("event_type", (F.col("hv") % 64).alias("bucket"),
+                 F.expr("hv DIV 64").alias("w"))
+    trimmed = F.expr("trim(LEADING '0' FROM lpad(hex(w), 14, '0'))")
+    first = F.substring(trimmed, 1, 1)
+    rho = (F.when(F.col("w") == 0, F.lit(55))
+           .otherwise(
+               4 * (14 - F.length(trimmed))
+               + F.when(first.isin(*"89ABCDEF"), 0)
+               .when(first.isin("4", "5", "6", "7"), 1)
+               .when(first.isin("2", "3"), 2)
+               .otherwise(3) - 1))
+    m = (b.withColumn("rho", rho)
+         .groupBy("event_type", "bucket")
+         .agg(F.max("rho").alias("mj")))
+    reg = (m.groupBy("event_type")
+           .agg((64 - F.count("*")).cast("int").alias("n_zero"),
+                (F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - mj)"))
+                 + (64 - F.count("*"))
+                 * F.lit(1 << 55).cast("long")).cast("bigint")
+                .alias("s_scaled")))
+    raw = (0.709 * 4096.0 * 36028797018963968.0
+           / F.col("s_scaled").cast("double"))
+    est = F.round(
+        F.when((F.col("n_zero") > 0) & (raw <= 160.0),
+               64.0 * F.log(64.0 / F.col("n_zero")))
+        .otherwise(raw), 4)
+    ex = (e.groupBy("event_type")
+          .agg(F.countDistinct("event_id").cast("bigint")
+               .alias("exact_distinct")))
+    return (reg.join(ex, "event_type")
+            .select("event_type", "n_zero", "s_scaled",
+                    est.alias("est_distinct"), "exact_distinct"))
+
+
+@register(
+    "events_kmv_distinct_union",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS hv
+      FROM events
+    ), merged AS (
+      SELECT 'ALL' AS event_type, hv
+      FROM (SELECT DISTINCT hv FROM h)
+    ), allh AS (
+      SELECT * FROM h UNION ALL SELECT * FROM merged
+    ), ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hv) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_hashes
+      FROM allh
+    )
+    SELECT event_type, CAST(n_hashes AS BIGINT) AS n_hashes,
+           CASE WHEN n_hashes < 16 THEN CAST(n_hashes AS DOUBLE)
+                ELSE ROUND(CAST(15 AS DOUBLE)
+                           * CAST(1152921504606846976 AS DOUBLE)
+                           / CAST(hv AS DOUBLE), 4)
+           END AS est_distinct
+    FROM ranked
+    WHERE rk = CASE WHEN n_hashes < 16 THEN n_hashes ELSE 16 END
+    """,
+    doc="KMV (k-minimum-values / theta-style) distinct sketch with "
+        "SET UNION, stated deterministically over the portable md5 "
+        "hash: per event_type keep the k=16 smallest distinct hashes "
+        "(estimate = (k-1) * 2^60 / h_k), and the 'ALL' row is the "
+        "UNION of the per-type sketches — min-k of the merged hash "
+        "sets, the mergeability theta sketches exist for. Below k "
+        "distinct values the sketch IS the exact set. Scale: the "
+        "Spark plan salts the per-key rank (32 buckets) so min-k "
+        "runs two-phase — no task ranks more than ~1/32 of a key's "
+        "distinct hashes, then the per-key merge ranks at most "
+        "32 * 16 = 512 survivors; the oracle states the single-"
+        "window form over the same distinct sets.",
+)
+def events_kmv_distinct_union(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    e = t(spark, sf_dir, "events")
+    h = (e.select("event_type",
+                  md5_int_expr(F.col("user_id").cast("string"))
+                  .alias("hv")).distinct())
+    merged = (h.select("hv").distinct()
+              .select(F.lit("ALL").alias("event_type"), "hv"))
+    allh = h.unionAll(merged)
+    # two-phase min-k: salt rank, keep 16 per salt, re-rank per key
+    w1 = (W.partitionBy("event_type", F.col("hv") % 32)
+          .orderBy("hv"))
+    survivors = (allh.withColumn("rk1", F.row_number().over(w1))
+                 .where(F.col("rk1") <= 16).drop("rk1"))
+    counts = allh.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hashes"))
+    w2 = W.partitionBy("event_type").orderBy("hv")
+    ranked = (survivors.withColumn("rk", F.row_number().over(w2))
+              .join(F.broadcast(counts), "event_type"))
+    est = (F.when(F.col("n_hashes") < 16,
+                  F.col("n_hashes").cast("double"))
+           .otherwise(F.round(
+               15.0 * 1152921504606846976.0
+               / F.col("hv").cast("double"), 4)))
+    return (ranked.where(
+        F.col("rk") == F.when(F.col("n_hashes") < 16,
+                              F.col("n_hashes")).otherwise(16))
+        .select("event_type", "n_hashes", est.alias("est_distinct")))
+
+
+@register(
+    "events_countmin_point",
+    """
+    WITH salts AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    h AS (
+      SELECT i, user_id,
+             CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '|'
+                                        || CAST(user_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 64 AS bucket
+      FROM events, salts
+    ), counts AS (
+      SELECT i, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT user_id, i, bucket FROM h WHERE user_id < 30
+    ), est AS (
+      SELECT p.user_id, CAST(MIN(c.c) AS BIGINT) AS cms_count
+      FROM probes p
+      JOIN counts c ON p.i = c.i AND p.bucket = c.bucket
+      GROUP BY 1
+    ), ex AS (
+      SELECT user_id, COUNT(*) AS exact_count
+      FROM events WHERE user_id < 30 GROUP BY 1
+    )
+    SELECT est.user_id, cms_count, exact_count
+    FROM est JOIN ex ON est.user_id = ex.user_id
+    """,
+    doc="Count-min sketch point queries, stated deterministically: "
+        "depth 4 x width 64 (salted md5 rows), estimate = MIN over "
+        "rows of the bucket counter — always >= the true count, "
+        "probed here for the user_id < 30 cohort against their exact "
+        "frequencies in the same result. Scale: the sketch is 256 "
+        "counters built in ONE map-side-combined groupBy of the 4x "
+        "salted stream and BROADCAST to the probes — point lookups "
+        "never touch the corpus again; the 4x explode is the "
+        "documented depth cost.",
+)
+def events_countmin_point(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    e = t(spark, sf_dir, "events")
+    salted = e.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        .alias("i"))
+    h = salted.withColumn(
+        "bucket",
+        md5_int_expr(F.col("user_id").cast("string"),
+                     salt=F.concat(F.col("i").cast("string"),
+                                   F.lit("|"))) % 64)
+    counts = h.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    probes = h.where(F.col("user_id") < 30) \
+        .select("user_id", "i", "bucket").distinct()
+    est = (probes.join(F.broadcast(counts), ["i", "bucket"])
+           .groupBy("user_id")
+           .agg(F.min("c").cast("bigint").alias("cms_count")))
+    ex = (e.where(F.col("user_id") < 30).groupBy("user_id")
+          .agg(F.count("*").alias("exact_count")))
+    return est.join(ex, "user_id").select(
+        "user_id", "cms_count", "exact_count")

@@ -2080,3 +2080,37 @@ def test_streaming_dsir_parity(spark):
             output_mode="append")
         rows = sorted(map(tuple, got.collect()))
         assert rows == exp, f"n_batches={n_batches}"
+
+
+def test_streaming_hll_parity(spark, events):
+    """Streaming HLL registers in keyed state drain to BIT-EQUAL
+    (n_zero, s_scaled, estimate) vs the batch events_hll_distinct
+    query, at two micro-batchings AND under out-of-order replay —
+    register merge is MAX, order-independent and idempotent, the
+    mergeability HLL exists for."""
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    from flink_1_11_2_with_comments_spark.streaming.hll import (
+        hll_distinct_stream)
+
+    batch = all_specs()["events_hll_distinct"].fn(spark, SF)
+    exp = sorted((r.event_type, r.n_zero, r.s_scaled, r.est_distinct)
+                 for r in batch.collect())
+
+    # n_batches=3 time-split; n_batches=5 round-robin (out-of-order)
+    for n_batches, order in ((3, "ts"), (5, None)):
+        stream = replay_as_stream(
+            events.select("event_type", "event_id", "ts"),
+            n_batches=n_batches, order_by=order)
+        out = hll_distinct_stream(
+            stream.select("event_type",
+                          F.col("event_id").cast("string")
+                          .alias("v")),
+            ["event_type"], "v")
+        got = write_stream_to_memory(out, f"hll{n_batches}",
+                                     output_mode="update")
+        latest = (got.withColumn(
+            "mx", F.max("n_seen").over(W.partitionBy("event_type")))
+            .where(F.col("n_seen") == F.col("mx")))
+        rows = sorted((r.event_type, r.n_zero, r.s_scaled,
+                       r.est_distinct) for r in latest.collect())
+        assert rows == exp, f"n_batches={n_batches}"
