@@ -52,6 +52,16 @@ SCALE10_EXTRA = [
     "embedding_pca_covariance", "corpus_bm25_topterms",
     "embedding_random_projection", "scd2_dimension_build",
     "events_zorder_stats",
+    # round-8 newcomers: CDC round trips (map-only parse + one
+    # keyed shuffle), the broadcast DSIR scorer, and the
+    # deterministic sketches (register/min-k/counter aggregates —
+    # sketch size is scale-independent, so ratios should track the
+    # scan, not the distinct count)
+    "cdc_debezium_materialize", "cdc_canal_materialize",
+    "corpus_dsir_score_broadcast", "events_hll_distinct",
+    "events_kmv_distinct_union", "events_countmin_point",
+    "tpcds_rollup_rank_within_parent",
+    "tpcds_supplier_latency_matrix",
 ]
 
 

@@ -57,6 +57,10 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_dsir_score_broadcast",
     "events_hll_distinct", "events_kmv_distinct_union",
     "events_countmin_point",
+    "tpcds_brand_year_report", "tpcds_pricey_item_states",
+    "tpcds_item_measure_profile", "tpcds_type_revenue_share",
+    "tpcds_cross_nation_brand_revenue", "tpcds_high_return_customers",
+    "tpcds_priceband_active_items", "tpcds_monthly_deviation",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest: relational/agg core,
     # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,
@@ -69,7 +73,6 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_lloyd", "ann_bruteforce_topk",
     "temporal_join_event_sql",
     "pipeline_end_to_end", "graph_connected_components",
-    "tpcds_distinct_band_buckets", "corpus_bpe_pair_counts",
 )
 
 

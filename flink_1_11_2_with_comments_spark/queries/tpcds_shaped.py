@@ -3014,3 +3014,346 @@ def tpcds_spend_histogram(spark, sf_dir):
     return (spend.groupBy(F.floor(F.col("rev") / 100000).cast("int")
                           .alias("bucket"))
             .agg(F.count("*").alias("n_customers")))
+
+
+@register(
+    "tpcds_brand_year_report",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr, p_brand,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size BETWEEN 1 AND 5
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, yr, p_brand
+    LIMIT 20
+    """,
+    doc="TPC-DS q3/q42/q52/q55 shape — the basic star report: fact x "
+        "date x filtered item dimension, revenue per (year, brand), "
+        "top 20. The canonical first-query shape of the 99-query "
+        "gate. Revenue decimal-rounds BEFORE the sort so the LIMIT "
+        "cuts identically in both engines (ties broken by yr, "
+        "brand). Scale: part broadcast with the size band pushed "
+        "into its scan, one aggregate shuffle, TakeOrdered instead "
+        "of a global sort.",
+)
+def tpcds_brand_year_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p.where(F.col("p_size").between(1, 5))),
+                  li.l_partkey == p.p_partkey)
+            .groupBy(F.year("o_orderdate").cast("int").alias("yr"),
+                     "p_brand")
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy(F.desc("revenue"), "yr", "p_brand")
+            .limit(20))
+
+
+@register(
+    "tpcds_pricey_item_states",
+    f"""
+    WITH ta AS (
+      SELECT p_type, {sql_davg('p_retailprice')} AS avg_price
+      FROM part GROUP BY 1
+    ), pricey AS (
+      SELECT p_partkey
+      FROM part JOIN ta ON part.p_type = ta.p_type
+      WHERE p_retailprice > 1.02 * avg_price
+    ), buyers AS (
+      SELECT DISTINCT n_name, c_custkey
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_partkey IN (SELECT p_partkey FROM pricey)
+    )
+    SELECT n_name, COUNT(*) AS n_buyers
+    FROM buyers GROUP BY 1 HAVING COUNT(*) >= 10
+    """,
+    doc="TPC-DS q6 shape: states (nations here) with at least 10 "
+        "customers who bought items priced above 1.02x their "
+        "category's average — a correlated per-category price "
+        "threshold feeding a distinct-customer HAVING count. (q6 "
+        "uses 1.2x; the trimmed retailprice domain spans only 10%, "
+        "so the adapted multiplier keeps the predicate selective "
+        "rather than empty.) Scale: the category average is a "
+        "|p_type|-row aggregate broadcast back to part; the pricey "
+        "set applies as a broadcast semi join on the fact; one "
+        "distinct + one count shuffle.",
+)
+def tpcds_pricey_item_states(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part")
+    ta = p.groupBy("p_type").agg(davg("p_retailprice")
+                                 .alias("avg_price"))
+    pricey = (p.join(F.broadcast(ta), "p_type")
+              .where(F.col("p_retailprice") > 1.02 * F.col("avg_price"))
+              .select("p_partkey"))
+    buyers = (li.join(F.broadcast(pricey),
+                      li.l_partkey == pricey.p_partkey, "left_semi")
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .select("n_name", "c_custkey").distinct())
+    return (buyers.groupBy("n_name")
+            .agg(F.count("*").alias("n_buyers"))
+            .where(F.col("n_buyers") >= 10))
+
+
+@register(
+    "tpcds_item_measure_profile",
+    f"""
+    SELECT p_brand, {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc, COUNT(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1
+    """,
+    doc="TPC-DS q7/q26 shape: the four-measure item profile — "
+        "average quantity, list price, and discount per item for a "
+        "demographic slice (marketing segment x order priority "
+        "standing in for q7's customer_demographics row). All three "
+        "averages use the DECIMAL accumulate discipline. Scale: "
+        "dims broadcast, segment/priority predicates push into "
+        "their dimension scans, ONE aggregate shuffle for all four "
+        "measures.",
+)
+def tpcds_item_measure_profile(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    j = (li.join(o.where(F.col("o_orderpriority")
+                         .isin("1-URGENT", "2-HIGH")),
+                 li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c.where(F.col("c_mktsegment")
+                                   == "BUILDING")),
+               o.o_custkey == c.c_custkey)
+         .join(F.broadcast(p), li.l_partkey == p.p_partkey))
+    return (j.groupBy("p_brand")
+            .agg(davg("l_quantity").alias("avg_qty"),
+                 davg("l_extendedprice").alias("avg_price"),
+                 davg("l_discount").alias("avg_disc"),
+                 F.count("*").alias("n")))
+
+
+@register(
+    "tpcds_type_revenue_share",
+    f"""
+    WITH rev AS (
+      SELECT p_brand, p_type,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-05-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, p_type, r,
+           ROUND(r * 100.0 / CAST(SUM(CAST(r AS DECIMAL(30,10)))
+                 OVER (PARTITION BY p_brand) AS DOUBLE), 4) AS share
+    FROM rev
+    """,
+    doc="TPC-DS q12/q20/q98 shape: revenue share within the parent "
+        "class over a ship-date window — itemrevenue * 100 / "
+        "class total, the windowed share-of-total those three "
+        "queries all compute. The window total accumulates in "
+        "DECIMAL (order-independent) before the share division, so "
+        "both engines emit identical shares. Scale: the date window "
+        "pushes into the fact scan; the share window runs over "
+        "|brand x type| aggregate rows, partitioned by brand.",
+)
+def tpcds_type_revenue_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = (li.where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-05-01").cast("timestamp")))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(dsum(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")), 6).alias("r")))
+    tot = F.sum(F.col("r").cast(DEC)).over(W.partitionBy("p_brand"))
+    return rev.select(
+        "p_brand", "p_type", "r",
+        F.round(F.col("r") * 100.0 / tot.cast("double"), 4)
+        .alias("share"))
+
+
+@register(
+    "tpcds_cross_nation_brand_revenue",
+    f"""
+    SELECT p_brand, {sql_dsum('l_extendedprice * (1 - l_discount)')}
+             AS revenue, COUNT(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_nationkey <> s_nationkey AND p_size <= 10
+    GROUP BY 1
+    """,
+    doc="TPC-DS q19 shape: brand revenue restricted to sales where "
+        "the buyer and the fulfilling store sit in DIFFERENT "
+        "geographies (q19's ca_zip <> s_zip predicate) — the "
+        "cross-location join filter that cannot push into any "
+        "single scan. Adaptation: zip -> nationkey, item manager "
+        "band -> size band. Scale: all three dims broadcast; the "
+        "inequality evaluates post-join row-local (never a join "
+        "condition explosion); one aggregate shuffle.",
+)
+def tpcds_cross_nation_brand_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(p.where(F.col("p_size") <= 10)),
+               li.l_partkey == p.p_partkey)
+         .where(F.col("c_nationkey") != F.col("s_nationkey")))
+    return (j.groupBy("p_brand")
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+@register(
+    "tpcds_high_return_customers",
+    f"""
+    WITH cr AS (
+      SELECT n_name, c_custkey, c_name,
+             {sql_dsum('l_extendedprice', 6)} AS ret
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_name, c_custkey, c_name, ret
+    FROM (
+      SELECT *, CAST(SUM(CAST(ret AS DECIMAL(30,10)))
+                     OVER (PARTITION BY n_name) AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY n_name) AS avg_ret
+      FROM cr)
+    WHERE ret > 1.2 * avg_ret
+    """,
+    doc="TPC-DS q30/q81 shape: customers whose return total exceeds "
+        "1.2x the AVERAGE return total of their own state — the "
+        "per-GROUP correlated threshold (q24 above is the global "
+        "variant). Stated as a window average over the per-customer "
+        "aggregate, accumulated in DECIMAL so both engines agree on "
+        "the threshold bit-exactly. Scale: the returns aggregate "
+        "reduces the fact before the window; the window partitions "
+        "by nation over |customers-with-returns| rows.",
+)
+def tpcds_high_return_customers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cr = (li.where(F.col("l_returnflag") == "R")
+          .join(o, li.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .groupBy("n_name", "c_custkey", "c_name")
+          .agg(dsum("l_extendedprice", 6).alias("ret")))
+    wn = W.partitionBy("n_name")
+    avg_ret = (F.sum(F.col("ret").cast(DEC)).over(wn).cast("double")
+               / F.count("*").over(wn))
+    return (cr.withColumn("avg_ret", avg_ret)
+            .where(F.col("ret") > 1.2 * F.col("avg_ret"))
+            .select("n_name", "c_custkey", "c_name", "ret"))
+
+
+@register(
+    "tpcds_priceband_active_items",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice BETWEEN 920 AND 960
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00')
+    """,
+    doc="TPC-DS q37/q82 shape: items in a price band that were "
+        "actually moving during a window (q37/q82 gate on inventory "
+        "quantity + catalog sales; here the EXISTS gate is the "
+        "ship-date slice of lineitem). Scale: the price band pushes "
+        "into the part scan, the date slice into the fact scan, and "
+        "the EXISTS compiles to a semi join — part never multiplies "
+        "by its sales count.",
+)
+def tpcds_priceband_active_items(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    active = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp")))
+    return (p.where(F.col("p_retailprice").between(920, 960))
+            .join(active, p.p_partkey == active.l_partkey,
+                  "left_semi")
+            .select("p_partkey", "p_name", "p_retailprice"))
+
+
+@register(
+    "tpcds_monthly_deviation",
+    f"""
+    WITH m AS (
+      SELECT p_brand, CAST(EXTRACT(year FROM l_shipdate) AS INT)
+               AS yr, CAST(EXTRACT(month FROM l_shipdate) AS INT)
+               AS mo, {sql_dsum('l_extendedprice', 6)} AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 8
+      GROUP BY 1, 2, 3
+    )
+    SELECT p_brand, yr, mo, r, avg_r
+    FROM (
+      SELECT *, CAST(SUM(CAST(r AS DECIMAL(30,10)))
+                     OVER (PARTITION BY p_brand, yr) AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY p_brand, yr) AS avg_r
+      FROM m)
+    WHERE abs(r - avg_r) / avg_r > 0.3
+    """,
+    doc="TPC-DS q53/q63/q89 shape: erratic months — monthly brand "
+        "revenue kept where it deviates from the brand's in-year "
+        "monthly average by more than 30% (q89's "
+        "CASE WHEN avg != 0 THEN abs(sum-avg)/avg filter). The "
+        "in-year average is a window over the monthly aggregate, "
+        "DECIMAL-accumulated; the deviation arithmetic runs on "
+        "identical doubles in both engines. Scale: one fact "
+        "aggregate to |brand x month| rows, window partitioned by "
+        "(brand, year).",
+)
+def tpcds_monthly_deviation(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    m = (li.join(F.broadcast(p.where(F.col("p_size") <= 8)),
+                 li.l_partkey == p.p_partkey)
+         .groupBy("p_brand",
+                  F.year("l_shipdate").cast("int").alias("yr"),
+                  F.month("l_shipdate").cast("int").alias("mo"))
+         .agg(dsum("l_extendedprice", 6).alias("r")))
+    wy = W.partitionBy("p_brand", "yr")
+    avg_r = (F.sum(F.col("r").cast(DEC)).over(wy).cast("double")
+             / F.count("*").over(wy))
+    return (m.withColumn("avg_r", avg_r)
+            .where(F.abs(F.col("r") - F.col("avg_r"))
+                   / F.col("avg_r") > 0.3)
+            .select("p_brand", "yr", "mo", "r", "avg_r"))

@@ -653,3 +653,55 @@ def test_r8_tpcds_shapes_plan_quality(spark, sf_dir):
     assert body(p).count("Scan parquet") == 1, p
     assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" \
         in p, p  # column pruning down to the two needed columns
+
+
+def test_r8_tranche2_tpcds_plan_quality(spark, sf_dir):
+    """Tranche-2 scale pins: the q3-family star report ends in
+    TakeOrdered (never a global sort); the q6 pricey-set applies as
+    a semi join; q12/q20/q98's share window and q30/q81's per-group
+    threshold window run over post-aggregation rows with non-empty
+    partition specs; q37/q82's EXISTS is a semi join with both band
+    predicates pushed to their scans; q19's cross-location filter
+    never becomes a join-condition explosion (no nested loop)."""
+    spark.catalog.clearCache()
+
+    def body(p):
+        return p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+
+    p = plan(spark, "tpcds_brand_year_report", sf_dir)
+    assert "TakeOrderedAndProject" in p, p
+    assert "PushedFilters: [IsNotNull(p_size)" in p \
+        or "GreaterThanOrEqual(p_size,1)" in p, p
+
+    p = plan(spark, "tpcds_pricey_item_states", sf_dir)
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(spark, "tpcds_item_measure_profile", sf_dir)
+    b = body(p)
+    assert b.count("Scan parquet") == 4, b
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(spark, "tpcds_type_revenue_share", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "Window" in p and "CartesianProduct" not in p, p
+
+    p = plan(spark, "tpcds_cross_nation_brand_revenue", sf_dir)
+    b = body(p)
+    assert "BroadcastNestedLoopJoin" not in b, b
+    assert "CartesianProduct" not in b, b
+    assert b.count("BroadcastHashJoin") >= 3, b
+
+    p = plan(spark, "tpcds_high_return_customers", sf_dir)
+    assert "EqualTo(l_returnflag,R)" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(spark, "tpcds_priceband_active_items", sf_dir)
+    assert "LeftSemi" in p, p
+    assert "GreaterThanOrEqual(p_retailprice,920" in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+    p = plan(spark, "tpcds_monthly_deviation", sf_dir)
+    assert "LessThanOrEqual(p_size,8)" in p, p
+    assert "CartesianProduct" not in p, p
