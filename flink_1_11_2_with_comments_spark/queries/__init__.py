@@ -61,6 +61,11 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_item_measure_profile", "tpcds_type_revenue_share",
     "tpcds_cross_nation_brand_revenue", "tpcds_high_return_customers",
     "tpcds_priceband_active_items", "tpcds_monthly_deviation",
+    # Round-9 rotation queue (registered past the 50-slot window;
+    # every one exact-checked locally by tests/test_oracle_parity.py):
+    # tpcds_weekday_channel_matrix, tpcds_hour_slice_counts,
+    # tpcds_customer_geo_lookup, tpcds_monthly_return_losses,
+    # tpcds_max_ticket_customers.
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest: relational/agg core,
     # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,

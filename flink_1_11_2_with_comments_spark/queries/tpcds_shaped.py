@@ -2713,7 +2713,7 @@ def tpcds_rollup_rank_within_parent(spark, sf_dir):
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
-    WHERE (substr(n_name, 1, 1) IN ('A', 'E', 'I', 'U')
+    WHERE (substr(n_name, 8, 1) IN ('1', '3')
            OR c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
            OR o_totalprice > 150000)
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2725,7 +2725,9 @@ def tpcds_rollup_rank_within_parent(spark, sf_dir):
         "membership), a second dimension attribute (state list), and "
         "a fact measure (sales > threshold) — the filter no single "
         "scan can absorb. Adaptation: zip prefix -> nation initial, "
-        "state -> market segment, quarter -> one order year. Scale: "
+        "state -> market segment, quarter -> one order year (the "
+        "synthetic nation names are NATION_<n>, so the prefix test "
+        "reads the first digit). Scale: "
         "the date filter DOES push to the fact scan; the cross-table "
         "OR evaluates post-join on broadcast-joined rows, no "
         "re-scan, one shuffle for the aggregate.",
@@ -2741,7 +2743,7 @@ def tpcds_geo_prefix_revenue(spark, sf_dir):
                < F.lit("1997-01-01").cast("timestamp")))
          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
-    disj = (F.substring("n_name", 1, 1).isin("A", "E", "I", "U")
+    disj = (F.substring("n_name", 8, 1).isin("1", "3")
             | F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
             | (F.col("o_totalprice") > 150000))
     return (j.where(disj).groupBy("n_name")
@@ -3357,3 +3359,202 @@ def tpcds_monthly_deviation(spark, sf_dir):
             .where(F.abs(F.col("r") - F.col("avg_r"))
                    / F.col("avg_r") > 0.3)
             .select("p_brand", "yr", "mo", "r", "avg_r"))
+
+
+@register(
+    "tpcds_weekday_channel_matrix",
+    f"""
+    SELECT n_name,
+           {sql_dsum("CASE WHEN EXTRACT(dow FROM l_shipdate) = 0 "
+                     "THEN l_extendedprice END")} AS sun_sales,
+           {sql_dsum("CASE WHEN EXTRACT(dow FROM l_shipdate) = 1 "
+                     "THEN l_extendedprice END")} AS mon_sales,
+           {sql_dsum("CASE WHEN EXTRACT(dow FROM l_shipdate) = 2 "
+                     "THEN l_extendedprice END")} AS tue_sales,
+           {sql_dsum("CASE WHEN EXTRACT(dow FROM l_shipdate) = 3 "
+                     "THEN l_extendedprice END")} AS wed_sales,
+           {sql_dsum("CASE WHEN EXTRACT(dow FROM l_shipdate) = 4 "
+                     "THEN l_extendedprice END")} AS thu_sales,
+           {sql_dsum("CASE WHEN EXTRACT(dow FROM l_shipdate) = 5 "
+                     "THEN l_extendedprice END")} AS fri_sales,
+           {sql_dsum("CASE WHEN EXTRACT(dow FROM l_shipdate) = 6 "
+                     "THEN l_extendedprice END")} AS sat_sales
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-DS q43 shape: the weekday sales matrix per store — "
+        "seven conditional day-of-week aggregates of ONE scan (the "
+        "literal q43 pivots d_day_name). Adaptation: store -> "
+        "supplier nation, one sold year. Day-of-week alignment: "
+        "DuckDB EXTRACT(dow) is 0=Sunday, Spark dayofweek() is "
+        "1=Sunday — the Spark side subtracts 1. Scale: year "
+        "predicate pushed to the fact scan, dims broadcast, one "
+        "aggregate shuffle for all seven columns.",
+)
+def tpcds_weekday_channel_matrix(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    dow = F.dayofweek("l_shipdate") - 1  # 0 = Sunday, as DuckDB dow
+    j = (li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    aggs = [dsum(F.when(dow == i, F.col("l_extendedprice")))
+            .alias(f"{nm}_sales") for i, nm in enumerate(names)]
+    return j.groupBy("n_name").agg(*aggs)
+
+
+@register(
+    "tpcds_hour_slice_counts",
+    """
+    SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           CAST(FLOOR(EXTRACT(minute FROM ts) / 30) AS INT) AS half,
+           COUNT(*) AS n
+    FROM events
+    WHERE EXTRACT(hour FROM ts) BETWEEN 8 AND 9 AND value > 10
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-DS q96 shape: count activity in a clock-time slice — "
+        "q96 counts store sales between 8:00 and 9:30 for a "
+        "demographic; here events in the 8-10h band bucketed per "
+        "half hour per type, value-filtered. Pure JVM time "
+        "extraction, zero joins, one small-key aggregate; the hour "
+        "predicate stays row-level (timestamps are not partition "
+        "columns here — at 100 TB an hourly-partitioned layout "
+        "turns it into partition pruning).",
+)
+def tpcds_hour_slice_counts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (e.where(F.hour("ts").between(8, 9)
+                    & (F.col("value") > 10))
+            .groupBy("event_type",
+                     F.hour("ts").cast("int").alias("hr"),
+                     F.floor(F.minute("ts") / 30).cast("int")
+                     .alias("half"))
+            .agg(F.count("*").alias("n")))
+
+
+@register(
+    "tpcds_customer_geo_lookup",
+    """
+    WITH ocount AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             MAX(o_orderdate) AS last_order
+      FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, c_name, n_name, c_acctbal, n_orders, last_order
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN ocount ON c_custkey = o_custkey
+    WHERE n_name = 'NATION_7' AND c_acctbal BETWEEN 1000 AND 6000
+    """,
+    doc="TPC-DS q84 shape: the customer directory lookup — "
+        "customers of one city (nation) within an income (account "
+        "balance) band, annotated with their order activity. "
+        "Adaptation: city/income-band -> nation/acctbal-band. "
+        "Scale: both band predicates push into the customer scan; "
+        "the order-count aggregate reduces orders to |customers| "
+        "rows BEFORE the join (aggregate-before-join), and the "
+        "filtered customer side broadcasts.",
+)
+def tpcds_customer_geo_lookup(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    ocount = (o.groupBy("o_custkey")
+              .agg(F.count("*").alias("n_orders"),
+                   F.max("o_orderdate").alias("last_order")))
+    cf = (c.where(F.col("c_acctbal").between(1000, 6000))
+          .join(F.broadcast(n.where(F.col("n_name") == "NATION_7")),
+                c.c_nationkey == n.n_nationkey))
+    return (ocount.join(F.broadcast(cf),
+                        ocount.o_custkey == cf.c_custkey)
+            .select("c_custkey", "c_name", "n_name", "c_acctbal",
+                    "n_orders", "last_order"))
+
+
+@register(
+    "tpcds_monthly_return_losses",
+    f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM l_shipdate) AS INT) AS mo,
+           c_mktsegment,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS loss,
+           COUNT(*) AS n_returns
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-DS q91 shape: the returns-loss report — returned "
+        "revenue per month per customer segment (q91's call-center "
+        "loss by demographic). The returnflag predicate pushes into "
+        "the fact scan so only returned lines join out. Scale: one "
+        "fact-fact join (order key), customer broadcast, single "
+        "aggregate over a |months x segments| keyspace.",
+)
+def tpcds_monthly_return_losses(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (li.where(F.col("l_returnflag") == "R")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(F.year("l_shipdate").cast("int").alias("yr"),
+                     F.month("l_shipdate").cast("int").alias("mo"),
+                     "c_mktsegment")
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("loss"),
+                 F.count("*").alias("n_returns")))
+
+
+@register(
+    "tpcds_max_ticket_customers",
+    f"""
+    WITH ticket AS (
+      SELECT o_custkey, o_orderkey,
+             {sql_dsum('l_extendedprice', 6)} AS amt,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY amt DESC, o_orderkey)
+                    AS rn
+        FROM ticket) WHERE rn = 1
+    )
+    SELECT c_custkey, c_name, o_orderkey, amt, n_lines
+    FROM best JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="TPC-DS q79 shape: each customer's biggest ticket — "
+        "per-(customer, trip) amount aggregate, keep the max ticket "
+        "per customer, join out for identification. The amount "
+        "decimal-rounds BEFORE the rank; ties break on the order "
+        "key. Scale: the ticket aggregate reduces the fact first; "
+        "the per-customer rank window runs over |orders| aggregate "
+        "rows partitioned by customer; customer broadcast.",
+)
+def tpcds_max_ticket_customers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    ticket = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy("o_custkey", "o_orderkey")
+              .agg(dsum("l_extendedprice", 6).alias("amt"),
+                   F.count("*").alias("n_lines")))
+    wk = W.partitionBy("o_custkey").orderBy(F.desc("amt"),
+                                            "o_orderkey")
+    best = (ticket.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") == 1).drop("rn"))
+    return (best.join(F.broadcast(c), best.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "amt",
+                    "n_lines"))

@@ -705,3 +705,39 @@ def test_r8_tranche2_tpcds_plan_quality(spark, sf_dir):
     p = plan(spark, "tpcds_monthly_deviation", sf_dir)
     assert "LessThanOrEqual(p_size,8)" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_r8_tranche3_tpcds_plan_quality(spark, sf_dir):
+    """Tranche-3 scale pins: the q43 weekday matrix derives all
+    seven day columns from ONE fact scan; q84's order-count
+    aggregates BEFORE its join and both band predicates push into
+    the customer scan; q91's returnflag pushes into the fact scan;
+    q79's per-customer rank windows over post-aggregation rows with
+    a non-empty partition spec."""
+    spark.catalog.clearCache()
+
+    def body(p):
+        return p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+
+    p = plan(spark, "tpcds_weekday_channel_matrix", sf_dir)
+    b = body(p)
+    assert b.count("Scan parquet") == 3, b
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "CartesianProduct" not in b, b
+
+    p = plan(spark, "tpcds_hour_slice_counts", sf_dir)
+    b = body(p)
+    assert b.count("Scan parquet") == 1, b
+    assert "Exchange" in b and "BatchEvalPython" not in p, p
+
+    p = plan(spark, "tpcds_customer_geo_lookup", sf_dir)
+    assert "GreaterThanOrEqual(c_acctbal,1000" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(spark, "tpcds_monthly_return_losses", sf_dir)
+    assert "EqualTo(l_returnflag,R)" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan(spark, "tpcds_max_ticket_customers", sf_dir)
+    b = body(p)
+    assert "Window" in b and "CartesianProduct" not in b, b
