@@ -741,3 +741,42 @@ def test_r8_tranche3_tpcds_plan_quality(spark, sf_dir):
     p = plan(spark, "tpcds_max_ticket_customers", sf_dir)
     b = body(p)
     assert "Window" in b and "CartesianProduct" not in b, b
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction: when a selective dim
+    join cannot broadcast (threshold -1 here; a too-big dim at
+    100 TB), Catalyst builds a bloom filter from the dim's join keys
+    and injects might_contain() into the FACT side's scan filter —
+    rows that cannot match are dropped before the shuffle, the
+    runtime analogue of the reference's semi-join reducers. Pinned:
+    the filter aggregate on the creation side and might_contain on
+    the application side, and the pruned join returns exactly the
+    plain join's rows."""
+    from pyspark.sql import functions as F
+    from flink_1_11_2_with_comments_spark.queries._util import t
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the sf0.01 fact is far below the 10 GiB production default
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                   ".applicationSideScanSizeThreshold", "0")
+    try:
+        li = t(spark, sf_dir, "lineitem")
+        p = t(spark, sf_dir, "part").where(F.col("p_size") == 3)
+        j = li.join(p, li.l_partkey == p.p_partkey)
+        n = j.count()
+        plan_s = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan_s, plan_s
+        assert "bloom_filter_agg" in plan_s, plan_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       prev_thr)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                       ".applicationSideScanSizeThreshold", prev_app)
+    # semantics unchanged vs the broadcast plan
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") == 3)
+    assert li.join(p, li.l_partkey == p.p_partkey).count() == n
