@@ -3122,3 +3122,25 @@ def events_countmin_point(spark, sf_dir):
           .agg(F.count("*").alias("exact_count")))
     return est.join(ex, "user_id").select(
         "user_id", "cms_count", "exact_count")
+
+
+@register(
+    "corpus_vocab_score_broadcast",
+    _REG["corpus_vocab_coverage"].oracle,  # the paths are bit-equal
+    doc="The streaming vocabulary-coverage scorer (streaming/"
+        "vocab.py — broadcast-state pattern: top-K vocabulary fitted "
+        "offline, documents scored map-only in Arrow batches, "
+        "mirroring the batch query's double-divide-then-round "
+        "arithmetic) run over the batch documents table: mapInPandas "
+        "is streaming/batch agnostic, so the driver hard-verifies "
+        "the operator against the SAME oracle as "
+        "corpus_vocab_coverage; bit-equality of the two paths is "
+        "additionally pinned at two micro-batchings by "
+        "tests/test_stateful.py::test_streaming_vocab_parity. "
+        "Scale: fit is one token shuffle + TakeOrdered; scoring "
+        "shuffles nothing.",
+)
+def corpus_vocab_score_broadcast(spark, sf_dir):
+    from ..streaming.vocab import vocab_fit, vocab_score_stream
+    d = t(spark, sf_dir, "documents")
+    return vocab_score_stream(d, vocab_fit(d))

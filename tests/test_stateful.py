@@ -2114,3 +2114,30 @@ def test_streaming_hll_parity(spark, events):
         rows = sorted((r.event_type, r.n_zero, r.s_scaled,
                        r.est_distinct) for r in latest.collect())
         assert rows == exp, f"n_batches={n_batches}"
+
+
+def test_streaming_vocab_parity(spark):
+    """Streaming vocabulary-coverage scoring (broadcast-state: top-K
+    vocab fitted offline, documents scored map-only) is BIT-EQUAL to
+    the batch corpus_vocab_coverage query per document at two
+    micro-batchings — the second broadcast-state twin alongside
+    DSIR."""
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    from flink_1_11_2_with_comments_spark.streaming.vocab import (
+        vocab_fit, vocab_score_stream)
+
+    docs = load_table(spark, SF, "documents")
+    batch = all_specs()["corpus_vocab_coverage"].fn(spark, SF)
+    exp = sorted((r.doc_id, r.n_tokens, r.n_oov, r.oov_rate)
+                 for r in batch.collect())
+
+    vocab = vocab_fit(docs)
+    assert len(vocab) == 10
+    for n_batches in (2, 6):
+        stream = replay_as_stream(docs.select("doc_id", "text"),
+                                  n_batches=n_batches)
+        got = write_stream_to_memory(
+            vocab_score_stream(stream, vocab), f"vocab{n_batches}",
+            output_mode="append")
+        rows = sorted(map(tuple, got.collect()))
+        assert rows == exp, f"n_batches={n_batches}"
