@@ -2141,3 +2141,53 @@ def test_streaming_vocab_parity(spark):
             output_mode="append")
         rows = sorted(map(tuple, got.collect()))
         assert rows == exp, f"n_batches={n_batches}"
+
+
+def test_streaming_scd2_asof_probe(spark, events):
+    """The COMPLETE temporal-table story: the stream-maintained SCD2
+    table (keyed-state version history) probed by the event-time
+    as-of join must answer version lookups identically to the batch
+    SCD2 build — TemporalRowTimeJoinOperator's contract: for any
+    probe (user_id, ts), the version with the newest valid_from <=
+    ts. Probes land mid-interval and exactly ON version boundaries
+    (valid_from itself must match, `<=` semantics)."""
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    from flink_1_11_2_with_comments_spark.streaming.asof import (
+        asof_join)
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+
+    stream = replay_as_stream(events, n_batches=4, order_by="ts")
+    got = write_stream_to_memory(
+        scd2_maintain(stream), "scd2_probe", output_mode="update")
+    maintained = (got.withColumn(
+        "mx", F.max("n_seen").over(W.partitionBy("user_id")))
+        .where(F.col("n_seen") == F.col("mx"))
+        .select("user_id", "status", "valid_from"))
+
+    batch = (all_specs()["scd2_dimension_build"].fn(spark, SF)
+             .select("user_id", "status",
+                     F.col("valid_from").alias("bf_valid_from")))
+
+    # probes: every event's own (user_id, ts) — boundary-exact —
+    # plus a shifted copy landing mid-interval
+    probes = (events.select("user_id", "event_id", "ts")
+              .unionAll(events.select(
+                  "user_id", (F.col("event_id") + 10**9)
+                  .alias("event_id"),
+                  (F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+                  .alias("ts"))))
+
+    via_stream = asof_join(
+        probes, maintained, on=["user_id"], left_ts="ts",
+        right_ts="valid_from", right_payload=["status"])
+    via_batch = asof_join(
+        probes, batch.withColumnRenamed("bf_valid_from",
+                                        "valid_from"),
+        on=["user_id"], left_ts="ts", right_ts="valid_from",
+        right_payload=["status"])
+    a = sorted((r.user_id, r.event_id, r.status)
+               for r in via_stream.collect())
+    b = sorted((r.user_id, r.event_id, r.status)
+               for r in via_batch.collect())
+    assert a == b and len(a) > 0
