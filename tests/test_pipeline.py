@@ -873,3 +873,66 @@ def test_zorder_bucket_tile_bound(spark):
     for r in rows:
         assert 0 <= r.max_a - r.min_a <= 7, (r.zbucket, r.min_a, r.max_a)
         assert 0 <= r.max_b - r.min_b <= 7, (r.zbucket, r.min_b, r.max_b)
+
+
+def test_zorder_layout_data_skipping(spark, tmp_path):
+    """The Z-order payoff, measured at the mechanism level: events
+    written clustered by the interleaved (user_id-byte, hour) key
+    leave most parquet ROW GROUPS with min/max ranges disjoint from
+    a two-dimensional point-range predicate — the footer statistics
+    any parquet reader prunes on — while the same data written in
+    arrival order leaves every row group overlapping on both
+    dimensions. events_zorder_stats quantifies this bound
+    relationally; here it is proven on the actual written footers.
+    The 100 TB story: OPTIMIZE ZORDER turns BOTH filters into
+    row-group pruning regardless of which dimension a query
+    constrains."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+
+    e = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts",
+        F.expr("user_id & 255").alias("a"),
+        F.expr("CAST(hour(ts) AS BIGINT) & 255").alias("b"))
+    zkey = sum((F.expr(f"((a >> {i}) & 1)") * (1 << (2 * i + 1))
+                + F.expr(f"((b >> {i}) & 1)") * (1 << (2 * i)))
+               for i in range(8))
+    zdir, pdir = str(tmp_path / "z"), str(tmp_path / "plain")
+    (e.withColumn("zkey", zkey).repartitionByRange(16, "zkey")
+     .sortWithinPartitions("zkey").drop("zkey")
+     .write.mode("overwrite").parquet(zdir))
+    e.repartition(16).write.mode("overwrite").parquet(pdir)
+
+    def row_groups_needed(path, alo, ahi, blo, bhi):
+        need = total = 0
+        for f in _glob.glob(path + "/part-*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i
+                    for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                sa = rg.column(cols["a"]).statistics
+                sb = rg.column(cols["b"]).statistics
+                total += 1
+                if (sa.min <= ahi and sa.max >= alo
+                        and sb.min <= bhi and sb.max >= blo):
+                    need += 1
+        return need, total
+
+    nz, tz = row_groups_needed(zdir, 3, 6, 10, 13)
+    np_, tp = row_groups_needed(pdir, 3, 6, 10, 13)
+    # identical query results on either layout
+    pred = "a BETWEEN 3 AND 6 AND b BETWEEN 10 AND 13"
+    a = sorted(r.event_id for r in spark.read.parquet(zdir)
+               .where(F.expr(pred)).collect())
+    b = sorted(r.event_id for r in spark.read.parquet(pdir)
+               .where(F.expr(pred)).collect())
+    assert a == b and len(a) > 0
+    # arrival order: every row group overlaps both ranges
+    assert np_ == tp and tp >= 16, (np_, tp)
+    # the clustered layout prunes most row groups
+    assert nz <= tz / 2, (nz, tz)
