@@ -936,3 +936,62 @@ def test_zorder_layout_data_skipping(spark, tmp_path):
     assert np_ == tp and tp >= 16, (np_, tp)
     # the clustered layout prunes most row groups
     assert nz <= tz / 2, (nz, tz)
+
+
+def test_sketch_guarantees_full_domain(spark):
+    """The deterministic sketches honor their theoretical guarantees
+    over the FULL key domain (not just the oracle's probe slice):
+    count-min never under-counts (est >= exact for EVERY user) and
+    over-counts by at most the collision bound; the relational HLL
+    estimate lands within the 3-sigma relative-error band for m=64
+    registers (sigma = 1.04/sqrt(64) = 13%); KMV within its k=16
+    band (sigma ~ 1/sqrt(k-1) = 26%)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.pipeline.dedup import (
+        md5_int_expr)
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+
+    sf = SF
+    e = load_table(spark, sf, "events")
+
+    # CMS over every user: depth-4 min of salted bucket counters
+    salted = e.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        .alias("i"))
+    h = salted.withColumn(
+        "bucket", md5_int_expr(
+            F.col("user_id").cast("string"),
+            salt=F.concat(F.col("i").cast("string"), F.lit("|"))) % 64)
+    counts = h.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    est = (h.select("user_id", "i", "bucket").distinct()
+           .join(F.broadcast(counts), ["i", "bucket"])
+           .groupBy("user_id").agg(F.min("c").alias("cms")))
+    exact = e.groupBy("user_id").agg(F.count("*").alias("ex"))
+    n_total = e.count()
+    rows = est.join(exact, "user_id").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.cms >= r.ex, (r.user_id, r.cms, r.ex)
+        # depth-4 CMS overestimate beyond ~3 * n/width is
+        # astronomically unlikely
+        assert r.cms - r.ex <= 3 * n_total / 64, (r.user_id,)
+
+    # HLL and KMV relative error vs the exact distinct count
+    hll = {r.event_type: (r.est_distinct, r.exact_distinct)
+           for r in all_specs()["events_hll_distinct"]
+           .fn(spark, sf).collect()}
+    for k, (est_d, ex_d) in hll.items():
+        assert abs(est_d - ex_d) / ex_d < 3 * 1.04 / 8, (k, est_d, ex_d)
+
+    kmv = {r.event_type: r.est_distinct
+           for r in all_specs()["events_kmv_distinct_union"]
+           .fn(spark, sf).collect()}
+    ex_users = {r.event_type: r.ex for r in e.groupBy("event_type")
+                .agg(F.countDistinct("user_id").alias("ex"))
+                .collect()}
+    ex_users["ALL"] = e.select("user_id").distinct().count()
+    for k, est_d in kmv.items():
+        assert abs(est_d - ex_users[k]) / ex_users[k] < 3 * 0.26, (
+            k, est_d, ex_users[k])
