@@ -65,7 +65,8 @@ _PRIORITY: tuple[str, ...] = (
     # every one exact-checked locally by tests/test_oracle_parity.py):
     # tpcds_weekday_channel_matrix, tpcds_hour_slice_counts,
     # tpcds_customer_geo_lookup, tpcds_monthly_return_losses,
-    # tpcds_max_ticket_customers, corpus_vocab_score_broadcast.
+    # tpcds_max_ticket_customers, corpus_vocab_score_broadcast,
+    # multimodal_gif_decode (rows-only by design).
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest: relational/agg core,
     # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,

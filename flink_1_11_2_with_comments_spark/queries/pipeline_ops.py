@@ -3144,3 +3144,30 @@ def corpus_vocab_score_broadcast(spark, sf_dir):
     from ..streaming.vocab import vocab_fit, vocab_score_stream
     d = t(spark, sf_dir, "documents")
     return vocab_score_stream(d, vocab_fit(d))
+
+
+@register(
+    "multimodal_gif_decode",
+    None,  # LZW decompression is not SQL-expressible; canonical-GIF
+           # decode + pixel-exact round-trips pinned in
+           # tests/test_pipeline.py::test_gif_*
+    doc="REAL GIF pixel decode — the third real in-container format "
+        "after PNG and WAV: synthesize_gif_pixels writes fully valid "
+        "GIF89a containers (global color table, image descriptor, "
+        "genuine variable-width LZW data in 255-byte sub-blocks) and "
+        "decode_gif_pixels parses the screen/palette, skips "
+        "extension blocks, and LZW-decompresses with a pure-Python "
+        "codec (LSB-first code packing, width growth at the next-"
+        "assignable-code boundary, KwKwK case, 4096-entry reset) — "
+        "pinned against the canonical published minimal GIF so "
+        "third-party bytes decode, not just our own. Arrow-batched "
+        "mapInPandas both ways: executor-side, fixed-width outputs, "
+        "zero shuffle (pipeline/multimodal.py gif_encode/gif_decode). "
+        "Interlace and local color tables are the documented subset "
+        "boundary; JPEG/video remain env-gated.",
+)
+def multimodal_gif_decode(spark, sf_dir):
+    from ..pipeline.multimodal import (decode_gif_pixels,
+                                       synthesize_gif_pixels)
+    d = t(spark, sf_dir, "documents")
+    return decode_gif_pixels(synthesize_gif_pixels(d))
