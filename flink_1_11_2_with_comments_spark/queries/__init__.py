@@ -66,7 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     # tpcds_weekday_channel_matrix, tpcds_hour_slice_counts,
     # tpcds_customer_geo_lookup, tpcds_monthly_return_losses,
     # tpcds_max_ticket_customers, corpus_vocab_score_broadcast,
-    # multimodal_gif_decode (rows-only by design).
+    # multimodal_gif_decode (rows-only by design), events_hll_union.
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest: relational/agg core,
     # heavy join, OVER, CEP, dedup, ANN, temporal, pipeline, graph,

@@ -3171,3 +3171,94 @@ def multimodal_gif_decode(spark, sf_dir):
                                        synthesize_gif_pixels)
     d = t(spark, sf_dir, "documents")
     return decode_gif_pixels(synthesize_gif_pixels(d))
+
+
+@register(
+    "events_hll_union",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS hv
+      FROM events
+    ), b AS (
+      SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h
+    ), m AS (
+      SELECT event_type, bucket, MAX({_HLL_RHO_SQL}) AS mj
+      FROM b GROUP BY 1, 2
+    ), merged AS (
+      SELECT 'ALL' AS sketch_key, bucket, MAX(mj) AS mj
+      FROM m GROUP BY 2
+      UNION ALL
+      SELECT event_type, bucket, mj FROM m
+    ), reg AS (
+      SELECT sketch_key,
+             CAST(64 - COUNT(*) AS INT) AS n_zero,
+             CAST(SUM(CAST(1 AS BIGINT) << (55 - mj))
+                  + (64 - COUNT(*))
+                    * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+      FROM merged GROUP BY 1
+    )
+    SELECT sketch_key, n_zero, s_scaled,
+           ROUND(CASE WHEN n_zero > 0
+                       AND CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                           * CAST(36028797018963968 AS DOUBLE)
+                           / CAST(s_scaled AS DOUBLE) <= 160.0
+                      THEN 64.0 * ln(64.0 / n_zero)
+                      ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                           * CAST(36028797018963968 AS DOUBLE)
+                           / CAST(s_scaled AS DOUBLE) END, 4)
+             AS est_distinct
+    FROM reg
+    """,
+    doc="HyperLogLog register-wise MERGE — the operation HLL exists "
+        "for: the 'ALL' sketch is the per-bucket MAX over the five "
+        "per-type register sets (exactly what a 1000-executor "
+        "cluster's partial sketches do on the reducer), estimating "
+        "the UNION of the five event-id sets without ever touching "
+        "the raw rows again. Mathematically the merged registers "
+        "equal the direct whole-table sketch (max is associative); "
+        "tests/test_pipeline.py::test_hll_union_equals_direct pins "
+        "it. Same deterministic md5/hex-rho/exact-integer-sum "
+        "machinery as events_hll_distinct, so the driver "
+        "hash-compares merged sketch contents bit-for-bit.",
+)
+def events_hll_union(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    e = t(spark, sf_dir, "events")
+    b = (e.select("event_type",
+                  md5_int_expr(F.col("event_id").cast("string"))
+                  .alias("hv"))
+         .select("event_type", (F.col("hv") % 64).alias("bucket"),
+                 F.expr("hv DIV 64").alias("w")))
+    trimmed = F.expr("trim(LEADING '0' FROM lpad(hex(w), 14, '0'))")
+    first = F.substring(trimmed, 1, 1)
+    rho = (F.when(F.col("w") == 0, F.lit(55))
+           .otherwise(
+               4 * (14 - F.length(trimmed))
+               + F.when(first.isin(*"89ABCDEF"), 0)
+               .when(first.isin("4", "5", "6", "7"), 1)
+               .when(first.isin("2", "3"), 2)
+               .otherwise(3) - 1))
+    m = (b.withColumn("rho", rho)
+         .groupBy("event_type", "bucket")
+         .agg(F.max("rho").alias("mj")))
+    merged = (m.groupBy("bucket").agg(F.max("mj").alias("mj"))
+              .select(F.lit("ALL").alias("sketch_key"), "bucket", "mj")
+              .unionAll(m.select(F.col("event_type")
+                                 .alias("sketch_key"), "bucket",
+                                 "mj")))
+    reg = (merged.groupBy("sketch_key")
+           .agg((64 - F.count("*")).cast("int").alias("n_zero"),
+                (F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - mj)"))
+                 + (64 - F.count("*"))
+                 * F.lit(1 << 55).cast("long")).cast("bigint")
+                .alias("s_scaled")))
+    raw = (0.709 * 4096.0 * 36028797018963968.0
+           / F.col("s_scaled").cast("double"))
+    est = F.round(
+        F.when((F.col("n_zero") > 0) & (raw <= 160.0),
+               64.0 * F.log(64.0 / F.col("n_zero")))
+        .otherwise(raw), 4)
+    return reg.select("sketch_key", "n_zero", "s_scaled",
+                      est.alias("est_distinct"))
