@@ -2191,3 +2191,45 @@ def test_streaming_scd2_asof_probe(spark, events):
     b = sorted((r.user_id, r.event_id, r.status)
                for r in via_batch.collect())
     assert a == b and len(a) > 0
+
+
+def test_streaming_cms_parity(spark, events):
+    """Streaming count-min counters (additive keyed state, one key
+    per sketch cell) drain EXACTLY to the batch groupBy counts at
+    two micro-batchings — counter addition is order-independent —
+    and point estimates over the drained sketch match the batch
+    events_countmin_point rows for the probe cohort."""
+    from flink_1_11_2_with_comments_spark.pipeline.dedup import (
+        md5_int_expr)
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    from flink_1_11_2_with_comments_spark.streaming.cms import (
+        cms_query, cms_stream)
+
+    batch_cells = {(r.i, r.bucket): r.c for r in (
+        events.select(
+            F.explode(F.array(*[F.lit(i) for i in range(4)]))
+            .alias("i"),
+            F.col("user_id").cast("string").alias("v"))
+        .withColumn("bucket", md5_int_expr(
+            F.col("v"), salt=F.concat(F.col("i").cast("string"),
+                                      F.lit("|"))) % 64)
+        .groupBy("i", "bucket").agg(F.count("*").alias("c"))
+        .collect())}
+
+    probes = {r.user_id: r.cms_count
+              for r in all_specs()["events_countmin_point"]
+              .fn(spark, SF).collect()}
+
+    for n_batches in (2, 5):
+        stream = replay_as_stream(events.select("user_id", "ts"),
+                                  n_batches=n_batches)
+        got = write_stream_to_memory(
+            cms_stream(stream, "user_id"), f"cms{n_batches}",
+            output_mode="update")
+        latest = (got.withColumn(
+            "mx", F.max("n_seen").over(W.partitionBy("i", "bucket")))
+            .where(F.col("n_seen") == F.col("mx")))
+        counters = {(r.i, r.bucket): r.c for r in latest.collect()}
+        assert counters == batch_cells, f"n_batches={n_batches}"
+        for uid, exp_est in probes.items():
+            assert cms_query(counters, str(uid)) == exp_est, uid
