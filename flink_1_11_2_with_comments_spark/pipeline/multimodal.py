@@ -629,12 +629,20 @@ PIXEL_SCHEMA_GIF = ("doc_id bigint, width int, height int, "
 
 
 def _lzw_encode(indices: bytes, mcs: int) -> bytes:
-    """GIF LZW compress index stream at min-code-size ``mcs``."""
+    """GIF LZW compress index stream at min-code-size ``mcs``.
+
+    Width synchronization follows giflib: the code width grows when
+    the count of data codes EMITTED since the last CLEAR (plus the
+    first assignable code) reaches 1 << width — counted per emission
+    (including the final flush emission, which assigns no table
+    entry), so the decoder can mirror it by counting codes READ.
+    Synchronizing on table size instead desyncs at the tail flush
+    (found by the round-trip fuzzer)."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     out_bits = bytearray()
     acc = nbits = 0
 
-    def emit(code: int, width: int):
+    def putbits(code: int, width: int):
         nonlocal acc, nbits
         acc |= code << nbits
         nbits += width
@@ -643,45 +651,54 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    def fresh():
-        return ({bytes([i]): i for i in range(1 << mcs)},
-                eoi + 1, mcs + 1)
+    table: dict = {}
+    nxt = width = 0
 
-    table, nxt, width = fresh()
-    emit(clear, width)
+    def reset():
+        nonlocal table, nxt, width
+        table = {bytes([i]): i for i in range(1 << mcs)}
+        nxt = eoi + 1
+        width = mcs + 1
+
+    reset()
+    putbits(clear, width)
     w = b""
     for b in indices:
         k = bytes([b])
         if w + k in table:
             w += k
             continue
-        emit(table[w], width)
-        table[w + k] = nxt
+        putbits(table[w], width)
+        table[w + k] = nxt          # assigned value = emission count
         nxt += 1
         if nxt == (1 << width) and width < 12:
             width += 1
-        if nxt == 4096:
-            emit(clear, width)
-            table, nxt, width = fresh()
+        if nxt == 4096:             # table full: reset before overflow
+            putbits(clear, width)
+            reset()
         w = k
     if w:
-        emit(table[w], width)
-    emit(eoi, width)
+        putbits(table[w], width)
+        nxt += 1                    # flush emission still counts
+        if nxt == (1 << width) and width < 12:
+            width += 1
+    putbits(eoi, width)
     if nbits:
         out_bits.append(acc & 0xFF)
     return bytes(out_bits)
 
 
 def _lzw_decode(data: bytes, mcs: int) -> bytes:
-    """GIF LZW decompress; exact mirror of _lzw_encode's width/reset
-    convention (next assignable code == 1 << width -> grow), handles
-    the KwKwK case (code == next assignable)."""
+    """GIF LZW decompress; mirrors _lzw_encode's synchronization:
+    one counter incremented per data code READ (the decoder's table
+    lags it by exactly one entry), width grows when the counter
+    reaches 1 << width. Handles the KwKwK case (code == next table
+    slot) and CLEAR resets anywhere."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
-    width = mcs + 1
     pos = 0
     total_bits = len(data) * 8
 
-    def read():
+    def read(width: int) -> int:
         nonlocal pos
         if pos + width > total_bits:
             raise ValueError("LZW stream truncated")
@@ -694,13 +711,16 @@ def _lzw_decode(data: bytes, mcs: int) -> bytes:
 
     roots = [bytes([i]) for i in range(1 << mcs)]
     table = roots + [b"", b""]
+    width = mcs + 1
+    nxt = eoi + 1
     out = bytearray()
     prev = None
     while True:
-        code = read()
+        code = read(width)
         if code == clear:
             table = roots + [b"", b""]
             width = mcs + 1
+            nxt = eoi + 1
             prev = None
             continue
         if code == eoi:
@@ -714,15 +734,13 @@ def _lzw_decode(data: bytes, mcs: int) -> bytes:
                 entry = prev + prev[:1]          # KwKwK
             else:
                 raise ValueError("corrupt LZW code")
-            table.append(prev + entry[:1])
-            # the decoder's table runs ONE assignment behind the
-            # encoder's (the first data code assigns nothing), so it
-            # must widen one entry early to read the next code at
-            # the width the encoder wrote it
-            if len(table) == (1 << width) - 1 and width < 12:
-                width += 1
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
         out += entry
         prev = entry
+        nxt += 1                    # per code read, as the encoder
+        if nxt == (1 << width) and width < 12:
+            width += 1
     return bytes(out)
 
 

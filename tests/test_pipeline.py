@@ -1091,3 +1091,67 @@ def test_hll_union_equals_direct(spark):
     assert union_rows["ALL"] == (n_zero, s_scaled, est)
     true_n = len({r.event_id for r in e})
     assert abs(est - true_n) / true_n < 3 * 1.04 / 8
+
+
+def test_gif_lzw_roundtrip_property():
+    """Fuzz the GIF LZW pair: any index stream (all 16 symbols,
+    arbitrary runs and lengths — including lengths that cross code-
+    width boundaries) must round-trip exactly. Catches width-growth
+    and KwKwK regressions the fixed cases might miss."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        _lzw_decode, _lzw_encode)
+
+    @given(st.binary(min_size=0, max_size=4000).map(
+        lambda b: bytes(x % 16 for x in b)))
+    @settings(max_examples=200, deadline=None)
+    def check(data):
+        if not data:
+            return
+        assert _lzw_decode(_lzw_encode(data, 4), 4) == data
+
+    check()
+
+
+def test_cdc_materialize_upsert_property(spark):
+    """Fuzz materialize_upsert against a pure-Python last-write-wins
+    reference: for any random changelog (interleaved +I/-U/+U/-D per
+    key in a random order column), the materialized table must be
+    exactly the non-deleted keys' final payloads. Pins the
+    rank-above-own-minus-U rule (+U outranks its -U at equal order)
+    and trailing-delete erasure under arbitrary interleavings."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_1_11_2_with_comments_spark.sources.cdc import (
+        materialize_upsert)
+
+    @given(st.lists(
+        st.tuples(st.integers(0, 5),            # key
+                  st.sampled_from(["I", "U", "D"]),
+                  st.integers(0, 100)),          # payload/value
+        min_size=1, max_size=25))
+    @settings(max_examples=25, deadline=None)
+    def check(ops):
+        rows = []
+        state: dict[int, int | None] = {}
+        for seq, (k, op, v) in enumerate(ops):
+            if op == "I":
+                rows.append((seq, 0, "+I", k, v))
+                state[k] = v
+            elif op == "U":
+                rows.append((seq, 0, "-U", k, state.get(k, -1) or 0))
+                rows.append((seq, 1, "+U", k, v))
+                state[k] = v
+            else:
+                rows.append((seq, 0, "-D", k, v))
+                state[k] = None
+        df = spark.createDataFrame(
+            rows, "seq int, change_seq int, rowkind string, "
+                  "k int, v int")
+        got = {(r.k, r.v) for r in materialize_upsert(
+            df, keys=["k"], order_cols=["seq"]).collect()}
+        exp = {(k, v) for k, v in state.items() if v is not None}
+        assert got == exp, (ops, got, exp)
+
+    check()
