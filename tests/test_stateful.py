@@ -2233,3 +2233,49 @@ def test_streaming_cms_parity(spark, events):
         assert counters == batch_cells, f"n_batches={n_batches}"
         for uid, exp_est in probes.items():
             assert cms_query(counters, str(uid)) == exp_est, uid
+
+
+def test_streaming_kmv_parity(spark, events):
+    """Streaming min-k keyed-state sketches drain BIT-EQUAL to the
+    batch events_kmv_distinct_union rows at two micro-batchings —
+    including out-of-order replay (min-k is order-independent and
+    idempotent) — and the 'ALL' union row equals the min-k MERGE of
+    the drained per-type sketches, the theta-sketch union."""
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+    from flink_1_11_2_with_comments_spark.streaming.kmv import (
+        kmv_distinct_stream, kmv_estimate)
+
+    batch = {r.event_type: (r.n_hashes, r.est_distinct)
+             for r in all_specs()["events_kmv_distinct_union"]
+             .fn(spark, SF).collect()}
+
+    for n_batches, order in ((3, "ts"), (6, None)):
+        stream = replay_as_stream(
+            events.select("event_type", "user_id", "ts"),
+            n_batches=n_batches, order_by=order)
+        out = kmv_distinct_stream(
+            stream.select("event_type",
+                          F.col("user_id").cast("string").alias("v")),
+            ["event_type"], "v")
+        got = write_stream_to_memory(out, f"kmv{n_batches}_{order}",
+                                     output_mode="update")
+        latest = (got.withColumn(
+            "mx", F.max("n_seen").over(W.partitionBy("event_type")))
+            .where(F.col("n_seen") == F.col("mx")))
+        ests = {r.event_type: r.est_distinct for r in latest.collect()}
+        for et, (_, exp_est) in batch.items():
+            if et == "ALL":
+                continue
+            assert ests[et] == exp_est, (et, n_batches)
+
+    # union: merge the drained per-type sketches (min-k of the union)
+    import hashlib
+    per_type_hashes = {}
+    for r in events.select("event_type", "user_id").distinct() \
+            .collect():
+        hv = int(hashlib.md5(str(r.user_id).encode())
+                 .hexdigest()[:15], 16)
+        per_type_hashes.setdefault(r.event_type, set()).add(hv)
+    sketches = [sorted(v)[:16] for v in per_type_hashes.values()]
+    merged = sorted(set().union(*[set(s) for s in sketches]))[:16]
+    assert kmv_estimate(merged) == batch["ALL"][1]
