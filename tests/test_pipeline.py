@@ -877,34 +877,31 @@ def test_zorder_bucket_tile_bound(spark):
 
 def test_zorder_layout_data_skipping(spark, tmp_path):
     """The Z-order payoff, measured at the mechanism level: events
-    written clustered by the interleaved (user_id-byte, hour) key
-    leave most parquet ROW GROUPS with min/max ranges disjoint from
-    a two-dimensional point-range predicate — the footer statistics
-    any parquet reader prunes on — while the same data written in
-    arrival order leaves every row group overlapping on both
-    dimensions. events_zorder_stats quantifies this bound
-    relationally; here it is proven on the actual written footers.
-    The 100 TB story: OPTIMIZE ZORDER turns BOTH filters into
-    row-group pruning regardless of which dimension a query
-    constrains."""
+    written with pipeline/layout.zorder_write (clustered by the
+    interleaved (user_id-byte, hour) key) leave most parquet ROW
+    GROUPS with min/max ranges disjoint from a two-dimensional
+    point-range predicate — the footer statistics any parquet reader
+    prunes on — while the same data written in arrival order leaves
+    every row group overlapping on both dimensions.
+    events_zorder_stats quantifies this bound relationally; here it
+    is proven on the actual written footers. The 100 TB story:
+    OPTIMIZE ZORDER turns BOTH filters into row-group pruning
+    regardless of which dimension a query constrains."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
     from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.pipeline.layout import (
+        zorder_write)
 
     e = load_table(spark, SF, "events").select(
         "event_id", "user_id", "ts",
         F.expr("user_id & 255").alias("a"),
         F.expr("CAST(hour(ts) AS BIGINT) & 255").alias("b"))
-    zkey = sum((F.expr(f"((a >> {i}) & 1)") * (1 << (2 * i + 1))
-                + F.expr(f"((b >> {i}) & 1)") * (1 << (2 * i)))
-               for i in range(8))
     zdir, pdir = str(tmp_path / "z"), str(tmp_path / "plain")
-    (e.withColumn("zkey", zkey).repartitionByRange(16, "zkey")
-     .sortWithinPartitions("zkey").drop("zkey")
-     .write.mode("overwrite").parquet(zdir))
+    zorder_write(e, ["a", "b"], zdir, n_files=16)
     e.repartition(16).write.mode("overwrite").parquet(pdir)
 
     def row_groups_needed(path, alo, ahi, blo, bhi):
