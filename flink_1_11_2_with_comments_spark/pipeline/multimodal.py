@@ -631,13 +631,15 @@ PIXEL_SCHEMA_GIF = ("doc_id bigint, width int, height int, "
 def _lzw_encode(indices: bytes, mcs: int) -> bytes:
     """GIF LZW compress index stream at min-code-size ``mcs``.
 
-    Width synchronization follows giflib: the code width grows when
-    the count of data codes EMITTED since the last CLEAR (plus the
-    first assignable code) reaches 1 << width — counted per emission
-    (including the final flush emission, which assigns no table
-    entry), so the decoder can mirror it by counting codes READ.
-    Synchronizing on table size instead desyncs at the tail flush
-    (found by the round-trip fuzzer)."""
+    Width synchronization follows giflib (egif_lib.c
+    EGifCompressOutput): after WRITING each code — and before
+    assigning the new table slot for it — if the next assignable
+    code ``nxt`` has reached ``1 << width``, the width grows. So
+    after a clear at mcs=4, exactly 15 data codes (2^5 - 2^4 - 1)
+    are written at width 5 and the 16th at width 6 — the convention
+    giflib, browsers and Pillow all read. (An earlier revision grew
+    the width one emission early, after the table insert; the pair
+    was self-consistent but not interoperable — round-9 fix.)"""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     out_bits = bytearray()
     acc = nbits = 0
@@ -669,19 +671,18 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
             w += k
             continue
         putbits(table[w], width)
-        table[w + k] = nxt          # assigned value = emission count
+        if nxt >= (1 << width) and width < 12:
+            width += 1              # grow AFTER the write (giflib)
+        table[w + k] = nxt
         nxt += 1
-        if nxt == (1 << width) and width < 12:
-            width += 1
         if nxt == 4096:             # table full: reset before overflow
             putbits(clear, width)
             reset()
         w = k
     if w:
         putbits(table[w], width)
-        nxt += 1                    # flush emission still counts
-        if nxt == (1 << width) and width < 12:
-            width += 1
+        if nxt >= (1 << width) and width < 12:
+            width += 1              # EOI may land at the grown width
     putbits(eoi, width)
     if nbits:
         out_bits.append(acc & 0xFF)
@@ -689,11 +690,13 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
 
 
 def _lzw_decode(data: bytes, mcs: int) -> bytes:
-    """GIF LZW decompress; mirrors _lzw_encode's synchronization:
-    one counter incremented per data code READ (the decoder's table
-    lags it by exactly one entry), width grows when the counter
-    reaches 1 << width. Handles the KwKwK case (code == next table
-    slot) and CLEAR resets anywhere."""
+    """GIF LZW decompress, giflib convention (dgif_lib.c
+    DGifDecompressInput): one counter incremented per data code READ
+    (the decoder's table lags the encoder's by exactly one entry);
+    the width grows when the counter EXCEEDS 1 << width — i.e. after
+    2^w - 2^mcs - 1 data codes post-clear, mirroring the encoder.
+    Handles the KwKwK case (code == next table slot) and CLEAR
+    resets anywhere."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     pos = 0
     total_bits = len(data) * 8
@@ -739,7 +742,7 @@ def _lzw_decode(data: bytes, mcs: int) -> bytes:
         out += entry
         prev = entry
         nxt += 1                    # per code read, as the encoder
-        if nxt == (1 << width) and width < 12:
+        if nxt > (1 << width) and width < 12:
             width += 1
     return bytes(out)
 

@@ -1152,3 +1152,175 @@ def test_cdc_materialize_upsert_property(spark):
         assert got == exp, (ops, got, exp)
 
     check()
+
+
+def _giflib_ref_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """Independent reference LZW decoder transcribed from giflib's
+    dgif_lib.c (DGifDecompressLine / DGifDecompressInput) — the
+    convention browsers and Pillow implement. Kept structurally
+    distinct from the package codec (stack-based suffix walk,
+    MSB-position bit cursor, giflib variable names) so agreement is
+    cross-codec evidence, not a mirrored bug. Key rule under test:
+    RunningCode increments once per code READ and the width grows
+    when it EXCEEDS MaxCode1 = 1 << RunningBits — i.e. exactly
+    2**w - 2**mcs - 1 data codes post-clear at width w."""
+    LZ_BITS, LZ_MAX_CODE = 12, 4095
+    clear_code, eof_code = 1 << mcs, (1 << mcs) + 1
+    running_bits = mcs + 1
+    max_code1 = 1 << running_bits
+    running_code = eof_code + 1
+    # prefix chain + suffix byte per slot (giflib's Prefix/Suffix)
+    prefix = [LZ_MAX_CODE + 1] * 4096
+    suffix = [0] * 4096
+    bitpos = 0
+    out = bytearray()
+    last_code = None
+
+    def next_code():
+        nonlocal bitpos, running_code, running_bits, max_code1
+        if bitpos + running_bits > len(data) * 8:
+            raise ValueError("ref: truncated")
+        val = 0
+        for i in range(running_bits):
+            val |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += running_bits
+        if (running_code < LZ_MAX_CODE + 2 and running_bits < LZ_BITS):
+            running_code += 1
+            if running_code > max_code1:
+                running_bits += 1
+                max_code1 <<= 1
+        elif running_code < LZ_MAX_CODE + 2:
+            running_code += 1
+        return val
+
+    def emit(code):
+        stack = []
+        while code > clear_code:           # walk the chain to the root
+            if code > LZ_MAX_CODE or prefix[code] > LZ_MAX_CODE:
+                raise ValueError("ref: corrupt prefix chain")
+            stack.append(suffix[code])
+            code = prefix[code]
+        stack.append(code)
+        out.extend(reversed(stack))
+        return code                        # first byte of the string
+
+    while True:
+        code = next_code()
+        if code == eof_code:
+            break
+        if code == clear_code:
+            running_bits = mcs + 1
+            max_code1 = 1 << running_bits
+            running_code = eof_code + 1
+            for i in range(4096):
+                prefix[i] = LZ_MAX_CODE + 1
+            last_code = None
+            continue
+        slot = running_code - 2            # giflib: slot being defined
+        if code == slot and last_code is not None:
+            # KwKwK: code not yet in table
+            prefix[slot] = last_code
+            suffix[slot] = _ref_first_byte(prefix, suffix, last_code,
+                                           clear_code)
+            emit(code)
+        else:
+            if code >= clear_code + 2 and prefix[code] > LZ_MAX_CODE:
+                raise ValueError("ref: code references empty slot")
+            emit(code)
+            if last_code is not None and slot <= LZ_MAX_CODE:
+                prefix[slot] = last_code
+                suffix[slot] = _ref_first_byte(prefix, suffix, code,
+                                               clear_code)
+        last_code = code
+    return bytes(out)
+
+
+def _ref_first_byte(prefix, suffix, code, clear_code):
+    while code > clear_code:
+        code = prefix[code]
+    return code
+
+
+def _giflib_ref_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Independent reference LZW encoder following giflib's
+    egif_lib.c (EGifCompressLine / EGifCompressOutput): the width
+    check runs AFTER writing each code using the pre-insert
+    RunningCode, and the dictionary is a (prefix_code, byte) map
+    rather than a byte-string trie."""
+    LZ_MAX_CODE = 4095
+    clear_code, eof_code = 1 << mcs, (1 << mcs) + 1
+    running_bits = mcs + 1
+    max_code1 = 1 << running_bits
+    running_code = eof_code + 1
+    table = {}
+    outbuf = bytearray()
+    acc = nacc = 0
+
+    def output(code):
+        nonlocal acc, nacc, running_bits, max_code1
+        acc |= code << nacc
+        nacc += running_bits
+        while nacc >= 8:
+            outbuf.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+        if running_code >= max_code1 and running_bits < 12:
+            running_bits += 1
+            max_code1 <<= 1
+
+    output(clear_code)
+    cur = indices[0]
+    for px in indices[1:]:
+        key = (cur, px)
+        if key in table:
+            cur = table[key]
+            continue
+        output(cur)
+        if running_code >= LZ_MAX_CODE:
+            output(clear_code)
+            table.clear()
+            running_bits = mcs + 1
+            max_code1 = 1 << running_bits
+            running_code = eof_code + 1
+        else:
+            table[key] = running_code
+            running_code += 1
+        cur = px
+    output(cur)
+    output(eof_code)
+    if nacc:
+        outbuf.append(acc & 0xFF)
+    return bytes(outbuf)
+
+
+def test_gif_lzw_cross_codec_giflib_convention():
+    """Interoperability with the giflib convention (the round-8
+    advisor found the previous codec grew the code width one
+    emission early — self-consistent but unreadable by third-party
+    decoders beyond ~15 codes). Both directions, against reference
+    implementations transcribed independently from giflib's
+    dgif_lib.c/egif_lib.c: (a) package encode -> reference decode,
+    (b) reference encode -> package decode, on streams that cross
+    the 5->6, 6->7 and 7->8 width boundaries, deep-run KwKwK
+    streams, and a 30k stream that forces the 4096-slot reset."""
+    import random
+
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        _lzw_decode, _lzw_encode)
+
+    rnd = random.Random(2024)
+    cases = []
+    for n in (1, 14, 15, 16, 17, 46, 47, 48, 200, 1000, 30000):
+        cases.append(bytes(rnd.randrange(16) for _ in range(n)))
+    cases.append(b"\x01" * 5000)                       # KwKwK ladder
+    cases.append((b"\x00\x01" * 60 + b"\x02" * 30) * 40)
+    for data in cases:
+        enc = _lzw_encode(data, 4)
+        assert _giflib_ref_lzw_decode(enc, 4) == data, len(data)
+        ref = _giflib_ref_lzw_encode(data, 4)
+        assert _lzw_decode(ref, 4) == data, len(data)
+    # other min-code-sizes cross their own boundaries
+    for mcs in (2, 3, 6, 8):
+        data = bytes(rnd.randrange(1 << mcs) for _ in range(600))
+        assert _giflib_ref_lzw_decode(_lzw_encode(data, mcs), mcs) == data
+        assert _lzw_decode(_giflib_ref_lzw_encode(data, mcs), mcs) == data
