@@ -23,16 +23,22 @@ from pyspark.sql import functions as F
 
 def zorder_key(cols: list[str | Column], bits: int = 8) -> Column:
     """Interleave the low ``bits`` of the given integer columns into
-    one Z-value (Morton code) — pure integer JVM codegen. Columns
-    must already be bucketed to [0, 2^bits) (mask or quantile-bucket
-    them first; at 100 TB use rank-buckets so skewed dimensions
-    still spread)."""
+    one Z-value (Morton code) — pure integer JVM codegen. Each
+    column is masked with ``2^bits - 1`` here, so the documented
+    [0, 2^bits) contract holds by construction (round-9 advisor
+    fix: a raw un-bucketed column previously aliased silently,
+    destroying the clustering this pass exists for). For real
+    clustering quality, still bucket upstream — at 100 TB use
+    rank-buckets so skewed dimensions spread — but out-of-range
+    values can no longer corrupt the key."""
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
     n = len(cols)
+    mask = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
-            z = z + (((c.cast("long").bitwiseAND(F.lit(1 << i)))
+            m = c.cast("long").bitwiseAND(F.lit(mask))
+            z = z + (((m.bitwiseAND(F.lit(1 << i)))
                       / (1 << i)).cast("long")
                      * F.lit(1 << (i * n + (n - 1 - j))))
     return z

@@ -65,7 +65,14 @@ def dsir_fit(docs: DataFrame, target_lang: str = "en",
     # buckets unseen in the reference corpus still get their add-1
     # smoothed ratio (n_r = n_t = 0) so a stream token hashing there
     # scores instead of erroring — DSIR's smoothing exists for this
-    if len(out) < n_buckets and len(pdf):
+    if len(pdf) == 0:
+        # empty reference corpus: fail at fit time with a clear error
+        # instead of handing dsir_score_stream an empty ratio table
+        # that KeyErrors per scored document (round-9 advisor fix)
+        raise ValueError(
+            "dsir_fit: reference corpus produced no tokens — cannot "
+            "fit importance ratios (check lang filter / text column)")
+    if len(out) < n_buckets:
         import math
         nr_tot = int(pdf.nr_tot.iloc[0])
         nt_tot = int(pdf.nt_tot.iloc[0])

@@ -43,7 +43,12 @@ def scd2_maintain(df: DataFrame, key: str = "user_id",
 
     Rows must arrive per-key in event order across micro-batches
     (in-order source or upstream sort); within a batch any order is
-    fine — the batch is sorted by (ts, seq) before applying.
+    fine — the batch is sorted by (ts, seq) before applying. A
+    cross-batch order regression (a row whose (ts, seq) is not after
+    the last applied one) raises ValueError instead of silently
+    appending an inconsistent version chain (round-9 advisor fix —
+    unlike the order-independent HLL/KMV/CMS twins, SCD2 state is
+    order-sensitive, so corruption must be loud).
     Output: (key, status, valid_from, valid_to, version, is_current,
     n_seen) — the batch build's columns plus the n_seen cursor.
     """
@@ -57,6 +62,18 @@ def scd2_maintain(df: DataFrame, key: str = "user_id",
         rows = rows.sort_values([ts_col, seq_col])
         versions: list = state.get("versions", [])
         n = state.get("n", 0) + len(rows)
+        last = state.get("last", None)  # (ts_ns, seq) last applied
+        first_ts = int(pd.Timestamp(rows[ts_col].iloc[0]).value)
+        first_seq = int(rows[seq_col].iloc[0])
+        if last is not None and (first_ts, first_seq) <= tuple(last):
+            raise ValueError(
+                f"scd2_maintain: out-of-order arrival for key {k}: "
+                f"batch starts at (ts={first_ts}, seq={first_seq}) "
+                f"but (ts={last[0]}, seq={last[1]}) was already "
+                f"applied — per-key event-order across micro-batches "
+                f"is required (sort or buffer upstream)")
+        state.put("last", [int(pd.Timestamp(rows[ts_col].iloc[-1]).value),
+                           int(rows[seq_col].iloc[-1])])
         for status, ts in zip(rows[status_col], rows[ts_col]):
             if not versions or versions[-1][0] != status:
                 # pandas Timestamp.value: exact ns since epoch (naive

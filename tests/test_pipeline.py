@@ -1324,3 +1324,26 @@ def test_gif_lzw_cross_codec_giflib_convention():
         data = bytes(rnd.randrange(1 << mcs) for _ in range(600))
         assert _giflib_ref_lzw_decode(_lzw_encode(data, mcs), mcs) == data
         assert _lzw_decode(_giflib_ref_lzw_encode(data, mcs), mcs) == data
+
+
+def test_zorder_key_masks_out_of_range(spark):
+    """zorder_key's documented [0, 2^bits) contract now holds by
+    construction (round-9 advisor fix): values with bits above the
+    interleave width are masked, so a raw un-bucketed column yields
+    the same key as its masked form instead of silently aliasing."""
+    from flink_1_11_2_with_comments_spark.pipeline.layout import (
+        zorder_key)
+
+    df = spark.range(0, 2000, 7).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 131 + 17).alias("b"))
+    bits = 6
+    mask = (1 << bits) - 1
+    raw = df.select(zorder_key(["a", "b"], bits).alias("z")).collect()
+    pre = df.select(
+        zorder_key([F.col("a").bitwiseAND(F.lit(mask)),
+                    F.col("b").bitwiseAND(F.lit(mask))],
+                   bits).alias("z")).collect()
+    assert [r.z for r in raw] == [r.z for r in pre]
+    # and the key stays within its 2*bits-bit budget
+    assert all(0 <= r.z < (1 << (2 * bits)) for r in raw)

@@ -2279,3 +2279,75 @@ def test_streaming_kmv_parity(spark, events):
     sketches = [sorted(v)[:16] for v in per_type_hashes.values()]
     merged = sorted(set().union(*[set(s) for s in sketches]))[:16]
     assert kmv_estimate(merged) == batch["ALL"][1]
+
+
+def test_scd2_out_of_order_arrival_raises(spark):
+    """scd2_maintain is order-sensitive (unlike the mergeable
+    HLL/KMV/CMS twins): a micro-batch whose first (ts, seq) is not
+    after the key's last applied one must raise loudly instead of
+    silently appending an inconsistent [valid_from, valid_to) chain
+    (round-9 advisor fix). Staged so batch order REVERSES event
+    time: batch 1 carries the late events, batch 2 the early ones."""
+    import datetime
+
+    from flink_1_11_2_with_comments_spark.sources.replay import (
+        replay_as_stream, write_stream_to_memory)
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+
+    rows = [(1, "view", datetime.datetime(2024, 1, 1, 10), 4),
+            (1, "click", datetime.datetime(2024, 1, 1, 11), 3),
+            (1, "view", datetime.datetime(2024, 1, 1, 8), 2),
+            (1, "buy", datetime.datetime(2024, 1, 1, 9), 1)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp_ntz, "
+              "event_id bigint")
+    # stage_order reverses event_id, so batch 1 carries the two
+    # LATE timestamps (10:00/11:00) and batch 2 the early ones —
+    # a cross-batch regression the guard must reject
+    df = df.withColumn("stage_order", F.lit(100) - F.col("event_id"))
+    stream = replay_as_stream(df, n_batches=2, order_by="stage_order")
+    stream = stream.drop("stage_order")
+    with pytest.raises(Exception, match="out-of-order arrival"):
+        write_stream_to_memory(scd2_maintain(stream), "scd2_ooo",
+                               output_mode="update")
+
+
+def test_scd2_in_order_still_green_with_guard(spark):
+    """The order guard must not fire on legal in-order replay."""
+    import datetime
+
+    from flink_1_11_2_with_comments_spark.sources.replay import (
+        replay_as_stream, write_stream_to_memory)
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+
+    rows = [(1, "view", datetime.datetime(2024, 1, 1, 8), 1),
+            (1, "buy", datetime.datetime(2024, 1, 1, 9), 2),
+            (1, "view", datetime.datetime(2024, 1, 1, 10), 3),
+            (1, "view", datetime.datetime(2024, 1, 1, 11), 4)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp_ntz, "
+              "event_id bigint")
+    stream = replay_as_stream(df, n_batches=2, order_by="event_id")
+    got = write_stream_to_memory(scd2_maintain(stream), "scd2_inord",
+                                 output_mode="update")
+    latest = (got.withColumn(
+        "mx", F.max("n_seen").over(W.partitionBy("user_id")))
+        .where(F.col("n_seen") == F.col("mx")))
+    chain = sorted((r.version, r.status, r.is_current)
+                   for r in latest.collect())
+    assert chain == [(1, "view", False), (2, "buy", False),
+                     (3, "view", True)]
+
+
+def test_dsir_fit_empty_corpus_raises(spark):
+    """dsir_fit on a corpus yielding zero tokens must fail at fit
+    time with a clear message, not return an empty ratio table that
+    KeyErrors later in dsir_score_stream (round-9 advisor fix)."""
+    from flink_1_11_2_with_comments_spark.streaming.dsir import dsir_fit
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string")
+    with pytest.raises(ValueError, match="no tokens"):
+        dsir_fit(empty)
