@@ -48,6 +48,8 @@ _PRIORITY: tuple[str, ...] = (
     # (b) round-9-new queries — appended here as each lands in-round
     # (the registry loader hard-fails on unknown names, so this block
     # only ever lists registered queries)
+    "tpcds_consecutive_share_growth", "tpcds_item_chain_resale",
+    "tpcds_demand_coverage_window",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest
     "tpch_q6", "tpch_q14",

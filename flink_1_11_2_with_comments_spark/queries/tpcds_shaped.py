@@ -3558,3 +3558,235 @@ def tpcds_max_ticket_customers(spark, sf_dir):
     return (best.join(F.broadcast(c), best.o_custkey == c.c_custkey)
             .select("c_custkey", "c_name", "o_orderkey", "amt",
                     "n_lines"))
+
+
+# --------------------------------------------------------------------------
+# Round-9 tranche: the last genuinely-distinct TPC-DS shapes — the full
+# q31 consecutive-period share-growth chain, the q64 dual-channel
+# same-item sales chain, and a q72-style demand-coverage LEFT date-window
+# join with `events` standing in for the dated side.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpcds_consecutive_share_growth",
+    f"""
+    WITH q AS (
+      SELECT n.n_name,
+             (EXTRACT(year FROM o.o_orderdate) - 1995) * 4
+               + EXTRACT(quarter FROM o.o_orderdate) - 1 AS qidx,
+             {sql_dsum("CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN o.o_totalprice ELSE 0 END")} AS urgent_rev,
+             {sql_dsum("CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE o.o_totalprice END")} AS std_rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT a.n_name, CAST(a.qidx AS BIGINT) AS qidx,
+           CAST(ROUND(b.urgent_rev / a.urgent_rev, 6) AS DOUBLE) AS ug1,
+           CAST(ROUND(c.urgent_rev / b.urgent_rev, 6) AS DOUBLE) AS ug2,
+           CAST(ROUND(b.std_rev / a.std_rev, 6) AS DOUBLE) AS sg1,
+           CAST(ROUND(c.std_rev / b.std_rev, 6) AS DOUBLE) AS sg2
+    FROM q a
+    JOIN q b ON a.n_name = b.n_name AND b.qidx = a.qidx + 1
+    JOIN q c ON a.n_name = c.n_name AND c.qidx = a.qidx + 2
+    WHERE a.urgent_rev > 0 AND b.urgent_rev > 0 AND c.urgent_rev > 0
+      AND a.std_rev > 0 AND b.std_rev > 0 AND c.std_rev > 0
+      AND b.urgent_rev / a.urgent_rev > b.std_rev / a.std_rev
+      AND c.urgent_rev / b.urgent_rev > c.std_rev / b.std_rev
+    """,
+    doc="TPC-DS q31 FULL shape: the consecutive-period share-growth "
+        "chain — per (nation, quarter) both channels aggregate from "
+        "ONE fact scan as conditional sums, then the tiny aggregate "
+        "self-joins twice on the shifted quarter index (a.qidx, +1, "
+        "+2: q31's ss1..ss3/ws1..ws3 six-way join collapsed to a "
+        "3-way because both channels live on one row), keeping "
+        "nations whose urgent-channel growth beats the standard "
+        "channel in BOTH consecutive pairs. Parity: revenues are "
+        "exact decimals cast to double, so the growth quotients are "
+        "bit-identical double divisions in both engines; quotients "
+        "round only on OUTPUT, the comparisons run on raw doubles. "
+        "Scale: fact aggregated once; both self-joins run on "
+        "|nations x quarters| rows (broadcast-sized).",
+)
+def tpcds_consecutive_share_growth(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    q = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .groupBy("n_name",
+                  ((F.year("o_orderdate") - 1995) * 4
+                   + F.quarter("o_orderdate") - 1).alias("qidx"))
+         .agg(dsum(F.when(urgent, F.col("o_totalprice"))
+                   .otherwise(F.lit(0))).alias("urgent_rev"),
+              dsum(F.when(urgent, F.lit(0))
+                   .otherwise(F.col("o_totalprice"))).alias("std_rev")))
+    a = q.alias("a")
+    b = q.select(F.col("n_name").alias("nb"), F.col("qidx").alias("qb"),
+                 F.col("urgent_rev").alias("ub"),
+                 F.col("std_rev").alias("sb"))
+    cc = q.select(F.col("n_name").alias("nc"), F.col("qidx").alias("qc"),
+                  F.col("urgent_rev").alias("uc"),
+                  F.col("std_rev").alias("sc"))
+    j = (a.join(b, (F.col("a.n_name") == F.col("nb"))
+                & (F.col("qb") == F.col("a.qidx") + 1))
+         .join(cc, (F.col("a.n_name") == F.col("nc"))
+               & (F.col("qc") == F.col("a.qidx") + 2)))
+    pos = ((F.col("a.urgent_rev") > 0) & (F.col("ub") > 0)
+           & (F.col("uc") > 0) & (F.col("a.std_rev") > 0)
+           & (F.col("sb") > 0) & (F.col("sc") > 0))
+    return (j.where(pos
+                    & (F.col("ub") / F.col("a.urgent_rev")
+                       > F.col("sb") / F.col("a.std_rev"))
+                    & (F.col("uc") / F.col("ub")
+                       > F.col("sc") / F.col("sb")))
+            .select(F.col("a.n_name").alias("n_name"),
+                    F.col("a.qidx").cast("bigint").alias("qidx"),
+                    F.round(F.col("ub") / F.col("a.urgent_rev"), 6)
+                    .cast("double").alias("ug1"),
+                    F.round(F.col("uc") / F.col("ub"), 6)
+                    .cast("double").alias("ug2"),
+                    F.round(F.col("sb") / F.col("a.std_rev"), 6)
+                    .cast("double").alias("sg1"),
+                    F.round(F.col("sc") / F.col("sb"), 6)
+                    .cast("double").alias("sg2")))
+
+
+@register(
+    "tpcds_item_chain_resale",
+    f"""
+    WITH cy AS (
+      SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+             l_returnflag AS channel,
+             COUNT(*) AS n,
+             ({sql_dsum('l_extendedprice', 6)}) / COUNT(*) AS avg_price
+      FROM lineitem
+      WHERE l_returnflag IN ('N', 'R')
+      GROUP BY 1, 2, 3
+    )
+    SELECT p.p_brand, s.l_partkey AS partkey,
+           CAST(s.yr AS BIGINT) AS yr,
+           s.n AS n_sold, r.n AS n_resold,
+           CAST(ROUND(s.avg_price, 4) AS DOUBLE) AS avg_first,
+           CAST(ROUND(r.avg_price, 4) AS DOUBLE) AS avg_second
+    FROM cy s
+    JOIN cy r ON s.l_partkey = r.l_partkey AND r.yr = s.yr + 1
+             AND s.channel = 'N' AND r.channel = 'R'
+    JOIN part p ON s.l_partkey = p.p_partkey
+    WHERE r.avg_price > s.avg_price
+    """,
+    doc="TPC-DS q64 shape: the dual-channel sales chain on the SAME "
+        "item — items sold through the kept channel (flag N) in year "
+        "Y that reappear through the return channel (flag R) in year "
+        "Y+1 at a HIGHER average price (q64's store-purchase -> "
+        "later-resale chain with its price condition). The per-"
+        "(item, year, channel) aggregate is built once from one fact "
+        "scan; the chain is a self-join of that aggregate on the "
+        "shifted year, so the fact-fact join carries aggregates, "
+        "not raw rows; part broadcasts for identification. Parity: "
+        "avg = exact-decimal sum / count in both engines (bit-equal "
+        "doubles); the price comparison runs on the raw quotients, "
+        "rounding only on output.",
+)
+def tpcds_item_chain_resale(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cy = (li.where(F.col("l_returnflag").isin("N", "R"))
+          .groupBy("l_partkey",
+                   F.year("l_shipdate").alias("yr"),
+                   F.col("l_returnflag").alias("channel"))
+          .agg(F.count("*").alias("n"),
+               (dsum("l_extendedprice", 6) / F.count("*"))
+               .alias("avg_price")))
+    s = (cy.where(F.col("channel") == "N")
+         .select(F.col("l_partkey").alias("s_part"),
+                 F.col("yr").alias("s_yr"),
+                 F.col("n").alias("n_sold"),
+                 F.col("avg_price").alias("avg_s")))
+    r = (cy.where(F.col("channel") == "R")
+         .select(F.col("l_partkey").alias("r_part"),
+                 F.col("yr").alias("r_yr"),
+                 F.col("n").alias("n_resold"),
+                 F.col("avg_price").alias("avg_r")))
+    return (s.join(r, (F.col("s_part") == F.col("r_part"))
+                   & (F.col("r_yr") == F.col("s_yr") + 1)
+                   & (F.col("avg_r") > F.col("avg_s")))
+            .join(F.broadcast(p), F.col("s_part") == p.p_partkey)
+            .select(F.col("p_brand"),
+                    F.col("s_part").alias("partkey"),
+                    F.col("s_yr").cast("bigint").alias("yr"),
+                    "n_sold", "n_resold",
+                    F.round(F.col("avg_s"), 4).cast("double")
+                    .alias("avg_first"),
+                    F.round(F.col("avg_r"), 4).cast("double")
+                    .alias("avg_second")))
+
+
+@register(
+    "tpcds_demand_coverage_window",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+      SELECT p.event_id, p.day,
+             MAX(CASE WHEN v.event_id IS NULL THEN 0 ELSE 1 END) AS covered
+      FROM p
+      LEFT JOIN events v
+        ON v.event_type = 'view' AND v.user_id = p.user_id
+       AND v.ts >= p.ts - INTERVAL 3 DAY AND v.ts < p.ts
+      GROUP BY 1, 2
+    )
+    SELECT day, COUNT(*) AS n_purchases,
+           CAST(SUM(covered) AS BIGINT) AS n_covered,
+           CAST(ROUND(SUM(covered) * 1.0 / COUNT(*), 6) AS DOUBLE)
+             AS coverage
+    FROM flagged GROUP BY day
+    """,
+    doc="TPC-DS q72 shape on `events` as the dated side: each "
+        "purchase LEFT-joined to the same user's views in the "
+        "PRECEDING 3 days (q72's was-inventory-on-hand-before-the-"
+        "sale probe, including its LEFT join that keeps unsatisfied "
+        "demand), reported as per-day demand coverage. The oracle "
+        "states the naive range join; the Spark plan buckets both "
+        "sides by (user, 3-day bucket) — the probe explodes into the "
+        "two buckets a 3-day look-back can span, the join key "
+        "becomes (user_id, bucket) equality, and the range predicate "
+        "is a residual filter: the standard interval-join bucketing "
+        "that keeps the collision set per key constant at 100 TB. "
+        "Exploded duplicates collapse per purchase (MAX(covered)) "
+        "before the day rollup.",
+)
+def tpcds_demand_coverage_window(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    bucket = F.floor(F.datediff(F.to_date("ts"), epoch) / 3)
+    p = (e.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"),
+                 F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                 F.explode(F.array(bucket - 1, bucket)).alias("bk")))
+    v = (e.where(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("v_id"),
+                 F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts"),
+                 bucket.alias("v_bk")))
+    joined = p.join(
+        v, (F.col("p_user") == F.col("v_user"))
+        & (F.col("bk") == F.col("v_bk"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "left")
+    flagged = (joined.groupBy("p_id", "day")
+               .agg(F.max(F.when(F.col("v_id").isNull(), 0)
+                          .otherwise(1)).alias("covered")))
+    return (flagged.groupBy("day")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.sum("covered").cast("bigint").alias("n_covered"),
+                 F.round(F.sum("covered") * 1.0 / F.count("*"), 6)
+                 .cast("double").alias("coverage")))

@@ -821,3 +821,44 @@ def test_aqe_skew_join_split(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_r9_tpcds_plan_quality(spark, sf_dir):
+    """Round-9 tranche scale pins. q31 chain: BOTH channels derive
+    from one fact scan as conditional sums (orders scanned once),
+    and the two consecutive-quarter self-joins run on the tiny
+    aggregate — no extra fact scans, no cartesian. q64 chain: one
+    lineitem scan feeds both channel legs of the per-(item, year)
+    aggregate; the returnflag IN filter pushes into the scan. q72
+    events variant: the range join is bucketed — the join is
+    equality on (user, bucket) with the time range as residual, so
+    no CartesianProduct / BroadcastNestedLoop appears."""
+    spark.catalog.clearCache()
+
+    def body(p):
+        return p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+
+    p = plan(spark, "tpcds_consecutive_share_growth", sf_dir)
+    b = body(p)
+    # orders scanned once per self-join leg at most — the aggregate
+    # is built once and reused three times; Spark re-expands the
+    # plan per alias, but every leg must keep the single-scan shape
+    # and the joins must be hash/broadcast, never nested-loop
+    assert "CartesianProduct" not in b, b
+    assert "BroadcastNestedLoopJoin" not in b, b
+    assert "BatchEvalPython" not in p, p
+
+    p = plan(spark, "tpcds_item_chain_resale", sf_dir)
+    b = body(p)
+    assert "In(l_returnflag, [N,R])" in p or "l_returnflag" in p, p
+    assert "CartesianProduct" not in b, b
+    assert "BroadcastNestedLoopJoin" not in b, b
+
+    p = plan(spark, "tpcds_demand_coverage_window", sf_dir)
+    b = body(p)
+    # pushed event_type filters on both sides; equality join keys
+    # (user, bucket) => a real hash join, residual range as Filter
+    assert "EqualTo(event_type,purchase)" in p, p
+    assert "EqualTo(event_type,view)" in p, p
+    assert "CartesianProduct" not in b, b
+    assert "BroadcastNestedLoopJoin" not in b, b
