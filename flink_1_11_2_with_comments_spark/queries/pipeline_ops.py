@@ -3262,3 +3262,55 @@ def events_hll_union(spark, sf_dir):
         .otherwise(raw), 4)
     return reg.select("sketch_key", "n_zero", "s_scaled",
                       est.alias("est_distinct"))
+
+
+# -- learned quality classifier (round 9) -----------------------------
+# The CCNet/GPT-3-style learned quality filter the heuristic stack
+# (Gopher rules, bigram-LM) approximates without learning: logistic
+# regression over hashed bag-of-words, trained as DataFrame
+# aggregates with every iterate decimal-rounded (the PCA precedent,
+# pipeline/pca.py:91) so the DuckDB oracle unrolls the identical
+# rounds and replays training bit-exactly.
+
+from ..pipeline.quality_clf import oracle_fit_sql, oracle_score_sql
+
+
+@register(
+    "corpus_quality_classifier_fit",
+    oracle_fit_sql(),
+    doc="Distributed logistic-regression quality-classifier training "
+        "(pipeline/quality_clf.py): 32 hashed token-frequency "
+        "features + intercept, target = lang='en' (a curated quality "
+        "domain in production), 3 full-batch gradient-descent rounds "
+        "with margins/gradients decimal-accumulated and every "
+        "iterate rounded — deterministic across partitionings and "
+        "engines; the oracle unrolls the same 3 rounds in SQL. "
+        "Reference surface: DataSet.iterate "
+        "(flink-java/.../DataSet.java:1139, the superstep loop of "
+        "flink-examples-batch LinearRegression.java:60). Scale: the "
+        "corpus pays one token shuffle once; each round touches "
+        "only the (docs x 33) feature table with a broadcast 33-row "
+        "weight join — nothing collected, no driver state.",
+)
+def corpus_quality_classifier_fit(spark, sf_dir):
+    from ..pipeline.quality_clf import logreg_fit
+    return logreg_fit(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_quality_score_broadcast",
+    oracle_score_sql(),
+    doc="The learned quality filter applied corpus-wide via the "
+        "broadcast-scorer pattern (the dsir_score_broadcast "
+        "precedent): the 33-row weight table fitted offline becomes "
+        "broadcast state, documents score map-only in Arrow batches "
+        "(margin, probability, predicted label), mirroring the "
+        "relational margin's DECIMAL arithmetic op for op — "
+        "batch/stream-agnostic, so this same op IS the streaming "
+        "scorer (parity pinned by tests/test_stateful.py). Scale: "
+        "scoring shuffles nothing.",
+)
+def corpus_quality_score_broadcast(spark, sf_dir):
+    from ..pipeline.quality_clf import quality_fit, quality_score_stream
+    d = t(spark, sf_dir, "documents")
+    return quality_score_stream(d, quality_fit(d))

