@@ -3314,3 +3314,183 @@ def corpus_quality_score_broadcast(spark, sf_dir):
     from ..pipeline.quality_clf import quality_fit, quality_score_stream
     d = t(spark, sf_dir, "documents")
     return quality_score_stream(d, quality_fit(d))
+
+
+@register(
+    "events_cms_topk",
+    """
+    WITH salts AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    h AS (
+      SELECT i, user_id,
+             CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '|'
+                                        || CAST(user_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 64 AS bucket
+      FROM events, salts
+    ), counts AS (
+      SELECT i, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2
+    ), items AS (
+      SELECT DISTINCT user_id, i, bucket FROM h
+    ), est AS (
+      SELECT user_id, CAST(MIN(c.c) AS BIGINT) AS cms_count
+      FROM items JOIN counts c USING (i, bucket)
+      GROUP BY 1
+    ), ranked AS (
+      SELECT user_id, cms_count,
+             ROW_NUMBER() OVER (ORDER BY cms_count DESC, user_id)
+               AS rk
+      FROM est
+    ), ex AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1
+    )
+    SELECT CAST(rk AS INT) AS rk, r.user_id, r.cms_count,
+           ex.exact_count
+    FROM ranked r JOIN ex USING (user_id)
+    WHERE rk <= 10
+    """,
+    doc="Count-min TOP-K — the heavy-hitter application face of the "
+        "CMS path (the streaming twin cms_stream maintains the same "
+        "sum-merge counters; tests pin stream==batch bit-parity): "
+        "estimate every candidate item from the depth-4 x width-64 "
+        "sketch, rank by (estimate DESC, item) with a deterministic "
+        "tie-break, keep the top 10 alongside their exact counts "
+        "(CMS one-sided error: estimate >= exact, visible in the "
+        "result). Scale: the 256-counter sketch builds in one "
+        "map-side-combined groupBy and BROADCASTS to the candidate "
+        "ranking; the top-k is a TakeOrdered over |items| estimate "
+        "rows, never the corpus.",
+)
+def events_cms_topk(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    e = t(spark, sf_dir, "events")
+    salted = e.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        .alias("i"))
+    h = salted.withColumn(
+        "bucket",
+        md5_int_expr(F.col("user_id").cast("string"),
+                     salt=F.concat(F.col("i").cast("string"),
+                                   F.lit("|"))) % 64)
+    counts = h.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    items = h.select("user_id", "i", "bucket").distinct()
+    est = (items.join(F.broadcast(counts), ["i", "bucket"])
+           .groupBy("user_id")
+           .agg(F.min("c").cast("bigint").alias("cms_count")))
+    ranked = est.withColumn(
+        "rk", F.row_number().over(
+            W.orderBy(F.desc("cms_count"), "user_id")))
+    ex = e.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return (ranked.where(F.col("rk") <= 10)
+            .join(ex, "user_id")
+            .select(F.col("rk").cast("int").alias("rk"),
+                    "user_id", "cms_count", "exact_count"))
+
+
+@register(
+    "events_gk_quantile_bounds",
+    """
+    WITH np AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    ), vc AS (
+      SELECT event_type, value, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, value,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value)
+               AS cum
+      FROM vc
+    ), ph AS (
+      SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS phi
+    ), tg AS (
+      SELECT np.event_type, ph.phi,
+             GREATEST(1, CAST(CEIL(ph.phi * np.n - 0.05 * np.n)
+                              AS BIGINT)) AS r_lo,
+             LEAST(np.n, CAST(FLOOR(ph.phi * np.n + 0.05 * np.n)
+                              AS BIGINT)) AS r_hi
+      FROM np, ph
+    )
+    SELECT tg.event_type, tg.phi,
+           MIN(CASE WHEN cum.cum >= tg.r_lo THEN cum.value END)
+             AS lo,
+           MIN(CASE WHEN cum.cum >= tg.r_hi THEN cum.value END)
+             AS hi,
+           TRUE AS within
+    FROM tg JOIN cum ON tg.event_type = cum.event_type
+    GROUP BY 1, 2
+    """,
+    doc="The drained-GK hard-verification face: per event_type, run "
+        "the EXACT streaming Greenwald-Khanna code "
+        "(streaming/gk_quantiles.py gk_insert/gk_compress/gk_query, "
+        "eps=0.05, same compress cadence, rows in (ts, event_id) "
+        "order) over the batch table via applyInPandas, then assert "
+        "the GK contract IN THE RESULT: the oracle computes the "
+        "exact order-statistic value bounds [v(ceil(phi*n - eps*n)), "
+        "v(floor(phi*n + eps*n))] from a cumulative distinct-value "
+        "census and emits within=TRUE; the Spark row carries the "
+        "same exact bounds plus the actual containment check — any "
+        "GK violation flips `within` and the driver hash catches "
+        "it. The estimate itself is order-dependent (not SQL-"
+        "replayable); the bounds are deterministic raw input values, "
+        "so the row hash-matches. Scale note: the bound computation "
+        "windows over per-key DISTINCT-value aggregates (not raw "
+        "rows); the production path is the GK sketch itself — this "
+        "query is the verification face, the analogue of the "
+        "reference's accumulator ITCases.",
+)
+def events_gk_quantile_bounds(spark, sf_dir):
+    import pandas as pd
+
+    from ..streaming.gk_quantiles import (
+        PHIS, gk_compress, gk_insert, gk_query)
+
+    EPS = 0.05
+    e = t(spark, sf_dir, "events")
+
+    def drain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        tuples: list = []
+        n = 0
+        period = max(int(1 / (2 * EPS)), 1)
+        for v in pdf["value"]:
+            gk_insert(tuples, float(v), n, EPS)
+            n += 1
+            if n % period == 0:
+                gk_compress(tuples, n, EPS)
+        return pd.DataFrame(
+            [{"event_type": pdf["event_type"].iloc[0],
+              "phi": phi, "est": gk_query(tuples, phi, n, EPS)}
+             for phi in PHIS])
+
+    est = (e.select("event_type", "value", "ts", "event_id")
+           .groupBy("event_type")
+           .applyInPandas(drain,
+                          "event_type string, phi double, est double"))
+    np_ = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    vc = (e.groupBy("event_type", "value")
+          .agg(F.count("*").alias("c")))
+    cum = vc.withColumn(
+        "cum", F.sum("c").over(
+            W.partitionBy("event_type").orderBy("value")))
+    phis = F.explode(F.array(*[F.lit(p) for p in PHIS])).alias("phi")
+    tg = (np_.select("event_type", "n", phis)
+          .select("event_type", "phi",
+                  F.greatest(
+                      F.lit(1).cast("bigint"),
+                      F.ceil(F.col("phi") * F.col("n")
+                             - 0.05 * F.col("n")).cast("bigint"))
+                  .alias("r_lo"),
+                  F.least(
+                      F.col("n").cast("bigint"),
+                      F.floor(F.col("phi") * F.col("n")
+                              + 0.05 * F.col("n")).cast("bigint"))
+                  .alias("r_hi")))
+    bounds = (tg.join(cum, "event_type")
+              .groupBy("event_type", "phi")
+              .agg(F.min(F.when(F.col("cum") >= F.col("r_lo"),
+                                F.col("value"))).alias("lo"),
+                   F.min(F.when(F.col("cum") >= F.col("r_hi"),
+                                F.col("value"))).alias("hi")))
+    return (bounds.join(est, ["event_type", "phi"])
+            .select("event_type", "phi", "lo", "hi",
+                    ((F.col("lo") <= F.col("est"))
+                     & (F.col("est") <= F.col("hi")))
+                    .alias("within")))
