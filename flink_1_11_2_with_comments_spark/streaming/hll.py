@@ -17,12 +17,12 @@ micro-batch (update semantics, latest n_seen wins).
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ._hash import md5_60bit_distinct
 from .state import KeyedState, keyed_process
 
 
@@ -63,8 +63,10 @@ def hll_distinct_stream(df: DataFrame, keys: list[str],
             return None
         regs = state.get("regs", [0] * 64)
         n = state.get("n", 0) + len(rows)
-        for v in rows[value_col]:
-            hv = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        # registers are a max-merge over the DISTINCT hash multiset:
+        # hash once per distinct value in the batch (C-level unique
+        # pass), identical registers to the per-row loop (round-9)
+        for hv in md5_60bit_distinct(rows[value_col]):
             b, w = hv % 64, hv // 64
             r = _rho(w)
             if r > regs[b]:

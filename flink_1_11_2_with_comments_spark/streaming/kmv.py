@@ -21,11 +21,11 @@ round() is banker's and would diverge).
 from __future__ import annotations
 
 import decimal
-import hashlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ._hash import md5_60bit_distinct
 from .state import KeyedState, keyed_process
 
 _Q4 = decimal.Decimal("1e-4")
@@ -57,9 +57,10 @@ def kmv_distinct_stream(df: DataFrame, keys: list[str],
         n = state.get("n", 0) + len(rows)
         changed = False
         s = set(mins)
-        for v in rows[value_col]:
-            hv = int(hashlib.md5(str(v).encode()).hexdigest()[:15],
-                     16)
+        # the min-k set is a function of the DISTINCT hash multiset:
+        # hash once per distinct batch value (C-level unique pass),
+        # identical sketch to the per-row loop (round-9)
+        for hv in md5_60bit_distinct(rows[value_col]):
             if hv not in s and (len(mins) < k or hv < mins[-1]):
                 s.add(hv)
                 changed = True
