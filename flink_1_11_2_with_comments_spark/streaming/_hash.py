@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pandas as pd
 
 
@@ -28,11 +27,13 @@ def md5_60bit_distinct(series: pd.Series) -> list[int]:
 
     str() runs on the same per-element scalars the previous per-row
     loop saw (not a pandas astype, whose float formatting can
-    differ), so the hash inputs are identical by construction.
+    differ), so the hash inputs are identical by construction. The
+    dedup runs BEFORE string conversion (pd.unique is a C hash pass
+    on the raw dtype), so both str() and md5 run once per distinct
+    value; a str()-level collision across distinct raw values (e.g.
+    5 vs '5' in an object column) collapses in the final set exactly
+    as the per-row loop's duplicate hashes did.
     """
-    strs = np.array([str(v) for v in series], dtype=object)
-    uniq = np.unique(strs)
     md5 = hashlib.md5
-    out = [int(md5(u.encode()).hexdigest()[:15], 16) for u in uniq]
-    out.sort()
-    return out
+    return sorted({int(md5(str(v).encode()).hexdigest()[:15], 16)
+                   for v in pd.unique(series)})
