@@ -62,6 +62,17 @@ SCALE10_EXTRA = [
     "events_kmv_distinct_union", "events_countmin_point",
     "tpcds_rollup_rank_within_parent",
     "tpcds_supplier_latency_matrix",
+    # the heaviest r8 tranche-2/3 TPC-DS shapes (the r8 verdict asked
+    # for 10x evidence on these) and the round-9 newcomers: the q31
+    # triple self-join, the q64 item chain, the q72 bucketed events
+    # window, classifier training (3 fixed rounds over the one-shuffle
+    # feature table), and the GK/CMS verification faces
+    "tpcds_dual_correlated_spend", "tpcds_net_after_returns",
+    "tpcds_channel_pair_ratio",
+    "tpcds_consecutive_share_growth", "tpcds_item_chain_resale",
+    "tpcds_demand_coverage_window",
+    "corpus_quality_classifier_fit", "events_cms_topk",
+    "events_gk_quantile_bounds",
 ]
 
 
