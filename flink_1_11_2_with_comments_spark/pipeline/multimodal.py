@@ -776,8 +776,11 @@ def gif_decode(data: bytes) -> tuple[int, int, bytes]:
     """REAL GIF pixel decode, Python stdlib only: parse the logical
     screen + global color table, skip 0x21 extension blocks (GCE,
     comments, application), LZW-decompress the first image's data and
-    map through the palette -> (width, height, RGB bytes). Interlace
-    and local color tables raise (documented subset)."""
+    map through the palette -> (width, height, RGB bytes). Local
+    color tables override the global one, and interlaced images are
+    de-interlaced through the four GIF89a passes (rows 0,8,16.. then
+    4,12.. then 2,6.. then odd) — both former subset boundaries
+    removed in round 9."""
     import struct
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
@@ -805,11 +808,15 @@ def gif_decode(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     left, top, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
     ipacked = data[pos + 9]
-    if ipacked & 0x80:
-        raise ValueError("gif_decode subset: local color tables")
-    if ipacked & 0x40:
-        raise ValueError("gif_decode subset: interlaced images")
     pos += 10
+    palette = gct
+    if ipacked & 0x80:                     # local color table (r9)
+        n = 2 << (ipacked & 0x07)
+        palette = [tuple(data[pos + 3 * i:pos + 3 * i + 3])
+                   for i in range(n)]
+        pos += 3 * n
+    if not palette:
+        raise ValueError("GIF has neither global nor local palette")
     mcs = data[pos]
     pos += 1
     lzw = bytearray()
@@ -820,9 +827,19 @@ def gif_decode(data: bytes) -> tuple[int, int, bytes]:
     indices = _lzw_decode(bytes(lzw), mcs)
     if len(indices) < w * h:
         raise ValueError("GIF pixel data short")
+    indices = indices[:w * h]
+    if ipacked & 0x40:                     # interlaced (r9): rows
+        rows = [indices[r * w:(r + 1) * w]   # arrive in the four
+                for r in range(h)]           # GIF89a passes
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        deint: list = [None] * h
+        for src, dst in enumerate(order):
+            deint[dst] = rows[src]
+        indices = b"".join(deint)
     rgb = bytearray()
-    for i in indices[:w * h]:
-        rgb += bytes(gct[i])
+    for i in indices:
+        rgb += bytes(palette[i])
     return w, h, bytes(rgb)
 
 

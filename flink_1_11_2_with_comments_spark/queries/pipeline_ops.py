@@ -3494,3 +3494,80 @@ def events_gk_quantile_bounds(spark, sf_dir):
                     ((F.col("lo") <= F.col("est"))
                      & (F.col("est") <= F.col("hi")))
                     .alias("within")))
+
+
+@register(
+    "events_mg_heavy_bounds",
+    """
+    WITH src AS (
+      SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS item
+      FROM events
+    ), np AS (
+      SELECT event_type, COUNT(*) AS n FROM src GROUP BY 1
+    ), ex AS (
+      SELECT event_type, item, COUNT(*) AS exact_count
+      FROM src GROUP BY 1, 2
+    )
+    SELECT ex.event_type, ex.item, ex.exact_count, TRUE AS ok
+    FROM ex JOIN np USING (event_type)
+    WHERE ex.exact_count > CAST(FLOOR(np.n / 17.0) AS BIGINT)
+    """,
+    doc="The drained Misra-Gries hard-verification face (symmetric "
+        "with events_gk_quantile_bounds): run the EXACT streaming "
+        "k=16-counter summary (streaming/misra_gries.py semantics) "
+        "per event_type over the batch rows in (ts, event_id) order "
+        "via applyInPandas, then assert the MG contract IN the "
+        "result for the deterministically-identifiable cohort — "
+        "every item with exact frequency > floor(n/(k+1)) MUST be in "
+        "the summary (no false negatives above threshold), "
+        "undercounted by at most floor(n/(k+1)) and never "
+        "overcounted. The oracle states the exact guaranteed cohort "
+        "with ok=TRUE; any violation flips the Spark row's flag and "
+        "breaks the driver hash. Summary membership below the "
+        "threshold is order-dependent and intentionally excluded. "
+        "Scale: exact counts are one map-side-combined groupBy; the "
+        "summary itself is O(k) state per key.",
+)
+def events_mg_heavy_bounds(spark, sf_dir):
+    import pandas as pd
+
+    K = 16
+    e = t(spark, sf_dir, "events")
+    src = e.select("event_type", "ts", "event_id",
+                   (F.col("user_id") % 8).cast("string").alias("item"))
+
+    def drain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        counters: dict = {}
+        for it in pdf["item"]:
+            if it in counters:
+                counters[it] += 1
+            elif len(counters) < K:
+                counters[it] = 1
+            else:
+                for c in list(counters):
+                    counters[c] -= 1
+                    if counters[c] == 0:
+                        del counters[c]
+        return pd.DataFrame(
+            [{"event_type": pdf["event_type"].iloc[0],
+              "item": it, "est_count": cnt}
+             for it, cnt in counters.items()])
+
+    summ = (src.groupBy("event_type")
+            .applyInPandas(drain, "event_type string, item string, "
+                                  "est_count bigint"))
+    np_ = src.groupBy("event_type").agg(F.count("*").alias("n"))
+    ex = (src.groupBy("event_type", "item")
+          .agg(F.count("*").alias("exact_count")))
+    bound = F.floor(F.col("n") / 17.0).cast("bigint")
+    guaranteed = (ex.join(np_, "event_type")
+                  .where(F.col("exact_count") > bound)
+                  .select("event_type", "item", "exact_count",
+                          bound.alias("max_under")))
+    return (guaranteed.join(summ, ["event_type", "item"], "left")
+            .select("event_type", "item", "exact_count",
+                    (F.col("est_count").isNotNull()
+                     & (F.col("est_count") <= F.col("exact_count"))
+                     & (F.col("exact_count") - F.col("est_count")
+                        <= F.col("max_under"))).alias("ok")))

@@ -1379,3 +1379,58 @@ def test_quality_classifier_learns(spark):
     w1 = {r.feature: r.weight for r in logreg_fit(docs).collect()}
     w2 = quality_fit(docs)
     assert w1 == w2
+
+
+def test_gif_decode_interlace_and_local_palette():
+    """Round 9 removes two gif_decode subset boundaries. (a)
+    Interlaced images: a GIF whose rows are stored in the four
+    GIF89a passes (0,8,16.. / 4,12.. / 2,6.. / odd) with the
+    interlace flag set must decode to the SAME pixels as the
+    sequential encoding. (b) Local color tables: an image descriptor
+    carrying its own palette (flag 0x80) must be decoded through
+    that palette, overriding the global one."""
+    import struct
+
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        GIF_PALETTE16, _lzw_encode, deterministic_indices, gif_decode,
+        gif_encode)
+
+    w, h = 13, 11
+    idx = deterministic_indices(5, w, h)
+    plain = gif_decode(gif_encode(w, h, idx))
+
+    # (a) hand-build the interlaced variant of the same image
+    rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+             + [*range(2, h, 4)] + [*range(1, h, 2)])
+    stored = b"".join(rows[dst] for dst in order)
+    head = (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0xF3, 0, 0])
+            + b"".join(bytes(rgb) for rgb in GIF_PALETTE16))
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40"
+    lzw = _lzw_encode(stored, 4)
+    blocks = bytearray([4])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    interlaced = head + desc + bytes(blocks) + b"\x3B"
+    assert gif_decode(interlaced) == plain
+
+    # (b) local color table: global palette says one thing, the
+    # image-local table another — decode must use the local one
+    local_pal = [(255 - r, 255 - g, 255 - b)
+                 for (r, g, b) in GIF_PALETTE16]
+    desc_l = (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+              + bytes([0x83])       # LCT flag, 16 entries
+              + b"".join(bytes(rgb) for rgb in local_pal))
+    lzw2 = _lzw_encode(idx, 4)
+    blocks2 = bytearray([4])
+    for i in range(0, len(lzw2), 255):
+        chunk = lzw2[i:i + 255]
+        blocks2 += bytes([len(chunk)]) + chunk
+    blocks2 += b"\x00"
+    local = head + desc_l + bytes(blocks2) + b"\x3B"
+    ww, hh, rgb = gif_decode(local)
+    exp = b"".join(bytes(local_pal[i]) for i in idx)
+    assert (ww, hh) == (w, h) and rgb == exp
