@@ -3375,12 +3375,14 @@ def events_cms_topk(spark, sf_dir):
     est = (items.join(F.broadcast(counts), ["i", "bucket"])
            .groupBy("user_id")
            .agg(F.min("c").cast("bigint").alias("cms_count")))
-    ranked = est.withColumn(
+    # TakeOrderedAndProject does the distributed top-k; the rank
+    # window then sees EXACTLY 10 rows (total order, no ties)
+    top = est.orderBy(F.desc("cms_count"), "user_id").limit(10)
+    ranked = top.withColumn(
         "rk", F.row_number().over(
             W.orderBy(F.desc("cms_count"), "user_id")))
     ex = e.groupBy("user_id").agg(F.count("*").alias("exact_count"))
-    return (ranked.where(F.col("rk") <= 10)
-            .join(ex, "user_id")
+    return (ranked.join(ex, "user_id")
             .select(F.col("rk").cast("int").alias("rk"),
                     "user_id", "cms_count", "exact_count"))
 

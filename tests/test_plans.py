@@ -350,6 +350,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "tpcds_two_metric_rank",          # two ranks over |brands| agg rows
     "tpcds_best_worst_rank_join",     # row_number AFTER limit(10) —
                                       # window input is exactly 10 rows
+    "events_cms_topk",                # same: rank AFTER limit(10) over
+                                      # the TakeOrdered |items| estimates
 }
 
 # Queries whose PURPOSE is the row-at-a-time Python surface itself:
