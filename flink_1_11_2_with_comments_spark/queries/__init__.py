@@ -52,7 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_demand_coverage_window",
     "corpus_quality_classifier_fit", "corpus_quality_score_broadcast",
     "events_cms_topk", "events_gk_quantile_bounds",
-    "events_mg_heavy_bounds",
+    "events_mg_heavy_bounds", "tpcds_before_after_returns",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest
     "tpch_q6", "tpch_q14",

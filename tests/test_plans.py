@@ -856,6 +856,14 @@ def test_r9_tpcds_plan_quality(spark, sf_dir):
     assert "CartesianProduct" not in b, b
     assert "BroadcastNestedLoopJoin" not in b, b
 
+    p = plan(spark, "tpcds_before_after_returns", sf_dir)
+    b = body(p)
+    # q40: both before/after arms and both sales/returns arms come
+    # from ONE fact scan (conditional sums) with part broadcast
+    assert b.count("Scan parquet") == 2, b
+    assert "BroadcastHashJoin" in b, b
+    assert "LessThanOrEqual(p_size,25)" in p, p
+
     p = plan(spark, "tpcds_demand_coverage_window", sf_dir)
     b = body(p)
     # pushed event_type filters on both sides; equality join keys
