@@ -172,6 +172,39 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
                     .alias("jaccard")))
 
 
+def containment_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                      text_col: str, shingle_n: int = 2) -> DataFrame:
+    """Exact shingle-set max-containment |A∩B| / min(|A|,|B|) for given
+    (a_id, b_id) pairs.
+
+    The asymmetric companion to jaccard_pairs: a short document fully
+    embedded in a long one has containment 1.0 but Jaccard ≈ |A|/|B|,
+    so a Jaccard threshold misses the partial-copy case entirely (the
+    boilerplate-inside-page and quote-of-article duplicates that web
+    corpora are full of). Same inverted-index self-join plan as
+    jaccard_pairs — shingle-keyed shuffle, never all-pairs text.
+    """
+    sh = df.select(F.col(id_col),
+                   F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b_id2"),
+                     F.col("shingle").alias("shingle_b"))
+    inter = (pairs.join(a_sh, "a_id")
+             .join(b_sh, (F.col("b_id") == F.col("b_id2"))
+                   & (F.col("shingle") == F.col("shingle_b")))
+             .groupBy("a_id", "b_id")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("a_id"),
+                               F.col("sz").alias("a_sz")), "a_id")
+            .join(sizes.select(F.col(id_col).alias("b_id"),
+                               F.col("sz").alias("b_sz")), "b_id")
+            .select("a_id", "b_id",
+                    (F.col("n_inter")
+                     / F.least("a_sz", "b_sz")).alias("containment")))
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per doc: token-hash bit votes, sign → bit.
 

@@ -53,6 +53,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_quality_classifier_fit", "corpus_quality_score_broadcast",
     "events_cms_topk", "events_gk_quantile_bounds",
     "events_mg_heavy_bounds", "tpcds_before_after_returns",
+    "over_distribution_functions", "fn_stats_bivariate",
+    "dedup_ngram_containment", "corpus_zipf_slope",
+    "unnest_outer_lateral",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest
     "tpch_q6", "tpch_q14",

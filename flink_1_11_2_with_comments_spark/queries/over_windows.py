@@ -359,3 +359,39 @@ def temporal_sort_batch(spark, sf_dir):
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (e.select("user_id", "event_id", "ts",
                      F.row_number().over(w).cast("bigint").alias("pos")))
+
+
+@register(
+    "over_distribution_functions",
+    """
+    SELECT event_id, event_type,
+           CAST(NTILE(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS INTEGER)
+             AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id), 9)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id), 9)
+             AS cume
+    FROM events WHERE user_id <= 50
+    """,
+    doc="Distribution window functions NTILE / PERCENT_RANK / "
+        "CUME_DIST — the remaining third of the ranking block "
+        "(FlinkSqlOperatorTable.java:1000-1004 registers RANK, "
+        "DENSE_RANK, ROW_NUMBER, PERCENT_RANK, CUME_DIST, NTILE; "
+        "over_ranking_functions covers the first three). The window "
+        "ORDER BY carries the unique event_id tiebreaker so NTILE "
+        "bucket boundaries and CUME_DIST peer groups are identical in "
+        "both engines; the two fractions are (rank-1)/(n-1) and "
+        "peers/n integer ratios, rounded to 9 purely as division "
+        "insurance.",
+)
+def over_distribution_functions(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"))

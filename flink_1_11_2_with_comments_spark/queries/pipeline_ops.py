@@ -189,6 +189,56 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_ngram_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE doc_id < 600
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                              i -> ts[i] || ' ' || ts[i + 1]))) AS shingle
+      FROM toks
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           ROUND(n_inter * 1.0 / LEAST(x.sz, y.sz), 9) AS containment
+    FROM inter JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+    WHERE n_inter * 1.0 / LEAST(x.sz, y.sz) >= 0.3
+    """,
+    doc="Max-containment near-dup pairs (bigram shingles, "
+        "|A∩B|/min(|A|,|B|) ≥ 0.3 on the synthetic corpus): the "
+        "asymmetric companion to "
+        "dedup_ngram_jaccard — a short doc embedded in a long one "
+        "scores 1.0 here but only |A|/|B| on Jaccard, so this is the "
+        "metric that catches partial copies (boilerplate-inside-page, "
+        "quoted-article) that the symmetric threshold misses "
+        "(pipeline/dedup.py containment_pairs). Same inverted-index "
+        "shingle self-join plan; production candidates come from the "
+        "LSH band join (dedup_minhash_lsh) — the bounded all-pairs "
+        "probe here is the oracle-checkable verification stage. "
+        "Reference dedup surface: the reference ships distinct-style "
+        "dedup only (StreamExecDeduplicateRule.scala:57); containment "
+        "is part of the beyond-survey training-data stack.",
+)
+def dedup_ngram_containment(spark, sf_dir):
+    from ..pipeline.dedup import containment_pairs
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    ids = d.select("doc_id")
+    pairs = (ids.select(F.col("doc_id").alias("a_id"))
+             .join(ids.select(F.col("doc_id").alias("b_id")),
+                   F.col("a_id") < F.col("b_id")))
+    c = containment_pairs(d, pairs, "doc_id", "text", shingle_n=2)
+    return (c.withColumn("containment", F.round("containment", 9))
+            .where(F.col("containment") >= 0.3))
+
+
+@register(
     "dedup_minhash_lsh",
     f"""
     WITH toks AS (
@@ -3573,3 +3623,54 @@ def events_mg_heavy_bounds(spark, sf_dir):
                      & (F.col("est_count") <= F.col("exact_count"))
                      & (F.col("exact_count") - F.col("est_count")
                         <= F.col("max_under"))).alias("ok")))
+
+
+@register(
+    "corpus_zipf_slope",
+    """
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), top AS (
+      SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT 500
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM top
+    )
+    SELECT ROUND(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(cnt), ln(rnk)), 6) AS zipf_intercept,
+           ROUND(regr_r2(ln(cnt), ln(rnk)), 6) AS r2,
+           CAST(regr_count(ln(cnt), ln(rnk)) AS BIGINT) AS n_terms
+    FROM ranked
+    """,
+    doc="Zipf's-law fit over the corpus term-frequency distribution: "
+        "log-frequency regressed on log-rank with the REGR_SLOPE / "
+        "REGR_INTERCEPT / REGR_R2 / REGR_COUNT linear-regression "
+        "aggregate family (Calcite std aggregates, the same family "
+        "FlinkSqlOperatorTable exposes percentiles from). The slope "
+        "near -1 / high R² is the standard natural-text sanity check "
+        "a corpus-quality dashboard runs; a crawl partition whose fit "
+        "degrades is template/spam-heavy. Scale: term counts are one "
+        "token-keyed groupBy; the top-500 cut is TakeOrdered (no "
+        "global sort), and the ROW_NUMBER window runs over the "
+        "already-LIMITed 500-row frame (the events_cms_topk "
+        "precedent) — never an unpartitioned window over data-sized "
+        "input. Rounded to 6: regression co-moments of ~500 ln values "
+        "accumulate in doubles whose partial order differs across "
+        "engines.",
+)
+def corpus_zipf_slope(spark, sf_dir):
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents")
+    tf = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("cnt")))
+    top = tf.orderBy(F.desc("cnt"), F.asc("tok")).limit(500)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok"))))
+    lc, lr = F.log(F.col("cnt")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("r2"),
+        F.regr_count(lc, lr).alias("n_terms"))

@@ -874,3 +874,33 @@ def join_salted_skew(spark, sf_dir):
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("n"),
                  dsum("o_totalprice").alias("total_price")))
+
+
+@register(
+    "unnest_outer_lateral",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         tok -> length(tok) > 7) AS ts
+      FROM documents WHERE doc_id <= 200
+    )
+    SELECT doc_id, unnest(ts) AS long_tok FROM base WHERE len(ts) > 0
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS long_tok
+    FROM base WHERE len(ts) = 0
+    """,
+    doc="OUTER UNNEST: LEFT JOIN LATERAL UNNEST(...) ON TRUE — the "
+        "row-preserving correlate variant (LogicalUnnestRule.scala:49 "
+        "with the left-outer Correlate; unnest_explode covers the "
+        "inner form). A document whose filtered token array is EMPTY "
+        "still emits one row with a NULL element (44 of the 201 docs here) — Catalyst's "
+        "GenerateOuter/explode_outer. The oracle states the same "
+        "semantics as inner-unnest UNION ALL the empty-array rows.",
+)
+def unnest_outer_lateral(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    toks = F.filter(F.split("text", " "),
+                    lambda tok: F.length(tok) > 7)
+    return d.select("doc_id",
+                    F.explode_outer(toks).alias("long_tok"))

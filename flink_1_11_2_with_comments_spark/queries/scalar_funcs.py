@@ -592,3 +592,34 @@ def fn_string_position(spark, sf_dir):
         .alias("locate_from"),
         F.col("c_mktsegment").rlike("^(BUILD|AUTO).*").alias("similar_m"),
         F.col("c_mktsegment").like("B%").alias("like_m"))
+
+
+@register(
+    "fn_stats_bivariate",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_discount), 6) AS corr_qd,
+           ROUND(covar_pop(l_quantity, l_discount), 6) AS covp_qd,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS covs_qd,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistical aggregates CORR / COVAR_POP / "
+        "COVAR_SAMP — the co-moment half of the Calcite std aggregate "
+        "family (the univariate half is agg_stats' STDDEV/VAR block). "
+        "Computed over (l_quantity, l_discount): both are small-"
+        "magnitude, so the single-pass co-moment accumulation that "
+        "differs in partial order between engines agrees far past the "
+        "6dp rounding (price-scale pairs would need the DECIMAL "
+        "co-moment formula instead — documented tradeoff).",
+)
+def fn_stats_bivariate(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_discount"), 6)
+                 .alias("corr_qd"),
+                 F.round(F.covar_pop("l_quantity", "l_discount"), 6)
+                 .alias("covp_qd"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+                 .alias("covs_qd"),
+                 F.count("*").alias("n")))

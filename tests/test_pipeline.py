@@ -125,6 +125,33 @@ def test_exact_dedup_idempotent(spark, documents):
     assert second.agg(F.max("n_copies")).collect()[0][0] == 1
 
 
+def test_containment_catches_partial_copy_jaccard_misses(spark):
+    """The metric-level contract of containment_pairs: a short doc
+    fully embedded in a long one has containment exactly 1.0 while
+    Jaccard ≈ |A|/|B| stays far below any dedup threshold — the
+    partial-copy case (boilerplate-inside-page) that motivates the
+    asymmetric metric. Disjoint docs produce no pair at all."""
+    from flink_1_11_2_with_comments_spark.pipeline.dedup import (
+        containment_pairs, jaccard_pairs)
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a_id long, b_id long")
+    cont = {(r.a_id, r.b_id): r.containment
+            for r in containment_pairs(docs, pairs, "id", "text",
+                                       shingle_n=2).collect()}
+    jac = {(r.a_id, r.b_id): r.jaccard
+           for r in jaccard_pairs(docs, pairs, "id", "text",
+                                  shingle_n=2).collect()}
+    assert cont[(1, 2)] == 1.0          # embedded: all 3 bigrams shared
+    assert jac[(1, 2)] < 0.1            # 3 / (3 + 44 - 3)
+    assert (1, 3) not in cont and (2, 3) not in cont  # no shared shingle
+    assert (1, 3) not in jac and (2, 3) not in jac
+
+
 def test_multimodal_stub_contract(spark, documents):
     """The codec stub must raise NotImplementedError (no silent fake
     data on the real path), while the fake decoder path works and is

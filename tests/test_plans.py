@@ -352,6 +352,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
                                       # window input is exactly 10 rows
     "events_cms_topk",                # same: rank AFTER limit(10) over
                                       # the TakeOrdered |items| estimates
+    "corpus_zipf_slope",              # row_number AFTER limit(500) —
+                                      # the Zipf fit's rank axis
 }
 
 # Queries whose PURPOSE is the row-at-a-time Python surface itself:
