@@ -55,7 +55,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_mg_heavy_bounds", "tpcds_before_after_returns",
     "over_distribution_functions", "fn_stats_bivariate",
     "dedup_ngram_containment", "corpus_zipf_slope",
-    "unnest_outer_lateral",
+    "unnest_outer_lateral", "scd2_state_bootstrap_roundtrip",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest
     "tpch_q6", "tpch_q14",

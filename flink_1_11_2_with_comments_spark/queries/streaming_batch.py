@@ -1545,18 +1545,60 @@ def temporal_join_event_sql(spark, sf_dir):
         "and Catalyst runs the two same-key windows in one sort pass.",
 )
 def scd2_dimension_build(spark, sf_dir):
+    from ..streaming.scd2 import scd2_build_batch
     e = t(spark, sf_dir, "events")
-    wk = W.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (e.select("user_id", "ts", "event_id", "event_type",
-                        F.lag("event_type").over(wk).alias("prev"))
-               .where(F.col("prev").isNull()
-                      | (F.col("prev") != F.col("event_type"))))
-    return (changes.select(
-        "user_id", F.col("event_type").alias("status"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(wk).alias("valid_to"),
-        F.row_number().over(wk).cast("int").alias("version"),
-        F.lead("ts").over(wk).isNull().alias("is_current")))
+    return scd2_build_batch(e)
+
+
+@register(
+    "scd2_state_bootstrap_roundtrip",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS INT)
+             AS version,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+    doc="State Processor API analog — savepoint bootstrap roundtrip "
+        "(reference: flink-libraries/flink-state-processing-api, "
+        "BootstrapTransformation writes keyed state from a DataSet "
+        "and a restarted job resumes from it). The query builds the "
+        "SCD2 dimension over events BEFORE 2024-01-16 only, converts "
+        "that snapshot back to seed transitions "
+        "(streaming/scd2.py scd2_bootstrap_events — the 'savepoint' "
+        "is just a relation), then rebuilds over seed ∪ post-cutoff "
+        "events. The oracle is the UNSPLIT full build: hash-equality "
+        "proves the bootstrap is lossless — identical version chains, "
+        "interval bounds and is_current flags — so a batch backfill "
+        "can hand state to the streaming maintainer with no replay of "
+        "history (the streaming half of the pin is "
+        "tests/test_stateful.py::test_scd2_bootstrap_stream_parity). "
+        "Scale: the seed is a map-only projection of the dimension "
+        "table; the rebuild windows only ever sort transitions + new "
+        "events, never re-reads the historical corpus.",
+)
+def scd2_state_bootstrap_roundtrip(spark, sf_dir):
+    from ..streaming.scd2 import scd2_bootstrap_events, scd2_build_batch
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    cutoff = F.lit("2024-01-16 00:00:00").cast(e.schema["ts"].dataType)
+    dim_early = scd2_build_batch(e.where(F.col("ts") < cutoff))
+    seeds = scd2_bootstrap_events(dim_early)
+    late = e.where(F.col("ts") >= cutoff)
+    return scd2_build_batch(seeds.unionByName(late.select(seeds.columns)))
 
 
 @register(

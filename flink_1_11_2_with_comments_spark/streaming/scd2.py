@@ -31,8 +31,71 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
 
 from .state import KeyedState, keyed_process
+
+# Seed sequence offset: bootstrap rows carry seq = version - _SEED_BASE
+# so at an equal timestamp they always sort BEFORE any real event
+# (real seq ids are non-negative) — in the within-batch (ts, seq) sort
+# of scd2_maintain and in the batch build's window order alike.
+_SEED_BASE = 1_000_000_000
+
+
+def scd2_build_batch(df: DataFrame, key: str = "user_id",
+                     status_col: str = "event_type",
+                     ts_col: str = "ts",
+                     seq_col: str = "event_id") -> DataFrame:
+    """Batch SCD2 build over an arbitrary change relation — the
+    windowed materialization behind the scd2_dimension_build query
+    (LAG change-collapse, LEAD interval close, ROW_NUMBER versions),
+    factored out so state bootstrap can re-run it over seed∪stream.
+    Scale: all three windows share one (key, ts, seq) sort."""
+    wk = W.partitionBy(key).orderBy(ts_col, seq_col)
+    changes = (df.select(key, ts_col, seq_col, status_col,
+                         F.lag(status_col).over(wk).alias("prev"))
+               .where(F.col("prev").isNull()
+                      | (F.col("prev") != F.col(status_col))))
+    return changes.select(
+        key, F.col(status_col).alias("status"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wk).alias("valid_to"),
+        F.row_number().over(wk).cast("int").alias("version"),
+        F.lead(ts_col).over(wk).isNull().alias("is_current"))
+
+
+def scd2_bootstrap_events(dim: DataFrame, key: str = "user_id",
+                          status_col: str = "event_type",
+                          ts_col: str = "ts",
+                          seq_col: str = "event_id") -> DataFrame:
+    """Savepoint writer: turn an SCD2 dimension snapshot back into the
+    minimal change stream that rebuilds the operator's state.
+
+    The reference ships this as the State Processor API
+    (flink-libraries/flink-state-processing-api — BootstrapTransformation
+    writes keyed state from a DataSet, and a streaming job then starts
+    from the written savepoint). Here the same migration needs no
+    savepoint file format at all: scd2_maintain's state IS the
+    collapsed transition list, so the dimension table — one row per
+    transition — is already a complete, relational state snapshot.
+    Replaying it through the operator (batch build or streaming
+    maintenance alike) reproduces the state bit-for-bit, version
+    numbers and interval bounds included, because versions are dense
+    row_numbers over transitions and every valid_from is the
+    transition's own timestamp.
+
+    Output schema matches the operator's input (key, status, ts, seq);
+    seq = version - 1e9 keeps seeds strictly before any real event at
+    an equal timestamp. Scale: map-only projection of the dimension
+    table — the 'savepoint' costs one narrow pass, no driver, no
+    broadcast."""
+    return dim.select(
+        F.col(key).alias(key),
+        F.col("status").alias(status_col),
+        F.col("valid_from").alias(ts_col),
+        (F.col("version").cast("bigint") - F.lit(_SEED_BASE))
+        .alias(seq_col))
 
 
 def scd2_maintain(df: DataFrame, key: str = "user_id",

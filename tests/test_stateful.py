@@ -1999,6 +1999,68 @@ def test_streaming_scd2_parity(spark, events):
         assert rows == exp, f"n_batches={n_batches}"
 
 
+def test_scd2_bootstrap_stream_parity(spark, events):
+    """State Processor API analog (reference: flink-libraries/
+    flink-state-processing-api — bootstrap keyed state from a DataSet,
+    then start the streaming job from the savepoint): the SCD2
+    dimension built in BATCH over pre-cutoff history is converted to
+    seed transitions (scd2_bootstrap_events), and the streaming
+    maintainer consumes seed ∪ post-cutoff events WITHOUT ever seeing
+    pre-cutoff raw history. Its final snapshot must be row-identical
+    to the batch build over ALL events — version numbers, interval
+    bounds, is_current — at several micro-batchings, including seeds
+    and live rows sharing one batch (n_batches=1)."""
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_bootstrap_events, scd2_build_batch, scd2_maintain)
+
+    e = events.select("user_id", "event_type", "ts", "event_id")
+    cutoff = F.lit("2024-01-16 00:00:00").cast(e.schema["ts"].dataType)
+    seeds = scd2_bootstrap_events(
+        scd2_build_batch(e.where(F.col("ts") < cutoff)))
+    late = e.where(F.col("ts") >= cutoff)
+    assert seeds.count() > 0 and late.count() > 0
+
+    exp = sorted(
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.version,
+         r.is_current) for r in scd2_build_batch(e).collect())
+
+    replayed = seeds.unionByName(late.select(seeds.columns))
+    for n_batches in (1, 3):
+        stream = replay_as_stream(replayed, n_batches=n_batches,
+                                  order_by="ts")
+        got = write_stream_to_memory(
+            scd2_maintain(stream), f"scd2_boot_{n_batches}",
+            output_mode="update")
+        latest = (got.withColumn(
+            "mx", F.max("n_seen").over(W.partitionBy("user_id")))
+            .where(F.col("n_seen") == F.col("mx")))
+        rows = sorted(
+            (r.user_id, r.status, r.valid_from, r.valid_to, r.version,
+             r.is_current) for r in latest.collect())
+        assert rows == exp, f"n_batches={n_batches}"
+
+
+def test_transform_with_state_env_gate():
+    """Documents why the keyed-state layer is applyInPandasWithState
+    (streaming/state.py keyed_process) rather than Spark 4's
+    transformWithStateInPandas with its native initialState relation:
+    the TWS state-server protocol requires google.protobuf, which is
+    absent in this container — the API crashes at plan time
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE in
+    validateAndMaybeEvolveStateSchema). Same honest-gate contract as
+    the Kafka/ES jars. If the environment gains protobuf, this test
+    flips to a skip and TWS initial-state becomes the preferred
+    bootstrap path (today's path: scd2_bootstrap_events replays the
+    relational state snapshot through the same operator)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pass  # the documented container boundary
+    else:
+        pytest.skip("protobuf present: transformWithState is viable "
+                    "here; bootstrap via initialState when migrating")
+
+
 def test_cdc_to_scd2_composition(spark, events):
     """The temporal-table topology end-to-end: Debezium envelopes
     (the CDC changelog) streamed through parse_debezium_json into
