@@ -73,7 +73,8 @@ def replay_as_stream(df: DataFrame, n_batches: int = 4,
 
 
 def write_stream_to_memory(stream_df: DataFrame, name: str,
-                           output_mode: str = "append") -> DataFrame:
+                           output_mode: str = "append",
+                           checkpoint_dir: str | None = None) -> DataFrame:
     """Run a streaming query to completion into an in-memory table.
 
     processAllAvailable() drains every staged micro-batch
@@ -89,11 +90,16 @@ def write_stream_to_memory(stream_df: DataFrame, name: str,
 
     stream_df = naive_timestamps(stream_df)
     spark = stream_df.sparkSession
-    q = (stream_df.writeStream
+    w = (stream_df.writeStream
          .format("memory")
          .queryName(name)
-         .outputMode(output_mode)
-         .start())
+         .outputMode(output_mode))
+    if checkpoint_dir is not None:
+        # persistent checkpoint: lets the statestore source read the
+        # operator's keyed state back after the query stops (the
+        # savepoint-reader path, streaming/scd2.scd2_read_savepoint)
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     try:
         q.processAllAvailable()
     finally:

@@ -2040,6 +2040,65 @@ def test_scd2_bootstrap_stream_parity(spark, events):
         assert rows == exp, f"n_batches={n_batches}"
 
 
+def test_scd2_savepoint_read_and_resume(spark, events):
+    """The CLOSED State Processor loop: run the streaming SCD2
+    maintainer over pre-cutoff history with a persistent checkpoint,
+    READ its keyed state back relationally (scd2_read_savepoint over
+    the statestore source — ExistingSavepoint.readKeyedState's role),
+    verify the read state IS the batch-built dimension, then
+    bootstrap a NEW job from the read snapshot and stream only
+    post-cutoff events: the resumed job's final table must equal the
+    batch build over all events. No private savepoint format — the
+    checkpoint is read with a standard data source and re-entered
+    through the operator's own input schema."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.catalog import naive_timestamps
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_bootstrap_events, scd2_build_batch, scd2_maintain,
+        scd2_read_savepoint)
+
+    e = events.select("user_id", "event_type", "ts", "event_id")
+    cutoff = F.lit("2024-01-16 00:00:00").cast(e.schema["ts"].dataType)
+    early = e.where(F.col("ts") < cutoff)
+    late = e.where(F.col("ts") >= cutoff)
+
+    # 1. first job: maintain over early history, checkpoint kept
+    ckpt = tempfile.mkdtemp(prefix="scd2_savepoint_")
+    write_stream_to_memory(
+        scd2_maintain(replay_as_stream(early, n_batches=2,
+                                       order_by="ts")),
+        "scd2_sp_job1", output_mode="update", checkpoint_dir=ckpt)
+
+    # 2. read the savepoint; must equal the batch build over early
+    dim_read = naive_timestamps(scd2_read_savepoint(spark, ckpt))
+    got = sorted(
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.version,
+         r.is_current) for r in dim_read.collect())
+    exp_early = sorted(
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.version,
+         r.is_current) for r in scd2_build_batch(early).collect())
+    assert got == exp_early
+
+    # 3. resume: bootstrap a fresh job from the READ state + late rows
+    seeds = scd2_bootstrap_events(dim_read)
+    resumed = write_stream_to_memory(
+        scd2_maintain(replay_as_stream(
+            seeds.unionByName(late.select(seeds.columns)),
+            n_batches=2, order_by="ts")),
+        "scd2_sp_job2", output_mode="update")
+    latest = (resumed.withColumn(
+        "mx", F.max("n_seen").over(W.partitionBy("user_id")))
+        .where(F.col("n_seen") == F.col("mx")))
+    rows = sorted(
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.version,
+         r.is_current) for r in latest.collect())
+    exp_full = sorted(
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.version,
+         r.is_current) for r in scd2_build_batch(e).collect())
+    assert rows == exp_full
+
+
 def test_transform_with_state_env_gate():
     """Documents why the keyed-state layer is applyInPandasWithState
     (streaming/state.py keyed_process) rather than Spark 4's
