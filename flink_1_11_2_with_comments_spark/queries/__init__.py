@@ -56,6 +56,8 @@ _PRIORITY: tuple[str, ...] = (
     "over_distribution_functions", "fn_stats_bivariate",
     "dedup_ngram_containment", "corpus_zipf_slope",
     "unnest_outer_lateral", "scd2_state_bootstrap_roundtrip",
+    "embedding_qc_outliers", "events_hourly_to_daily_rollup",
+    "corpus_dedup_rate_by_source", "events_funnel_conversion",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest
     "tpch_q6", "tpch_q14",

@@ -3674,3 +3674,200 @@ def corpus_zipf_slope(spark, sf_dir):
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lc, lr), 6).alias("r2"),
         F.regr_count(lc, lr).alias("n_terms"))
+
+
+@register(
+    "embedding_qc_outliers",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), nr AS (
+      SELECT vec_id,
+             sqrt(CAST(ROUND(SUM(CAST(x * x AS DECIMAL(30,14))), 9)
+                       AS DOUBLE)) AS nrm,
+             CAST(ROUND(SUM(CAST((x * x) * (x * x) AS DECIMAL(30,14))),
+                        9) AS DOUBLE) AS p4
+      FROM ex GROUP BY vec_id
+    ), st AS (
+      SELECT CAST(ROUND(SUM(CAST(p4 AS DECIMAL(30,14))), 9) AS DOUBLE)
+               / COUNT(*) AS mu,
+             CAST(ROUND(SUM(CAST(p4 * p4 AS DECIMAL(30,14))), 9)
+                  AS DOUBLE) / COUNT(*) AS ex2
+      FROM nr
+    )
+    SELECT vec_id, ROUND(nrm, 6) AS nrm, ROUND(p4, 9) AS p4,
+           ROUND((p4 - mu) / sqrt(ex2 - mu * mu), 6) AS z
+    FROM nr CROSS JOIN st
+    WHERE ABS((p4 - mu) / sqrt(ex2 - mu * mu)) > 2.0
+    """,
+    doc="Embedding-corpus QC: per-vector L2 norm (verifies the corpus "
+        "is unit-normalized — it is, so norm outliers cannot exist by "
+        "construction) plus PEAKINESS p4 = sum(x^4), the inverse "
+        "participation ratio of a unit vector: a z-outlier in p4 is a "
+        "vector whose mass concentrates in a few dimensions — the "
+        "degenerate/collapsed encoder outputs that poison cosine "
+        "dedup and ANN recall while passing every norm check. Flags "
+        "|z| > 2 against corpus mean/std. Determinism: x*x and "
+        "(x*x)*(x*x) are IEEE double multiplies (bit-identical in any "
+        "engine), every reduction is the DECIMAL-accumulate -> round "
+        "-> double discipline, sqrt is IEEE correctly-rounded — so "
+        "even the UNROUNDED filter comparison is engine-exact. Scale: "
+        "one explode + per-vector aggregate, a 1-row stats aggregate "
+        "broadcast back; nothing shuffles but vec-level partials.",
+)
+def embedding_qc_outliers(spark, sf_dir):
+    DEC14 = "decimal(30,14)"
+    emb = t(spark, sf_dir, "embeddings")
+    ex = (emb.select("vec_id", F.posexplode("embedding")
+                     .alias("p", "xf"))
+          .select("vec_id", F.col("xf").cast("double").alias("x")))
+    x2 = F.col("x") * F.col("x")
+    nr = (ex.groupBy("vec_id")
+          .agg(F.sqrt(F.round(F.sum(x2.cast(DEC14)), 9)
+                      .cast("double")).alias("nrm"),
+               F.round(F.sum((x2 * x2).cast(DEC14)), 9)
+               .cast("double").alias("p4")))
+    st = nr.agg(
+        (F.round(F.sum(F.col("p4").cast(DEC14)), 9).cast("double")
+         / F.count("*")).alias("mu"),
+        (F.round(F.sum((F.col("p4") * F.col("p4")).cast(DEC14)), 9)
+         .cast("double") / F.count("*")).alias("ex2"))
+    sd = F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu"))
+    z = (F.col("p4") - F.col("mu")) / sd
+    return (nr.crossJoin(F.broadcast(st))
+            .where(F.abs(z) > 2.0)
+            .select("vec_id", F.round("nrm", 6).alias("nrm"),
+                    F.round("p4", 9).alias("p4"),
+                    F.round(z, 6).alias("z")))
+
+
+@register(
+    "events_hourly_to_daily_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 6)
+                  AS DOUBLE) AS hv,
+             COUNT(*) AS hn
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', hr) AS day, event_type,
+           CAST(ROUND(SUM(CAST(hv AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS total_value,
+           SUM(hn) AS n_events
+    FROM hourly GROUP BY 1, 2
+    """,
+    doc="Hierarchical rollup from MATERIALIZED PARTIALS: daily totals "
+        "computed from the hourly aggregate, never from the fact "
+        "table — at 100 TB the hourly table is written once and "
+        "every coarser grain (day/week/month) derives from it, "
+        "re-aggregating |hours|x|types| rows instead of rescanning "
+        "the corpus (the rollup discipline behind every OLAP cube "
+        "and the same mergeability the sketch family pins for "
+        "approximate state). SUM/COUNT are mergeable, so the "
+        "two-level result is exactly the one-level one; both levels "
+        "use the decimal-accumulate discipline, and the oracle "
+        "states the same two-level construction.",
+)
+def events_hourly_to_daily_rollup(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("hr"),
+                        "event_type")
+              .agg(dsum("value", 6).alias("hv"),
+                   F.count("*").alias("hn")))
+    return (hourly.groupBy(F.date_trunc("day", "hr").alias("day"),
+                           "event_type")
+            .agg(dsum("hv", 2).alias("total_value"),
+                 F.sum("hn").alias("n_events")))
+
+
+@register(
+    "corpus_dedup_rate_by_source",
+    """
+    WITH d AS (
+      SELECT source,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS dg
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT dg) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT dg) * 1.0 / COUNT(*), 9)
+             AS dup_rate
+    FROM d GROUP BY source
+    """,
+    doc="Dedup-rate dashboard: per ingestion source, documents vs "
+        "distinct normalized-content digests and the duplicate share "
+        "— the first metric a corpus-curation run reports (a source "
+        "whose dup_rate jumps is re-crawling itself; the metric "
+        "decides which sources the expensive near-dup passes "
+        "prioritize). Same normalization as dedup_exact, so the "
+        "rates reconcile with the dedup pass's keep-set. Scale: one "
+        "groupBy over 16-byte digests (never text), "
+        "distinct-aggregate split applies.",
+)
+def corpus_dedup_rate_by_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    dg = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (d.select("source", dg.alias("dg"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("dg").alias("n_unique"),
+                 F.round(F.lit(1.0) - F.countDistinct("dg") * 1.0
+                         / F.count("*"), 9).alias("dup_rate")))
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'view') AS tv,
+             MIN(ts) FILTER (event_type = 'click') AS tc,
+             MIN(ts) FILTER (event_type = 'purchase') AS tp
+      FROM events GROUP BY user_id
+    ), flags AS (
+      SELECT user_id, tv IS NOT NULL AS s1,
+             tv IS NOT NULL AND tc IS NOT NULL AND tc > tv AS s2,
+             tv IS NOT NULL AND tc IS NOT NULL AND tc > tv
+               AND tp IS NOT NULL AND tp > tc AS s3
+      FROM per_user
+    )
+    SELECT COUNT(*) FILTER (s1) AS n_view,
+           COUNT(*) FILTER (s2) AS n_view_click,
+           COUNT(*) FILTER (s3) AS n_view_click_purchase,
+           ROUND(COUNT(*) FILTER (s2) * 1.0
+                 / COUNT(*) FILTER (s1), 9) AS click_rate,
+           ROUND(COUNT(*) FILTER (s3) * 1.0
+                 / COUNT(*) FILTER (s2), 9) AS purchase_rate
+    FROM flags
+    """,
+    doc="Funnel conversion report: users whose FIRST view precedes "
+        "their first click precedes their first purchase, with "
+        "stage-to-stage rates — the product-analytics staple the "
+        "reference's CEP examples sell (cep_funnel matches the same "
+        "ordered pattern per event; this is the aggregate report "
+        "over it, strict-ordering semantics via first-timestamp "
+        "comparison). Scale: ONE conditional aggregate by user "
+        "(FILTER clauses share the pass), then a 5-number global "
+        "reduce — no self-join, no window, no NFA needed for the "
+        "rate report.",
+)
+def events_funnel_conversion(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    mt = lambda typ: F.min(F.when(F.col("event_type") == typ,  # noqa: E731
+                                  F.col("ts")))
+    pu = (e.groupBy("user_id")
+          .agg(mt("view").alias("tv"), mt("click").alias("tc"),
+               mt("purchase").alias("tp")))
+    s1 = F.col("tv").isNotNull()
+    s2 = s1 & F.col("tc").isNotNull() & (F.col("tc") > F.col("tv"))
+    s3 = s2 & F.col("tp").isNotNull() & (F.col("tp") > F.col("tc"))
+    flags = pu.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+    cnt = lambda c: F.count(F.when(F.col(c), 1))  # noqa: E731
+    return flags.agg(
+        cnt("s1").alias("n_view"),
+        cnt("s2").alias("n_view_click"),
+        cnt("s3").alias("n_view_click_purchase"),
+        F.round(cnt("s2") * 1.0 / cnt("s1"), 9).alias("click_rate"),
+        F.round(cnt("s3") * 1.0 / cnt("s2"), 9).alias("purchase_rate"))
