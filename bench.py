@@ -73,6 +73,16 @@ SCALE10_EXTRA = [
     "tpcds_demand_coverage_window",
     "corpus_quality_classifier_fit", "events_cms_topk",
     "events_gk_quantile_bounds",
+    # round-9 tranche-2 newcomers with data-proportional input (the
+    # bounded-subset probes — containment's doc_id<600 window, the
+    # user_id<=50 distribution windows — are scale-constant by
+    # construction and stay out): the savepoint-bootstrap rebuild,
+    # the full-corpus Zipf fit, the partial-reuse rollup, and the
+    # dashboard aggregates
+    "scd2_state_bootstrap_roundtrip", "corpus_zipf_slope",
+    "events_hourly_to_daily_rollup", "corpus_dedup_rate_by_source",
+    "events_funnel_conversion", "embedding_qc_outliers",
+    "fn_stats_bivariate",
 ]
 
 
