@@ -33,11 +33,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rows-only by design, 0 red ever). This list front-loads (a) the 8
 # remaining never-driver-checked queries (the documented round-9 queue —
 # every one exact-checked locally by tests/test_oracle_parity.py or a
-# pinned pure-Python reference), then (b) round-9-new queries as they
-# land, then (c) family canaries rotated oldest-family-first (this round:
+# pinned pure-Python reference), then (b) the 19 round-9-new queries,
+# then (c) family canaries rotated oldest-family-first (this round:
 # families whose last hard row predates round 6 — scalar funcs, UDF
 # surface, lookup join, evictors, count windows, changelog, Gelly
 # library, text quality, heavy hitters, set ops, OVER, sorts).
+# If this window comes back green, the r1-r9 union covers EVERY query in
+# the 323-entry registry — zero verification debt. Round-10 rotation:
+# front-load round-10-new queries as they land, then canaries for the
+# families whose last hard row is oldest (round-1/2 relational and TPC-H
+# rows lead).
 _PRIORITY: tuple[str, ...] = (
     # (a) the round-9 queue: never driver-checked
     "tpcds_weekday_channel_matrix", "tpcds_hour_slice_counts",
