@@ -3871,3 +3871,224 @@ def events_funnel_conversion(spark, sf_dir):
         cnt("s3").alias("n_view_click_purchase"),
         F.round(cnt("s2") * 1.0 / cnt("s1"), 9).alias("click_rate"),
         F.round(cnt("s3") * 1.0 / cnt("s2"), 9).alias("purchase_rate"))
+
+
+@register(
+    "events_kmv_intersection",
+    """
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ), h AS (
+      SELECT event_type,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS hv
+      FROM du
+    ), ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hv) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_hashes
+      FROM h
+    ), kth AS (
+      SELECT CASE WHEN n_hashes < 16
+                  THEN CAST(1152921504606846976 AS BIGINT)
+                  ELSE hv END AS th
+      FROM ranked
+      WHERE rk = CASE WHEN n_hashes < 16 THEN n_hashes ELSE 16 END
+    ), theta AS (SELECT MIN(th) AS theta FROM kth),
+    common AS (
+      SELECT a.hv FROM h a JOIN h b ON a.hv = b.hv
+      WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    ), sample AS (
+      SELECT c.hv, t.theta FROM common c CROSS JOIN theta t
+      WHERE c.hv < t.theta
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+           ROUND(COUNT(*) * CAST(1152921504606846976 AS DOUBLE)
+                 / CAST(ANY_VALUE(theta) AS DOUBLE), 4)
+             AS est_intersection,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT user_id FROM events WHERE event_type = 'view'
+               INTERSECT
+               SELECT user_id FROM events
+               WHERE event_type = 'purchase'))
+             AS exact_intersection
+    FROM sample
+    """,
+    doc="Theta-sketch SET INTERSECTION, stated deterministically: the "
+        "audience-overlap estimator (viewers who also purchased) from "
+        "two k=16 min-hash sketches — theta = min of the two 16th-"
+        "smallest hashes (2^60 when a set is smaller than k, making "
+        "the sketch exact), sample = common hashes below theta, "
+        "estimate = |sample| * 2^60 / theta. Completes the KMV "
+        "algebra next to events_kmv_distinct_union: union merges "
+        "min-k sets, intersection thins the common sample by the "
+        "joint theta — the two operations that make theta sketches "
+        "an OLAP-cube algebra (Datasketches' core claim), here with "
+        "an exact INTERSECT reference column in the same row. Scale: "
+        "per-type distinct hashes shuffle once; the common-hash join "
+        "keys on 8-byte hashes; theta is a 1-row broadcast.",
+)
+def events_kmv_intersection(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    e = t(spark, sf_dir, "events")
+    du = (e.where(F.col("event_type").isin("view", "purchase"))
+          .select("event_type", "user_id").distinct())
+    h = du.select("event_type",
+                  md5_int_expr(F.col("user_id").cast("string"))
+                  .alias("hv"))
+    w2 = W.partitionBy("event_type").orderBy("hv")
+    ranked = (h.withColumn("rk", F.row_number().over(w2))
+              .withColumn("n_hashes",
+                          F.count("*").over(W.partitionBy("event_type"))))
+    kth = (ranked.where(
+        F.col("rk") == F.when(F.col("n_hashes") < 16,
+                              F.col("n_hashes")).otherwise(16))
+        .select(F.when(F.col("n_hashes") < 16,
+                       F.lit(1152921504606846976).cast("bigint"))
+                .otherwise(F.col("hv")).alias("th")))
+    theta = kth.agg(F.min("th").alias("theta"))
+    common = (h.where(F.col("event_type") == "view").select("hv")
+              .join(h.where(F.col("event_type") == "purchase")
+                    .select("hv"), "hv"))
+    sample = (common.crossJoin(F.broadcast(theta))
+              .where(F.col("hv") < F.col("theta")))
+    ex = (e.where(F.col("event_type") == "view")
+          .select("user_id").distinct()
+          .join(e.where(F.col("event_type") == "purchase")
+                .select("user_id").distinct(), "user_id")
+          .agg(F.count("*").cast("bigint").alias("exact_intersection")))
+    est = F.round(F.count("*") * 1152921504606846976.0
+                  / F.first("theta").cast("double"), 4)
+    return (sample.agg(F.count("*").cast("bigint").alias("n_sample"),
+                       est.alias("est_intersection"))
+            .crossJoin(F.broadcast(ex)))
+
+
+@register(
+    "events_hll_trailing_distinct",
+    f"""
+    WITH h AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr_num,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS hv
+      FROM events
+    ), hb AS (
+      SELECT hr_num, hv % 64 AS bucket, hv // 64 AS w FROM h
+    ), regs AS (
+      SELECT hr_num, bucket, MAX({{rho}}) AS mj
+      FROM hb GROUP BY 1, 2
+    ), hours AS (SELECT DISTINCT hr_num FROM h),
+    grid AS (
+      SELECT hours.hr_num, b.bucket
+      FROM hours CROSS JOIN (SELECT unnest(range(64)) AS bucket) b
+    ), joined AS (
+      SELECT g.hr_num, g.bucket, r.mj
+      FROM grid g LEFT JOIN regs r
+        ON g.hr_num = r.hr_num AND g.bucket = r.bucket
+    ), trail AS (
+      SELECT hr_num, bucket,
+             MAX(mj) OVER (PARTITION BY bucket ORDER BY hr_num
+                           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS tmj
+      FROM joined
+    ), reg2 AS (
+      SELECT hr_num,
+             CAST(64 - COUNT(tmj) AS INT) AS n_zero,
+             CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (55 - tmj)), 0)
+                  + (64 - COUNT(tmj))
+                    * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+      FROM trail GROUP BY 1
+    ), ex AS (
+      SELECT cover_hr AS hr_num,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 + u AS cover_hr, user_id
+            FROM events, (SELECT unnest(range(3)) AS u) s) c
+      WHERE cover_hr IN (SELECT hr_num FROM hours)
+      GROUP BY 1
+    )
+    SELECT reg2.hr_num, n_zero, s_scaled,
+           ROUND(CASE WHEN n_zero > 0
+                       AND CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                           * CAST(36028797018963968 AS DOUBLE)
+                           / CAST(s_scaled AS DOUBLE) <= 160.0
+                      THEN 64.0 * ln(64.0 / n_zero)
+                      ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                           * CAST(36028797018963968 AS DOUBLE)
+                           / CAST(s_scaled AS DOUBLE) END, 4)
+             AS est_distinct,
+           exact_distinct
+    FROM reg2 JOIN ex ON reg2.hr_num = ex.hr_num
+    """.format(rho=_HLL_RHO_SQL),
+    doc="Sliding-window distinct via the HLL register CUBE: hourly "
+        "64-register sketches, trailing-3-hour distinct users per "
+        "hour by register-wise MAX over a RANGE window (gap-correct "
+        "on sparse hours) — 'distinct users in the last N hours' "
+        "without ever rescanning raw data, because HLL registers "
+        "merge by MAX (the temporal twin of events_hll_union's set "
+        "union; the relational form of every streaming distinct-"
+        "users dashboard). The exact reference column replays the "
+        "same trailing semantics scalably: each event explodes to "
+        "the <=3 hours it covers, one distinct-count per hour. "
+        "Scale: the fact scan reduces to |hours| x 64 register rows; "
+        "the window runs over that key-domain-sized grid (partition "
+        "by bucket), never over events; the exact side shuffles "
+        "(hour, user) pairs 3x — exactly the cost the sketch path "
+        "avoids at 100 TB.",
+)
+def events_hll_trailing_distinct(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    e = t(spark, sf_dir, "events")
+    hr = F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 3600")
+    h = e.select(hr.alias("hr_num"),
+                 md5_int_expr(F.col("user_id").cast("string"))
+                 .alias("hv"))
+    hb = h.select("hr_num", (F.col("hv") % 64).alias("bucket"),
+                  F.expr("hv DIV 64").alias("w"))
+    trimmed = F.expr("trim(LEADING '0' FROM lpad(hex(w), 14, '0'))")
+    first = F.substring(trimmed, 1, 1)
+    rho = (F.when(F.col("w") == 0, F.lit(55))
+           .otherwise(
+               4 * (14 - F.length(trimmed))
+               + F.when(first.isin(*"89ABCDEF"), 0)
+               .when(first.isin("4", "5", "6", "7"), 1)
+               .when(first.isin("2", "3"), 2)
+               .otherwise(3) - 1))
+    regs = (hb.withColumn("rho", rho)
+            .groupBy("hr_num", "bucket")
+            .agg(F.max("rho").alias("mj")))
+    hours = h.select("hr_num").distinct()
+    grid = hours.select(
+        "hr_num", F.explode(F.sequence(F.lit(0), F.lit(63)))
+        .alias("bucket"))
+    joined = grid.join(regs, ["hr_num", "bucket"], "left")
+    wr = (W.partitionBy("bucket").orderBy("hr_num")
+          .rangeBetween(-2, 0))
+    trail = joined.withColumn("tmj", F.max("mj").over(wr))
+    reg2 = (trail.groupBy("hr_num")
+            .agg((64 - F.count("tmj")).cast("int").alias("n_zero"),
+                 (F.coalesce(
+                     F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                  "55 - tmj)")), F.lit(0))
+                  + (64 - F.count("tmj"))
+                  * F.lit(1 << 55).cast("long")).cast("bigint")
+                 .alias("s_scaled")))
+    raw = (0.709 * 4096.0 * 36028797018963968.0
+           / F.col("s_scaled").cast("double"))
+    est = F.round(
+        F.when((F.col("n_zero") > 0) & (raw <= 160.0),
+               64.0 * F.log(64.0 / F.col("n_zero")))
+        .otherwise(raw), 4)
+    ex = (e.select(hr.alias("base_hr"), "user_id")
+          .select(F.explode(F.sequence(F.col("base_hr"),
+                                       F.col("base_hr") + 2))
+                  .alias("hr_num"), "user_id")
+          .join(hours, "hr_num", "left_semi")
+          .groupBy("hr_num")
+          .agg(F.countDistinct("user_id").cast("bigint")
+               .alias("exact_distinct")))
+    return (reg2.withColumn("est_distinct", est)
+            .join(ex, "hr_num")
+            .select("hr_num", "n_zero", "s_scaled", "est_distinct",
+                    "exact_distinct"))
