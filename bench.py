@@ -83,6 +83,8 @@ SCALE10_EXTRA = [
     "events_hourly_to_daily_rollup", "corpus_dedup_rate_by_source",
     "events_funnel_conversion", "embedding_qc_outliers",
     "fn_stats_bivariate",
+    # landed after the SCALE_r09 run — first measured in round 10
+    "events_kmv_intersection", "events_hll_trailing_distinct",
 ]
 
 
