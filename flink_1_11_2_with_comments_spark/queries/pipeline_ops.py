@@ -4092,3 +4092,71 @@ def events_hll_trailing_distinct(spark, sf_dir):
             .join(ex, "hr_num")
             .select("hr_num", "n_zero", "s_scaled", "est_distinct",
                     "exact_distinct"))
+
+
+@register(
+    "basket_brand_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b),
+    sup AS (SELECT brand, COUNT(*) AS ns FROM b GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, c.brand AS brand_b,
+             COUNT(*) AS pair_n
+      FROM b a JOIN b c ON a.o = c.o AND a.brand < c.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, pair_n, x.ns AS na, y.ns AS nb,
+           ROUND(pair_n * 1.0 / x.ns, 9) AS confidence,
+           ROUND(pair_n * 1.0 * n_orders / x.ns / y.ns, 9) AS lift
+    FROM pairs
+    JOIN sup x ON brand_a = x.brand
+    JOIN sup y ON brand_b = y.brand
+    CROSS JOIN n
+    WHERE pair_n >= 10
+    """,
+    doc="Market-basket association rules over order baskets: brand "
+        "pairs co-purchased in one order with support, confidence "
+        "P(b|a) and lift P(a,b)/(P(a)P(b)) — the classic "
+        "co-occurrence analytics every retail OLAP stack ships "
+        "(and the item-affinity signal recommendation pipelines "
+        "start from). Items are the ~25 brands via the BROADCAST "
+        "part dimension, so supports are meaningful at test scale. "
+        "Determinism: counts are exact; the two ratios are IEEE "
+        "double chains stated with identical left-to-right "
+        "association in both engines. Scale: baskets are bounded by "
+        "order size (max 13 here), so the within-order pair join "
+        "explodes O(k^2) per order — data-proportional, never "
+        "all-pairs across orders; brand supports are a "
+        "domain-sized table joined back broadcast-style.",
+)
+def basket_brand_lift(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    b = (li.join(F.broadcast(pt),
+                 li.l_partkey == pt.p_partkey)
+         .select(F.col("l_orderkey").alias("o"),
+                 F.col("p_brand").alias("brand")).distinct())
+    n = b.agg(F.countDistinct("o").alias("n_orders"))
+    sup = b.groupBy("brand").agg(F.count("*").alias("ns"))
+    a = b.select(F.col("o"), F.col("brand").alias("brand_a"))
+    c = b.select(F.col("o").alias("o2"), F.col("brand").alias("brand_b"))
+    pairs = (a.join(c, (F.col("o") == F.col("o2"))
+                    & (F.col("brand_a") < F.col("brand_b")))
+             .groupBy("brand_a", "brand_b")
+             .agg(F.count("*").alias("pair_n")))
+    out = (pairs
+           .join(sup.select(F.col("brand").alias("brand_a"),
+                            F.col("ns").alias("na")), "brand_a")
+           .join(sup.select(F.col("brand").alias("brand_b"),
+                            F.col("ns").alias("nb")), "brand_b")
+           .crossJoin(F.broadcast(n))
+           .where(F.col("pair_n") >= 10))
+    return out.select(
+        "brand_a", "brand_b", "pair_n", "na", "nb",
+        F.round(F.col("pair_n") * 1.0 / F.col("na"), 9)
+        .alias("confidence"),
+        F.round(F.col("pair_n") * 1.0 * F.col("n_orders")
+                / F.col("na") / F.col("nb"), 9).alias("lift"))
