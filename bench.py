@@ -85,7 +85,7 @@ SCALE10_EXTRA = [
     "fn_stats_bivariate",
     # landed after the SCALE_r09 run — first measured in round 10
     "events_kmv_intersection", "events_hll_trailing_distinct",
-    "basket_brand_lift",
+    "basket_brand_lift", "graph_k_core",
 ]
 
 

@@ -466,3 +466,52 @@ def pregel(edges: DataFrame, initial: DataFrame, send_msg,
         if frontier.limit(1).count() > 0:
             _warn_not_converged(algo, max_iter)
     return state
+
+
+def k_core(und: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """k-core decomposition for a fixed k: iteratively peel vertices
+    of in-subgraph degree < k until a fixpoint — Gelly's iterative
+    vertex-removal pattern (the KCore example built on repeated
+    filterOnVertices; same DataSet.iterate contract as the library
+    algorithms, reference flink-gelly Graph.filterOnVertices +
+    DataSet.java:1105 iterate).
+
+    Input: UNDIRECTED edge list (src, dst) with both orientations
+    present. Output: (node, core_degree) — the vertices of the k-core
+    and their degree WITHIN the core.
+
+    Scale: each round is one join of the edge list against the
+    shrinking alive set plus a degree aggregate — O(|E_alive|) work
+    per round, keyed shuffles only, no driver-side adjacency;
+    _superstep truncates lineage per round (the iteration discipline
+    every operators/graph.py loop uses). Convergence: the alive set
+    only shrinks, so termination is guaranteed; rounds are bounded by
+    the peeling depth (small in practice — degeneracy ordering peels
+    in O(diameter of the degree structure), 5 rounds on the
+    co-purchase graph), and extra rounds past the fixpoint are no-ops
+    (idempotent — which is what lets the SQL oracle UNROLL a fixed
+    round count).
+    """
+    und = _superstep(und)  # materialize the edge list once: every
+    # round joins it twice, and rebuilding it would re-run whatever
+    # self-join produced it
+    alive = und.select(F.col("src").alias("node")).distinct()
+    alive = _superstep(alive)
+    for _ in range(max_iter):
+        deg = (und.join(alive.withColumnRenamed("node", "src"), "src")
+               .join(alive.select(F.col("node").alias("dst")), "dst")
+               .groupBy("src").agg(F.count("*").alias("d")))
+        nxt = (deg.where(F.col("d") >= k)
+               .select(F.col("src").alias("node")))
+        nxt = _superstep(nxt)
+        n_prev, n_next = alive.count(), nxt.count()
+        alive = nxt
+        if n_prev == n_next:
+            break
+    else:
+        _warn_not_converged("k_core", max_iter)
+    core_deg = (und.join(alive.withColumnRenamed("node", "src"), "src")
+                .join(alive.select(F.col("node").alias("dst")), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.count("*").cast("bigint").alias("core_degree")))
+    return core_deg

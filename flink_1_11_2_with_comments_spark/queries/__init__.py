@@ -64,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_qc_outliers", "events_hourly_to_daily_rollup",
     "corpus_dedup_rate_by_source", "events_funnel_conversion",
     "events_kmv_intersection", "events_hll_trailing_distinct",
-    "basket_brand_lift",
+    "basket_brand_lift", "graph_k_core",
     # (c) family canaries, all green in earlier rounds, rotated to
     # families whose last hard row is oldest
     "tpch_q6", "tpch_q14",
