@@ -2114,7 +2114,10 @@ def test_transform_with_state_env_gate():
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
-        pass  # the documented container boundary
+        # the documented container boundary: the exact module the TWS
+        # state-server client imports first must fail the same way
+        with pytest.raises(ImportError):
+            import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
     else:
         pytest.skip("protobuf present: transformWithState is viable "
                     "here; bootstrap via initialState when migrating")
