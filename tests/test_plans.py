@@ -874,3 +874,45 @@ def test_r9_tpcds_plan_quality(spark, sf_dir):
     assert "EqualTo(event_type,view)" in p, p
     assert "CartesianProduct" not in b, b
     assert "BroadcastNestedLoopJoin" not in b, b
+
+
+def test_r9_tranche2_plan_quality(spark, sf_dir):
+    """Round-9 tranche-2 scale pins. basket_brand_lift: the part
+    dimension joins BROADCAST (never a shuffled fact-dim join), the
+    only nested-loop is the documented 1-row n_orders broadcast, and
+    no CartesianProduct exists — the within-order pair join is an
+    equi-join on the order key. dedup_ngram_containment: shingles
+    shuffle by value for the inverted-index intersection; the only
+    nested-loop is the bounded doc_id<600 candidate probe. The Zipf
+    fit's global window is allow-listed (post-limit 500 rows) and
+    re-checked by the registry-wide sweep; here we pin that the term
+    count is a real two-phase aggregate (partial_count before the
+    exchange) and the plan ends in TakeOrdered, not a global sort."""
+    spark.catalog.clearCache()
+
+    def body(p):
+        return p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+
+    p = plan(spark, "basket_brand_lift", sf_dir)
+    b = body(p)
+    assert "CartesianProduct" not in b, b
+    assert "BroadcastHashJoin" in b, b          # part dim broadcast
+    # the single BNLJ is the 1-row n_orders broadcast
+    assert b.count("BroadcastNestedLoopJoin") <= 1, b
+    assert "BatchEvalPython" not in p, p
+
+    p = plan(spark, "dedup_ngram_containment", sf_dir)
+    b = body(p)
+    assert "CartesianProduct" not in b, b
+    assert b.count("BroadcastNestedLoopJoin") <= 1, b
+    assert "BatchEvalPython" not in p, p
+
+    p = plan(spark, "corpus_zipf_slope", sf_dir)
+    assert "TakeOrderedAndProject" in p, p      # top-500 cut, no sort
+    assert "partial_count" in p, p              # map-side combine
+    assert "BatchEvalPython" not in p, p
+
+    p = plan(spark, "events_hll_trailing_distinct", sf_dir)
+    b = body(p)
+    assert "CartesianProduct" not in b, b
+    assert "BatchEvalPython" not in p, p
