@@ -3213,8 +3213,10 @@ def corpus_vocab_score_broadcast(spark, sf_dir):
         "third-party bytes decode, not just our own. Arrow-batched "
         "mapInPandas both ways: executor-side, fixed-width outputs, "
         "zero shuffle (pipeline/multimodal.py gif_encode/gif_decode). "
-        "Interlace and local color tables are the documented subset "
-        "boundary; JPEG/video remain env-gated.",
+        "Interlace (4-pass row reorder) and per-frame local color "
+        "tables ARE decoded (giflib-convention width sync, fuzzed in "
+        "test_gif_decode_interlace_and_local_palette); JPEG/video "
+        "remain env-gated.",
 )
 def multimodal_gif_decode(spark, sf_dir):
     from ..pipeline.multimodal import (decode_gif_pixels,
@@ -3752,7 +3754,7 @@ def embedding_qc_outliers(spark, sf_dir):
              COUNT(*) AS hn
       FROM events GROUP BY 1, 2
     )
-    SELECT date_trunc('day', hr) AS day, event_type,
+    SELECT CAST(date_trunc('day', hr) AS TIMESTAMP) AS day, event_type,
            CAST(ROUND(SUM(CAST(hv AS DECIMAL(30,10))), 2) AS DOUBLE)
              AS total_value,
            SUM(hn) AS n_events

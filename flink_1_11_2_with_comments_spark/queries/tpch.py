@@ -707,31 +707,42 @@ def tpch_q20(spark, sf_dir):
     """,
     doc="Suppliers who kept orders waiting: EXISTS + NOT EXISTS (semi + anti "
         "join) on the same fact table. Adapted: 'late' = shipped >60 days after "
-        "order date (receipt/commit dates absent).",
+        "order date (receipt/commit dates absent). The Spark plan uses the "
+        "one-scan grouped rewrite (the q95 precedent, "
+        "tpcds_multi_supplier_returned_orders): per order, "
+        "COUNT(DISTINCT supplier) >= 2 is the inequality-EXISTS, "
+        "COUNT(DISTINCT late supplier) = 1 is the NOT-EXISTS (every late "
+        "line belongs to one supplier), and that supplier's late-line "
+        "count is the per-order numwait contribution — COUNT(*) in the "
+        "EXISTS form counts each qualifying l1 LINE, so a supplier late "
+        "on two lines of one order contributes 2. One lineitem scan, one "
+        "orderkey join co-partitioned with the per-order agg, no "
+        "fact x fact self-join; the oracle keeps the EXISTS form as an "
+        "independent statement of the same semantics.",
 )
 def tpch_q21(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
-    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    li = t(spark, sf_dir, "lineitem")
+    orders = (t(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    late_supp = F.when(late, F.col("l_suppkey"))
 
-    l1 = (li.join(orders, li.l_orderkey == orders.o_orderkey).where(late)
-          .select("l_orderkey", "l_suppkey", "o_orderdate"))
-    # EXISTS: another supplier contributed to the same order
-    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
-    exists = l1.join(
-        l2, (l1.l_orderkey == l2.ok2) & (l1.l_suppkey != l2.sk2), "left_semi")
-    # NOT EXISTS: no OTHER supplier was also late on that order
-    l3 = (li.join(orders, li.l_orderkey == orders.o_orderkey).where(late)
-          .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")))
-    result = exists.join(
-        l3, (exists.l_orderkey == l3.ok3) & (exists.l_suppkey != l3.sk3), "left_anti")
+    per = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("l_orderkey")
+           .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                F.countDistinct(late_supp).alias("n_late_supp"),
+                F.max(late_supp).alias("waiting_supp"),
+                F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"))
+           .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)))
 
-    return (result.join(F.broadcast(supp), result.l_suppkey == supp.s_suppkey)
+    return (per.join(F.broadcast(supp), per.waiting_supp == supp.s_suppkey)
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
             .groupBy("s_name")
-            .agg(F.count("*").alias("numwait"))
+            .agg(F.sum("n_late_lines").alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name")
             .limit(100))
 

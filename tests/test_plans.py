@@ -916,3 +916,20 @@ def test_r9_tranche2_plan_quality(spark, sf_dir):
     b = body(p)
     assert "CartesianProduct" not in b, b
     assert "BatchEvalPython" not in p, p
+
+
+def test_q21_single_fact_scan_no_self_join(spark, sf_dir):
+    """Round-10 rewrite pin (the q95 precedent applied to TPC-H q21):
+    the EXISTS + NOT EXISTS pair is answered by ONE per-order grouped
+    pass, so the plan must read lineitem exactly once and contain no
+    fact x fact self-join — the previous 3-scan semi+anti form cost
+    3.53x at 10x data (SCALE_r09) because the l_orderkey self-joins
+    dominate as popular orders grow. supplier and nation stay
+    broadcast."""
+    p = plan(spark, "tpch_q21", sf_dir)
+    body_ops = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    # lineitem + orders + supplier + nation, each exactly once
+    assert body_ops.count("Scan parquet") == 4, body_ops
+    assert p.count("lineitem.parquet") == 1, "lineitem must scan once"
+    assert body_ops.count("SortMergeJoin") <= 1, body_ops  # orderkey join only
+    assert "CartesianProduct" not in body_ops, body_ops
