@@ -497,6 +497,7 @@ def k_core(und: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     # self-join produced it
     alive = und.select(F.col("src").alias("node")).distinct()
     alive = _superstep(alive)
+    n_prev = alive.count()
     for _ in range(max_iter):
         deg = (und.join(alive.withColumnRenamed("node", "src"), "src")
                .join(alive.select(F.col("node").alias("dst")), "dst")
@@ -504,10 +505,13 @@ def k_core(und: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         nxt = (deg.where(F.col("d") >= k)
                .select(F.col("src").alias("node")))
         nxt = _superstep(nxt)
-        n_prev, n_next = alive.count(), nxt.count()
+        # carry the count forward: this round's alive size IS last
+        # round's nxt size — one Spark job per round, not two
+        n_next = nxt.count()
         alive = nxt
         if n_prev == n_next:
             break
+        n_prev = n_next
     else:
         _warn_not_converged("k_core", max_iter)
     core_deg = (und.join(alive.withColumnRenamed("node", "src"), "src")

@@ -146,20 +146,36 @@ def scd2_read_savepoint(spark, checkpoint_dir: str,
 def scd2_maintain(df: DataFrame, key: str = "user_id",
                   status_col: str = "event_type",
                   ts_col: str = "ts",
-                  seq_col: str = "event_id") -> DataFrame:
+                  seq_col: str = "event_id",
+                  on_redelivery: str = "error") -> DataFrame:
     """Maintain an SCD2 versioned table from a keyed change stream.
 
     Rows must arrive per-key in event order across micro-batches
     (in-order source or upstream sort); within a batch any order is
-    fine — the batch is sorted by (ts, seq) before applying. A
-    cross-batch order regression (a row whose (ts, seq) is not after
-    the last applied one) raises ValueError instead of silently
-    appending an inconsistent version chain (round-9 advisor fix —
-    unlike the order-independent HLL/KMV/CMS twins, SCD2 state is
-    order-sensitive, so corruption must be loud).
+    fine — the batch is sorted by (ts, seq) before applying.
+
+    Redelivery vs regression (round-9 → round-10 advisor fix): an
+    at-least-once source may legitimately REDELIVER already-applied
+    events — a row whose (ts, seq) exactly equals the last-applied
+    cursor is an idempotent duplicate and is always dropped (counted
+    in the per-key 'n_redelivered' state, never in n_seen). A row
+    STRICTLY BEFORE the cursor is ambiguous: a replayed suffix under
+    at-least-once, or a genuine order regression that would corrupt
+    the version chain. `on_redelivery` picks the policy:
+      - "error" (default): raise ValueError — SCD2 state is
+        order-sensitive (unlike the order-independent HLL/KMV/CMS
+        twins), so under sources without replay the loud failure is
+        correct;
+      - "drop": drop every row at-or-before the cursor with the
+        counter — the idempotent mode for at-least-once sources whose
+        replay preserves per-key order (then any row <= cursor was
+        by construction already applied).
     Output: (key, status, valid_from, valid_to, version, is_current,
     n_seen) — the batch build's columns plus the n_seen cursor.
     """
+    if on_redelivery not in ("error", "drop"):
+        raise ValueError(f"on_redelivery must be 'error' or 'drop', "
+                         f"got {on_redelivery!r}")
     out_schema = (f"{key} bigint, status string, "
                   f"valid_from timestamp, valid_to timestamp, "
                   f"version int, is_current boolean, n_seen bigint")
@@ -169,17 +185,33 @@ def scd2_maintain(df: DataFrame, key: str = "user_id",
             return None
         rows = rows.sort_values([ts_col, seq_col])
         versions: list = state.get("versions", [])
-        n = state.get("n", 0) + len(rows)
         last = state.get("last", None)  # (ts_ns, seq) last applied
-        first_ts = int(pd.Timestamp(rows[ts_col].iloc[0]).value)
-        first_seq = int(rows[seq_col].iloc[0])
-        if last is not None and (first_ts, first_seq) <= tuple(last):
-            raise ValueError(
-                f"scd2_maintain: out-of-order arrival for key {k}: "
-                f"batch starts at (ts={first_ts}, seq={first_seq}) "
-                f"but (ts={last[0]}, seq={last[1]}) was already "
-                f"applied — per-key event-order across micro-batches "
-                f"is required (sort or buffer upstream)")
+        if last is not None:
+            cursor = (int(last[0]), int(last[1]))
+            pos = [(int(pd.Timestamp(ts).value), int(sq))
+                   for ts, sq in zip(rows[ts_col], rows[seq_col])]
+            stale = [p for p in pos if p <= cursor]
+            if stale:
+                if (on_redelivery == "error"
+                        and any(p < cursor for p in stale)):
+                    raise ValueError(
+                        f"scd2_maintain: out-of-order arrival for key "
+                        f"{k}: batch contains (ts={stale[0][0]}, "
+                        f"seq={stale[0][1]}) strictly before the "
+                        f"applied cursor (ts={cursor[0]}, "
+                        f"seq={cursor[1]}) — per-key event-order "
+                        f"across micro-batches is required (sort or "
+                        f"buffer upstream, or pass "
+                        f"on_redelivery='drop' for an ordered "
+                        f"at-least-once source)")
+                state.put("n_redelivered",
+                          state.get("n_redelivered", 0) + len(stale))
+                keep = pd.Series([p > cursor for p in pos],
+                                 index=rows.index)
+                rows = rows[keep]
+                if len(rows) == 0:
+                    return None  # pure-redelivery batch: no update
+        n = state.get("n", 0) + len(rows)
         state.put("last", [int(pd.Timestamp(rows[ts_col].iloc[-1]).value),
                            int(rows[seq_col].iloc[-1])])
         for status, ts in zip(rows[status_col], rows[ts_col]):

@@ -97,3 +97,19 @@ def test_oracle_dtypes_never_int_vs_float(spark, sf_dir, con):
             if s == "double" and int_d:
                 bad.append((name, col, s, d))
     assert not bad, bad
+
+
+def test_k_core_oracle_converged_within_unrolled_rounds(con):
+    """r9-ADVICE pin: the graph_k_core oracle unrolls a FIXED 8 peel
+    rounds while operators/graph.k_core iterates to fixpoint
+    (max_iter=30). If the verification data's peeling depth ever
+    exceeded 8, the oracle would return an unconverged SUPERSET and
+    red-flag a correct result. Pin convergence with margin at the
+    verification scale: one extra unrolled round must be a no-op —
+    rounds=9 returns the identical core (peeling is monotone, so
+    equality here proves every round past the fixpoint is idle)."""
+    from flink_1_11_2_with_comments_spark.queries.graph_ops import (
+        _k_core_oracle)
+    r8 = sorted(con.execute(_k_core_oracle(k=80, rounds=8)).fetchall())
+    r9 = sorted(con.execute(_k_core_oracle(k=80, rounds=9)).fetchall())
+    assert r8 == r9 and len(r8) > 0

@@ -379,3 +379,17 @@ def test_pregel_null_inbox_keeps_old_value(spark):
     # superstep 2: 2 += 11 -> 13 (frontier {2}); 0 and 1 quiet
     # superstep 3: nothing (2 has no out-edges) -> converged
     assert got == {0: 10.0, 1: 11.0, 2: 13.0}
+
+
+def test_k_core_known_graph(spark):
+    """k-core on a known graph: K4 plus a pendant vertex — the 3-core
+    is exactly the K4 (the pendant and its anchor's extra edge peel
+    away), every member's within-core degree is 3. Also exercises the
+    carried-count convergence loop (one count job per round)."""
+    from flink_1_11_2_with_comments_spark.operators.graph import k_core
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9)]
+    und = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(und, "src bigint, dst bigint")
+    got = {(r.node, r.core_degree) for r in k_core(df, k=3).collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}

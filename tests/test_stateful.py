@@ -2504,3 +2504,109 @@ def test_streaming_quality_scorer_parity(spark):
         rows = sorted((r.doc_id, r.n_tokens, r.score, r.prob, r.pred)
                       for r in got.collect())
         assert rows == exp, f"n_batches={n_batches}"
+
+
+def _stage_explicit_batches(spark, batches, schema):
+    """Stage EXPLICIT micro-batch contents (unlike replay_as_stream's
+    ntile split) so redelivery scenarios — the same row appearing in
+    two batches — can be constructed deterministically."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from flink_1_11_2_with_comments_spark.catalog import (
+        instant_timestamps)
+
+    base = _tempfile.mkdtemp(prefix="redeliv_")
+    data_dir = _os.path.join(base, "data")
+    _os.makedirs(data_dir, exist_ok=True)
+    now = _time.time() - len(batches) - 1
+    out_schema = None
+    for i, rows in enumerate(batches, 1):
+        df = instant_timestamps(spark.createDataFrame(rows, schema))
+        out_schema = df.schema
+        tmp = _os.path.join(base, f"stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(data_dir, f"batch_{i:04d}.parquet")
+        _shutil.move(src, dst)
+        _os.utime(dst, (now + i, now + i))
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return (spark.readStream.schema(out_schema)
+            .option("maxFilesPerTrigger", 1).parquet(data_dir))
+
+
+_SCD2_SCHEMA = ("user_id bigint, event_type string, ts timestamp, "
+                "event_id bigint")
+
+
+def _scd2_rows(name, stream_df):
+    got = write_stream_to_memory(stream_df, name, output_mode="update")
+    latest = (got.withColumn(
+        "mx", F.max("n_seen").over(W.partitionBy("user_id")))
+        .where(F.col("n_seen") == F.col("mx")))
+    return sorted((r.user_id, r.status, r.version, r.is_current,
+                   r.n_seen) for r in latest.collect())
+
+
+def test_scd2_exact_duplicate_redelivery_is_idempotent(spark):
+    """r9-ADVICE fix: an at-least-once source redelivering the
+    EXACTLY-last-applied event (same ts, same seq) must be skipped
+    idempotently even under the default on_redelivery='error' — only
+    a row STRICTLY before the cursor is a genuine order regression.
+    n_seen counts applied rows only (3, not 4)."""
+    from datetime import datetime as dt
+
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    b1 = [(1, "view", t(1), 10), (1, "click", t(2), 11)]
+    b2 = [(1, "click", t(2), 11),  # exact duplicate of the cursor row
+          (1, "purchase", t(3), 12)]
+    stream = _stage_explicit_batches(spark, [b1, b2], _SCD2_SCHEMA)
+    rows = _scd2_rows("scd2_dup_redeliv", scd2_maintain(stream))
+    assert rows == [(1, "view", 1, False, 3),
+                    (1, "click", 2, False, 3),
+                    (1, "purchase", 3, True, 3)] or rows == sorted(
+        [(1, "view", 1, False, 3), (1, "click", 2, False, 3),
+         (1, "purchase", 3, True, 3)])
+
+
+def test_scd2_strict_regression_raises_by_default(spark):
+    """A row strictly BEFORE the applied cursor is a genuine order
+    regression: under the default policy the query must fail loudly
+    (order-sensitive state, round-9 advisor guard) rather than append
+    an inconsistent version chain."""
+    from datetime import datetime as dt
+
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    b1 = [(1, "view", t(1), 10), (1, "click", t(2), 11)]
+    b2 = [(1, "signup", t(1), 9)]  # strictly before the cursor
+    stream = _stage_explicit_batches(spark, [b1, b2], _SCD2_SCHEMA)
+    with pytest.raises(Exception, match="out-of-order"):
+        _scd2_rows("scd2_regression", scd2_maintain(stream))
+
+
+def test_scd2_drop_mode_replays_suffix_idempotently(spark):
+    """on_redelivery='drop': a full batch-1 replay (the at-least-once
+    suffix-replay shape, several rows at-or-before the cursor) is
+    dropped with the counter and processing continues — the final
+    chain equals the exactly-once build and n_seen never double
+    counts."""
+    from datetime import datetime as dt
+
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    b1 = [(1, "view", t(1), 10), (1, "click", t(2), 11)]
+    b2 = list(b1) + [(1, "purchase", t(3), 12)]  # replayed suffix + new
+    stream = _stage_explicit_batches(spark, [b1, b2], _SCD2_SCHEMA)
+    rows = _scd2_rows("scd2_drop_mode",
+                      scd2_maintain(stream, on_redelivery="drop"))
+    assert rows == sorted([(1, "view", 1, False, 3),
+                           (1, "click", 2, False, 3),
+                           (1, "purchase", 3, True, 3)])
