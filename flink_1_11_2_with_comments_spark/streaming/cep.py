@@ -26,8 +26,11 @@ import dataclasses
 import itertools
 from collections.abc import Callable
 
+import functools
+
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
 
 from .state import KeyedState, keyed_process, utc_ms
 
@@ -514,6 +517,38 @@ def _union_steps(branches: list[list[QStep]]) -> list[QStep]:
     return out
 
 
+def _key_prefilter(df: DataFrame, keys: list[str],
+                   branches: list[list]) -> DataFrame:
+    """Drop whole keys that can never match BEFORE the Python NFA
+    (round-9 advisor: cep_quantified's 10x scale ratio was 5.57
+    because every key's events cross Arrow even when the key lacks a
+    required event type entirely). A match needs, for some branch, at
+    least one event per positive min_times>=1 step — so keep a key
+    iff EXISTS a branch whose every required flag is set somewhere in
+    the key's partition. Computed as per-key window MAXes over the
+    already-key-partitioned flag projection: satisfies the same
+    ClusteredDistribution as the downstream groupBy, so the filter
+    costs one window pass and ZERO extra shuffles, and it runs in
+    whole-stage codegen. Batch-only by construction (_flag_projection
+    callers): a stream key could still receive the missing type
+    later, so the streaming path never key-prefilters."""
+    w = Window.partitionBy(*keys)
+    alts = []
+    for br in branches:
+        req = {s.name for s in br if not s.negated and s.min_times >= 1}
+        if not req:  # a branch with no required step keeps every key
+            return df
+        alts.append(functools.reduce(
+            Column.__and__,
+            [F.max(F.col(f"__flag_{n}")).over(w) for n in sorted(req)]))
+    # window exprs are illegal in WHERE: materialize one boolean
+    # column, filter, drop
+    return (df.withColumn("__key_can_match",
+                          functools.reduce(Column.__or__, alts))
+            .where(F.col("__key_can_match"))
+            .drop("__key_can_match"))
+
+
 def _prepare_branches(df, keys, ts_col, id_col, steps, flag_exprs,
                       until_exprs, permute, alternation):
     """Shared front half of the two batch entrypoints: validate,
@@ -552,6 +587,7 @@ def _prepare_branches(df, keys, ts_col, id_col, steps, flag_exprs,
             df, keys, ts_col, id_col, union, flag_exprs, until_exprs)
         branches = [_rebind_steps(br, pred_map, until_map)
                     for br in branches]
+        df = _key_prefilter(df, keys, branches)
     expanded: list[list[QStep]] = []
     for br in branches:
         if permute:
