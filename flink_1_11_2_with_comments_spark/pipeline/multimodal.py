@@ -898,3 +898,81 @@ def decode_gif_pixels(media: DataFrame,
 
     return media.select("doc_id", media_col).mapInPandas(
         run, PIXEL_SCHEMA_GIF)
+
+
+ROUNDTRIP_SCHEMA = ("doc_id bigint, fmt string, dim1 bigint, "
+                    "dim2 bigint, payload_ok boolean")
+
+
+def roundtrip_check(documents: DataFrame) -> DataFrame:
+    """Oracle-backed face for the real in-container codecs (the scd2
+    closed-loop precedent applied to binary decode): per document,
+    encode-then-decode each format and emit RELATIONAL facts an
+    independent SQL engine can state from the source table alone —
+    the dimensions every codec must reproduce (derived from the text
+    length by the synthesizers) plus a payload_ok boolean that is
+    TRUE iff the decoded payload is byte-identical to the
+    deterministic source payload:
+
+      gif: (width, height) = (len%21+4, len%17+4); payload = RGB of
+           GIF_PALETTE16[deterministic_indices] through real LZW;
+      png: (width, height) = (len%16+1, len%12+1); payload = RGBA of
+           deterministic_pixels through real zlib/IDAT + unfilter;
+      wav: (sample_rate, n_samples) = (8000, len%200+50); payload =
+           the exact 16-bit PCM sine samples through the RIFF parse.
+
+    A decoder bug of ANY kind (wrong filter, palette, bit order,
+    sub-block reassembly, chunk offset) flips payload_ok or a
+    dimension and fails the value hash. One Arrow-batched
+    mapInPandas, zero shuffle — the plumbing contract of every
+    multimodal op here."""
+    import math
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id, ln = int(doc_id), len(text)
+                # --- GIF ---
+                w, h = ln % 21 + 4, ln % 17 + 4
+                idx = deterministic_indices(doc_id, w, h)
+                dw, dh, rgb = gif_decode(gif_encode(w, h, idx))
+                exp = b"".join(bytes(GIF_PALETTE16[i]) for i in idx)
+                rows.append({"doc_id": doc_id, "fmt": "gif",
+                             "dim1": dw, "dim2": dh,
+                             "payload_ok": rgb == exp})
+                # --- PNG ---
+                w, h = ln % 16 + 1, ln % 12 + 1
+                rgba = deterministic_pixels(doc_id, w, h)
+                pw, ph, px = png_decode(png_encode(w, h, rgba))
+                rows.append({"doc_id": doc_id, "fmt": "png",
+                             "dim1": pw, "dim2": ph,
+                             "payload_ok": px == rgba})
+                # --- WAV (pack -> RIFF parse -> frombuffer, the
+                # decode_wav_samples sample path; compared against
+                # INDEPENDENTLY recomputed sine values, so a chunk
+                # offset / byte-order / width bug flips the flag) ---
+                import numpy as np
+                rate, n = 8000, ln % 200 + 50
+                expect = [int(12000 * math.sin(
+                    2 * math.pi * (200 + (doc_id % 40) * 20)
+                    * i / rate)) for i in range(n)]
+                pcm = b"".join(struct.pack("<h", v) for v in expect)
+                blob = (b"RIFF" + struct.pack("<I", 36 + len(pcm))
+                        + b"WAVEfmt "
+                        + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                      rate * 2, 2, 16)
+                        + b"data" + struct.pack("<I", len(pcm)) + pcm)
+                drate, = struct.unpack("<I", blob[24:28])
+                dsize, = struct.unpack("<I", blob[40:44])
+                got = np.frombuffer(blob[44:44 + dsize], dtype="<i2")
+                rows.append({"doc_id": doc_id, "fmt": "wav",
+                             "dim1": int(drate),
+                             "dim2": len(got),
+                             "payload_ok": got.tolist() == expect})
+            yield pd.DataFrame(rows, columns=["doc_id", "fmt", "dim1",
+                                              "dim2", "payload_ok"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, ROUNDTRIP_SCHEMA)

@@ -1877,11 +1877,98 @@ def corpus_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(d, "text", top_n=50)
 
 
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """Unrolled-SQL BPE trainer (the quality_clf / k-core precedent:
+    a fixed-round iterative algorithm stated as MATERIALIZED CTE
+    rounds — PLAIN CTEs would re-inline the doubly-referenced chain
+    exponentially). Round r: pair counts over vocab v{r-1}, top-1
+    t{r} (ties lexicographic), then the GREEDY LEFT-TO-RIGHT merge
+    rebuild v{r}. Greedy non-overlap is exact in set-SQL because:
+    ml != mr -> adjacent matches cannot overlap (a match at i and
+    i+1 would force ml = mr), so every match merges; ml = mr -> the
+    scan merges at even offsets within each maximal run of ml
+    symbols (gaps-and-islands run_start, (pos - run_start) % 2 = 0).
+    A merged position consumes its right neighbor, detected with
+    LAG(is_start)."""
+    ctes = ["""wf AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY 1
+    )""", """v0 AS MATERIALIZED (
+      SELECT word, wf,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, CAST(i AS INT), 1)) AS syms
+      FROM wf
+    )"""]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""t{r} AS MATERIALIZED (
+      SELECT s.syms[CAST(u.i AS INT)] AS ml,
+             s.syms[CAST(u.i AS INT) + 1] AS mr,
+             CAST(SUM(s.wf) AS BIGINT) AS pc
+      FROM v{r - 1} s, unnest(range(1, len(s.syms))) AS u(i)
+      GROUP BY 1, 2 ORDER BY pc DESC, ml, mr LIMIT 1
+    )""")
+        ctes.append(f"""m{r} AS MATERIALIZED (
+      SELECT word, wf, pos, sym, nxt,
+             COALESCE(sym = ml AND nxt = mr AND
+                      (ml <> mr OR (pos - run_start) % 2 = 0),
+                      FALSE) AS is_start
+      FROM (
+        SELECT *, MIN(pos) OVER (PARTITION BY word, sym, grp)
+                    AS run_start
+        FROM (
+          SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, sym
+                                             ORDER BY pos) AS grp
+          FROM (
+            SELECT s.word, s.wf, CAST(u.i AS INT) AS pos,
+                   s.syms[CAST(u.i AS INT)] AS sym,
+                   CASE WHEN u.i < len(s.syms)
+                        THEN s.syms[CAST(u.i AS INT) + 1] END AS nxt,
+                   t.ml, t.mr
+            FROM v{r - 1} s CROSS JOIN t{r} t,
+                 unnest(range(1, len(s.syms) + 1)) AS u(i))))
+    )""")
+        ctes.append(f"""v{r} AS MATERIALIZED (
+      SELECT word, wf, list(tok ORDER BY pos) AS syms FROM (
+        SELECT word, wf, pos,
+               CASE WHEN is_start THEN sym || nxt
+                    WHEN LAG(is_start, 1, FALSE)
+                         OVER (PARTITION BY word ORDER BY pos)
+                      THEN NULL
+                    ELSE sym END AS tok
+        FROM m{r}) WHERE tok IS NOT NULL
+      GROUP BY word, wf
+    )""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_BPE_MERGES_ORACLE = (_bpe_oracle_ctes(8) + "\n    " + "\n    UNION ALL ".join(
+    f"SELECT CAST({r} AS INTEGER) AS merge_rank, ml || mr AS pair, "
+    f"pc AS pair_count FROM t{r}" for r in range(1, 9)))
+
+_BPE_ENCODE_ORACLE = (_bpe_oracle_ctes(8) + """,
+    tok AS MATERIALIZED (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM v8
+    ), dw AS (
+      SELECT doc_id, length(text) AS n_chars,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST(ROUND(n_chars * 1.0 / SUM(n_tok), 6) AS DOUBLE)
+             AS compression
+    FROM dw JOIN tok USING (word)
+    WHERE length(word) > 0
+    GROUP BY doc_id, n_chars""")
+
+
 @register(
     "corpus_bpe_merges",
-    None,  # iterative (8 greedy merge rounds) — not SQL-expressible;
-           # exact-pinned against a pure-Python BPE reference in
-           # tests/test_pipeline.py::test_bpe_merges_match_reference
+    _BPE_MERGES_ORACLE,  # also exact-pinned against a pure-Python BPE
+                         # reference in tests/test_pipeline.py::
+                         # test_bpe_merges_match_reference
     doc="BPE vocabulary learning, first 8 merges (Sennrich et al. "
         "2016): per round, count adjacent symbol pairs over the "
         "vocabulary weighted by word frequency, pick the max "
@@ -1945,9 +2032,9 @@ def corpus_quality_weighted_sample(spark, sf_dir):
 
 @register(
     "corpus_bpe_encode",
-    None,  # depends on the 8 learned merges (iterative) — exact-pinned
-           # against the pure-Python reference in
-           # tests/test_pipeline.py::test_bpe_encode_matches_reference
+    _BPE_ENCODE_ORACLE,  # also exact-pinned against the pure-Python
+                         # reference in tests/test_pipeline.py::
+                         # test_bpe_encode_matches_reference
     doc="BPE corpus encoding: re-segment every document with the 8 "
         "learned merges and report word count, BPE token count and "
         "chars-per-token compression. Learning touches only the "
@@ -3223,6 +3310,43 @@ def multimodal_gif_decode(spark, sf_dir):
                                        synthesize_gif_pixels)
     d = t(spark, sf_dir, "documents")
     return decode_gif_pixels(synthesize_gif_pixels(d))
+
+
+@register(
+    "multimodal_roundtrip_check",
+    """
+    SELECT doc_id, 'gif' AS fmt,
+           CAST(length(text) % 21 + 4 AS BIGINT) AS dim1,
+           CAST(length(text) % 17 + 4 AS BIGINT) AS dim2,
+           TRUE AS payload_ok
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'png',
+           CAST(length(text) % 16 + 1 AS BIGINT),
+           CAST(length(text) % 12 + 1 AS BIGINT), TRUE
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'wav', CAST(8000 AS BIGINT),
+           CAST(length(text) % 200 + 50 AS BIGINT), TRUE
+    FROM documents
+    """,
+    doc="HASH-ENFORCED face for the real in-container codecs (round-10: "
+        "shrinks the rows-only set's blind spot): encode-then-decode "
+        "GIF (LZW), PNG (zlib IDAT + unfilter) and WAV (RIFF + PCM) "
+        "per document and emit the facts an independent engine states "
+        "relationally — the dimensions each synthesizer derives from "
+        "length(text) plus payload_ok = decoded payload byte-equals "
+        "the deterministic source payload. The oracle asserts every "
+        "row TRUE with the exact dims: any decoder regression (filter "
+        "type, palette index, bit packing, sub-block reassembly, "
+        "chunk offset, byte order) flips a cell and fails the value "
+        "hash — the scd2 closed-loop precedent applied to binary "
+        "decode. Scale: one Arrow-batched mapInPandas, zero shuffle "
+        "(pipeline/multimodal.py roundtrip_check).",
+)
+def multimodal_roundtrip_check(spark, sf_dir):
+    from ..pipeline.multimodal import roundtrip_check
+    return roundtrip_check(t(spark, sf_dir, "documents"))
 
 
 @register(
