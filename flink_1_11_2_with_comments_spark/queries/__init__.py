@@ -28,59 +28,46 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 # The external correctness gate evaluates the registry in insertion order
 # and may only reach the first N entries (every round so far stopped at 50).
-# Round-9 rotation: CORRECTNESS_r08 came back 50/50 green, so union r1-r8
-# hard-covers 296 of the 304 pre-round-9 registry queries (287 green + 9
-# rows-only by design, 0 red ever). This list front-loads (a) the 8
-# remaining never-driver-checked queries (the documented round-9 queue —
-# every one exact-checked locally by tests/test_oracle_parity.py or a
-# pinned pure-Python reference), then (b) the 19 round-9-new queries,
-# then (c) family canaries rotated oldest-family-first (this round:
-# families whose last hard row predates round 6 — scalar funcs, UDF
-# surface, lookup join, evictors, count windows, changelog, Gelly
-# library, text quality, heavy hitters, set ops, OVER, sorts).
-# If this window comes back green, the r1-r9 union covers EVERY query in
-# the 323-entry registry — zero verification debt. Round-10 rotation:
-# front-load round-10-new queries as they land, then canaries for the
-# families whose last hard row is oldest (round-1/2 relational and TPC-H
-# rows lead).
+# Round-10 rotation: CORRECTNESS_r09 came back green for its whole
+# 50-window, so the r1-r9 union (latest result per query) covered ALL 327
+# pre-round-10 entries — 316 hash-green, 10 rows-only by design, and ONE
+# red (events_hourly_to_daily_rollup, an oracle TYPE bug: DuckDB
+# date_trunc('day') narrows to DATE — fixed this round, values were
+# already identical). This list front-loads (a) the round-10 new/changed
+# queries that need a (re-)check: the fixed rollup, the rewritten
+# tpch_q21, the prefiltered CEP pair, the newly ORACLE-BACKED BPE pair
+# (previously rows-only), the new codec-roundtrip face and the three new
+# TPC-DS shapes; then (b) family canaries rotated oldest-first — the
+# 16 TPC-H rows last hard-checked in round 1 plus q12 (round 2), and the
+# oldest round-1/2 relational rows (calc, sort, the round-1 join family,
+# the oldest agg rows). If this window comes back green the union stays
+# debt-free with every TPC-H row refreshed to round 10.
 _PRIORITY: tuple[str, ...] = (
-    # (a) the round-9 queue: never driver-checked
-    "tpcds_weekday_channel_matrix", "tpcds_hour_slice_counts",
-    "tpcds_customer_geo_lookup", "tpcds_monthly_return_losses",
-    "tpcds_max_ticket_customers", "corpus_vocab_score_broadcast",
-    "multimodal_gif_decode",  # rows-only by design (binary pixels)
-    "events_hll_union",
-    # (b) round-9-new queries — appended here as each lands in-round
-    # (the registry loader hard-fails on unknown names, so this block
-    # only ever lists registered queries)
-    "tpcds_consecutive_share_growth", "tpcds_item_chain_resale",
-    "tpcds_demand_coverage_window",
-    "corpus_quality_classifier_fit", "corpus_quality_score_broadcast",
-    "events_cms_topk", "events_gk_quantile_bounds",
-    "events_mg_heavy_bounds", "tpcds_before_after_returns",
-    "over_distribution_functions", "fn_stats_bivariate",
-    "dedup_ngram_containment", "corpus_zipf_slope",
-    "unnest_outer_lateral", "scd2_state_bootstrap_roundtrip",
-    "embedding_qc_outliers", "events_hourly_to_daily_rollup",
-    "corpus_dedup_rate_by_source", "events_funnel_conversion",
-    "events_kmv_intersection", "events_hll_trailing_distinct",
-    "basket_brand_lift", "graph_k_core",
-    # (c) family canaries, all green in earlier rounds, rotated to
-    # families whose last hard row is oldest
-    "tpch_q6", "tpch_q14",
-    "fn_string_basics", "fn_temporal",
-    "fn_json", "fn_math",
-    "udf_pandas_scalar", "udf_grouped_agg",
-    "jdbc_lookup_join", "window_session_agg",
-    "count_window_batch", "evictor_count_window",
-    "changelog_rowkind",
-    "graph_pagerank", "graph_triangle_count", "graph_label_propagation",
-    "text_quality", "text_langid", "text_gopher_rules",
-    "heavy_hitters", "corpus_tfidf_topterms",
-    "setop_except_all", "over_rows_sliding",
-    "limit_offset", "dedup_simhash",
-    "ann_pq_adc_topk", "embedding_quantize_int8",
-    "corpus_contamination",
+    # (a) round-10 new or changed — appended here as each lands
+    "events_hourly_to_daily_rollup",  # oracle type fix (the one red)
+    "tpch_q21",                       # one-scan grouped rewrite
+    "cep_quantified",                 # key prefilter
+    "match_recognize_sql",            # shares the prefiltered NFA
+    "corpus_bpe_merges",              # NEW unrolled-SQL oracle
+    "corpus_bpe_encode",              # NEW unrolled-SQL oracle
+    "multimodal_roundtrip_check",     # NEW codec closed-loop face
+    "tpcds_top_states_profit_rollup", "tpcds_demo_avg_rollup",
+    "tpcds_three_channel_item_total",
+    "graph_k_core",                   # count-carry loop change
+    # (b) family canaries: TPC-H rows last hard-checked r1 (+q12, r2)
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q7",
+    "tpch_q8", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q22",
+    # oldest relational rows (round 1-2)
+    "calc_project_filter", "sort_multi_key_nulls",
+    "join_cross", "join_full_outer", "join_inner_shuffle",
+    "join_left_anti", "join_left_outer", "join_left_semi",
+    "join_right_outer", "join_shuffle_hash", "join_sort_merge",
+    "join_theta_nonequi", "join_broadcast",
+    "agg_cube", "agg_global", "agg_having", "agg_listagg",
+    "agg_minmax_by", "agg_multi_distinct", "agg_pivot", "agg_rollup",
+    "agg_stats",
 )
 
 

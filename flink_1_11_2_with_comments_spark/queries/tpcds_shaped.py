@@ -3832,3 +3832,204 @@ def tpcds_before_after_returns(spark, sf_dir):
                  .alias("returns_before"),
                  dsum(F.when(~before & ret, price).otherwise(z))
                  .alias("returns_after")))
+
+
+@register(
+    "tpcds_top_states_profit_rollup",
+    f"""
+    WITH nat_rev AS (
+      SELECT r_name, n_name,
+             SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS pd
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ), top5 AS (
+      SELECT n_name FROM (
+        SELECT n_name, RANK() OVER (ORDER BY pd DESC) AS rk
+        FROM nat_rev)
+      WHERE rk <= 5
+    ), agg AS (
+      SELECT r_name, n_name,
+             CAST(GROUPING(r_name) AS INT) AS g_r,
+             CAST(GROUPING(n_name) AS INT) AS g_n,
+             CAST(ROUND(SUM(pd), 2) AS DOUBLE) AS profit
+      FROM nat_rev
+      WHERE n_name IN (SELECT n_name FROM top5)
+      GROUP BY ROLLUP(r_name, n_name)
+    )
+    SELECT r_name, n_name, g_r + g_n AS lochierarchy, profit,
+           CAST(RANK() OVER (
+             PARTITION BY g_r + g_n,
+                          CASE WHEN g_n = 0 THEN r_name END
+             ORDER BY profit DESC) AS INT) AS rank_within_parent
+    FROM agg
+    """,
+    doc="TPC-DS q70 shape (the round-9 verdict's named gap): the "
+        "SELF-RESTRICTING rollup — net profit by (region 'country', "
+        "nation 'state') where the state must be in the TOP 5 states "
+        "by profit, computed from the same fact by a windowed "
+        "subquery (q70's `s_state IN (SELECT ... RANK() <= 5)`), then "
+        "ROLLUP + RANK WITHIN PARENT over the survivors. Scale: the "
+        "fact is aggregated ONCE to (region, nation) decimal partials "
+        "(exact, order-independent); the top-5 window, the IN "
+        "restriction, and the rollup all run over that |nations|-row "
+        "partial table — aggregate-before-rollup, so the 100 TB fact "
+        "is scanned exactly once and re-aggregation is free. RANK "
+        "(not row_number) keeps ties deterministic in both engines.",
+)
+def tpcds_top_states_profit_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    nat_rev = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+               .groupBy("r_name", "n_name")
+               .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("pd")))
+    # the oracle's IN-subquery stated linearly: rank the SAME partial
+    # rows and filter — one fact scan, no self-join of the aggregate
+    agg = (nat_rev
+           .withColumn("rk", F.rank().over(W.orderBy(F.desc("pd"))))
+           .where(F.col("rk") <= 5).drop("rk")
+           .rollup("r_name", "n_name")
+           .agg(F.grouping("r_name").cast("int").alias("g_r"),
+                F.grouping("n_name").cast("int").alias("g_n"),
+                F.round(F.sum("pd"), 2).cast("double").alias("profit")))
+    w = (W.partitionBy(F.col("g_r") + F.col("g_n"),
+                       F.when(F.col("g_n") == 0, F.col("r_name")))
+         .orderBy(F.desc("profit")))
+    return agg.select(
+        "r_name", "n_name",
+        (F.col("g_r") + F.col("g_n")).alias("lochierarchy"), "profit",
+        F.rank().over(w).cast("int").alias("rank_within_parent"))
+
+
+@register(
+    "tpcds_demo_avg_rollup",
+    f"""
+    SELECT p_brand, n_name,
+           CAST(GROUPING(p_brand) AS INT) AS g_brand,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           {sql_davg('l_extendedprice * (1 - l_discount)')} AS avg_net,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'BUILDING' AND p_size <= 20
+    GROUP BY ROLLUP(p_brand, n_name)
+    """,
+    doc="TPC-DS q27 shape (the round-9 verdict's named gap): the "
+        "demographic-filtered multi-AVG rollup — four averages "
+        "(quantity, list price, discount, net) by (item 'brand', "
+        "state 'nation') under ROLLUP, restricted by a demographics "
+        "predicate (q27's cd_gender/cd_marital_status filter -> "
+        "c_mktsegment; s_state list -> customer nation via the "
+        "customer dimension). Scale: one fact scan; customer/nation/"
+        "part broadcast; Expand-based rollup = one shuffle for all "
+        "three grouping levels; every AVG is the decimal-accumulate "
+        "-> round -> divide discipline (order-independent, "
+        "engine-exact).",
+)
+def tpcds_demo_avg_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = (t(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING"))
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(p), li.l_partkey == p.p_partkey))
+    return (j.rollup("p_brand", "n_name")
+            .agg(F.grouping("p_brand").cast("int").alias("g_brand"),
+                 F.grouping("n_name").cast("int").alias("g_nation"),
+                 davg("l_quantity").alias("avg_qty"),
+                 davg("l_extendedprice").alias("avg_price"),
+                 davg("l_discount").alias("avg_disc"),
+                 davg(net).alias("avg_net"),
+                 F.count("*").alias("n"))
+            .select("p_brand", "n_name", "g_brand", "g_nation",
+                    "avg_qty", "avg_price", "avg_disc", "avg_net",
+                    "n"))
+
+
+@register(
+    "tpcds_three_channel_item_total",
+    f"""
+    WITH qual AS (
+      SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO'
+    ), ch AS (
+      SELECT p_brand, {sql_dsum('l_extendedprice')} AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'A'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+        AND p_brand IN (SELECT p_brand FROM qual)
+      GROUP BY 1
+      UNION ALL
+      SELECT p_brand, {sql_dsum('l_extendedprice')}
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+        AND p_brand IN (SELECT p_brand FROM qual)
+      GROUP BY 1
+      UNION ALL
+      SELECT p_brand, {sql_dsum('l_extendedprice')}
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+        AND p_brand IN (SELECT p_brand FROM qual)
+      GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(rev AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS total_rev
+    FROM ch GROUP BY 1
+    """,
+    doc="TPC-DS q60 shape (the round-9 verdict's named family "
+        "confirmer): per-item total across the THREE channel blocks — "
+        "q60 computes each channel's per-item total separately "
+        "(store/catalog/web), UNION ALLs them, and re-aggregates by "
+        "item, restricted to a category via the item-id IN-subquery "
+        "and a one-quarter date window. Adaptation: the three "
+        "l_returnflag values A/N/R are the channels; 'category' = "
+        "brands making a PROMO part (the q60 i_item_id normalization "
+        "trick: restriction by ATTRIBUTE of the id set, stated as an "
+        "IN-subquery); quarter on l_shipdate. The oracle keeps q60's "
+        "literal three-scan UNION; the Spark plan exploits channel "
+        "partitioning of the rows (each row belongs to exactly one "
+        "returnflag) so ONE fact scan with the date filter pushed "
+        "down and the qualifying-brand set broadcast produces the "
+        "identical totals — at 100 TB this is a 3x fact-I/O saving "
+        "before the shuffle. Channel sums re-aggregate exactly "
+        "because the per-channel ROUND(.,2) values are exact "
+        "decimals: summing three 2dp-rounded decimals then rounding "
+        "again is the identical grand total in both engines.",
+)
+def tpcds_three_channel_item_total(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+    p = t(spark, sf_dir, "part")
+    qual = (p.where(F.col("p_type") == "PROMO")
+            .select("p_brand").distinct())
+    per_channel = (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                           li.l_partkey == p.p_partkey)
+                   .join(F.broadcast(qual), "p_brand", "left_semi")
+                   .groupBy("p_brand", "l_returnflag")
+                   .agg(dsum("l_extendedprice").alias("rev")))
+    return (per_channel.groupBy("p_brand")
+            .agg(F.round(F.sum(F.col("rev").cast(DEC)), 2)
+                 .cast("double").alias("total_rev")))

@@ -354,6 +354,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
                                       # the TakeOrdered |items| estimates
     "corpus_zipf_slope",              # row_number AFTER limit(500) —
                                       # the Zipf fit's rank axis
+    "tpcds_top_states_profit_rollup",  # q70's top-5-states rank runs
+                                       # over the |nations| agg rows
 }
 
 # Queries whose PURPOSE is the row-at-a-time Python surface itself:
@@ -933,3 +935,37 @@ def test_q21_single_fact_scan_no_self_join(spark, sf_dir):
     assert p.count("lineitem.parquet") == 1, "lineitem must scan once"
     assert body_ops.count("SortMergeJoin") <= 1, body_ops  # orderkey join only
     assert "CartesianProduct" not in body_ops, body_ops
+
+
+def test_r10_tpcds_shapes_plan_quality(spark, sf_dir):
+    """Round-10 TPC-DS adaptations keep their scale contracts.
+    q70 (top_states_profit_rollup): the fact is aggregated ONCE to
+    (region, nation) decimal partials — exactly one parquet scan of
+    orders — and the top-5 window + rollup reuse that partial table;
+    the only global window is the |nations|-row rank (allow-listed).
+    q27 (demo_avg_rollup): one lineitem scan, Expand-based rollup
+    (one shuffle for all grouping levels), dims broadcast.
+    q60 (three_channel_item_total): the oracle's three-scan channel
+    UNION collapses to ONE lineitem scan with the quarter predicate
+    pushed to parquet and the qualifying-brand set broadcast."""
+    spark.catalog.clearCache()
+
+    def body(p):
+        return p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+
+    p = plan(spark, "tpcds_top_states_profit_rollup", sf_dir)
+    assert p.count("orders.parquet") == 1, "orders must scan once"
+    assert "Expand" in p
+    assert "CartesianProduct" not in body(p)
+
+    p = plan(spark, "tpcds_demo_avg_rollup", sf_dir)
+    assert p.count("lineitem.parquet") == 1, "lineitem must scan once"
+    b = body(p)
+    assert b.count("Expand") == 1
+    assert b.count("BroadcastHashJoin") >= 3  # customer, nation, part
+
+    p = plan(spark, "tpcds_three_channel_item_total", sf_dir)
+    assert p.count("lineitem.parquet") == 1, "one scan, not three"
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p \
+        or "GreaterThanOrEqual(l_shipdate" in p
+    assert "BatchEvalPython" not in p
