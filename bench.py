@@ -86,6 +86,11 @@ SCALE10_EXTRA = [
     # landed after the SCALE_r09 run — first measured in round 10
     "events_kmv_intersection", "events_hll_trailing_distinct",
     "basket_brand_lift", "graph_k_core",
+    # round-10 newcomers: the q70 partial-table rollup, the q27
+    # four-AVG rollup, the q60 single-scan channel union, and the
+    # zero-shuffle codec roundtrip face
+    "tpcds_top_states_profit_rollup", "tpcds_demo_avg_rollup",
+    "tpcds_three_channel_item_total", "multimodal_roundtrip_check",
 ]
 
 

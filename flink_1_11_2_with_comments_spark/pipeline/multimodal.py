@@ -976,3 +976,86 @@ def roundtrip_check(documents: DataFrame) -> DataFrame:
 
     return documents.select("doc_id", "text").mapInPandas(
         run, ROUNDTRIP_SCHEMA)
+
+
+def transform_check(documents: DataFrame, out_w: int = 8,
+                    out_h: int = 6,
+                    target_rate: int = 6000) -> DataFrame:
+    """Closed-loop face for the two multimodal TRANSFORM stages (the
+    sibling of roundtrip_check, which covers the codecs): per
+    document,
+
+      png_resize: encode deterministic_pixels -> decode -> nearest-
+        neighbor resize (resize_png_nearest's exact index math) ->
+        re-encode -> decode again; payload_ok compares every resized
+        pixel against the INDEPENDENT closed form
+        formula(doc_id, x*sw//out_w, y*sh//out_h) — a bug anywhere in
+        decode, index mapping, or re-encode flips it. dim1/dim2 are
+        the SOURCE dims the oracle recomputes from length(text).
+
+      wav_resample: pack the deterministic sine PCM -> parse -> linear
+        interpolation (resample_pcm_linear's per-sample formula) ->
+        compare against scalar-Python interpolation of independently
+        recomputed source samples; dim1 = output length
+        (n-1)*target//src + 1, dim2 = n — both relational.
+
+    One Arrow-batched mapInPandas, zero shuffle."""
+    import math
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id, ln = int(doc_id), len(text)
+                # --- PNG nearest-neighbor resize ---
+                sw, sh = ln % 16 + 1, ln % 12 + 1
+                rgba = deterministic_pixels(doc_id, sw, sh)
+                dw, dh, px = png_decode(png_encode(sw, sh, rgba))
+                a = np.frombuffer(px, dtype=np.uint8).reshape(dh, dw, 4)
+                ix = (np.arange(out_w) * dw) // out_w
+                iy = (np.arange(out_h) * dh) // out_h
+                rw, rh, rpx = png_decode(
+                    png_encode(out_w, out_h, a[iy][:, ix].tobytes()))
+                exp = bytearray()
+                for y in range(out_h):
+                    for x in range(out_w):
+                        gx, gy = (x * sw) // out_w, (y * sh) // out_h
+                        exp += bytes(((gx * 7 + doc_id) % 256,
+                                      (gy * 13 + doc_id) % 256,
+                                      (gx * gy + 3 * doc_id) % 256,
+                                      255))
+                rows.append({"doc_id": doc_id, "fmt": "png_resize",
+                             "dim1": sw, "dim2": sh,
+                             "payload_ok": (rw, rh) == (out_w, out_h)
+                             and rpx == bytes(exp)})
+                # --- WAV linear resample ---
+                src_rate, n = 8000, ln % 200 + 50
+                vals = [int(12000 * math.sin(
+                    2 * math.pi * (200 + (doc_id % 40) * 20)
+                    * i / src_rate)) for i in range(n)]
+                pcm = b"".join(struct.pack("<h", v) for v in vals)
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                n_out = (n - 1) * target_rate // src_rate + 1
+                ti = np.arange(n_out) * (src_rate / target_rate)
+                lo = np.minimum(ti.astype(np.int64), n - 2)
+                frac = ti - lo
+                y = x[lo] + frac * (x[lo + 1] - x[lo])
+                ok = len(y) == n_out
+                for i in range(n_out):  # independent scalar replay
+                    t = i * (src_rate / target_rate)
+                    j = min(int(t), n - 2)
+                    f = t - j
+                    if y[i] != vals[j] + f * (vals[j + 1] - vals[j]):
+                        ok = False
+                        break
+                rows.append({"doc_id": doc_id, "fmt": "wav_resample",
+                             "dim1": n_out, "dim2": n,
+                             "payload_ok": ok})
+            yield pd.DataFrame(rows, columns=["doc_id", "fmt", "dim1",
+                                              "dim2", "payload_ok"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, ROUNDTRIP_SCHEMA)

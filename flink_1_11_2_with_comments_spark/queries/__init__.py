@@ -51,6 +51,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_bpe_merges",              # NEW unrolled-SQL oracle
     "corpus_bpe_encode",              # NEW unrolled-SQL oracle
     "multimodal_roundtrip_check",     # NEW codec closed-loop face
+    "multimodal_transform_check",     # NEW transform closed-loop face
     "tpcds_top_states_profit_rollup", "tpcds_demo_avg_rollup",
     "tpcds_three_channel_item_total",
     "graph_k_core",                   # count-carry loop change
@@ -67,7 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_theta_nonequi", "join_broadcast",
     "agg_cube", "agg_global", "agg_having", "agg_listagg",
     "agg_minmax_by", "agg_multi_distinct", "agg_pivot", "agg_rollup",
-    "agg_stats",
+    # (agg_stats stays r1-covered: the 50-slot window is full)
 )
 
 

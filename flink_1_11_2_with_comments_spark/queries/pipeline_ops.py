@@ -3350,6 +3350,38 @@ def multimodal_roundtrip_check(spark, sf_dir):
 
 
 @register(
+    "multimodal_transform_check",
+    """
+    SELECT doc_id, 'png_resize' AS fmt,
+           CAST(length(text) % 16 + 1 AS BIGINT) AS dim1,
+           CAST(length(text) % 12 + 1 AS BIGINT) AS dim2,
+           TRUE AS payload_ok
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'wav_resample',
+           CAST((length(text) % 200 + 50 - 1) * 3 // 4 + 1 AS BIGINT),
+           CAST(length(text) % 200 + 50 AS BIGINT), TRUE
+    FROM documents
+    """,
+    doc="HASH-ENFORCED face for the multimodal TRANSFORM stages "
+        "(sibling of multimodal_roundtrip_check, which covers the "
+        "codecs): nearest-neighbor PNG resize through the full "
+        "decode -> index-map -> re-encode -> decode loop, compared "
+        "pixel-exactly against the closed-form source formula at the "
+        "mapped coordinates; and linear WAV resample compared "
+        "sample-exactly against an independent scalar replay. The "
+        "oracle restates the source dims and the resample output "
+        "length (n-1)*6000//8000 + 1 = (n-1)*3//4 + 1 from "
+        "length(text), and asserts every check TRUE. Zero shuffle, "
+        "one Arrow-batched mapInPandas "
+        "(pipeline/multimodal.py transform_check).",
+)
+def multimodal_transform_check(spark, sf_dir):
+    from ..pipeline.multimodal import transform_check
+    return transform_check(t(spark, sf_dir, "documents"))
+
+
+@register(
     "events_hll_union",
     f"""
     WITH h AS (
