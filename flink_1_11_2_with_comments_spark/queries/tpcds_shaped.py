@@ -4033,3 +4033,64 @@ def tpcds_three_channel_item_total(spark, sf_dir):
     return (per_channel.groupBy("p_brand")
             .agg(F.round(F.sum(F.col("rev").cast(DEC)), 2)
                  .cast("double").alias("total_rev")))
+
+
+@register(
+    "tpcds_aligned_week_returns",
+    f"""
+    WITH w AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             l_quantity
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND EXTRACT(week FROM l_shipdate) = 25
+        AND EXTRACT(year FROM l_shipdate) IN (1995, 1996, 1997)
+    )
+    SELECT l_partkey AS partkey,
+           {sql_dsum("CASE WHEN yr = 1995 THEN l_quantity ELSE 0 END")}
+             AS qty_y1,
+           {sql_dsum("CASE WHEN yr = 1996 THEN l_quantity ELSE 0 END")}
+             AS qty_y2,
+           {sql_dsum("CASE WHEN yr = 1997 THEN l_quantity ELSE 0 END")}
+             AS qty_y3,
+           CAST(ROUND(
+             {sql_dsum("CASE WHEN yr = 1995 THEN l_quantity ELSE 0 END", 2)}
+             * 3.0 /
+             ({sql_dsum("CASE WHEN yr = 1995 THEN l_quantity ELSE 0 END", 2)}
+              + {sql_dsum("CASE WHEN yr = 1996 THEN l_quantity ELSE 0 END", 2)}
+              + {sql_dsum("CASE WHEN yr = 1997 THEN l_quantity ELSE 0 END", 2)}),
+             6) AS DOUBLE) AS y1_vs_avg
+    FROM w GROUP BY 1
+    """,
+    doc="TPC-DS q83 shape: returned quantity per item for the SAME "
+        "calendar week aligned across three years — q83's "
+        "d_week_seq 'recursion' (find the matching week_seq of the "
+        "other years through the date dim) is exactly week-of-year "
+        "alignment, stated here directly on the timestamp (week 25, "
+        "mid-year, so ISO-year boundary weeks 1/52/53 cannot skew "
+        "either engine's EXTRACT). The three period slices are "
+        "conditional sums on ONE fact scan (q83 scans "
+        "catalog_returns three times); the ratio-to-three-week-"
+        "average uses the already-2dp-rounded decimals with a "
+        "left-associated denominator so both engines divide "
+        "identical doubles. Scale: one scan, week+year+flag "
+        "predicates pushed down, one shuffle on partkey.",
+)
+def tpcds_aligned_week_returns(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    base = li.where((F.col("l_returnflag") == "R")
+                    & (F.weekofyear("l_shipdate") == 25)
+                    & yr.isin(1995, 1996, 1997))
+
+    def cq(y):
+        return dsum(F.when(yr == y, F.col("l_quantity")).otherwise(0.0))
+
+    agg = (base.groupBy(F.col("l_partkey").alias("partkey"))
+           .agg(cq(1995).alias("qty_y1"), cq(1996).alias("qty_y2"),
+                cq(1997).alias("qty_y3")))
+    denom = (F.col("qty_y1") + F.col("qty_y2")) + F.col("qty_y3")
+    return agg.withColumn(
+        "y1_vs_avg",
+        F.round(F.col("qty_y1") * 3.0 / denom, 6).cast("double"))
