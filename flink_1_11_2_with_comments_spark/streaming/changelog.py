@@ -38,18 +38,30 @@ from .state import KeyedState, keyed_process, utc_ms
 
 def to_changelog_batch(df: DataFrame, keys: list[str], ts_col: str,
                        id_col: str, value_col: str) -> DataFrame:
-    """Changelog rows (+I / -U / +U) of the keyed version history."""
+    """Changelog rows (+I / -U / +U) of the keyed version history.
+
+    One lag-window pass + array-of-changes explode: the previous
+    three-branch union re-ran the keyed window (shuffle + sort) once
+    per RowKind (SCALE_r09 measured 3.59x at 10x data); each source
+    row now maps to its one- or two-element change array in the same
+    pass — identical rows, one shuffle."""
     w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
     v = df.select(*keys, ts_col, id_col, F.col(value_col).alias("value"),
                   F.lag(value_col).over(w).alias("prev"))
-    inserts = v.where(F.col("prev").isNull()).select(
-        *keys, ts_col, id_col, F.lit("+I").alias("rowkind"), "value")
-    update_before = v.where(F.col("prev").isNotNull()).select(
-        *keys, ts_col, id_col, F.lit("-U").alias("rowkind"),
-        F.col("prev").alias("value"))
-    update_after = v.where(F.col("prev").isNotNull()).select(
-        *keys, ts_col, id_col, F.lit("+U").alias("rowkind"), "value")
-    return inserts.unionAll(update_before).unionAll(update_after)
+
+    def ch(kind, val):
+        return F.struct(F.lit(kind).alias("rowkind"),
+                        val.alias("value"))
+
+    changes = (F.when(F.col("prev").isNull(),
+                      F.array(ch("+I", F.col("value"))))
+               .otherwise(F.array(ch("-U", F.col("prev")),
+                                  ch("+U", F.col("value")))))
+    return (v.select(*keys, ts_col, id_col,
+                     F.explode(changes).alias("_c"))
+            .select(*keys, ts_col, id_col,
+                    F.col("_c.rowkind").alias("rowkind"),
+                    F.col("_c.value").alias("value")))
 
 
 def to_changelog_stream(df: DataFrame, keys: list[str], ts_col: str,
