@@ -91,6 +91,8 @@ SCALE10_EXTRA = [
     # zero-shuffle codec roundtrip face
     "tpcds_top_states_profit_rollup", "tpcds_demo_avg_rollup",
     "tpcds_three_channel_item_total", "multimodal_roundtrip_check",
+    # landed after the SCALE_r10 run — first measured in round 11
+    "multimodal_transform_check", "tpcds_aligned_week_returns",
 ]
 
 
