@@ -969,3 +969,16 @@ def test_r10_tpcds_shapes_plan_quality(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in p \
         or "GreaterThanOrEqual(l_shipdate" in p
     assert "BatchEvalPython" not in p
+
+
+def test_cep_key_prefilter_no_extra_shuffle(spark, sf_dir):
+    """The round-10 CEP key prefilter must be free at the plan level:
+    the flag projection's keyed repartition stays the ONLY exchange —
+    the per-key MAX window and its filter ride on that partitioning
+    (ClusteredDistribution satisfied) before the Arrow transfer."""
+    p = plan(spark, "cep_quantified", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("Exchange") == 1, body
+    assert "Window" in body, body       # the prefilter MAX pass
+    assert "Filter" in body, body       # the can-match filter
+    assert "BatchEvalPython" not in p

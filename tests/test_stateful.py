@@ -2610,3 +2610,40 @@ def test_scd2_drop_mode_replays_suffix_idempotently(spark):
     assert rows == sorted([(1, "view", 1, False, 3),
                            (1, "click", 2, False, 3),
                            (1, "purchase", 3, True, 3)])
+
+
+def test_cep_key_prefilter_semantics(spark):
+    """The key prefilter drops exactly the keys that can never match.
+    Key 1 has view+click+purchase (matches); key 2 lacks purchase
+    (prefiltered, no match — and no crash); for the NEGATED pattern,
+    key 3 lacking the negated 'error' type must NOT be prefiltered
+    (negated steps are never required)."""
+    from datetime import datetime as dt
+
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_batch)
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [(1, 10, t(1), "view"), (1, 11, t(2), "click"),
+            (1, 12, t(3), "purchase"),
+            (2, 20, t(1), "view"), (2, 21, t(2), "click"),
+            (3, 30, t(1), "view"), (3, 31, t(2), "purchase")]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string")
+    flags = [F.col("event_type") == v
+             for v in ("view", "click", "purchase")]
+    steps = [QStep("a", lambda e: e["event_type"] == "view"),
+             QStep("b", lambda e: e["event_type"] == "click"),
+             QStep("c", lambda e: e["event_type"] == "purchase")]
+    got = {r.user_id for r in match_pattern_batch(
+        df, ["user_id"], "ts", steps, flag_exprs=flags).collect()}
+    assert got == {1}
+    neg = [QStep("a", lambda e: e["event_type"] == "view"),
+           QStep("x", lambda e: e["event_type"] == "error",
+                 negated=True),
+           QStep("c", lambda e: e["event_type"] == "purchase")]
+    nflags = [F.col("event_type") == v
+              for v in ("view", "error", "purchase")]
+    got = {r.user_id for r in match_pattern_batch(
+        df, ["user_id"], "ts", neg, flag_exprs=nflags).collect()}
+    assert got == {1, 3}  # key 3 has no 'error' and must survive
