@@ -113,3 +113,14 @@ def test_k_core_oracle_converged_within_unrolled_rounds(con):
     r8 = sorted(con.execute(_k_core_oracle(k=80, rounds=8)).fetchall())
     r9 = sorted(con.execute(_k_core_oracle(k=80, rounds=9)).fetchall())
     assert r8 == r9 and len(r8) > 0
+
+
+def test_rotation_window_shape():
+    """The driver checks exactly the first 50 registry entries, so the
+    rotation list must be 50 unique registered names and all_specs()
+    must serve them first, in order — a silent size drift would let a
+    new query shadow a canary out of the gate window unnoticed."""
+    from flink_1_11_2_with_comments_spark.queries import _PRIORITY
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50
+    assert list(SPECS)[:50] == list(_PRIORITY)
