@@ -93,6 +93,7 @@ SCALE10_EXTRA = [
     "tpcds_three_channel_item_total", "multimodal_roundtrip_check",
     # landed after the SCALE_r10 run — first measured in round 11
     "multimodal_transform_check", "tpcds_aligned_week_returns",
+    "corpus_domain_quota",
 ]
 
 

@@ -46,9 +46,10 @@ _PRIORITY: tuple[str, ...] = (
     # (a) round-10 new or changed — appended here as each lands.
     # ROUND-11 QUEUE (landed after this 50-slot window froze; each is
     # exact-checked locally by tests/test_oracle_parity.py):
-    # tpcds_aligned_week_returns. Front-load it next round, then
-    # canaries for the next-oldest families (round-1/2 agg tail incl.
-    # agg_stats, unnest/over families, round-3 setops).
+    # tpcds_aligned_week_returns, corpus_domain_quota. Front-load them
+    # next round, then canaries for the next-oldest families
+    # (round-1/2 agg tail incl. agg_stats, unnest/over families,
+    # round-3 setops).
     "events_hourly_to_daily_rollup",  # oracle type fix (the one red)
     "tpch_q21",                       # one-scan grouped rewrite
     "cep_quantified",                 # key prefilter

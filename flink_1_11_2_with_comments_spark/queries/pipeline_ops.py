@@ -4318,3 +4318,42 @@ def basket_brand_lift(spark, sf_dir):
         .alias("confidence"),
         F.round(F.col("pair_n") * 1.0 * F.col("n_orders")
                 / F.col("na") / F.col("nb"), 9).alias("lift"))
+
+
+@register(
+    "corpus_domain_quota",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {MD5I.format(
+                   x="concat('quota|', CAST(doc_id AS VARCHAR))")},
+                        doc_id) AS INT) AS quota_rank
+      FROM documents
+    )
+    SELECT doc_id, source, quota_rank FROM r WHERE quota_rank <= 40
+    """,
+    doc="Domain balancing by QUOTA (the complement of "
+        "sample_stratified's per-stratum RATE): cap every ingestion "
+        "source at 40 documents, chosen by a salted-md5 priority so "
+        "the kept set is deterministic, engine-replayable and stable "
+        "under resharding — the curation op that stops one crawl "
+        "domain from dominating the training mix (per-domain caps are "
+        "standard in web-corpus recipes; a quality score drops in for "
+        "the hash priority unchanged). Scale: per-source top-k via "
+        "row_number <= k compiles to WindowGroupLimit — Spark "
+        "pre-prunes each map partition to its local top-k BEFORE the "
+        "shuffle, so the exchange carries O(sources x k), not the "
+        "corpus (plan-pinned). DuckDB ROW_NUMBER returns BIGINT -> "
+        "CAST INT to match Spark.",
+)
+def corpus_domain_quota(spark, sf_dir):
+    from ..pipeline.dedup import md5_int_expr
+    d = t(spark, sf_dir, "documents")
+    pri = md5_int_expr(
+        F.concat(F.lit("quota|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(pri, "doc_id")
+    return (d.select("doc_id", "source",
+                     F.row_number().over(w).alias("quota_rank"))
+            .where(F.col("quota_rank") <= 40))

@@ -982,3 +982,14 @@ def test_cep_key_prefilter_no_extra_shuffle(spark, sf_dir):
     assert "Window" in body, body       # the prefilter MAX pass
     assert "Filter" in body, body       # the can-match filter
     assert "BatchEvalPython" not in p
+
+
+def test_domain_quota_uses_window_group_limit(spark, sf_dir):
+    """corpus_domain_quota's per-source cap must compile to
+    WindowGroupLimit: each map partition pre-prunes to its local
+    top-k before the shuffle, so the exchange carries O(sources x k)
+    rows, not the corpus — the property that makes a per-domain cap
+    a cheap pass at 100 TB."""
+    p = plan(spark, "corpus_domain_quota", sf_dir)
+    assert "WindowGroupLimit" in p, p
+    assert "BatchEvalPython" not in p
