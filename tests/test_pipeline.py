@@ -1461,3 +1461,69 @@ def test_gif_decode_interlace_and_local_palette():
     ww, hh, rgb = gif_decode(local)
     exp = b"".join(bytes(local_pal[i]) for i in idx)
     assert (ww, hh) == (w, h) and rgb == exp
+
+
+def test_bpe_sql_oracle_greedy_merge_adversarial():
+    """The round-10 unrolled-SQL BPE oracle must replay the greedy
+    left-to-right merge on adversarial run-heavy corpora — the
+    ml == mr case merges at EVEN offsets within each symbol run
+    ('aaa' + (a,a) -> [aa, a], 'aaaa' -> [aa, aa]), which the SQL
+    states via gaps-and-islands parity. Compared against the plain
+    single-process BPE reference (same one the Spark impl is pinned
+    to), entirely engine-side: pandas df registered as the documents
+    view, no Spark needed."""
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    from flink_1_11_2_with_comments_spark.queries.pipeline_ops import (
+        _bpe_oracle_ctes)
+
+    corpora = [
+        ["aaaa bb aaa a", "abab ab aa", "aaaa aaaa"],
+        ["xxxxxx xx x", "xyxyxy yx", "zzz zz zzzz z"],
+        ["mississippi missy sip", "ppp pp p pppp"],
+    ]
+    for texts in corpora:
+        # single-process reference: n rounds of (count pairs over the
+        # weighted vocab, pick max with lexicographic ties, greedy
+        # left-to-right merge)
+        vocab = Counter(w for t in texts for w in t.split(" ") if w)
+        syms = {w: list(w) for w in vocab}
+        expect = []
+        for rank in range(1, 6):
+            pc = Counter()
+            for w, n in vocab.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += n
+            if not pc:
+                break
+            (ml, mr), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            expect.append((rank, ml + mr, cnt))
+            for w in syms:
+                out, prev = [], None
+                for x in syms[w]:
+                    if prev is not None and prev == ml and x == mr:
+                        out.append(ml + mr)
+                        prev = None
+                    else:
+                        if prev is not None:
+                            out.append(prev)
+                        prev = x
+                if prev is not None:
+                    out.append(prev)
+                syms[w] = out
+        n_rounds = len(expect)
+        sql = (_bpe_oracle_ctes(n_rounds) + "\n"
+               + "\nUNION ALL ".join(
+                   f"SELECT CAST({r} AS INTEGER) AS merge_rank, "
+                   f"ml || mr AS pair, pc AS pair_count FROM t{r}"
+                   for r in range(1, n_rounds + 1)))
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({"text": texts}))
+        got = sorted(con.execute(sql).fetchall())
+        con.close()
+        assert got == sorted(expect), (texts, got, expect)
