@@ -974,8 +974,14 @@ def roundtrip_check(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "fmt", "dim1",
                                               "dim2", "payload_ok"])
 
-    return documents.select("doc_id", "text").mapInPandas(
-        run, ROUNDTRIP_SCHEMA)
+    # CPU-bound Python stage: a single small parquet file would give
+    # ONE input partition and serialize every codec call — pin the
+    # parallelism explicitly (the CEP flag-projection doctrine;
+    # exempt from AQE coalescing). The shuffled payload is only
+    # (doc_id, text).
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(run, ROUNDTRIP_SCHEMA))
 
 
 def transform_check(documents: DataFrame, out_w: int = 8,
@@ -1057,5 +1063,11 @@ def transform_check(documents: DataFrame, out_w: int = 8,
             yield pd.DataFrame(rows, columns=["doc_id", "fmt", "dim1",
                                               "dim2", "payload_ok"])
 
-    return documents.select("doc_id", "text").mapInPandas(
-        run, ROUNDTRIP_SCHEMA)
+    # CPU-bound Python stage: a single small parquet file would give
+    # ONE input partition and serialize every codec call — pin the
+    # parallelism explicitly (the CEP flag-projection doctrine;
+    # exempt from AQE coalescing). The shuffled payload is only
+    # (doc_id, text).
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(run, ROUNDTRIP_SCHEMA))
