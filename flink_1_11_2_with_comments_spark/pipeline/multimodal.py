@@ -399,8 +399,13 @@ def synthesize_png_pixels(documents: DataFrame) -> DataFrame:
             out["n_bytes"] = out["media"].map(len)
             yield out
 
-    return documents.select("doc_id", "text").mapInPandas(
-        run, MEDIA_SCHEMA)
+    # CPU-bound Python encode: pin parallelism explicitly so a
+    # single-file input cannot serialize the codec loop (SCALE.md
+    # map-only-Python rule; downstream decode/resize/resample ops
+    # inherit this partitioning shuffle-free).
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(run, MEDIA_SCHEMA))
 
 
 def decode_png_pixels(media: DataFrame,
@@ -472,8 +477,13 @@ def synthesize_wav_pcm(documents: DataFrame,
                              "n_bytes": len(hdr) + len(pcm)})
             yield pd.DataFrame(rows)
 
-    return documents.select("doc_id", "text").mapInPandas(
-        run, MEDIA_SCHEMA)
+    # CPU-bound Python encode: pin parallelism explicitly so a
+    # single-file input cannot serialize the codec loop (SCALE.md
+    # map-only-Python rule; downstream decode/resize/resample ops
+    # inherit this partitioning shuffle-free).
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(run, MEDIA_SCHEMA))
 
 
 def decode_wav_samples(media: DataFrame,
@@ -871,8 +881,13 @@ def synthesize_gif_pixels(documents: DataFrame) -> DataFrame:
             out["n_bytes"] = out["media"].map(len)
             yield out
 
-    return documents.select("doc_id", "text").mapInPandas(
-        run, MEDIA_SCHEMA)
+    # CPU-bound Python encode: pin parallelism explicitly so a
+    # single-file input cannot serialize the codec loop (SCALE.md
+    # map-only-Python rule; downstream decode/resize/resample ops
+    # inherit this partitioning shuffle-free).
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(run, MEDIA_SCHEMA))
 
 
 def decode_gif_pixels(media: DataFrame,
