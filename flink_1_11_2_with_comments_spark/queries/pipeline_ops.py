@@ -3913,7 +3913,7 @@ def embedding_qc_outliers(spark, sf_dir):
     SELECT CAST(date_trunc('day', hr) AS TIMESTAMP) AS day, event_type,
            CAST(ROUND(SUM(CAST(hv AS DECIMAL(30,10))), 2) AS DOUBLE)
              AS total_value,
-           SUM(hn) AS n_events
+           CAST(SUM(hn) AS BIGINT) AS n_events
     FROM hourly GROUP BY 1, 2
     """,
     doc="Hierarchical rollup from MATERIALIZED PARTIALS: daily totals "

@@ -670,15 +670,19 @@ def setop_except(spark, sf_dir):
 @register(
     "setop_except_all",
     """
-    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 49
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 46
     EXCEPT ALL
     SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.09
     """,
-    doc="EXCEPT ALL → counting-agg rewrite (RewriteMinusAllRule.scala:1).",
+    doc="EXCEPT ALL → counting-agg rewrite (RewriteMinusAllRule.scala:1). "
+        "Thresholds chosen so the MULTISET difference is non-empty at "
+        "sf0.01 (1845 rows) while the set-EXCEPT of the same branches is "
+        "EMPTY (every suppkey appears on both sides) — an implementation "
+        "that confused exceptAll with except fails this fixture.",
 )
 def setop_except_all(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    a = li.where(F.col("l_quantity") > 49).select(F.col("l_suppkey").alias("k"))
+    a = li.where(F.col("l_quantity") > 46).select(F.col("l_suppkey").alias("k"))
     b = li.where(F.col("l_discount") > 0.09).select(F.col("l_suppkey").alias("k"))
     return a.exceptAll(b)
 

@@ -26,40 +26,53 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
-    """Normalize a cell to an engine-independent comparable value."""
+def _norm(v, strict: bool = False):
+    """Normalize a cell to an engine-independent comparable value.
+
+    With strict=True (the assert_exact path) numeric cells are
+    TYPE-TAGGED so int-vs-float skew fails: the driver's value hash
+    compares cell *representations*, where 73 != 73.0 (e.g. DuckDB
+    SUM(BIGINT)→HUGEINT renders 73.0 while Spark BIGINT renders 73),
+    but Python's 73 == 73.0 is True — without the tag a local pass
+    does NOT guarantee a driver pass (round-9/10 lesson:
+    events_hourly_to_daily_rollup survived two rounds red).
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v) if strict else v
     if isinstance(v, decimal.Decimal):
         f = float(v)
-        return f
+        return ("f", repr(f)) if strict else f
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return ("f", repr(v)) if strict else v
+    if isinstance(v, int):
+        return ("i", v) if strict else v
     if isinstance(v, (_dt.datetime,)):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        return tuple(_norm(x, strict) for x in v)
     if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # numpy array
-        return tuple(_norm(x) for x in v.tolist())
+        return tuple(_norm(x, strict) for x in v.tolist())
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+        return tuple(sorted((k, _norm(x, strict)) for k, x in v.items()))
     if isinstance(v, bytearray):
         return bytes(v)
     # numpy scalars → python
     item = getattr(v, "item", None)
     if item is not None and not isinstance(v, (str, bytes, bool, int)):
-        return _norm(v.item())
+        return _norm(v.item(), strict)
     return v
 
 
-def _rows(df_pandas, cols):
+def _rows(df_pandas, cols, strict: bool = False):
     out = []
     for rec in df_pandas[cols].itertuples(index=False, name=None):
-        out.append(tuple(_norm(v) for v in rec))
+        out.append(tuple(_norm(v, strict) for v in rec))
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return out
 
@@ -123,12 +136,18 @@ def column_diff(spark_df, con, oracle: str, name: str = "?") -> list[str]:
 
 
 def assert_exact(spark_df, con, oracle: str, name: str = "?") -> None:
-    """Strict variant: floats must match bitwise (what the driver hash needs)."""
+    """Strict variant: floats bitwise AND numeric types tagged.
+
+    int-vs-float cell type skew (73 vs 73.0) fails here, matching the
+    driver's repr-level hash — this is what makes a local pass imply a
+    driver pass.
+    """
     sp = spark_df.toPandas()
     du = con.execute(oracle).fetchdf()
     sp_cols, du_cols = sorted(sp.columns), sorted(du.columns)
     assert sp_cols == du_cols, f"{name}: cols {sp_cols} vs {du_cols}"
     assert len(sp) == len(du), f"{name}: rows {len(sp)} vs {len(du)}"
-    sp_rows, du_rows = _rows(sp, sp_cols), _rows(du, du_cols)
+    sp_rows = _rows(sp, sp_cols, strict=True)
+    du_rows = _rows(du, du_cols, strict=True)
     diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sp_rows, du_rows)) if a != b]
     assert not diffs, f"{name}: {len(diffs)} exact diffs, first: {diffs[:3]}"

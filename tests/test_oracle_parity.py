@@ -85,12 +85,16 @@ def test_oracle_dtypes_never_int_vs_float(spark, sf_dir, con):
             d = dtype.upper()
             s = sp_types.get(col, "?")
             int_s = s in ("tinyint", "smallint", "int", "bigint")
-            # DECIMAL counts as float-like: fetchdf renders it with a
-            # decimal point, which hash-mismatches an integer column
-            float_d = (d in ("FLOAT", "DOUBLE", "REAL")
+            # DECIMAL and HUGEINT count as float-like: fetchdf renders
+            # both with a decimal point (pandas has no int128, so
+            # HUGEINT — what DuckDB returns for SUM(BIGINT) — widens to
+            # float64), which hash-mismatches an integer column even
+            # when every value is equal (events_hourly_to_daily_rollup
+            # was red for two rounds on exactly this).
+            float_d = (d in ("FLOAT", "DOUBLE", "REAL", "HUGEINT")
                        or d.startswith("DECIMAL"))
             int_d = d in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-                          "HUGEINT", "UTINYINT", "USMALLINT",
+                          "UTINYINT", "USMALLINT",
                           "UINTEGER", "UBIGINT")
             if int_s and float_d:
                 bad.append((name, col, s, d))
