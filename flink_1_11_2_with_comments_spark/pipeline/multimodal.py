@@ -446,6 +446,80 @@ AUDIO_SCHEMA = ("doc_id bigint, sample_rate int, n_samples bigint, "
                 "zero_crossings bigint")
 
 
+def wav_build(sample_rate: int, pcm: bytes) -> bytes:
+    """RIFF/WAVE container build (mono, 16-bit PCM) — the ONE
+    production implementation of the header math; synthesize_wav_pcm
+    and the closed-loop checks both call it, so a header-offset bug
+    cannot hide in a reimplementation."""
+    import struct
+
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                         sample_rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
+def wav_parse(b: bytes):
+    """RIFF/WAVE parse → (sample_rate, int16 sample array) — the ONE
+    production data-chunk walk; decode_wav_samples,
+    resample_pcm_linear and the closed-loop checks all call it."""
+    import struct
+
+    import numpy as np
+
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    rate, = struct.unpack("<I", b[24:28])
+    size, = struct.unpack("<I", b[40:44])
+    return int(rate), np.frombuffer(b[44:44 + size], dtype="<i2")
+
+
+def sine_pcm_values(doc_id: int, n: int,
+                    sample_rate: int = 8000) -> list[int]:
+    """The deterministic test-corpus tone (frequency keyed on the doc
+    id) — shared by the synthesizer and the checks' expected-value
+    computation so both sides agree on the payload by construction."""
+    import math
+
+    freq = 200 + (doc_id % 40) * 20
+    return [int(12000 * math.sin(2 * math.pi * freq * i / sample_rate))
+            for i in range(n)]
+
+
+def resample_linear_kernel(x, src_rate: int, target_rate: int):
+    """Linear-interpolation resample of a float64 sample vector —
+    output position i samples the source at t = i*src/target; y(t) =
+    x[⌊t⌋] + frac·(x[⌊t⌋+1] − x[⌊t⌋]). The ONE production
+    interpolation; resample_pcm_linear and transform_check share it
+    (the check's expected values are replayed scalar-by-scalar,
+    independently)."""
+    import numpy as np
+
+    n = len(x)
+    if n < 2:  # nothing to interpolate between
+        return x
+    n_out = (n - 1) * target_rate // src_rate + 1
+    t = np.arange(n_out) * (src_rate / target_rate)
+    lo = np.minimum(t.astype(np.int64), n - 2)
+    frac = t - lo
+    return x[lo] + frac * (x[lo + 1] - x[lo])
+
+
+def resize_nearest_kernel(px: bytes, sw: int, sh: int,
+                          out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor RGBA resize: out[x,y] = src[x*sw//ow,
+    y*sh//oh], exact in integer index math. The ONE production index
+    mapping; resize_png_nearest and transform_check share it (the
+    check recomputes expected pixels from the closed form,
+    independently)."""
+    import numpy as np
+
+    a = np.frombuffer(px, dtype=np.uint8).reshape(sh, sw, 4)
+    ix = (np.arange(out_w) * sw) // out_w
+    iy = (np.arange(out_h) * sh) // out_h
+    return a[iy][:, ix].tobytes()
+
+
 def synthesize_wav_pcm(documents: DataFrame,
                        sample_rate: int = 8000) -> DataFrame:
     """Fully valid mono 16-bit PCM WAVs per document: a deterministic
@@ -453,7 +527,6 @@ def synthesize_wav_pcm(documents: DataFrame,
     openable by the stdlib `wave` module (pinned in tests). Arrow-
     batched mapInPandas; the real-payload sibling of the codegen
     synthesize_wav header twin."""
-    import math
     import struct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,20 +534,14 @@ def synthesize_wav_pcm(documents: DataFrame,
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n = len(text) % 200 + 50
-                freq = 200 + (int(doc_id) % 40) * 20
                 pcm = b"".join(
-                    struct.pack("<h", int(12000 * math.sin(
-                        2 * math.pi * freq * i / sample_rate)))
-                    for i in range(n))
-                hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm))
-                       + b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 1, 1,
-                                                   sample_rate,
-                                                   sample_rate * 2, 2, 16)
-                       + b"data" + struct.pack("<I", len(pcm)))
-                rows.append({"doc_id": int(doc_id), "media": hdr + pcm,
+                    struct.pack("<h", v)
+                    for v in sine_pcm_values(int(doc_id), n, sample_rate))
+                blob = wav_build(sample_rate, pcm)
+                rows.append({"doc_id": int(doc_id), "media": blob,
                              "media_type": "audio/wav",
                              "width": 0, "height": 0,
-                             "n_bytes": len(hdr) + len(pcm)})
+                             "n_bytes": len(blob)})
             yield pd.DataFrame(rows)
 
     # CPU-bound Python encode: pin parallelism explicitly so a
@@ -494,20 +561,14 @@ def decode_wav_samples(media: DataFrame,
     pipeline. Arrow-batched mapInPandas; no audio library —
     compressed codecs (mp3/opus) and resampling remain the env-gated
     boundary."""
-    import struct
-
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
-                b = bytes(blob)
-                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
-                rate, = struct.unpack("<I", b[24:28])
-                size, = struct.unpack("<I", b[40:44])
-                x = np.frombuffer(b[44:44 + size], dtype="<i2") \
-                    .astype(np.int64)
+                rate, x = wav_parse(bytes(blob))
+                x = x.astype(np.int64)
                 n = len(x)
                 rows.append({
                     "doc_id": int(doc_id), "sample_rate": int(rate),
@@ -549,12 +610,7 @@ def resize_png_nearest(media: DataFrame, out_w: int, out_h: int,
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
                 sw, sh, px = png_decode(bytes(blob))
-                a = np.frombuffer(px, dtype=np.uint8) \
-                    .reshape(sh, sw, 4)
-                ix = (np.arange(out_w) * sw) // out_w
-                iy = (np.arange(out_h) * sh) // out_h
-                out = a[iy][:, ix]
-                raw = out.tobytes()
+                raw = resize_nearest_kernel(px, sw, sh, out_w, out_h)
                 rows.append({
                     "doc_id": int(doc_id),
                     "media": png_encode(out_w, out_h, raw),
@@ -583,29 +639,16 @@ def resample_pcm_linear(media: DataFrame, target_rate: int,
     polyphase) resampling needs scipy-class kernels and stays the
     documented env-gated boundary. Arrow-batched mapInPandas,
     map-only, zero shuffle."""
-    import struct
-
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
-                b = bytes(blob)
-                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
-                src_rate, = struct.unpack("<I", b[24:28])
-                size, = struct.unpack("<I", b[40:44])
-                x = np.frombuffer(b[44:44 + size], dtype="<i2") \
-                    .astype(np.float64)
-                n = len(x)
-                if n < 2:  # nothing to interpolate between
-                    y, n_out = x, n
-                else:
-                    n_out = (n - 1) * target_rate // src_rate + 1
-                    t = np.arange(n_out) * (src_rate / target_rate)
-                    lo = np.minimum(t.astype(np.int64), n - 2)
-                    frac = t - lo
-                    y = x[lo] + frac * (x[lo + 1] - x[lo])
+                src_rate, x = wav_parse(bytes(blob))
+                x = x.astype(np.float64)
+                y = resample_linear_kernel(x, src_rate, target_rate)
+                n_out = len(y)
                 rows.append({
                     "doc_id": int(doc_id),
                     "sample_rate": int(target_rate),
@@ -964,24 +1007,20 @@ def roundtrip_check(documents: DataFrame) -> DataFrame:
                 rows.append({"doc_id": doc_id, "fmt": "png",
                              "dim1": pw, "dim2": ph,
                              "payload_ok": px == rgba})
-                # --- WAV (pack -> RIFF parse -> frombuffer, the
-                # decode_wav_samples sample path; compared against
-                # INDEPENDENTLY recomputed sine values, so a chunk
-                # offset / byte-order / width bug flips the flag) ---
-                import numpy as np
+                # --- WAV: the PRODUCTION container path end-to-end —
+                # sine_pcm_values (synthesize_wav_pcm's payload) →
+                # wav_build (its RIFF header math) → wav_parse
+                # (decode_wav_samples' chunk walk) — compared against
+                # an INDEPENDENTLY recomputed scalar sine replay, so a
+                # chunk offset / byte-order / width / tone-formula bug
+                # in any of those production functions flips the flag.
                 rate, n = 8000, ln % 200 + 50
                 expect = [int(12000 * math.sin(
                     2 * math.pi * (200 + (doc_id % 40) * 20)
                     * i / rate)) for i in range(n)]
-                pcm = b"".join(struct.pack("<h", v) for v in expect)
-                blob = (b"RIFF" + struct.pack("<I", 36 + len(pcm))
-                        + b"WAVEfmt "
-                        + struct.pack("<IHHIIHH", 16, 1, 1, rate,
-                                      rate * 2, 2, 16)
-                        + b"data" + struct.pack("<I", len(pcm)) + pcm)
-                drate, = struct.unpack("<I", blob[24:28])
-                dsize, = struct.unpack("<I", blob[40:44])
-                got = np.frombuffer(blob[44:44 + dsize], dtype="<i2")
+                pcm = b"".join(struct.pack("<h", v)
+                               for v in sine_pcm_values(doc_id, n, rate))
+                drate, got = wav_parse(wav_build(rate, pcm))
                 rows.append({"doc_id": doc_id, "fmt": "wav",
                              "dim1": int(drate),
                              "dim2": len(got),
@@ -1031,15 +1070,17 @@ def transform_check(documents: DataFrame, out_w: int = 8,
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id, ln = int(doc_id), len(text)
-                # --- PNG nearest-neighbor resize ---
+                # --- PNG nearest-neighbor resize: the PRODUCTION
+                # pipeline — png_encode → png_decode →
+                # resize_nearest_kernel (resize_png_nearest's exact
+                # index mapping) → re-encode → decode; expected pixels
+                # come from the independent closed form below.
                 sw, sh = ln % 16 + 1, ln % 12 + 1
                 rgba = deterministic_pixels(doc_id, sw, sh)
                 dw, dh, px = png_decode(png_encode(sw, sh, rgba))
-                a = np.frombuffer(px, dtype=np.uint8).reshape(dh, dw, 4)
-                ix = (np.arange(out_w) * dw) // out_w
-                iy = (np.arange(out_h) * dh) // out_h
-                rw, rh, rpx = png_decode(
-                    png_encode(out_w, out_h, a[iy][:, ix].tobytes()))
+                rw, rh, rpx = png_decode(png_encode(
+                    out_w, out_h,
+                    resize_nearest_kernel(px, dw, dh, out_w, out_h)))
                 exp = bytearray()
                 for y in range(out_h):
                     for x in range(out_w):
@@ -1052,18 +1093,22 @@ def transform_check(documents: DataFrame, out_w: int = 8,
                              "dim1": sw, "dim2": sh,
                              "payload_ok": (rw, rh) == (out_w, out_h)
                              and rpx == bytes(exp)})
-                # --- WAV linear resample ---
+                # --- WAV linear resample: the PRODUCTION path —
+                # sine_pcm_values → wav_build → wav_parse →
+                # resample_linear_kernel (resample_pcm_linear's
+                # interpolation); expected values are the independent
+                # scalar replay below.
                 src_rate, n = 8000, ln % 200 + 50
                 vals = [int(12000 * math.sin(
                     2 * math.pi * (200 + (doc_id % 40) * 20)
                     * i / src_rate)) for i in range(n)]
-                pcm = b"".join(struct.pack("<h", v) for v in vals)
-                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                pcm = b"".join(struct.pack("<h", v)
+                               for v in sine_pcm_values(doc_id, n,
+                                                        src_rate))
+                prate, xi = wav_parse(wav_build(src_rate, pcm))
+                y = resample_linear_kernel(xi.astype(np.float64),
+                                           prate, target_rate)
                 n_out = (n - 1) * target_rate // src_rate + 1
-                ti = np.arange(n_out) * (src_rate / target_rate)
-                lo = np.minimum(ti.astype(np.int64), n - 2)
-                frac = ti - lo
-                y = x[lo] + frac * (x[lo + 1] - x[lo])
                 ok = len(y) == n_out
                 for i in range(n_out):  # independent scalar replay
                     t = i * (src_rate / target_rate)

@@ -184,6 +184,17 @@ def scd2_maintain(df: DataFrame, key: str = "user_id",
         if rows is None or len(rows) == 0:
             return None
         rows = rows.sort_values([ts_col, seq_col])
+        # a redelivered event can land twice WITHIN one micro-batch
+        # just as easily as across batches — the same idempotent rule
+        # applies: an exact (ts, seq) duplicate is always dropped and
+        # counted, in both modes (r10-advisor fix; without this,
+        # 'drop' mode applied same-batch duplicates twice)
+        dup = rows.duplicated([ts_col, seq_col])
+        n_dup = int(dup.sum())
+        if n_dup:
+            state.put("n_redelivered",
+                      state.get("n_redelivered", 0) + n_dup)
+            rows = rows[~dup]
         versions: list = state.get("versions", [])
         last = state.get("last", None)  # (ts_ns, seq) last applied
         if last is not None:
@@ -192,12 +203,12 @@ def scd2_maintain(df: DataFrame, key: str = "user_id",
                    for ts, sq in zip(rows[ts_col], rows[seq_col])]
             stale = [p for p in pos if p <= cursor]
             if stale:
-                if (on_redelivery == "error"
-                        and any(p < cursor for p in stale)):
+                regressed = [p for p in stale if p < cursor]
+                if on_redelivery == "error" and regressed:
                     raise ValueError(
                         f"scd2_maintain: out-of-order arrival for key "
-                        f"{k}: batch contains (ts={stale[0][0]}, "
-                        f"seq={stale[0][1]}) strictly before the "
+                        f"{k}: batch contains (ts={regressed[0][0]}, "
+                        f"seq={regressed[0][1]}) strictly before the "
                         f"applied cursor (ts={cursor[0]}, "
                         f"seq={cursor[1]}) — per-key event-order "
                         f"across micro-batches is required (sort or "

@@ -119,6 +119,28 @@ def test_k_core_oracle_converged_within_unrolled_rounds(con):
     assert r8 == r9 and len(r8) > 0
 
 
+def test_bpe_oracle_every_round_has_a_winner(con):
+    """r10-ADVICE pin: _bpe_oracle_ctes unrolls 8 merge rounds; if the
+    corpus exhausted mergeable pairs before round 8, an empty t{r}
+    would CROSS-JOIN-empty every later round and the oracle would
+    silently lose the whole vocabulary instead of carrying it
+    forward. Pin that the verification corpus feeds all 8 rounds —
+    each t{r} must hold exactly its one winning pair (and, same
+    contract for the encode face, v8 must be non-empty)."""
+    from flink_1_11_2_with_comments_spark.queries.pipeline_ops import (
+        _bpe_oracle_ctes)
+    counts = con.execute(
+        _bpe_oracle_ctes(8) + "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT {r} AS r, COUNT(*) AS n FROM t{r}"
+            for r in range(1, 9))
+        + "\n    UNION ALL SELECT 9 AS r, COUNT(*) AS n FROM v8"
+    ).fetchall()
+    got = dict(counts)
+    assert all(got[r] == 1 for r in range(1, 9)), got
+    assert got[9] > 0
+
+
 def test_rotation_window_shape():
     """The driver checks exactly the first 50 registry entries, so the
     rotation list must be 50 unique registered names and all_specs()

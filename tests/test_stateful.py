@@ -2612,6 +2612,30 @@ def test_scd2_drop_mode_replays_suffix_idempotently(spark):
                            (1, "purchase", 3, True, 3)])
 
 
+@pytest.mark.parametrize("mode", ["error", "drop"])
+def test_scd2_within_batch_duplicate_is_idempotent(spark, mode):
+    """r10-ADVICE fix: a duplicate (ts, seq) delivered twice WITHIN
+    one micro-batch must be applied once — the idempotent rule is
+    per-event, not per-cursor-crossing. Before the fix, 'drop' mode
+    deduped only against the cross-batch cursor, so same-batch
+    redelivery double-counted n_seen. Both policies must drop it (an
+    exact duplicate is never an order regression)."""
+    from datetime import datetime as dt
+
+    from flink_1_11_2_with_comments_spark.streaming.scd2 import (
+        scd2_maintain)
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    b1 = [(1, "view", t(1), 10),
+          (1, "click", t(2), 11), (1, "click", t(2), 11)]  # same batch
+    b2 = [(1, "purchase", t(3), 12)]
+    stream = _stage_explicit_batches(spark, [b1, b2], _SCD2_SCHEMA)
+    rows = _scd2_rows(f"scd2_within_dup_{mode}",
+                      scd2_maintain(stream, on_redelivery=mode))
+    assert rows == sorted([(1, "view", 1, False, 3),
+                           (1, "click", 2, False, 3),
+                           (1, "purchase", 3, True, 3)])
+
+
 def test_cep_key_prefilter_semantics(spark):
     """The key prefilter drops exactly the keys that can never match.
     Key 1 has view+click+purchase (matches); key 2 lacks purchase
