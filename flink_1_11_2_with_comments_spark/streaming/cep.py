@@ -522,25 +522,34 @@ def _key_prefilter(df: DataFrame, keys: list[str],
     """Drop whole keys that can never match BEFORE the Python NFA
     (round-9 advisor: cep_quantified's 10x scale ratio was 5.57
     because every key's events cross Arrow even when the key lacks a
-    required event type entirely). A match needs, for some branch, at
-    least one event per positive min_times>=1 step — so keep a key
-    iff EXISTS a branch whose every required flag is set somewhere in
-    the key's partition. Computed as per-key window MAXes over the
-    already-key-partitioned flag projection: satisfies the same
-    ClusteredDistribution as the downstream groupBy, so the filter
-    costs one window pass and ZERO extra shuffles, and it runs in
-    whole-stage codegen. Batch-only by construction (_flag_projection
-    callers): a stream key could still receive the missing type
-    later, so the streaming path never key-prefilters."""
+    required event type entirely). COUNT-AWARE (round-11): a match
+    binds at least min_times DISTINCT events to every positive step
+    (the NFA consumes each position once), so the necessary condition
+    per branch is per-flag COUNT >= the summed min_times of the
+    branch's positive steps carrying that flag — not merely flag
+    EXISTS. A key whose 7 clicks can never satisfy click{8,} is
+    dropped before Arrow. Keep a key iff EXISTS a branch whose every
+    required flag count clears its bound. Computed as per-key window
+    SUMs over the already-key-partitioned flag projection: satisfies
+    the same ClusteredDistribution as the downstream groupBy, so the
+    filter costs one window pass and ZERO extra shuffles, and it runs
+    in whole-stage codegen. Batch-only by construction
+    (_flag_projection callers): a stream key could still receive the
+    missing events later, so the streaming path never key-prefilters.
+    Reference gate: MatchRecognizeITCase quantifier cases."""
     w = Window.partitionBy(*keys)
     alts = []
     for br in branches:
-        req = {s.name for s in br if not s.negated and s.min_times >= 1}
-        if not req:  # a branch with no required step keeps every key
+        need: dict[str, int] = {}
+        for s in br:
+            if not s.negated and s.min_times >= 1:
+                need[s.name] = need.get(s.name, 0) + s.min_times
+        if not need:  # a branch with no required step keeps every key
             return df
         alts.append(functools.reduce(
             Column.__and__,
-            [F.max(F.col(f"__flag_{n}")).over(w) for n in sorted(req)]))
+            [F.sum(F.col(f"__flag_{n}").cast("int")).over(w) >= m
+             for n, m in sorted(need.items())]))
     # window exprs are illegal in WHERE: materialize one boolean
     # column, filter, drop
     return (df.withColumn("__key_can_match",

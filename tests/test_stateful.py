@@ -2671,3 +2671,38 @@ def test_cep_key_prefilter_semantics(spark):
     got = {r.user_id for r in match_pattern_batch(
         df, ["user_id"], "ts", neg, flag_exprs=nflags).collect()}
     assert got == {1, 3}  # key 3 has no 'error' and must survive
+
+
+def test_cep_count_aware_prefilter_semantics(spark):
+    """r11: the prefilter is COUNT-aware — a key that HAS the required
+    event type but too few occurrences to satisfy a {m,} quantifier
+    is dropped before Arrow, and the kept keys' matches are identical
+    to the unfiltered NFA result. Key 1 has 3 clicks (matches
+    click{3} purchase), key 2 has 2 clicks (type present, count
+    insufficient — prefiltered, no match), key 3 has 3 clicks but no
+    purchase (existing flag-coverage rule)."""
+    from datetime import datetime as dt
+
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_batch)
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = []
+    for uid, n_clicks, purchase in ((1, 3, True), (2, 2, True),
+                                    (3, 3, False)):
+        rows += [(uid, uid * 100 + i, t(i), "click")
+                 for i in range(n_clicks)]
+        if purchase:
+            rows.append((uid, uid * 100 + 50, t(50), "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string")
+    flags = [F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    steps = [QStep("a", lambda e: e["event_type"] == "click",
+                   min_times=3, max_times=3),
+             QStep("b", lambda e: e["event_type"] == "purchase")]
+    with_flags = {r.user_id for r in match_pattern_batch(
+        df, ["user_id"], "ts", steps, flag_exprs=flags).collect()}
+    without = {r.user_id for r in match_pattern_batch(
+        df, ["user_id"], "ts", steps).collect()}
+    assert with_flags == without == {1}
