@@ -1131,3 +1131,85 @@ def transform_check(documents: DataFrame, out_w: int = 8,
     par = documents.sparkSession.sparkContext.defaultParallelism
     return (documents.select("doc_id", "text").repartition(par)
             .mapInPandas(run, ROUNDTRIP_SCHEMA))
+
+
+PIXEL_CHECK_SCHEMA = ("doc_id bigint, width int, height int, "
+                      "n_pixels bigint, decode_ok boolean")
+
+
+def _expected_md5(documents: DataFrame, per_doc) -> DataFrame:
+    """Independent expectation stage shared by the two pixel-decode
+    check faces: per document, an md5 over pixel bytes replayed from
+    the closed-form formulas WITHOUT touching any codec or the
+    production pixel synthesizers — so a bug anywhere in the
+    production pipeline (including the synthesizer formulas) shows up
+    as a mismatch rather than cancelling out. `per_doc(doc_id, ln)`
+    returns the expected raw pixel bytes."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = per_doc(int(doc_id), len(text))
+                rows.append({"doc_id": int(doc_id),
+                             "e_md5": hashlib.md5(px).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(run, "doc_id bigint, e_md5 string"))
+
+
+def pixel_decode_check(documents: DataFrame) -> DataFrame:
+    """Hash-enforced closed loop over the PRODUCTION PNG pixel
+    pipeline: synthesize_png_pixels → decode_png_pixels (the exact
+    operator pair multimodal_pixel_decode runs), with the decoded
+    px_md5 compared against an INDEPENDENT md5 of the closed-form
+    RGBA field — decode_ok also folds in alpha_opaque. Any regression
+    in the encoder, the zlib/filter decode, or the stats wrapper
+    flips a column the relational oracle pins (dims from
+    length(text), decode_ok = TRUE)."""
+    dec = decode_png_pixels(synthesize_png_pixels(documents))
+
+    def per_doc(doc_id: int, ln: int) -> bytes:
+        w, h = ln % 16 + 1, ln % 12 + 1
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px += bytes(((x * 7 + doc_id) % 256,
+                             (y * 13 + doc_id) % 256,
+                             (x * y + 3 * doc_id) % 256, 255))
+        return bytes(px)
+
+    exp = _expected_md5(documents, per_doc)
+    return (dec.join(exp, "doc_id")
+            .select("doc_id", "width", "height", "n_pixels",
+                    ((F.col("px_md5") == F.col("e_md5"))
+                     & F.col("alpha_opaque")).alias("decode_ok")))
+
+
+def gif_decode_check(documents: DataFrame) -> DataFrame:
+    """Hash-enforced closed loop over the PRODUCTION GIF pipeline:
+    synthesize_gif_pixels → decode_gif_pixels (the operator pair
+    multimodal_gif_decode runs), decoded px_md5 vs an independent md5
+    of palette[closed-form index] RGB bytes — covers LZW encode,
+    sub-block framing, LZW decode, and palette application. Dims and
+    decode_ok = TRUE are stated relationally by the oracle."""
+    dec = decode_gif_pixels(synthesize_gif_pixels(documents))
+
+    def per_doc(doc_id: int, ln: int) -> bytes:
+        w, h = ln % 21 + 4, ln % 17 + 4
+        rgb = bytearray()
+        for y in range(h):
+            for x in range(w):
+                i = ((x // 3) + y + doc_id) % 16
+                rgb += bytes(((i * 37) % 256, (i * 83) % 256,
+                              (i * 151) % 256))
+        return bytes(rgb)
+
+    exp = _expected_md5(documents, per_doc)
+    return (dec.join(exp, "doc_id")
+            .select("doc_id", "width", "height", "n_pixels",
+                    (F.col("px_md5") == F.col("e_md5"))
+                    .alias("decode_ok")))

@@ -3382,6 +3382,58 @@ def multimodal_transform_check(spark, sf_dir):
 
 
 @register(
+    "multimodal_pixel_check",
+    """
+    SELECT doc_id,
+           CAST(length(text) % 16 + 1 AS INT) AS width,
+           CAST(length(text) % 12 + 1 AS INT) AS height,
+           CAST((length(text) % 16 + 1) * (length(text) % 12 + 1)
+                AS BIGINT) AS n_pixels,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+    doc="HASH-ENFORCED face for the PRODUCTION PNG pixel pipeline: "
+        "runs the exact operator pair multimodal_pixel_decode runs "
+        "(synthesize_png_pixels -> decode_png_pixels) and compares "
+        "the decoded px_md5 against an INDEPENDENT md5 of the "
+        "closed-form RGBA field (plus alpha_opaque) into decode_ok; "
+        "width/height/n_pixels come from the DECODED side and the "
+        "oracle restates them from length(text). Any regression in "
+        "png_encode, the zlib/filter decode, or the stats wrapper "
+        "flips a hashed column (pipeline/multimodal.py "
+        "pixel_decode_check).",
+)
+def multimodal_pixel_check(spark, sf_dir):
+    from ..pipeline.multimodal import pixel_decode_check
+    return pixel_decode_check(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_gif_check",
+    """
+    SELECT doc_id,
+           CAST(length(text) % 21 + 4 AS INT) AS width,
+           CAST(length(text) % 17 + 4 AS INT) AS height,
+           CAST((length(text) % 21 + 4) * (length(text) % 17 + 4)
+                AS BIGINT) AS n_pixels,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+    doc="HASH-ENFORCED face for the PRODUCTION GIF pipeline: runs "
+        "the operator pair multimodal_gif_decode runs "
+        "(synthesize_gif_pixels -> decode_gif_pixels) and compares "
+        "the decoded px_md5 against an independent md5 of "
+        "palette[closed-form index] RGB bytes — covering LZW encode, "
+        "sub-block framing, LZW decode and palette application; "
+        "dims from the decoded side, restated by the oracle from "
+        "length(text) (pipeline/multimodal.py gif_decode_check).",
+)
+def multimodal_gif_check(spark, sf_dir):
+    from ..pipeline.multimodal import gif_decode_check
+    return gif_decode_check(t(spark, sf_dir, "documents"))
+
+
+@register(
     "events_hll_union",
     f"""
     WITH h AS (
