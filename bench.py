@@ -94,6 +94,11 @@ SCALE10_EXTRA = [
     # landed after the SCALE_r10 run — first measured in round 11
     "multimodal_transform_check", "tpcds_aligned_week_returns",
     "corpus_domain_quota",
+    # round-11 newcomers: the hash-enforced decode faces (map-only
+    # Python codec loops, pinned parallelism) and the q76 one-scan
+    # NULL-key census
+    "multimodal_pixel_check", "multimodal_gif_check",
+    "tpcds_null_key_census",
 ]
 
 

@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_gif_check",           # NEW hash-enforced GIF face
     "multimodal_roundtrip_check",     # kernel-rewired (production fns)
     "multimodal_transform_check",     # kernel-rewired (production fns)
+    "tpcds_null_key_census",          # NEW q76 shape (NULLIF mask)
     # (b) family canaries, oldest-first
     "agg_stats", "agg_grouping_sets", "agg_collect_list_set",
     "agg_filter_clause",
@@ -74,7 +75,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_hash", "fn_json", "fn_collections", "fn_conditional",
     "fn_temporal_overlaps", "fn_sql_udf_surface", "fn_string_extras",
     "fn_cast_semantics", "fn_time_type", "fn_percentiles",
-    "fn_higher_order",
 )
 
 
