@@ -509,8 +509,9 @@ def k_core(und: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     # first round that peels half the graph must shuffle-join instead
     broadcast_rows = 5_000_000
     for _ in range(max_iter):
+        # deg is localCheckpointed, so this filter is a cheap
+        # re-derivation — no extra materialization job for the delta
         removed = deg.where(F.col("d") < k).select("node")
-        removed = _superstep(removed)
         # one job per round: the emptiness test IS the size we need
         n_removed = removed.count()
         if n_removed == 0:
