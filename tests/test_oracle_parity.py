@@ -119,6 +119,24 @@ def test_k_core_oracle_converged_within_unrolled_rounds(con):
     assert r8 == r9 and len(r8) > 0
 
 
+def test_assert_exact_rejects_int_vs_float_skew(spark, con):
+    """r10-judge soundness pin: the driver's value hash compares cell
+    REPRESENTATIONS, where 73 != 73.0 — but Python's 73 == 73.0 is
+    True, which let events_hourly_to_daily_rollup stay red for two
+    rounds while the local harness passed. assert_exact must fail on
+    a column whose values match but whose numeric TYPE differs (the
+    DuckDB SUM(BIGINT)→HUGEINT→float64 shape), and still pass when
+    the oracle casts back to BIGINT."""
+    df = spark.createDataFrame([(73,), (12,)], "n_events bigint")
+    with pytest.raises(AssertionError, match="exact diffs"):
+        assert_exact(df, con,
+                     "SELECT 73.0 AS n_events UNION ALL "
+                     "SELECT 12.0 AS n_events", "intfloat")
+    assert_exact(df, con,
+                 "SELECT CAST(73 AS BIGINT) AS n_events UNION ALL "
+                 "SELECT CAST(12 AS BIGINT) AS n_events", "intint")
+
+
 def test_bpe_oracle_every_round_has_a_winner(con):
     """r10-ADVICE pin: _bpe_oracle_ctes unrolls 8 merge rounds; if the
     corpus exhausted mergeable pairs before round 8, an empty t{r}
