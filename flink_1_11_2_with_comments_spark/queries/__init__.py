@@ -46,6 +46,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # green the union is 100% driver-touched and debt-free.
 _PRIORITY: tuple[str, ...] = (
     # (a) round-11 new or changed — appended here as each lands.
+    # ROUND-12 QUEUE: nothing landed after this window froze; next
+    # rotation should take the canaries squeezed out of this one
+    # (fn_higher_order, fn_string_position, fn_stats_bivariate) and
+    # then the next-oldest families (window_*, rank/dedup rows,
+    # null-semantics rows, graph_* tail).
     "events_hourly_to_daily_rollup",  # THE red row: BIGINT cast fix
     "corpus_domain_quota",            # never driver-checked (post-r10)
     "tpcds_aligned_week_returns",     # never driver-checked (post-r10)
