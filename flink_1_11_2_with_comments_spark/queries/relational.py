@@ -264,13 +264,19 @@ def join_left_semi(spark, sf_dir):
     "join_left_anti",
     """
     SELECT p_partkey, p_name FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 49)
     """,
-    doc="NOT EXISTS → left-anti join — FlinkJoinType ANTI.",
+    doc="NOT EXISTS → left-anti join — FlinkJoinType ANTI. The "
+        "filtered right side keeps BOTH outcomes populated at sf0.01 "
+        "(1113 anti rows, 887 matched) — the round-10 fixture's "
+        "unfiltered lineitem covered every part, so the result was "
+        "vacuously empty and an anti-vs-semi confusion could hide.",
 )
 def join_left_anti(spark, sf_dir):
     p = t(spark, sf_dir, "part")
-    li = t(spark, sf_dir, "lineitem")
+    li = (t(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 49))
     return (p.join(li, p.p_partkey == li.l_partkey, "left_anti")
             .select("p_partkey", "p_name"))
 

@@ -119,6 +119,29 @@ def test_k_core_oracle_converged_within_unrolled_rounds(con):
     assert r8 == r9 and len(r8) > 0
 
 
+def test_no_oracle_is_vacuously_empty(con):
+    """r11 audit, made standing: a 0-row result passes the driver's
+    hash no matter how the operator is implemented (how
+    setop_except_all shipped an exceptAll that was never exercised,
+    and join_left_anti/tpch_q20/tpch_q22/tpcds_fraction_of_max were
+    green on empty sets for ten rounds). Every oracle must return at
+    least one row at the verification scale — except the entries
+    whose EMPTINESS is the semantic point."""
+    intentionally_empty = {
+        "null_not_in",  # NULL-in-subquery three-valued logic: the
+                        # empty result IS the NULL-semantics pin
+    }
+    vacuous = []
+    for name in WITH_ORACLE:
+        if name in intentionally_empty:
+            continue
+        n = con.execute(
+            f"SELECT COUNT(*) FROM ({SPECS[name].oracle})").fetchone()[0]
+        if n == 0:
+            vacuous.append(name)
+    assert not vacuous, f"0-row oracles (vacuous checks): {vacuous}"
+
+
 def test_assert_exact_rejects_int_vs_float_skew(spark, con):
     """r10-judge soundness pin: the driver's value hash compares cell
     REPRESENTATIONS, where 73 != 73.0 — but Python's 73 == 73.0 is
