@@ -95,10 +95,11 @@ SCALE10_EXTRA = [
     "multimodal_transform_check", "tpcds_aligned_week_returns",
     "corpus_domain_quota",
     # round-11 newcomers: the hash-enforced decode faces (map-only
-    # Python codec loops, pinned parallelism) and the q76 one-scan
-    # NULL-key census
+    # Python codec loops, pinned parallelism), the q76 one-scan
+    # NULL-key census, and the broadcast bloom dedup prefilter
+    # (probe side must scale with zero shuffles)
     "multimodal_pixel_check", "multimodal_gif_check",
-    "tpcds_null_key_census",
+    "tpcds_null_key_census", "corpus_bloom_dedup_prefilter",
 ]
 
 

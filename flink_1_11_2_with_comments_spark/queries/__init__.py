@@ -48,7 +48,8 @@ _PRIORITY: tuple[str, ...] = (
     # (a) round-11 new or changed — appended here as each lands.
     # ROUND-12 QUEUE: nothing landed after this window froze; next
     # rotation should take the canaries squeezed out of this one
-    # (fn_string_extras, fn_cast_semantics, fn_time_type, fn_percentiles,
+    # (fn_sql_udf_surface, fn_string_extras, fn_cast_semantics,
+    # fn_time_type, fn_percentiles,
     # fn_higher_order, fn_string_position, fn_stats_bivariate) and
     # then the next-oldest families (window_*, rank/dedup rows,
     # null-semantics rows, graph_* tail).
@@ -67,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-11 empty-result audit: these four were vacuously green
     # (0-row results at sf0.01); re-fixtured to non-empty this round
     "join_left_anti", "tpch_q20", "tpch_q22", "tpcds_fraction_of_max",
+    "corpus_bloom_dedup_prefilter",   # NEW bloom dedup prefilter
     # (b) family canaries, oldest-first
     "agg_stats", "agg_grouping_sets", "agg_collect_list_set",
     "agg_filter_clause",
@@ -82,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_string_basics", "fn_string_regex_split",
     "fn_string_predicates_base64", "fn_math", "fn_temporal",
     "fn_hash", "fn_json", "fn_collections", "fn_conditional",
-    "fn_temporal_overlaps", "fn_sql_udf_surface",
+    "fn_temporal_overlaps",
 )
 
 

@@ -3409,6 +3409,61 @@ def multimodal_pixel_check(spark, sf_dir):
 
 
 @register(
+    "corpus_bloom_dedup_prefilter",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             md5(substring(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                           1, 40)) AS h
+      FROM documents
+    ), hist AS (SELECT h FROM d WHERE doc_id % 2 = 0),
+    new_ AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1),
+    bloom AS (
+      SELECT DISTINCT CAST('0x' || substring(md5('0:' || h), 1, 15)
+                           AS BIGINT) % 2048 AS pos FROM hist
+      UNION
+      SELECT CAST('0x' || substring(md5('1:' || h), 1, 15)
+                  AS BIGINT) % 2048 FROM hist
+    ), probe AS (
+      SELECT doc_id, h,
+        CAST('0x' || substring(md5('0:' || h), 1, 15)
+             AS BIGINT) % 2048 AS p0,
+        CAST('0x' || substring(md5('1:' || h), 1, 15)
+             AS BIGINT) % 2048 AS p1
+      FROM new_
+    )
+    SELECT doc_id,
+           p0 IN (SELECT pos FROM bloom)
+             AND p1 IN (SELECT pos FROM bloom) AS bloom_hit,
+           h IN (SELECT h FROM hist) AS exact_dup,
+           (p0 IN (SELECT pos FROM bloom)
+             AND p1 IN (SELECT pos FROM bloom))
+             AND h NOT IN (SELECT h FROM hist) AS false_pos
+    FROM probe
+    """,
+    doc="Bloom-filter dedup prefilter (m=2048, k=2): incremental "
+        "dedup of a NEW batch (odd doc_ids) against a HISTORICAL "
+        "corpus (even doc_ids) without a fact-fact join — build the "
+        "bit-position set over historical prefix digests once (one "
+        "explode+distinct, <= m rows regardless of corpus size), "
+        "broadcast it, probe via k map-side joins with ZERO shuffle "
+        "of the new batch. No false negatives by construction "
+        "(exact_dup implies bloom_hit, pytest-pinned); false_pos is "
+        "the tunable second-stage cost. The oracle restates the "
+        "ENTIRE filter bit-for-bit — same md5-salted positions, same "
+        "modulus — not just its error rate. Reference parity: the "
+        "runtime's hash-join Bloom prefilter "
+        "(flink-runtime/operators/util/BloomFilter.java; "
+        "MutableHashTable.java per-partition filters), surfaced as "
+        "the corpus-dedup operator a 100 TB ingest pipeline runs "
+        "per epoch (pipeline/bloom.py).",
+)
+def corpus_bloom_dedup_prefilter(spark, sf_dir):
+    from ..pipeline.bloom import bloom_dedup_prefilter
+    return bloom_dedup_prefilter(t(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_gif_check",
     """
     SELECT doc_id,

@@ -1527,3 +1527,31 @@ def test_bpe_sql_oracle_greedy_merge_adversarial():
         got = sorted(con.execute(sql).fetchall())
         con.close()
         assert got == sorted(expect), (texts, got, expect)
+
+
+def test_bloom_prefilter_guarantees_and_plan(spark):
+    """The Bloom dedup prefilter's two contracts: (1) NO FALSE
+    NEGATIVES — every exact duplicate is a bloom hit (the property
+    that makes it a safe prefilter: skipping bloom-misses can never
+    drop a real duplicate); (2) every outcome class is actually
+    exercised by the verification corpus (clean miss, false positive,
+    true duplicate — a fixture where any class is empty couldn't
+    falsify the filter). Plan contract: the probe side runs on
+    BROADCAST joins only — the new batch never shuffles (the whole
+    point vs a fact-fact join at 100 TB)."""
+    from flink_1_11_2_with_comments_spark.pipeline.bloom import (
+        bloom_dedup_prefilter)
+    docs = load_table(spark, SF, "documents")
+    out = bloom_dedup_prefilter(docs)
+    rows = out.collect()
+    assert not any(r.exact_dup and not r.bloom_hit for r in rows), \
+        "false negative: an exact duplicate missed the bloom filter"
+    classes = {(r.bloom_hit, r.exact_dup) for r in rows}
+    assert (False, False) in classes  # clean miss
+    assert (True, False) in classes   # false positive (2nd-stage cost)
+    assert (True, True) in classes    # true duplicate
+    for r in rows:
+        assert r.false_pos == (r.bloom_hit and not r.exact_dup)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
