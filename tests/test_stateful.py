@@ -2706,3 +2706,54 @@ def test_cep_count_aware_prefilter_semantics(spark):
     without = {r.user_id for r in match_pattern_batch(
         df, ["user_id"], "ts", steps).collect()}
     assert with_flags == without == {1}
+
+
+def test_streaming_bloom_parity(spark):
+    """The streamed Bloom position set drains BIT-EQUAL to the batch
+    pipeline/bloom.bloom_build filter at two micro-batchings,
+    including out-of-order replay (set-union is order-independent and
+    idempotent) — the incremental-maintenance contract that lets a
+    100 TB ingest keep its dedup prefilter current without
+    rebuilding from history. Per-source sharded filters, the
+    deployment shape."""
+    from flink_1_11_2_with_comments_spark.catalog import load_table
+    from flink_1_11_2_with_comments_spark.pipeline.bloom import (
+        bloom_build, bloom_positions)
+    from flink_1_11_2_with_comments_spark.streaming.bloom_state import (
+        bloom_build_stream, positions_digest)
+
+    docs = load_table(spark, SF, "documents")
+    digest = F.md5(F.substring(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 40))
+    hist = docs.where(F.col("doc_id") % 2 == 0) \
+        .select("source", digest.alias("h"), "doc_id")
+
+    # batch filters, per source shard (bloom_build is per-corpus; the
+    # sharded form groups the exploded positions by the shard key)
+    exp = {}
+    for src in [r.source for r in hist.select("source").distinct()
+                .collect()]:
+        pos = {r.pos for r in bloom_build(
+            hist.where(F.col("source") == src), F.col("h")).collect()}
+        exp[src] = (len(pos), positions_digest(pos))
+
+    for n_batches, order in ((3, "doc_id"), (5, None)):
+        stream = replay_as_stream(hist, n_batches=n_batches,
+                                  order_by=order)
+        out = bloom_build_stream(stream, ["source"], "h")
+        got = write_stream_to_memory(
+            out, f"bloom{n_batches}_{order}", output_mode="update")
+        latest = (got.withColumn(
+            "mx", F.max("n_seen").over(W.partitionBy("source")))
+            .where(F.col("n_seen") == F.col("mx")))
+        drained = {r.source: (r.n_positions, r.positions_md5)
+                   for r in latest.collect()}
+        assert drained == exp, (n_batches, order)
+
+    # the Python position mirror must equal the JVM column expression
+    jvm = hist.select("h", *bloom_positions(F.col("h"), 2048, 2)) \
+        .limit(20).collect()
+    from flink_1_11_2_with_comments_spark.streaming.bloom_state import (
+        bloom_positions_py)
+    for r in jvm:
+        assert bloom_positions_py(r.h, 2048, 2) == [r.p0, r.p1]
