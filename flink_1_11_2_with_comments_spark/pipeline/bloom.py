@@ -34,12 +34,13 @@ from pyspark.sql import functions as F
 from .dedup import md5_int_expr
 
 
-def bloom_positions(value: Column, m_bits: int, k: int) -> list[Column]:
+def bloom_positions(value: Column, m_bits: int, k: int,
+                    prefix: str = "p") -> list[Column]:
     """The k bit positions of a value: position_i = md5(i ':' value)
     mod m — independent salted hashes, identical in Spark and DuckDB
     (CAST('0x'||substring(md5(...),1,15) AS BIGINT) % m)."""
-    return [(md5_int_expr(value, salt=f"{i}:") % m_bits).alias(f"p{i}")
-            for i in range(k)]
+    return [(md5_int_expr(value, salt=f"{i}:") % m_bits)
+            .alias(f"{prefix}{i}") for i in range(k)]
 
 
 def bloom_build(df: DataFrame, value: Column,
@@ -60,17 +61,19 @@ def bloom_probe(df: DataFrame, value: Column, bloom: DataFrame,
     """Append a `bloom_hit` column: TRUE iff ALL k positions of the
     value are set in the filter. k broadcast left joins against the
     (≤ m_bits)-row position set — map-side, zero shuffle of the probe
-    side; no false negatives by construction."""
-    out = df.select("*", *bloom_positions(value, m_bits, k))
+    side; no false negatives by construction. Work columns carry a
+    __bloom_ prefix so they cannot shadow caller columns."""
+    out = df.select("*", *bloom_positions(value, m_bits, k,
+                                          prefix="__bloom_p"))
     hit = F.lit(True)
     for i in range(k):
-        marked = bloom.select(F.col("pos").alias(f"p{i}"),
-                              F.lit(True).alias(f"__hit{i}"))
-        out = out.join(F.broadcast(marked), f"p{i}", "left")
-        hit = hit & F.coalesce(F.col(f"__hit{i}"), F.lit(False))
+        marked = bloom.select(F.col("pos").alias(f"__bloom_p{i}"),
+                              F.lit(True).alias(f"__bloom_hit{i}"))
+        out = out.join(F.broadcast(marked), f"__bloom_p{i}", "left")
+        hit = hit & F.coalesce(F.col(f"__bloom_hit{i}"), F.lit(False))
     return (out.withColumn("bloom_hit", hit)
-            .drop(*[f"p{i}" for i in range(k)],
-                  *[f"__hit{i}" for i in range(k)]))
+            .drop(*[f"__bloom_p{i}" for i in range(k)],
+                  *[f"__bloom_hit{i}" for i in range(k)]))
 
 
 def bloom_dedup_prefilter(documents: DataFrame,
