@@ -56,6 +56,49 @@ def _superstep(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def cooccurrence_pairs(df: DataFrame, group_col: str,
+                       item_col: str) -> DataFrame:
+    """Unordered co-occurrence pairs (a < b) of items sharing a group —
+    the edge build behind co-purchase graphs and market-basket rules
+    (Gelly examples build the same projection with a reduce-on-order +
+    cross within group; reference flink-gelly Graph.fromDataSet usage
+    in the library examples).
+
+    ONE shuffle: groupBy(group) -> array_sort(collect_set(item)) ->
+    map-side pair expansion with higher-order array functions. The
+    naive self-join on the group key shuffles the input TWICE (both
+    join sides) and then joins; at 10x data that build dominated
+    graph_k_core's scale ratio. Output: (group, a, b), one row per
+    distinct pair per group — callers .distinct() for a graph edge
+    set or count for association rules.
+
+    Skew bound: a group of B distinct items expands to B(B-1)/2 pairs
+    on ONE row of the grouped table, so the group-size distribution
+    bounds task skew (TPC-H orders: <= 13 lineitems; document this
+    bound before reusing on power-law baskets — a 100k-item group
+    would put 5e9 pairs on one task, where the self-join build, which
+    spreads them, is the right tool again).
+    """
+    return (df.groupBy(F.col(group_col).alias("__g"))
+            .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
+            .select(F.col("__g").alias(group_col),
+                    F.explode(pair_expand("__items")).alias("__p"))
+            .select(group_col, F.col("__p.a").alias("a"),
+                    F.col("__p.b").alias("b")))
+
+
+def pair_expand(array_col: str):
+    """Column expression: all ordered-position pairs struct(a, b) from
+    a SORTED array — the map-side kernel of cooccurrence_pairs,
+    exposed so callers that already hold grouped item sets (e.g.
+    market-basket arrays) expand pairs with zero extra shuffles.
+    Pure higher-order array functions — stays in codegen, no UDF."""
+    return F.expr(
+        f"flatten(transform({array_col}, (x, i) -> "
+        f"transform(slice({array_col}, i + 2, size({array_col})), "
+        f"y -> struct(x AS a, y AS b))))")
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Min-label propagation: component id = min node id reachable.
 

@@ -379,6 +379,17 @@ def graph_adamic_adar(spark, sf_dir):
                  .alias("aa_score")))
 
 
+def _copurchase_pairs(spark, sf_dir):
+    """Distinct part pairs sharing an order — ONE shuffle via
+    cooccurrence_pairs (order baskets are <= 13 items, so the
+    map-side expansion is skew-safe) instead of the lineitem
+    self-join that shuffles the fact table twice."""
+    from ..operators.graph import cooccurrence_pairs
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+            .select("a", "b").distinct())
+
+
 @register(
     "graph_clustering_coefficient",
     """
@@ -413,8 +424,10 @@ def graph_adamic_adar(spark, sf_dir):
         "over the PART CO-PURCHASE graph (parts sharing an order; "
         "the star-schema graph is a forest, so the metric would be "
         "vacuously zero there): per vertex, closed wedges / possible "
-        "wedges = 2T(v)/(d(v)(d(v)-1)). Edge build is one "
-        "per-order self-join + DISTINCT; the wedge enumeration is "
+        "wedges = 2T(v)/(d(v)(d(v)-1)). Edge build is ONE shuffle "
+        "(per-order item sets expanded to pairs map-side, "
+        "operators/graph.cooccurrence_pairs) + DISTINCT — not the "
+        "self-join that shuffles lineitem twice; the wedge enumeration is "
         "keyed by the center vertex and hub-salted "
         "(operators/graph.salted_wedge_pairs), so a high-degree part "
         "cannot put its d^2 neighbor pairs on one task — the "
@@ -423,14 +436,7 @@ def graph_adamic_adar(spark, sf_dir):
 )
 def graph_clustering_coefficient(spark, sf_dir):
     from ..operators.graph import salted_wedge_pairs
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("pb"))
-    pairs = (li.join(b, (li.l_orderkey == b.ok)
-                     & (li.l_partkey < b.pb))
-             .select(F.least("l_partkey", "pb").alias("a"),
-                     F.greatest("l_partkey", "pb").alias("b"))
-             .distinct())
+    pairs = _copurchase_pairs(spark, sf_dir)
     und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
         .unionAll(pairs.select(F.col("b").alias("src"),
                                F.col("a").alias("dst")))
@@ -664,14 +670,7 @@ def _k_core_oracle(k: int, rounds: int) -> str:
 )
 def graph_k_core(spark, sf_dir):
     from ..operators.graph import k_core
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("pb"))
-    pairs = (li.join(b, (li.l_orderkey == b.ok)
-                     & (li.l_partkey < b.pb))
-             .select(F.least("l_partkey", "pb").alias("a"),
-                     F.greatest("l_partkey", "pb").alias("b"))
-             .distinct())
+    pairs = _copurchase_pairs(spark, sf_dir)
     und = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionAll(pairs.select(F.col("b").alias("src"),
                                   F.col("a").alias("dst"))))

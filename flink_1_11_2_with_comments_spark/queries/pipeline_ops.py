@@ -4391,26 +4391,36 @@ def events_hll_trailing_distinct(spark, sf_dir):
         "part dimension, so supports are meaningful at test scale. "
         "Determinism: counts are exact; the two ratios are IEEE "
         "double chains stated with identical left-to-right "
-        "association in both engines. Scale: baskets are bounded by "
-        "order size (max 13 here), so the within-order pair join "
-        "explodes O(k^2) per order — data-proportional, never "
-        "all-pairs across orders; brand supports are a "
-        "domain-sized table joined back broadcast-style.",
+        "association in both engines. Scale: ONE fact shuffle — "
+        "brands broadcast-joined map-side, baskets grouped once, "
+        "pairs expanded map-side from the per-order brand sets "
+        "(operators/graph.pair_expand; O(k^2) per order, k <= 13 — "
+        "data-proportional, never all-pairs across orders); brand "
+        "supports are a domain-sized table joined back "
+        "broadcast-style.",
 )
 def basket_brand_lift(spark, sf_dir):
+    # ONE lineitem shuffle: broadcast-join the brand map-side, group
+    # straight to per-order brand sets (the DISTINCT is the
+    # collect_set), then derive n_orders / supports / pairs from the
+    # tiny basket table — not the distinct + double self-join-shuffle
+    # shape, which moved the fact table three times.
+    from ..operators.graph import pair_expand
     li = t(spark, sf_dir, "lineitem")
     pt = t(spark, sf_dir, "part")
-    b = (li.join(F.broadcast(pt),
-                 li.l_partkey == pt.p_partkey)
-         .select(F.col("l_orderkey").alias("o"),
-                 F.col("p_brand").alias("brand")).distinct())
-    n = b.agg(F.countDistinct("o").alias("n_orders"))
-    sup = b.groupBy("brand").agg(F.count("*").alias("ns"))
-    a = b.select(F.col("o"), F.col("brand").alias("brand_a"))
-    c = b.select(F.col("o").alias("o2"), F.col("brand").alias("brand_b"))
-    pairs = (a.join(c, (F.col("o") == F.col("o2"))
-                    & (F.col("brand_a") < F.col("brand_b")))
-             .groupBy("brand_a", "brand_b")
+    ob = (li.join(F.broadcast(pt),
+                  li.l_partkey == pt.p_partkey)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("p_brand").alias("brand")))
+    baskets = (ob.groupBy("o")
+               .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
+               .persist())
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    sup = (baskets.select(F.explode("brands").alias("brand"))
+           .groupBy("brand").agg(F.count("*").alias("ns")))
+    pairs = (baskets.select(F.explode(pair_expand("brands")).alias("__p"))
+             .groupBy(F.col("__p.a").alias("brand_a"),
+                      F.col("__p.b").alias("brand_b"))
              .agg(F.count("*").alias("pair_n")))
     out = (pairs
            .join(sup.select(F.col("brand").alias("brand_a"),

@@ -393,3 +393,26 @@ def test_k_core_known_graph(spark):
     df = spark.createDataFrame(und, "src bigint, dst bigint")
     got = {(r.node, r.core_degree) for r in k_core(df, k=3).collect()}
     assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+
+def test_cooccurrence_pairs_equals_self_join(spark):
+    """The one-shuffle grouped pair expansion must produce exactly the
+    multiset the self-join build produced (same groups, same a < b
+    pairs, duplicates within a group collapsed by the collect_set) —
+    including duplicate items in a group and singleton/empty groups."""
+    from flink_1_11_2_with_comments_spark.operators.graph import (
+        cooccurrence_pairs)
+    rows = [(1, 10), (1, 20), (1, 30), (1, 10),  # dup item in group
+            (2, 5),                               # singleton: no pairs
+            (3, 7), (3, 7),                       # dup-only: no pairs
+            (4, 2), (4, 1)]                       # unsorted input
+    df = spark.createDataFrame(rows, "g bigint, item bigint")
+    got = sorted((r.g, r.a, r.b)
+                 for r in cooccurrence_pairs(df, "g", "item").collect())
+    b = df.select(F.col("g").alias("g2"), F.col("item").alias("i2"))
+    want = sorted((r.g, r.a, r.b) for r in
+                  (df.join(b, (df.g == b.g2) & (df.item < b.i2))
+                   .select("g", F.col("item").alias("a"),
+                           F.col("i2").alias("b")).distinct()).collect())
+    assert got == want
+    assert (1, 1, 2) not in got and (4, 1, 2) in got
