@@ -3685,10 +3685,13 @@ def tpcds_consecutive_share_growth(spark, sf_dir):
         "Y that reappear through the return channel (flag R) in year "
         "Y+1 at a HIGHER average price (q64's store-purchase -> "
         "later-resale chain with its price condition). The per-"
-        "(item, year, channel) aggregate is built once from one fact "
-        "scan; the chain is a self-join of that aggregate on the "
-        "shifted year, so the fact-fact join carries aggregates, "
-        "not raw rows; part broadcasts for identification. Parity: "
+        "(item, year) aggregate carries BOTH channels as conditional "
+        "aggregates from one fact scan, and the year-shift chain is a "
+        "lead() window per item — ONE shuffle total (the explicit "
+        "partkey repartition satisfies the groupBy's AND the window's "
+        "ClusteredDistribution; the yr+1 row exists iff either channel "
+        "traded, so lead() sees it exactly when the self-join would), "
+        "no fact self-join; part broadcasts for identification. Parity: "
         "avg = exact-decimal sum / count in both engines (bit-equal "
         "doubles); the price comparison runs on the raw quotients, "
         "rounding only on output.",
@@ -3696,34 +3699,43 @@ def tpcds_consecutive_share_growth(spark, sf_dir):
 def tpcds_item_chain_resale(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    cy = (li.where(F.col("l_returnflag").isin("N", "R"))
-          .groupBy("l_partkey",
-                   F.year("l_shipdate").alias("yr"),
-                   F.col("l_returnflag").alias("channel"))
-          .agg(F.count("*").alias("n"),
-               (dsum("l_extendedprice", 6) / F.count("*"))
-               .alias("avg_price")))
-    s = (cy.where(F.col("channel") == "N")
-         .select(F.col("l_partkey").alias("s_part"),
-                 F.col("yr").alias("s_yr"),
-                 F.col("n").alias("n_sold"),
-                 F.col("avg_price").alias("avg_s")))
-    r = (cy.where(F.col("channel") == "R")
-         .select(F.col("l_partkey").alias("r_part"),
-                 F.col("yr").alias("r_yr"),
-                 F.col("n").alias("n_resold"),
-                 F.col("avg_price").alias("avg_r")))
-    return (s.join(r, (F.col("s_part") == F.col("r_part"))
-                   & (F.col("r_yr") == F.col("s_yr") + 1)
-                   & (F.col("avg_r") > F.col("avg_s")))
-            .join(F.broadcast(p), F.col("s_part") == p.p_partkey)
+    par = spark.sparkContext.defaultParallelism
+    is_n = F.col("l_returnflag") == "N"
+    is_r = F.col("l_returnflag") == "R"
+    price = F.col("l_extendedprice")
+    # one shuffle: HashPartitioning(partkey) satisfies the
+    # ClusteredDistribution of BOTH the (partkey, yr) groupBy and the
+    # partkey window below
+    g = (li.where(F.col("l_returnflag").isin("N", "R"))
+         .select("l_partkey", F.year("l_shipdate").alias("yr"),
+                 "l_returnflag", "l_extendedprice")
+         .repartition(par, "l_partkey")
+         .groupBy("l_partkey", "yr")
+         .agg(F.sum(is_n.cast("int")).alias("n_sold"),
+              (dsum(F.when(is_n, price), 6)
+               / F.sum(is_n.cast("int"))).alias("avg_s"),
+              F.sum(is_r.cast("int")).alias("n_r"),
+              (dsum(F.when(is_r, price), 6)
+               / F.sum(is_r.cast("int"))).alias("avg_r")))
+    w = W.partitionBy("l_partkey").orderBy("yr")
+    chained = (g.select(
+        "l_partkey", "yr", "n_sold", "avg_s",
+        F.lead("yr").over(w).alias("nx_yr"),
+        F.lead("n_r").over(w).alias("n_resold"),
+        F.lead("avg_r").over(w).alias("avg_r2"))
+        .where((F.col("n_sold") > 0)
+               & (F.col("nx_yr") == F.col("yr") + 1)
+               & (F.col("n_resold") > 0)
+               & (F.col("avg_r2") > F.col("avg_s"))))
+    return (chained
+            .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
             .select(F.col("p_brand"),
-                    F.col("s_part").alias("partkey"),
-                    F.col("s_yr").cast("bigint").alias("yr"),
+                    F.col("l_partkey").alias("partkey"),
+                    F.col("yr").cast("bigint").alias("yr"),
                     "n_sold", "n_resold",
                     F.round(F.col("avg_s"), 4).cast("double")
                     .alias("avg_first"),
-                    F.round(F.col("avg_r"), 4).cast("double")
+                    F.round(F.col("avg_r2"), 4).cast("double")
                     .alias("avg_second")))
 
 
