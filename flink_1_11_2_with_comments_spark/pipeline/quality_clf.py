@@ -94,7 +94,17 @@ def logreg_fit(docs: DataFrame, rounds: int = 3,
     and the unrolled SQL oracle all produce identical weights."""
     from ..operators.graph import _superstep
 
-    xt = _superstep(doc_features(docs, target_lang))
+    # persist, not localCheckpoint: xt is CONSTANT across rounds (only
+    # w iterates, and w gets its own per-round checkpoint below), so
+    # the plan cannot grow — and persist keeps the repartition's
+    # HashPartitioning(doc_id) visible to the optimizer, which a
+    # checkpoint's LogicalRDD drops. With xt pre-partitioned by
+    # doc_id, each round's margin groupBy(doc_id) AND the gradient's
+    # xt-join-p on doc_id are exchange-free; the only per-round
+    # shuffles left are the 4097-row weight/gradient tables.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    xt = (doc_features(docs, target_lang)
+          .repartition(par, "doc_id").persist())
     n_docs = xt.select("doc_id").distinct().count()
     w = (docs.sparkSession.range(N_BUCKETS + 1)
          .select(F.col("id").cast("int").alias("b"),
