@@ -4203,16 +4203,23 @@ def events_kmv_intersection(spark, sf_dir):
     h = du.select("event_type",
                   md5_int_expr(F.col("user_id").cast("string"))
                   .alias("hv"))
+    # rk <= 16 directly above the rank window triggers Spark's
+    # InferWindowGroupLimit: each map task forwards only its local
+    # top-16 hashes per type into the window exchange, so the sort
+    # never sees the full per-type hash set (the n_hashes COUNT
+    # window the previous shape carried alongside forced a full
+    # pass and disabled the pushdown — it comes from a tiny groupBy
+    # broadcast instead)
     w2 = W.partitionBy("event_type").orderBy("hv")
-    ranked = (h.withColumn("rk", F.row_number().over(w2))
-              .withColumn("n_hashes",
-                          F.count("*").over(W.partitionBy("event_type"))))
-    kth = (ranked.where(
-        F.col("rk") == F.when(F.col("n_hashes") < 16,
-                              F.col("n_hashes")).otherwise(16))
-        .select(F.when(F.col("n_hashes") < 16,
-                       F.lit(1152921504606846976).cast("bigint"))
-                .otherwise(F.col("hv")).alias("th")))
+    top16 = (h.withColumn("rk", F.row_number().over(w2))
+             .where(F.col("rk") <= 16))
+    cnt = (du.groupBy("event_type")
+           .agg(F.count("*").alias("n_hashes")))
+    kth = (top16.join(F.broadcast(cnt), "event_type")
+           .where(F.col("rk") == F.least(F.col("n_hashes"), F.lit(16)))
+           .select(F.when(F.col("n_hashes") < 16,
+                          F.lit(1152921504606846976).cast("bigint"))
+                   .otherwise(F.col("hv")).alias("th")))
     theta = kth.agg(F.min("th").alias("theta"))
     common = (h.where(F.col("event_type") == "view").select("hv")
               .join(h.where(F.col("event_type") == "purchase")
