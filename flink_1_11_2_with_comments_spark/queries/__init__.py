@@ -46,8 +46,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # green the union is 100% driver-touched and debt-free.
 _PRIORITY: tuple[str, ...] = (
     # (a) round-11 new or changed — appended here as each lands.
-    # ROUND-12 QUEUE: nothing landed after this window froze; next
-    # rotation should take the canaries squeezed out of this one
+    # ROUND-12 QUEUE: five queries were PLAN-rewritten after this
+    # window froze (values parity-pinned locally, unchanged):
+    # basket_brand_lift + graph_clustering_coefficient (one-shuffle
+    # co-occurrence build), tpcds_item_chain_resale (lead-window
+    # chain), events_kmv_intersection (WindowGroupLimit top-k),
+    # corpus_quality_classifier_fit (persisted feature table) —
+    # front-load those, then the canaries squeezed out of this one
     # (fn_sql_udf_surface, fn_string_extras, fn_cast_semantics,
     # fn_time_type, fn_percentiles,
     # fn_higher_order, fn_string_position, fn_stats_bivariate) and
