@@ -767,7 +767,10 @@ def _bucketed_apply(df: DataFrame, keys: list[str], per_key,
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=["__cep_bucket"])
-        outs = [per_key(g) for _, g in pdf.groupby(keys, sort=False)]
+        # dropna=False: Spark's groupBy keeps null keys as a group;
+        # pandas would silently drop them
+        outs = [per_key(g)
+                for _, g in pdf.groupby(keys, sort=False, dropna=False)]
         outs = [o for o in outs if not o.empty]
         if not outs:
             return per_key(pdf.iloc[0:0])

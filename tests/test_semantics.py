@@ -416,3 +416,26 @@ def test_cooccurrence_pairs_equals_self_join(spark):
                            F.col("i2").alias("b")).distinct()).collect())
     assert got == want
     assert (1, 1, 2) not in got and (4, 1, 2) in got
+
+
+def test_bucketed_cep_keeps_null_keys(spark):
+    """_bucketed_apply sub-groups in pandas, whose groupby drops NaN
+    keys by default — Spark's groupBy keeps a null-key group, so the
+    dispatcher must pass dropna=False or null-keyed events silently
+    vanish from CEP output."""
+    import datetime as dtm
+
+    from flink_1_11_2_with_comments_spark.streaming.cep import (
+        QStep, match_pattern_batch)
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [(None, 1, t0, "a"), (None, 2, t0 + dtm.timedelta(seconds=1), "b"),
+            (7, 3, t0, "a"), (7, 4, t0 + dtm.timedelta(seconds=1), "b")]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, et string")
+    steps = [QStep("x", lambda ev: ev["et"] == "a"),
+             QStep("y", lambda ev: ev["et"] == "b")]
+    out = match_pattern_batch(
+        df, ["user_id"], "ts", steps,
+        flag_exprs=[F.col("et") == "a", F.col("et") == "b"])
+    got = {(r.user_id, r.x_first_id, r.y_first_id) for r in out.collect()}
+    assert got == {(None, 1, 2), (7, 3, 4)}
