@@ -2855,8 +2855,12 @@ def corpus_bm25_topterms(spark, sf_dir):
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
     tf = (tok.groupBy("doc_id", "tk").agg(F.count("*").alias("tf"))
           .localCheckpoint())
-    with_dl = tf.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
-    with_df = with_dl.withColumn("df", F.count("*").over(W.partitionBy("tk")))
+    # window order matters for shuffles: tk FIRST, then both doc_id
+    # windows (dl here, the top-3 row_number below) share one
+    # exchange — the doc_id->tk->doc_id order re-shuffled tf 3 times
+    with_df = tf.withColumn("df", F.count("*").over(W.partitionBy("tk")))
+    with_dl = with_df.withColumn("dl",
+                                 F.sum("tf").over(W.partitionBy("doc_id")))
     stats = tf.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.sum("tf").cast("bigint").alias("total_tokens"))
@@ -2868,7 +2872,7 @@ def corpus_bm25_topterms(spark, sf_dir):
         / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75)
                                        * F.col("dl") / avgdl)),
         9).cast("double")
-    scored = (with_df.crossJoin(F.broadcast(stats))
+    scored = (with_dl.crossJoin(F.broadcast(stats))
               .select("doc_id", "tk", score.alias("bm25")))
     w = W.partitionBy("doc_id").orderBy(F.desc("bm25"), "tk")
     return (scored.withColumn("rn", F.row_number().over(w))
