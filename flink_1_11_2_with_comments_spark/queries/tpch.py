@@ -595,21 +595,30 @@ def tpch_q17(spark, sf_dir):
     ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
     LIMIT 100
     """,
-    doc="Large-volume customer: IN-subquery with HAVING → semi join; top-100.",
+    doc="Large-volume customer: IN-subquery with HAVING → semi join; "
+        "top-100. Plan: orders:lineitem is 1:n, so sum_qty per "
+        "surviving order IS the HAVING aggregate — the per-order sum "
+        "is computed ONCE and joined to orders, instead of the "
+        "literal semi-join + second lineitem scan + re-aggregation "
+        "(one fact scan and one fact shuffle total; the decimal "
+        "filter is boundary-exact because TPC-H quantities are "
+        "integer-valued). The semi-join operator itself is pinned by "
+        "the join_* family.",
 )
 def tpch_q18(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq"))
-           .where(F.col("sq") > 150).select("l_orderkey"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+                .alias("sq"))
+           .where(F.col("sq") > 150))
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "big_ok"),
-                    orders.o_orderkey == F.col("big_ok"), "left_semi")
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice",
+                F.round(F.col("sq"), 2).cast("double").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100))
 
