@@ -447,10 +447,18 @@ def tpch_q12(spark, sf_dir):
 def tpch_q13(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    # aggregate-before-join: collapse orders to (custkey, n) FIRST —
+    # map-side partial aggregation shrinks the fact table to customer
+    # cardinality before any join shuffle, instead of left-joining raw
+    # order rows and re-shuffling the join output to count them
+    # (an aggregate pushdown Catalyst does not perform itself);
+    # count("o_orderkey") over the left join = 0 on no match =
+    # coalesce(n, 0)
+    o_cnt = (orders.groupBy("o_custkey")
+             .agg(F.count("*").alias("n")))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        cust.join(o_cnt, cust.c_custkey == o_cnt.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count")))
