@@ -80,11 +80,19 @@ def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
     # byte-based coalescing would fold the whole corpus into 1-2
     # post-shuffle partitions, serializing the CPU-bound Python NFA.
     # An explicit numPartitions repartition is exempt from AQE
-    # coalescing, satisfies the groupBy's ClusteredDistribution (no
-    # second shuffle), and matches the 100 TB layout (keyed
-    # partitions sized for cores, not bytes).
+    # coalescing and matches the 100 TB layout (keyed partitions
+    # sized for cores, not bytes). The shuffle key is the dispatch
+    # BUCKET (hash of the key, 4x parallelism): HashPartitioning on
+    # the bucket satisfies the ClusteredDistribution of everything
+    # downstream that clusters on (bucket, ...) — the prefilter
+    # window (which partitions by (bucket, keys)) and
+    # _bucketed_apply's groupBy — so this stays the ONLY exchange in
+    # the whole batch CEP plan (pinned by
+    # test_cep_key_prefilter_no_extra_shuffle).
     par = proj.sparkSession.sparkContext.defaultParallelism
-    proj = proj.repartition(par, *keys)
+    proj = proj.withColumn(
+        "__cep_bucket", F.pmod(F.hash(*keys), F.lit(max(par * 4, 8))))
+    proj = proj.repartition(par, "__cep_bucket")
     return proj, pred_map, until_map
 
 
@@ -537,7 +545,14 @@ def _key_prefilter(df: DataFrame, keys: list[str],
     (_flag_projection callers): a stream key could still receive the
     missing events later, so the streaming path never key-prefilters.
     Reference gate: MatchRecognizeITCase quantifier cases."""
-    w = Window.partitionBy(*keys)
+    # partition by (dispatch bucket, keys) when the projection carries
+    # the bucket column: semantically identical frames (the bucket is
+    # a function of the key), but HashPartitioning(bucket) from the
+    # projection's repartition then satisfies this window's
+    # ClusteredDistribution — zero extra exchanges
+    wkeys = ((["__cep_bucket"] if "__cep_bucket" in df.columns else [])
+             + list(keys))
+    w = Window.partitionBy(*wkeys)
     alts = []
     for br in branches:
         need: dict[str, int] = {}
@@ -754,16 +769,23 @@ def _bucketed_apply(df: DataFrame, keys: list[str], per_key,
     keys each; a single monster KEY still lands in one bucket, which
     is exactly the grouped-map contract (key-level skew needs the
     operator-level prefilters, not the dispatcher)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    n_buckets = max(par * 4, 8)
-    bucketed = df.withColumn(
-        "__cep_bucket", F.pmod(F.hash(*keys), F.lit(n_buckets)))
-    # Explicit-numPartitions repartition on the bucket key: AQE-exempt
-    # (same discipline as _flag_projection — byte-based coalescing
-    # would fold the narrow flag rows into 1-2 partitions and
-    # SERIALIZE the CPU-bound NFA), and it satisfies the groupBy's
-    # ClusteredDistribution so no second shuffle follows.
-    bucketed = bucketed.repartition(par, "__cep_bucket")
+    if "__cep_bucket" in df.columns:
+        # the flag projection already computed the bucket AND
+        # hash-partitioned on it (its AQE-exempt repartition is the
+        # plan's only exchange) — reuse both
+        bucketed = df
+    else:
+        # flag-less caller: add the bucket and pin the shuffle width
+        # here. Explicit-numPartitions repartition on the bucket key
+        # is AQE-exempt (byte-based coalescing would fold narrow rows
+        # into 1-2 partitions and SERIALIZE the CPU-bound NFA) and
+        # satisfies the groupBy's ClusteredDistribution, so no second
+        # shuffle follows.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        bucketed = df.withColumn(
+            "__cep_bucket",
+            F.pmod(F.hash(*keys), F.lit(max(par * 4, 8))))
+        bucketed = bucketed.repartition(par, "__cep_bucket")
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=["__cep_bucket"])
