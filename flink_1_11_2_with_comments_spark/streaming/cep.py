@@ -82,7 +82,7 @@ def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
     # An explicit numPartitions repartition is exempt from AQE
     # coalescing and matches the 100 TB layout (keyed partitions
     # sized for cores, not bytes). The shuffle key is the dispatch
-    # BUCKET (hash of the key, 4x parallelism): HashPartitioning on
+    # BUCKET (hash of the key, 16x parallelism): HashPartitioning on
     # the bucket satisfies the ClusteredDistribution of everything
     # downstream that clusters on (bucket, ...) — the prefilter
     # window (which partitions by (bucket, keys)) and
@@ -91,7 +91,7 @@ def _flag_projection(df: DataFrame, keys: list[str], ts_col: str,
     # test_cep_key_prefilter_no_extra_shuffle).
     par = proj.sparkSession.sparkContext.defaultParallelism
     proj = proj.withColumn(
-        "__cep_bucket", F.pmod(F.hash(*keys), F.lit(max(par * 4, 8))))
+        "__cep_bucket", F.pmod(F.hash(*keys), F.lit(max(par * 16, 8))))
     proj = proj.repartition(par, "__cep_bucket")
     return proj, pred_map, until_map
 
@@ -755,7 +755,7 @@ def match_pattern_batch_rows(
 def _bucketed_apply(df: DataFrame, keys: list[str], per_key,
                     out_schema: str) -> DataFrame:
     """applyInPandas for MANY SMALL KEYS: hash the key to a bucket
-    (4x parallelism) and sub-group in pandas inside the worker — ONE
+    (16x parallelism) and sub-group in pandas inside the worker — ONE
     Arrow transfer + ONE Python invocation per bucket instead of per
     key. With sf-proportional key counts (events has ~1 key per ~60
     rows) the per-group dispatch overhead of grouped-map — batch
@@ -784,7 +784,7 @@ def _bucketed_apply(df: DataFrame, keys: list[str], per_key,
         par = df.sparkSession.sparkContext.defaultParallelism
         bucketed = df.withColumn(
             "__cep_bucket",
-            F.pmod(F.hash(*keys), F.lit(max(par * 4, 8))))
+            F.pmod(F.hash(*keys), F.lit(max(par * 16, 8))))
         bucketed = bucketed.repartition(par, "__cep_bucket")
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
