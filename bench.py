@@ -148,6 +148,13 @@ def build_scale10(spark, base_dir: str, out_dir: str) -> None:
 def _time_queries(spark, specs, names, sf_dir, runs) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
+        # queries that persist() intermediates (classifier features,
+        # basket arrays, iteration state) would otherwise accumulate
+        # cached frames across 70+ queries x 2 scales x 3 runs and
+        # push later queries into memory pressure — measured as
+        # 2-3x inflation of late-running queries in back-to-back
+        # scale10 runs. Each query times against a cold cache.
+        spark.catalog.clearCache()
         took: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -202,6 +209,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in names:
+        spark.catalog.clearCache()  # same cold-cache discipline as
+        # _time_queries: persisted intermediates must not carry over
         took: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
