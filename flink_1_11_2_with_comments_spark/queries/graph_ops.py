@@ -379,15 +379,22 @@ def graph_adamic_adar(spark, sf_dir):
                  .alias("aa_score")))
 
 
-def _copurchase_pairs(spark, sf_dir):
+def _copurchase_pairs(spark, sf_dir, persist=True):
     """Distinct part pairs sharing an order — ONE shuffle via
     cooccurrence_pairs (order baskets are <= 13 items, so the
     map-side expansion is skew-safe) instead of the lineitem
-    self-join that shuffles the fact table twice."""
+    self-join that shuffles the fact table twice.
+
+    persist=True caches the pair table for consumers that read it
+    several times in one plan (clustering coefficient: both edge
+    orientations + the triangle probe) — one fact scan, not one per
+    use. k_core passes False: it checkpoints its own edge list
+    immediately, so a persist would only add a redundant copy."""
     from ..operators.graph import cooccurrence_pairs
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return (cooccurrence_pairs(li, "l_orderkey", "l_partkey")
-            .select("a", "b").distinct())
+    pairs = (cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+             .select("a", "b").distinct())
+    return pairs.persist() if persist else pairs
 
 
 @register(
@@ -670,7 +677,7 @@ def _k_core_oracle(k: int, rounds: int) -> str:
 )
 def graph_k_core(spark, sf_dir):
     from ..operators.graph import k_core
-    pairs = _copurchase_pairs(spark, sf_dir)
+    pairs = _copurchase_pairs(spark, sf_dir, persist=False)
     und = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionAll(pairs.select(F.col("b").alias("src"),
                                   F.col("a").alias("dst"))))

@@ -4434,10 +4434,12 @@ def basket_brand_lift(spark, sf_dir):
                       F.col("__p.b").alias("brand_b"))
              .agg(F.count("*").alias("pair_n")))
     out = (pairs
-           .join(sup.select(F.col("brand").alias("brand_a"),
-                            F.col("ns").alias("na")), "brand_a")
-           .join(sup.select(F.col("brand").alias("brand_b"),
-                            F.col("ns").alias("nb")), "brand_b")
+           .join(F.broadcast(sup.select(F.col("brand").alias("brand_a"),
+                                        F.col("ns").alias("na"))),
+                 "brand_a")
+           .join(F.broadcast(sup.select(F.col("brand").alias("brand_b"),
+                                        F.col("ns").alias("nb"))),
+                 "brand_b")
            .crossJoin(F.broadcast(n))
            .where(F.col("pair_n") >= 10))
     return out.select(

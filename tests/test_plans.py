@@ -993,3 +993,42 @@ def test_domain_quota_uses_window_group_limit(spark, sf_dir):
     p = plan(spark, "corpus_domain_quota", sf_dir)
     assert "WindowGroupLimit" in p, p
     assert "BatchEvalPython" not in p
+
+
+def test_round11_rewrite_plan_contracts(spark, sf_dir):
+    """The round-11 second-pass rewrites' scale contracts.
+    q18: the HAVING aggregate IS the output sum — lineitem scans
+    ONCE (the semi-join shape scanned it twice and re-aggregated).
+    q13: orders aggregate to (custkey, n) BEFORE the customer join —
+    the join's probe side is an aggregate, so no post-join re-count
+    of raw order rows (exactly two exchanges: the orders agg and the
+    final distribution agg; customer joins on the agg's partitioning).
+    basket_brand_lift / graph_k_core: the co-occurrence pair build is
+    the grouped map-side expansion — lineitem scans ONCE and no
+    fact-fact SortMergeJoin appears (the old self-join build had
+    one); part stays broadcast in the basket query."""
+
+    def body(p):
+        return p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+
+    p = plan(spark, "tpch_q18", sf_dir)
+    assert p.count("lineitem.parquet") == 1, "q18 must scan lineitem once"
+
+    p = plan(spark, "tpch_q13", sf_dir)
+    b = body(p)
+    # aggregate-before-join: at most the orders pre-agg, the join
+    # distribution, and the final histogram agg move data — no wide
+    # re-shuffle of joined raw rows (4 exchanges incl. the top-level
+    # sort's range exchange)
+    assert b.count("Exchange") <= 4, b
+    assert "HashAggregate" in b
+
+    p = plan(spark, "basket_brand_lift", sf_dir)
+    assert p.count("lineitem.parquet") == 1, "one fact scan"
+    b = body(p)
+    assert "SortMergeJoin" not in b, "pair build must not self-join the fact"
+    assert "BroadcastHashJoin" in b  # part dimension
+    assert "CartesianProduct" not in b
+
+    p = plan(spark, "graph_clustering_coefficient", sf_dir)
+    assert p.count("lineitem.parquet") == 1, "one fact scan via cooccurrence"
