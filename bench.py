@@ -100,6 +100,9 @@ SCALE10_EXTRA = [
     # (probe side must scale with zero shuffles)
     "multimodal_pixel_check", "multimodal_gif_check",
     "tpcds_null_key_census", "corpus_bloom_dedup_prefilter",
+    # round-11 second pass: linearity evidence for the one-shuffle
+    # co-occurrence build + salted wedge enumeration
+    "graph_clustering_coefficient",
 ]
 
 
