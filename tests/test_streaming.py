@@ -295,3 +295,41 @@ def test_multi_sink_fanout_shares_source(spark, events,
     b = spark.read.parquet(os.path.join(out_b, "*"))
     assert a.agg(F.sum("n")).collect()[0][0] == events.count()
     assert b.count() > 0
+
+
+def test_iterate_stream_minus_one_loop(spark):
+    """DataStream.iterate (DataStream.java:520): Flink's canonical
+    minus-one feedback loop — integers decrement each pass through
+    the loop body, feed back while positive, exit at zero. Seeds 1..5
+    must each emit exactly one zero row (each micro-batch decrements
+    every live element once — the superstep discipline — so the loop
+    quiesces after ~max-seed feedback rounds)."""
+    from flink_1_11_2_with_comments_spark.streaming.iterate import (
+        iterate_stream)
+    seeds = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "id bigint, value bigint")
+
+    out = iterate_stream(
+        spark, seeds,
+        body=lambda s: s.withColumn("value", F.col("value") - 1),
+        exit_cond=F.col("value") <= 0)
+    got = sorted((r.id, r.value) for r in out.collect())
+    assert got == [(i, 0) for i in range(1, 6)]
+
+
+def test_iterate_stream_nonconverging_raises(spark):
+    """A body that never routes rows to the exit must hit the
+    max_rounds guard (the analogue of the reference's feedback wait
+    timeout), not loop forever."""
+    from flink_1_11_2_with_comments_spark.streaming.iterate import (
+        iterate_stream)
+    seeds = spark.createDataFrame([(1, 10)], "id bigint, value bigint")
+    try:
+        iterate_stream(
+            spark, seeds,
+            body=lambda s: s.withColumn("value", F.col("value") + 1),
+            exit_cond=F.col("value") < 0, max_rounds=5)
+    except Exception as e:  # StreamingQueryException wraps the guard
+        assert "does not converge" in str(e)
+    else:
+        raise AssertionError("expected the max_rounds guard to fire")
