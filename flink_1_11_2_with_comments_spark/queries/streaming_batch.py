@@ -917,6 +917,58 @@ def jdbc_lookup_join(spark, sf_dir):
 
 
 @register(
+    "kafka_wire_roundtrip_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 97 = 0
+    GROUP BY 1
+    """,
+    doc="Kafka connector exercised END-TO-END OVER TCP "
+        "(FlinkKafkaConsumer.java:72 / FlinkKafkaProducer.java:100): "
+        "a deterministic orders subset is encoded into RecordBatch v2 "
+        "segments on executors (kafka_wire.kafka_log_write), served "
+        "by the in-process stub broker speaking the real protocol "
+        "(Metadata v1 / Fetch v4, sources/kafka_net.py), read back "
+        "over sockets with one connection per task "
+        "(kafka_net_read), decoded and aggregated — count and "
+        "key-sum per priority prove every record's key/value "
+        "survived the wire byte-exact. The wire read is eagerly "
+        "checkpointed INSIDE the broker's lifetime (the lazy plan "
+        "must not outlive the socket); oracle = the same aggregate "
+        "straight off the parquet truth. Against a real cluster the "
+        "documented path is spark-sql-kafka; this row pins the "
+        "protocol implementation itself.",
+)
+def kafka_wire_roundtrip_agg(spark, sf_dir):
+    import tempfile
+
+    from ..sources.kafka_net import StubKafkaBroker, kafka_net_read
+    from ..sources.kafka_wire import kafka_log_write
+    src = (t(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 97 == 0)
+           .repartition(3, "o_orderkey")
+           .select(F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                   .alias("timestamp"),
+                   F.encode(F.col("o_orderkey").cast("string"), "utf-8")
+                   .alias("key"),
+                   F.encode("o_orderpriority", "utf-8").alias("value")))
+    log_dir = tempfile.mkdtemp(prefix="kafka_wire_q_")
+    kafka_log_write(src, log_dir, "orders_q")
+    with StubKafkaBroker(log_dir) as broker:
+        back = (kafka_net_read(spark, broker.host, broker.port,
+                               "orders_q")
+                .localCheckpoint(eager=True))
+    return (back.select(
+        F.decode(F.col("key"), "utf-8").cast("bigint").alias("k"),
+        F.decode(F.col("value"), "utf-8").alias("priority"))
+        .groupBy("priority")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("bigint").alias("key_sum")))
+
+
+@register(
     "changelog_rowkind",
     """
     WITH v AS (
