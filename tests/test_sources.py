@@ -1638,3 +1638,56 @@ def test_kafka_net_read_matches_log_read(spark, orders):
                     bytes(r.key), bytes(r.value))
                    for r in direct.collect())
         assert w == d and len(w) == 300
+
+
+def test_es_rest_roundtrip_sliced_scroll(spark, orders):
+    """Elasticsearch over its REAL protocol (REST+JSON — the actual
+    transport of flink-connector-elasticsearch7's sink): executor-side
+    _bulk indexing with explicit _ids, then a parallel read through
+    the sliced-scroll API (one task per disjoint slice, scroll
+    continuations until drained) must return every document intact.
+    The stub implements the REST subset in-process; against a real
+    cluster the same calls apply unchanged."""
+    import json
+    import tempfile  # noqa: F401  (parallel structure with kafka tests)
+
+    from flink_1_11_2_with_comments_spark.sources.es_rest import (
+        StubESServer, es_bulk_sink, es_search_source)
+
+    src = (orders.limit(400).repartition(4)
+           .select(F.col("o_orderkey").cast("string").alias("oid"),
+                   "o_orderpriority",
+                   F.col("o_totalprice").cast("double")
+                   .alias("o_totalprice")))
+    with StubESServer() as es:
+        es_bulk_sink(src, es.base_url, "orders", id_col="oid",
+                     batch_size=64)
+        back = es_search_source(spark, es.base_url, "orders", slices=3,
+                                scroll_size=50)
+        rows = back.collect()
+        assert len(rows) == 400
+        got = {r._id: json.loads(r._source) for r in rows}
+        for r in src.collect():
+            assert got[r.oid]["o_orderpriority"] == r.o_orderpriority
+            assert got[r.oid]["o_totalprice"] == r.o_totalprice
+
+
+def test_es_rest_bulk_error_contract(spark):
+    """A bulk response carrying item errors must fail the write task
+    loudly (ElasticsearchSinkBase's failure-handler contract), not
+    drop documents silently."""
+    from flink_1_11_2_with_comments_spark.sources.es_rest import (
+        StubESServer)
+    import json
+    import urllib.request
+
+    with StubESServer() as es:
+        # hand-craft a bulk with an unsupported action type
+        body = (json.dumps({"delete": {"_id": "1"}}) + "\n"
+                + json.dumps({"x": 1}) + "\n").encode()
+        req = urllib.request.Request(
+            f"{es.base_url}/t/_bulk", data=body,
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST")
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert out["errors"] is True
