@@ -46,8 +46,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # green the union is 100% driver-touched and debt-free.
 _PRIORITY: tuple[str, ...] = (
     # (a) round-11 new or changed — appended here as each lands.
-    # ROUND-12 QUEUE: kafka_wire_roundtrip_agg is NEW after the freeze
-    # (never driver-checked — front-load it), tpch_q18/tpch_q13 were
+    # ROUND-12 QUEUE: kafka_wire_roundtrip_agg and es_rest_roundtrip_agg
+    # are NEW after the freeze (never driver-checked — front-load them), tpch_q18/tpch_q13 were
     # plan-rewritten (HAVING fold, aggregate-before-join), and five
     # more queries were PLAN-rewritten after this
     # window froze (values parity-pinned locally, unchanged):

@@ -969,6 +969,52 @@ def kafka_wire_roundtrip_agg(spark, sf_dir):
 
 
 @register(
+    "es_rest_roundtrip_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 89 = 0
+    GROUP BY 1
+    """,
+    doc="Elasticsearch connector exercised END-TO-END over its real "
+        "protocol (REST+JSON — flink-connector-elasticsearch7's "
+        "actual transport): a deterministic orders subset bulk-indexes "
+        "executor-side (_bulk NDJSON, explicit _ids), reads back in "
+        "parallel through the sliced-scroll API, parses _source with "
+        "from_json and aggregates — count and key-sum per priority "
+        "prove every document survived indexing and the sliced scan "
+        "partition-exactly. The read is eagerly checkpointed INSIDE "
+        "the stub server's lifetime (the lazy plan must not outlive "
+        "the socket); oracle = the same aggregate off the parquet "
+        "truth. Against a real cluster the identical REST calls "
+        "apply; only the stub is test scaffolding.",
+)
+def es_rest_roundtrip_agg(spark, sf_dir):
+    from ..sources.es_rest import (StubESServer, es_bulk_sink,
+                                   es_search_source)
+    src = (t(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 89 == 0)
+           .repartition(3, "o_orderkey")
+           .select(F.col("o_orderkey").cast("string").alias("oid"),
+                   "o_orderpriority"))
+    with StubESServer() as es:
+        es_bulk_sink(src, es.base_url, "orders_q", id_col="oid",
+                     batch_size=128)
+        back = (es_search_source(spark, es.base_url, "orders_q",
+                                 slices=3)
+                .localCheckpoint(eager=True))
+    parsed = back.select(F.from_json(
+        F.col("_source"),
+        "oid string, o_orderpriority string").alias("d"))
+    return (parsed.select(F.col("d.oid").cast("bigint").alias("k"),
+                          F.col("d.o_orderpriority").alias("priority"))
+            .groupBy("priority")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").cast("bigint").alias("key_sum")))
+
+
+@register(
     "changelog_rowkind",
     """
     WITH v AS (
