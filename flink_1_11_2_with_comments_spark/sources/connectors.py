@@ -149,9 +149,11 @@ def kinesis_source(spark: SparkSession, stream_name: str,
     DStream-only); a third-party DSv2 connector jar is required. The
     constructor states that instead of failing opaquely."""
     raise RuntimeError(
-        "kinesis connector requires a third-party Structured Streaming "
-        "Kinesis DSv2 jar (OSS spark-streaming-kinesis-asl is "
-        "DStream-only); not bundled in this environment")
+        "kinesis DSv2 connector requires a third-party Structured "
+        "Streaming Kinesis jar (OSS spark-streaming-kinesis-asl is "
+        "DStream-only); not bundled in this environment. For the "
+        "wire-protocol path use sources.kinesis_rest (SigV4-signed "
+        "JSON client, batch shard drain)")
 
 
 def rabbitmq_source(spark: SparkSession, queue: str,

@@ -1691,3 +1691,78 @@ def test_es_rest_bulk_error_contract(spark):
             method="POST")
         out = json.loads(urllib.request.urlopen(req).read())
         assert out["errors"] is True
+
+
+def test_sigv4_published_vectors():
+    """AWS Signature V4 pinned against the PUBLISHED examples from the
+    signing spec: the derived-signing-key example and the canonical
+    IAM ListUsers GET request signature."""
+    from flink_1_11_2_with_comments_spark.sources.kinesis_rest import (
+        sigv4_sign, sigv4_signing_key)
+
+    key = sigv4_signing_key(
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        "20150830", "us-east-1", "iam")
+    assert key.hex() == ("c4afb1cc5771d871763a393e44b70357"
+                         "1b55cc28424d1a5e86da6ed3c154a4b9")
+
+    auth = sigv4_sign(
+        "GET", "/", "Action=ListUsers&Version=2010-05-08",
+        {"Content-Type":
+             "application/x-www-form-urlencoded; charset=utf-8",
+         "Host": "iam.amazonaws.com",
+         "X-Amz-Date": "20150830T123600Z"},
+        b"", access_key="AKIDEXAMPLE",
+        secret_key="wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        region="us-east-1", service="iam",
+        amz_date="20150830T123600Z")
+    assert auth.endswith(
+        "Signature=5d672d79c15b13162d9279b0855cfba6"
+        "789a8edb4c82c400e06b5924a6f2b5d7"), auth
+
+
+def test_kinesis_loopback_roundtrip(spark):
+    """Kinesis over its real protocol (JSON targets + SigV4, both
+    public specs; FlinkKinesisConsumer/Producer's wire surface):
+    PutRecords routes by the genuine MD5 hash-key-range rule, the
+    stub RE-VERIFIES every request's SigV4 signature server-side
+    with the shared secret, and kinesis_read drains one shard per
+    task TRIM_HORIZON -> tip. A client signing with the wrong secret
+    must be rejected."""
+    import urllib.error
+
+    from flink_1_11_2_with_comments_spark.sources.kinesis_rest import (
+        KinesisClient, StubKinesisServer, kinesis_read)
+
+    with StubKinesisServer(n_shards=3) as srv:
+        cli = KinesisClient(srv.endpoint, srv.region, srv.access_key,
+                            srv.secret_key)
+        records = [(f"pk-{i}", f"payload-{i}".encode())
+                   for i in range(200)]
+        assert cli.put_records("events", records) == 0
+        assert len(cli.list_shards("events")) == 3
+
+        back = kinesis_read(spark, srv.endpoint, srv.region,
+                            srv.access_key, srv.secret_key, "events")
+        rows = back.collect()
+        assert len(rows) == 200
+        got = {r.partition_key: bytes(r.data) for r in rows}
+        assert got == {pk: d for pk, d in records}
+        # every shard received data (MD5 range split over 200 keys)
+        assert len({r.shard_id for r in rows}) == 3
+        # per-shard sequence numbers are dense from 0
+        per = {}
+        for r in rows:
+            per.setdefault(r.shard_id, []).append(
+                int(r.sequence_number))
+        assert all(sorted(v) == list(range(len(v)))
+                   for v in per.values())
+
+        bad = KinesisClient(srv.endpoint, srv.region, srv.access_key,
+                            "WRONG-SECRET")
+        try:
+            bad.list_shards("events")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        else:
+            raise AssertionError("expected SigV4 rejection")
