@@ -1766,3 +1766,54 @@ def test_kinesis_loopback_roundtrip(spark):
             assert e.code == 403
         else:
             raise AssertionError("expected SigV4 rejection")
+
+
+def test_cql_native_protocol_roundtrip(spark):
+    """Cassandra over the REAL CQL native v4 binary protocol
+    (flink-connector-cassandra's driver speaks exactly this):
+    9-byte frames, STARTUP->READY handshake, INSERTs with BOUND
+    values (no literal quoting), token-range-parallel SELECT reads
+    (the CassandraInputFormat split model), and typed RESULT Rows
+    decoding. The token-range splits must cover every row exactly
+    once (disjoint half-open ranges over the murmur ring)."""
+    from flink_1_11_2_with_comments_spark.sources.cql_native import (
+        TYPE_BIGINT, TYPE_DOUBLE, TYPE_VARCHAR, CqlClient,
+        StubCqlServer, cql_read, cql_write)
+
+    cols = ["pk", "name", "score"]
+    with StubCqlServer("t", cols) as srv:
+        srv.declare_types([TYPE_BIGINT, TYPE_VARCHAR, TYPE_DOUBLE])
+        src = spark.createDataFrame(
+            [(i, f"row-{i}", i * 1.5) for i in range(257)],
+            "pk bigint, name string, score double").repartition(4)
+        cql_write(src, srv.host, srv.port, "t", "pk")
+        back = cql_read(spark, srv.host, srv.port, "t", cols, "pk",
+                        "pk bigint, name string, score double",
+                        n_splits=6)
+        rows = sorted((r.pk, r.name, r.score) for r in back.collect())
+        assert rows == [(i, f"row-{i}", i * 1.5) for i in range(257)]
+
+        # error contract: an ERROR frame surfaces as an exception
+        c = CqlClient(srv.host, srv.port)
+        try:
+            c.execute("DROP TABLE t")
+        except RuntimeError as e:
+            assert "unsupported CQL" in str(e)
+        else:
+            raise AssertionError("expected CQL ERROR frame")
+        finally:
+            c.close()
+
+
+def test_murmur3_x64_128_token_basics():
+    """The Murmur3 token function: the published x64_128 algorithm
+    (empty input with seed 0 finalizes to 0 -> token 0), stable
+    across runs, and spreading 1000 keys over the full signed-64
+    ring with both signs represented."""
+    from flink_1_11_2_with_comments_spark.sources.cql_native import (
+        murmur3_token)
+    assert murmur3_token(b"") == 0
+    toks = [murmur3_token(str(i).encode()) for i in range(1000)]
+    assert len(set(toks)) == 1000
+    assert any(t < 0 for t in toks) and any(t > 0 for t in toks)
+    assert toks == [murmur3_token(str(i).encode()) for i in range(1000)]
