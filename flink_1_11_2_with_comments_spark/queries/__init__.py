@@ -46,11 +46,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # green the union is 100% driver-touched and debt-free.
 _PRIORITY: tuple[str, ...] = (
     # (a) round-11 new or changed — appended here as each lands.
-    # The second-pass connector faces (kafka_wire_roundtrip_agg,
-    # es_rest_roundtrip_agg) were swapped INTO this window in place of
-    # the fn_conditional/fn_temporal_overlaps canaries (union-green
-    # since round 2) so no registry entry ships never-driver-checked —
-    # the debt the round-10 verdict called out.
+    # The four second-pass connector faces (kafka_wire / es_rest /
+    # kinesis_wire / cql_native _roundtrip_agg) were swapped INTO this
+    # window in place of the fn_conditional / fn_temporal_overlaps /
+    # fn_json / fn_collections canaries (union-green since round 2)
+    # so no registry entry ships never-driver-checked — the debt the
+    # round-10 verdict called out.
     # ROUND-12 QUEUE: tpch_q18/tpch_q13 were plan-rewritten (HAVING
     # fold, aggregate-before-join), and five more queries were
     # PLAN-rewritten after this window froze (values parity-pinned
@@ -60,10 +61,10 @@ _PRIORITY: tuple[str, ...] = (
     # chain), events_kmv_intersection (WindowGroupLimit top-k),
     # corpus_quality_classifier_fit (persisted feature table) —
     # front-load those, then the displaced canaries
-    # (fn_conditional, fn_temporal_overlaps, fn_sql_udf_surface,
-    # fn_string_extras, fn_cast_semantics, fn_time_type,
-    # fn_percentiles, fn_higher_order, fn_string_position,
-    # fn_stats_bivariate) and
+    # (fn_conditional, fn_temporal_overlaps, fn_json, fn_collections,
+    # fn_sql_udf_surface, fn_string_extras, fn_cast_semantics,
+    # fn_time_type, fn_percentiles, fn_higher_order,
+    # fn_string_position, fn_stats_bivariate) and
     # then the next-oldest families (window_*, rank/dedup rows,
     # null-semantics rows, graph_* tail).
     "events_hourly_to_daily_rollup",  # THE red row: BIGINT cast fix
@@ -80,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_null_key_census",          # NEW q76 shape (NULLIF mask)
     "kafka_wire_roundtrip_agg",       # NEW TCP-protocol Kafka face
     "es_rest_roundtrip_agg",          # NEW REST Elasticsearch face
+    "kinesis_wire_roundtrip_agg",     # NEW SigV4/JSON Kinesis face
+    "cql_native_roundtrip_agg",       # NEW CQL-binary Cassandra face
     # round-11 empty-result audit: these four were vacuously green
     # (0-row results at sf0.01); re-fixtured to non-empty this round
     "join_left_anti", "tpch_q20", "tpch_q22", "tpcds_fraction_of_max",
@@ -98,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "setop_intersect_all", "setop_except",
     "fn_string_basics", "fn_string_regex_split",
     "fn_string_predicates_base64", "fn_math", "fn_temporal",
-    "fn_hash", "fn_json", "fn_collections",
+    "fn_hash",
 )
 
 
