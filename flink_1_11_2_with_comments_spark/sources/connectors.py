@@ -164,8 +164,9 @@ def rabbitmq_source(spark: SparkSession, queue: str,
     The constructor states that instead of failing opaquely."""
     raise RuntimeError(
         "rabbitmq connector requires bridging AMQP into a supported "
-        "source (Kafka or files) — no Spark RabbitMQ connector exists; "
-        "not available in this environment")
+        "source (Kafka or files) — no Spark RabbitMQ connector exists. "
+        "Use sources.amqp_wire (real AMQP 0-9-1 client + "
+        "amqp_bridge_to_kafka_log) for that bridge")
 
 
 def datagen_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

@@ -1817,3 +1817,41 @@ def test_murmur3_x64_128_token_basics():
     assert len(set(toks)) == 1000
     assert any(t < 0 for t in toks) and any(t > 0 for t in toks)
     assert toks == [murmur3_token(str(i).encode()) for i in range(1000)]
+
+
+def test_amqp_wire_roundtrip_and_bridge(spark):
+    """RabbitMQ over real AMQP 0-9-1 frames (flink-connector-rabbitmq's
+    RMQSource/RMQSink wire surface): full connection negotiation
+    (Start/StartOk PLAIN/Tune/TuneOk/Open), Queue.Declare, 3-frame
+    publishes and Basic.Get polling — then the DOCUMENTED Spark
+    deployment pattern realized: the queue drains over AMQP into the
+    kafka_wire topic log, and Spark reads the replayable log."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.amqp_wire import (
+        AmqpClient, StubAmqpBroker, amqp_bridge_to_kafka_log)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        kafka_log_read)
+
+    with StubAmqpBroker() as broker:
+        pub = AmqpClient(broker.host, broker.port)
+        assert pub.declare_queue("events") == 0
+        payloads = [f"msg-{i}".encode() for i in range(120)]
+        for p in payloads:
+            pub.publish("events", p)
+        assert pub.declare_queue("events") == 120
+        # direct protocol check: first message via Basic.Get
+        assert pub.get("events") == b"msg-0"
+        pub.close()
+
+        log_dir = tempfile.mkdtemp(prefix="amqp_bridge_")
+        n = amqp_bridge_to_kafka_log(broker.host, broker.port,
+                                     "events", spark, log_dir, "ev")
+        assert n == 119                       # one consumed above
+        back = kafka_log_read(spark, log_dir, "ev")
+        got = sorted(bytes(r.value) for r in back.collect())
+        assert got == sorted(payloads[1:])
+        # queue drained: a fresh poll sees GetEmpty
+        c2 = AmqpClient(broker.host, broker.port)
+        assert c2.get("events") is None
+        c2.close()
