@@ -162,7 +162,8 @@ class AmqpClient:
         header = (struct.pack(">HHQ", 60, 0, len(body))
                   + struct.pack(">H", 0))                # no properties
         _send(self.sock, FRAME_HEADER, 1, header)
-        _send(self.sock, FRAME_BODY, 1, body)
+        if body:  # spec: body-size 0 carries ZERO body frames
+            _send(self.sock, FRAME_BODY, 1, body)
 
     def get(self, queue: str) -> bytes | None:
         """Basic.Get (no-ack) → one message body, or None when the
@@ -291,7 +292,8 @@ class _AmqpHandler(socketserver.BaseRequestHandler):
                         _send(sock, FRAME_HEADER, channel,
                               struct.pack(">HHQ", 60, 0, len(body))
                               + struct.pack(">H", 0))
-                        _send(sock, FRAME_BODY, channel, body)
+                        if body:  # body-size 0 → zero body frames
+                            _send(sock, FRAME_BODY, channel, body)
                 else:
                     return
         except (ConnectionError, struct.error, IndexError):

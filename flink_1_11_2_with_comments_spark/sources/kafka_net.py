@@ -232,6 +232,15 @@ class KafkaProtocolClient:
             mv = memoryview(record_set)
             p = 0
             while p < len(mv):
+                # a real broker may TRUNCATE the final batch at the
+                # request's max_bytes — the consumer contract is to
+                # discard the partial tail and re-fetch from the next
+                # offset (KafkaConsumer does the same)
+                if p + 21 > len(mv):
+                    break
+                batch_len, = struct.unpack_from(">i", mv, p + 8)
+                if p + 12 + batch_len > len(mv):
+                    break
                 _base, recs, p = decode_record_batch(mv, p)
                 records.extend(r for r in recs if r[0] >= offset)
         return hwm, records

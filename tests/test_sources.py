@@ -1855,3 +1855,58 @@ def test_amqp_wire_roundtrip_and_bridge(spark):
         c2 = AmqpClient(broker.host, broker.port)
         assert c2.get("events") is None
         c2.close()
+
+
+def test_kafka_fetch_tolerates_truncated_tail_batch(spark):
+    """A real broker may truncate the final RecordBatch of a Fetch
+    response at the request's max_bytes; the consumer contract is to
+    discard the partial tail and continue from the next offset. The
+    client must parse the complete prefix and not crash."""
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        KafkaProtocolClient)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        encode_record_batch)
+
+    full = encode_record_batch(0, [(1000, b"k", b"v")])
+    second = encode_record_batch(1, [(1001, b"k2", b"v2")])
+    truncated = full + second[:len(second) // 2]
+
+    class FakeClient(KafkaProtocolClient):
+        def __init__(self):  # no socket
+            self._corr = 0
+            self.client_id = "t"
+
+        def _call(self, api_key, api_version, body):
+            import io as _io
+            import struct as _s
+            out = _io.BytesIO()
+            out.write(_s.pack(">i", 0))          # throttle
+            out.write(_s.pack(">i", 1))          # 1 topic
+            out.write(_s.pack(">h", 1) + b"t")
+            out.write(_s.pack(">i", 1))          # 1 partition
+            out.write(_s.pack(">ihqq", 0, 0, 2, 2))
+            out.write(_s.pack(">i", 0))          # aborted txns
+            out.write(_s.pack(">i", len(truncated)))
+            out.write(truncated)
+            return memoryview(out.getvalue())
+
+    hwm, recs = FakeClient().fetch("t", 0, 0)
+    assert hwm == 2
+    assert [(o, k, v) for o, _ts, k, v in recs] == [(0, b"k", b"v")]
+
+
+def test_amqp_empty_body_publish(spark):
+    """AMQP spec: a content header with body-size 0 is followed by
+    ZERO body frames — an empty-payload publish must not desync the
+    framing, and Basic.Get must return the empty body."""
+    from flink_1_11_2_with_comments_spark.sources.amqp_wire import (
+        AmqpClient, StubAmqpBroker)
+    with StubAmqpBroker() as broker:
+        c = AmqpClient(broker.host, broker.port)
+        c.declare_queue("q")
+        c.publish("q", b"")
+        c.publish("q", b"after")      # framing still aligned
+        assert c.get("q") == b""
+        assert c.get("q") == b"after"
+        assert c.get("q") is None
+        c.close()
