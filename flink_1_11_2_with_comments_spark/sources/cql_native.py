@@ -240,12 +240,23 @@ class CqlClient:
         if kind != 2:                              # Void/other
             return [], []
         pos = 4
-        _mflags, n_cols = struct.unpack_from(">ii", buf, pos)
+        mflags, n_cols = struct.unpack_from(">ii", buf, pos)
         pos += 8
-        _ks, pos = _r_string(buf, pos)             # global table spec
-        _tb, pos = _r_string(buf, pos)
+        if mflags & 0x0002:                        # has_more_pages
+            ln, = struct.unpack_from(">i", buf, pos)
+            pos += 4 + max(ln, 0)
+            raise NotImplementedError(
+                "server applied result paging; this client issues "
+                "unpaged QUERYs (no page_size flag) — split the scan "
+                "by token ranges instead")
+        if mflags & 0x0001:                        # global table spec
+            _ks, pos = _r_string(buf, pos)
+            _tb, pos = _r_string(buf, pos)
         names, types = [], []
         for _ in range(n_cols):
+            if not mflags & 0x0001:                # per-column spec
+                _ks, pos = _r_string(buf, pos)
+                _tb, pos = _r_string(buf, pos)
             name, pos = _r_string(buf, pos)
             tid, = struct.unpack_from(">H", buf, pos)
             pos += 2
