@@ -37,6 +37,7 @@ import time
 
 FRAME_METHOD, FRAME_HEADER, FRAME_BODY = 1, 2, 3
 FRAME_END = 0xCE
+FRAME_MAX = 131072  # the stub broker's advertised (and ENFORCED) max
 PROTO_HEADER = b"AMQP\x00\x00\x09\x01"
 
 
@@ -57,8 +58,14 @@ def _send(sock: socket.socket, ftype: int, channel: int,
                  + payload + bytes([FRAME_END]))
 
 
-def _recv(sock: socket.socket):
+def _recv(sock: socket.socket, frame_max: int = 0):
     ftype, channel, size = struct.unpack(">BHI", _recv_exact(sock, 7))
+    if frame_max and size + 8 > frame_max:
+        # spec §4.2.6: a frame above the negotiated frame_max is a
+        # protocol violation — a real broker closes the connection
+        raise ConnectionError(
+            f"frame of {size + 8} bytes exceeds negotiated "
+            f"frame_max {frame_max}")
     payload = _recv_exact(sock, size)
     if _recv_exact(sock, 1)[0] != FRAME_END:
         raise ConnectionError("missing AMQP frame-end octet")
@@ -115,6 +122,8 @@ class AmqpClient:
             raise ConnectionError("expected Connection.Tune")
         chan_max, frame_max, heartbeat = struct.unpack_from(">HIH",
                                                             args, 0)
+        # negotiated frame_max binds BOTH directions; 0 = no limit
+        self.frame_max = frame_max
         self._send_method(0, 10, 31, struct.pack(">HIH", chan_max,
                                                  frame_max, heartbeat))
         self._send_method(0, 10, 40, _shortstr(vhost) + _shortstr("")
@@ -156,14 +165,25 @@ class AmqpClient:
 
     def publish(self, queue: str, body: bytes) -> None:
         """Basic.Publish via the default exchange (routing key =
-        queue name) — method, content header, content body frames."""
+        queue name) — method, content header, content body frames.
+
+        A body larger than the NEGOTIATED frame_max must be split
+        into multiple body frames (spec §4.2.6: a peer sending a
+        frame above frame_max is a protocol violation — a real
+        broker closes the connection); each body frame's payload is
+        capped at frame_max minus the 8 bytes of frame overhead
+        (7-byte header + frame-end octet), mirroring get()'s
+        multi-frame reassembly."""
         self._send_method(1, 60, 40, struct.pack(">H", 0)
                           + _shortstr("") + _shortstr(queue) + b"\x00")
         header = (struct.pack(">HHQ", 60, 0, len(body))
                   + struct.pack(">H", 0))                # no properties
         _send(self.sock, FRAME_HEADER, 1, header)
-        if body:  # spec: body-size 0 carries ZERO body frames
-            _send(self.sock, FRAME_BODY, 1, body)
+        max_payload = (self.frame_max - 8 if self.frame_max
+                       else len(body) or 1)
+        # spec: body-size 0 carries ZERO body frames
+        for i in range(0, len(body), max_payload):
+            _send(self.sock, FRAME_BODY, 1, body[i:i + max_payload])
 
     def get(self, queue: str) -> bytes | None:
         """Basic.Get (no-ack) → one message body, or None when the
@@ -239,14 +259,15 @@ class _AmqpHandler(socketserver.BaseRequestHandler):
                 + struct.pack(">I", 0)               # server props table
                 + _longstr(b"PLAIN") + _longstr(b"en_US")))
             while True:
-                ftype, channel, payload = _recv(sock)
+                ftype, channel, payload = _recv(sock, FRAME_MAX)
                 if ftype != FRAME_METHOD:
                     continue
                 cls, mth = struct.unpack_from(">HH", payload, 0)
                 args = memoryview(payload)[4:]
                 if (cls, mth) == (10, 11):           # StartOk
                     _send(sock, FRAME_METHOD, 0, _method(
-                        10, 30, struct.pack(">HIH", 2047, 131072, 0)))
+                        10, 30, struct.pack(">HIH", 2047,
+                                            FRAME_MAX, 0)))
                 elif (cls, mth) == (10, 31):         # TuneOk
                     pass
                 elif (cls, mth) == (10, 40):         # Connection.Open
@@ -266,12 +287,12 @@ class _AmqpHandler(socketserver.BaseRequestHandler):
                 elif (cls, mth) == (60, 40):         # Basic.Publish
                     _ex, pos = _r_shortstr(args, 2)
                     rk, pos = _r_shortstr(args, pos)
-                    ftype, _ch, header = _recv(sock)
+                    ftype, _ch, header = _recv(sock, FRAME_MAX)
                     _c, _w, body_size = struct.unpack_from(">HHQ",
                                                            header, 0)
                     body = b""
                     while len(body) < body_size:
-                        ftype, _ch, chunk = _recv(sock)
+                        ftype, _ch, chunk = _recv(sock, FRAME_MAX)
                         body += chunk
                     with srv.lock:
                         srv.queues.setdefault(rk, []).append(body)
@@ -292,8 +313,11 @@ class _AmqpHandler(socketserver.BaseRequestHandler):
                         _send(sock, FRAME_HEADER, channel,
                               struct.pack(">HHQ", 60, 0, len(body))
                               + struct.pack(">H", 0))
-                        if body:  # body-size 0 → zero body frames
-                            _send(sock, FRAME_BODY, channel, body)
+                        # body-size 0 → zero body frames; otherwise
+                        # split at the advertised frame_max too
+                        for i in range(0, len(body), FRAME_MAX - 8):
+                            _send(sock, FRAME_BODY, channel,
+                                  body[i:i + FRAME_MAX - 8])
                 else:
                     return
         except (ConnectionError, struct.error, IndexError):

@@ -27,9 +27,10 @@ pure stdlib:
 
 Protocol correctness (framing, handshake, bound-value encoding,
 Rows metadata + typed cells, token-range coverage) is what the
-loopback pins; murmur3 here follows the published x64_128 algorithm
-but could not be cross-checked against a live cluster's ring
-in-container — documented, not hidden.
+loopback pins; murmur3 follows Cassandra's Java variant of x64_128
+(SIGN-EXTENDED tail bytes — Java bytes are signed), pinned in
+tests against published DataStax-driver token vectors including
+high-bit tails.
 """
 
 from __future__ import annotations
@@ -68,10 +69,24 @@ def _fmix64(k: int) -> int:
     return k
 
 
+def _sx8(b: int) -> int:
+    """Java's (long) cast of a signed byte: sign-extend values >= 0x80."""
+    return b - 256 if b >= 0x80 else b
+
+
 def murmur3_token(key: bytes) -> int:
     """Cassandra Murmur3Partitioner token: signed first 64-bit half of
     MurmurHash3 x64_128(key, seed=0), with LONG_MIN mapped to
-    LONG_MAX as Cassandra does."""
+    LONG_MAX as Cassandra does.
+
+    Cassandra's Java implementation (o.a.c.utils.MurmurHash
+    .hash3_x64_128) diverges from the canonical C++ x64_128 in the
+    tail: Java bytes are SIGNED, so each tail byte is sign-extended
+    to 64 bits before being shifted and XORed into k1/k2. Any key
+    whose tail contains bytes >= 0x80 (e.g. big-endian bigint
+    encodings) gets a different token under the unsigned C++ rule —
+    we follow the Java/Cassandra semantics so tokens match a real
+    cluster's ring."""
     c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
     h1 = h2 = 0
     n = len(key)
@@ -96,9 +111,9 @@ def murmur3_token(key: bytes) -> int:
     tail = key[n - (n % 16):]
     k1 = k2 = 0
     for j in range(len(tail) - 1, 7, -1):
-        k2 = (k2 << 8) | tail[j]
+        k2 ^= (_sx8(tail[j]) << (8 * (j - 8))) & 0xFFFFFFFFFFFFFFFF
     for j in range(min(len(tail), 8) - 1, -1, -1):
-        k1 = (k1 << 8) | tail[j]
+        k1 ^= (_sx8(tail[j]) << (8 * j)) & 0xFFFFFFFFFFFFFFFF
     if len(tail) > 8:
         k2 = (k2 * c2) & 0xFFFFFFFFFFFFFFFF
         k2 = _rotl64(k2, 33)

@@ -374,11 +374,25 @@ class StubKafkaBroker:
                     raw = (open(path, "rb").read()
                            if os.path.exists(path) else b"")
                     base = self._log_end(raw)
-                    # rebase baseOffset in place: it precedes the crc
-                    # field, which covers attributes onward only
-                    patched = struct.pack(">q", base) + record_set[8:]
+                    # A produce record_set may legally carry SEVERAL
+                    # concatenated RecordBatch v2 frames; rebase EACH
+                    # batch's baseOffset onto the running log end so
+                    # the log stays offset-monotonic. baseOffset
+                    # precedes the crc field, which covers attributes
+                    # onward only, so patching it keeps the CRC valid.
+                    patched, p, nxt = io.BytesIO(), 0, base
+                    while p < len(record_set):
+                        blen, = struct.unpack_from(">i", record_set,
+                                                   p + 8)
+                        last_delta, = struct.unpack_from(
+                            ">i", record_set, p + 23)
+                        span = 12 + blen
+                        patched.write(struct.pack(">q", nxt))
+                        patched.write(record_set[p + 8:p + span])
+                        nxt += last_delta + 1
+                        p += span
                     with open(path, "ab") as fh:
-                        fh.write(patched)
+                        fh.write(patched.getvalue())
                 out_parts.append((part, ERR_NONE, base, -1))
             _w_str(out, topic)
             out.write(struct.pack(">i", len(out_parts)))

@@ -151,7 +151,8 @@ class KinesisClient:
                                       "Limit": limit})
         recs = [(r["SequenceNumber"], r["PartitionKey"],
                  base64.b64decode(r["Data"])) for r in out["Records"]]
-        return recs, out.get("NextShardIterator")
+        return (recs, out.get("NextShardIterator"),
+                out.get("MillisBehindLatest", 0))
 
 
 KINESIS_SCHEMA = T.StructType([
@@ -176,12 +177,26 @@ def kinesis_read(spark: SparkSession, endpoint: str, region: str,
         for sid in shard_ids:
             c = KinesisClient(endpoint, region, access_key, secret_key)
             it = c.get_shard_iterator(stream, sid)
+            # Real Kinesis legitimately serves EMPTY GetRecords pages
+            # with a non-null NextShardIterator while
+            # MillisBehindLatest > 0 (records further along the
+            # shard); stopping on the first empty page would silently
+            # truncate the read. Stop only when caught up to the tip
+            # (behind == 0) or after a bounded run of empty pages
+            # (defensive, in case a server reports stale lag forever).
+            empty_streak = 0
             while it:
-                recs, it = c.get_records(it)
-                if not recs:
-                    break
-                for seq, pk, data in recs:
-                    yield (sid, seq, pk, data)
+                recs, it, behind = c.get_records(it)
+                if recs:
+                    empty_streak = 0
+                    for seq, pk, data in recs:
+                        yield (sid, seq, pk, data)
+                else:
+                    if behind <= 0:
+                        break
+                    empty_streak += 1
+                    if empty_streak >= 64:
+                        break
 
     rdd = (spark.sparkContext
            .parallelize(shards, max(len(shards), 1))
@@ -245,7 +260,14 @@ class StubKinesisServer:
                  access_key: str = "AKIDEXAMPLE",
                  secret_key: str = "wJalrXUtnFEMI/K7MDENG+bPxRfiCY"
                                    "EXAMPLEKEY",
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1",
+                 empty_pages_before_data: int = 0):
+        # empty_pages_before_data > 0 reproduces real-Kinesis paging:
+        # GetRecords may return an EMPTY record list with a non-null
+        # NextShardIterator and MillisBehindLatest > 0 before the
+        # next data page (AWS API docs for GetRecords). Readers that
+        # stop on the first empty page truncate mid-shard.
+        self.empty_pages_before_data = empty_pages_before_data
         self.n_shards = n_shards
         self.region = region
         self.access_key = access_key
@@ -299,8 +321,15 @@ class StubKinesisServer:
 
     def op_getrecords(self, body: dict) -> dict:
         it = json.loads(body["ShardIterator"])
-        sid, pos = it["s"], it["p"]
+        sid, pos, served = it["s"], it["p"], it.get("e", 0)
         limit = body.get("Limit", 1000)
+        remaining = len(self.shards[sid]) - pos
+        if remaining > 0 and served < self.empty_pages_before_data:
+            # mid-shard empty page: no records yet, but the iterator
+            # advances and the consumer is still behind the tip
+            nxt = json.dumps({"s": sid, "p": pos, "e": served + 1})
+            return {"Records": [], "NextShardIterator": nxt,
+                    "MillisBehindLatest": 1000 * remaining}
         page = self.shards[sid][pos:pos + limit]
         nxt = (json.dumps({"s": sid, "p": pos + len(page)})
                if page else None)

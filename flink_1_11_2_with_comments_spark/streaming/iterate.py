@@ -35,6 +35,7 @@ import os
 import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iterate_stream(
@@ -77,8 +78,14 @@ def iterate_stream(
                 f"{max_rounds} rounds — body does not converge")
         df.persist()
         try:
-            df.where(exit_cond).write.mode("append").parquet(out_dir)
-            fb = df.where(~exit_cond)
+            # Route EVERY row exactly once (IterativeStream routes all
+            # elements): a NULL exit condition must not vanish from
+            # both branches, so the split is on coalesce(cond, false)
+            # and its negation — NULL rows keep circulating until the
+            # body resolves them (or max_rounds trips).
+            decided = F.coalesce(exit_cond, F.lit(False))
+            df.where(decided).write.mode("append").parquet(out_dir)
+            fb = df.where(~decided)
             if fb.limit(1).count() > 0:
                 fb.write.mode("append").parquet(loop_dir)
         finally:

@@ -1819,6 +1819,27 @@ def test_murmur3_x64_128_token_basics():
     assert toks == [murmur3_token(str(i).encode()) for i in range(1000)]
 
 
+def test_murmur3_cassandra_token_vectors():
+    """Pin Cassandra's SIGNED-tail-byte Murmur3 variant (Java
+    MurmurHash.hash3_x64_128, what Murmur3Partitioner tokens use)
+    against published DataStax python-driver vectors
+    (tests/unit/test_murmur3.py). The b'\\xfe'*8 / 50-byte cases have
+    tail bytes >= 0x80 — they DIVERGE from canonical (unsigned) C++
+    x64_128, so passing here pins the sign-extension semantics."""
+    from flink_1_11_2_with_comments_spark.sources.cql_native import (
+        murmur3_token)
+    assert murmur3_token(b"123") == -7468325962851647638
+    assert murmur3_token(b"\x00\xff\x10\xfa\x99" * 10) == \
+        5837342703291459765
+    assert murmur3_token(b"\xfe" * 8) == -8927430733708461935
+    assert murmur3_token(b"\x10" * 8) == 1446172840243228796
+    # 16n+8 shape (full blocks + exactly-8-byte tail), value pinned by
+    # an independent transcription of the Java algorithm
+    assert murmur3_token(
+        b"9876543210123456789012345678901234567890") == \
+        9191554715844336052
+
+
 def test_amqp_wire_roundtrip_and_bridge(spark):
     """RabbitMQ over real AMQP 0-9-1 frames (flink-connector-rabbitmq's
     RMQSource/RMQSink wire surface): full connection negotiation
@@ -1910,3 +1931,87 @@ def test_amqp_empty_body_publish(spark):
         assert c.get("q") == b"after"
         assert c.get("q") is None
         c.close()
+
+
+def test_kinesis_empty_mid_shard_pages(spark):
+    """Real Kinesis legitimately returns EMPTY GetRecords pages with a
+    non-null NextShardIterator while MillisBehindLatest > 0; a reader
+    that stops on the first empty page silently truncates the shard.
+    The stub is configured to serve 2 empty pages before every data
+    page — the drain must still return every record."""
+    from flink_1_11_2_with_comments_spark.sources.kinesis_rest import (
+        KinesisClient, StubKinesisServer, kinesis_read)
+
+    with StubKinesisServer(n_shards=2,
+                           empty_pages_before_data=2) as srv:
+        cli = KinesisClient(srv.endpoint, srv.region, srv.access_key,
+                            srv.secret_key)
+        records = [(f"pk-{i}", f"payload-{i}".encode())
+                   for i in range(60)]
+        assert cli.put_records("events", records) == 0
+        # direct client check: first page is empty but NOT the end
+        it = cli.get_shard_iterator("events", "shardId-000000000000")
+        recs, nxt, behind = cli.get_records(it)
+        assert recs == [] and nxt is not None and behind > 0
+
+        back = kinesis_read(spark, srv.endpoint, srv.region,
+                            srv.access_key, srv.secret_key, "events")
+        got = {r.partition_key: bytes(r.data) for r in back.collect()}
+        assert got == {pk: d for pk, d in records}
+
+
+def test_kafka_multi_batch_produce_rebases_each_batch():
+    """A produce record_set may carry SEVERAL concatenated RecordBatch
+    v2 frames; the broker must rebase EACH batch's baseOffset onto the
+    running log end so the log stays offset-monotonic (a single-batch
+    rebase would append later batches at their original offsets)."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        KafkaProtocolClient, StubKafkaBroker)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        encode_record_batch)
+
+    log_dir = tempfile.mkdtemp(prefix="kafka_multibatch_")
+    with StubKafkaBroker(log_dir) as broker:
+        cli = KafkaProtocolClient(broker.host, broker.port)
+        try:
+            # pre-existing log content so the rebase is non-trivial
+            assert cli.produce("t", 0, encode_record_batch(
+                0, [(1000, b"a", b"va")])) == 0
+            # one produce, THREE concatenated batches (each encoded
+            # with baseOffset 0 — the broker owns offset assignment)
+            multi = (encode_record_batch(0, [(1001, b"b", b"vb"),
+                                             (1002, b"c", b"vc")])
+                     + encode_record_batch(0, [(1003, b"d", b"vd")])
+                     + encode_record_batch(0, [(1004, b"e", b"ve")]))
+            assert cli.produce("t", 0, multi) == 1
+            hwm, recs = cli.fetch("t", 0, 0)
+            assert hwm == 5
+            assert [(o, k) for o, _ts, k, _v in recs] == [
+                (0, b"a"), (1, b"b"), (2, b"c"), (3, b"d"), (4, b"e")]
+            # offset-addressed fetch still lands mid-multi-batch
+            _hwm, recs = cli.fetch("t", 0, 3)
+            assert [r[0] for r in recs] == [3, 4]
+        finally:
+            cli.close()
+
+
+def test_amqp_large_body_splits_at_frame_max():
+    """A published body larger than the negotiated frame_max must go
+    out as MULTIPLE body frames (spec 4.2.6 — an oversized frame is a
+    protocol violation that closes the connection; the stub broker
+    now ENFORCES the limit on receipt). A 300 KiB body (> the 128 KiB
+    frame_max) must round-trip intact."""
+    from flink_1_11_2_with_comments_spark.sources.amqp_wire import (
+        FRAME_MAX, AmqpClient, StubAmqpBroker)
+
+    big = bytes(range(256)) * 1200            # 300 KiB, > FRAME_MAX
+    assert len(big) > 2 * (FRAME_MAX - 8)     # needs >= 3 body frames
+    with StubAmqpBroker() as broker:
+        cli = AmqpClient(broker.host, broker.port)
+        assert cli.frame_max == FRAME_MAX     # negotiated, honored
+        cli.declare_queue("big")
+        cli.publish("big", big)
+        assert cli.get("big") == big          # reassembled intact
+        cli.close()

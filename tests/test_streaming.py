@@ -333,3 +333,30 @@ def test_iterate_stream_nonconverging_raises(spark):
         assert "does not converge" in str(e)
     else:
         raise AssertionError("expected the max_rounds guard to fire")
+
+
+def test_iterate_stream_routes_null_exit_cond_rows(spark):
+    """A row whose exit condition evaluates to NULL must not vanish
+    from BOTH branches (IterativeStream routes every element exactly
+    once): it keeps circulating until the body resolves it. Here the
+    NULL-valued seed stays NULL for one pass (exit_cond NULL), then
+    the body resolves it — with null-dropping routing the row would
+    silently disappear from the output."""
+    from flink_1_11_2_with_comments_spark.streaming.iterate import (
+        iterate_stream)
+    seeds = spark.createDataFrame(
+        [(1, 2, 0), (9, None, 0)], "id bigint, value bigint, n bigint")
+
+    def body(s):
+        nxt = F.col("n") + 1
+        return s.withColumn(
+            "value",
+            F.when(nxt >= 2, F.coalesce(F.col("value"), F.lit(0)) - 1)
+            .otherwise(F.col("value"))).withColumn("n", nxt)
+
+    out = iterate_stream(spark, seeds, body,
+                         exit_cond=F.col("value") <= 0)
+    got = sorted((r.id, r.value) for r in out.collect())
+    # id=9: NULL through round 1 (exit_cond NULL -> must feed back),
+    # resolved to -1 in round 2; id=1: 2 -> 2 -> 1 -> 0 exits
+    assert got == [(1, 0), (9, -1)]
