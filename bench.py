@@ -148,6 +148,25 @@ def build_scale10(spark, base_dir: str, out_dir: str) -> None:
             .parquet(dst)
 
 
+
+def _release_persisted(spark) -> None:
+    """Cold-cache discipline between measured queries: clearCache()
+    drops catalog-cached relations but NOT localCheckpoint storage
+    (checkpointed RDDs are persisted outside the catalog). Iterative
+    queries (graph loops, classifier fits, pipeline stages) leave one
+    checkpointed RDD per superstep pinned to memory; across 70+
+    queries x 2 scales x 3 runs that accumulation becomes GC
+    pressure that inflates later queries at 10x data. Unpersisting
+    is safe here because the previous query's DataFrames are dead —
+    a localCheckpointed frame must never be unpersisted while still
+    referenced (its lineage is truncated, so recompute is
+    impossible)."""
+    spark.catalog.clearCache()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+
+
 def _time_queries(spark, specs, names, sf_dir, runs) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
@@ -156,8 +175,9 @@ def _time_queries(spark, specs, names, sf_dir, runs) -> dict[str, float]:
         # cached frames across 70+ queries x 2 scales x 3 runs and
         # push later queries into memory pressure — measured as
         # 2-3x inflation of late-running queries in back-to-back
-        # scale10 runs. Each query times against a cold cache.
-        spark.catalog.clearCache()
+        # scale10 runs. Each query times against a cold cache,
+        # including checkpoint storage (_release_persisted).
+        _release_persisted(spark)
         took: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -212,7 +232,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in names:
-        spark.catalog.clearCache()  # same cold-cache discipline as
+        _release_persisted(spark)  # same cold-cache discipline as
         # _time_queries: persisted intermediates must not carry over
         took: list[float] = []
         for _ in range(runs):

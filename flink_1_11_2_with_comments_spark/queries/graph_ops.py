@@ -676,9 +676,6 @@ def _k_core_oracle(k: int, rounds: int) -> str:
         "driver-side adjacency; the alive set only shrinks.",
 )
 def graph_k_core(spark, sf_dir):
-    from ..operators.graph import k_core
+    from ..operators.graph import k_core_pairs
     pairs = _copurchase_pairs(spark, sf_dir, persist=False)
-    und = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-           .unionAll(pairs.select(F.col("b").alias("src"),
-                                  F.col("a").alias("dst"))))
-    return k_core(und, k=80)
+    return k_core_pairs(pairs, k=80)
