@@ -969,6 +969,66 @@ def kafka_wire_roundtrip_agg(spark, sf_dir):
 
 
 @register(
+    "kafka_txn_exactly_once_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 101 = 0
+    GROUP BY 1
+    """,
+    doc="Kafka EXACTLY-ONCE over the real transaction protocol — the "
+        "reference's flagship FlinkKafkaProducer.Semantic.EXACTLY_ONCE "
+        "(FlinkKafkaProducer.java:100, TwoPhaseCommitSinkFunction): a "
+        "deterministic orders subset is produced in COMMITTED "
+        "transactions (per-task transactional ids, InitProducerId "
+        "epoch fencing, AddPartitionsToTxn, transactional RecordBatch "
+        "v2, EndTxn commit markers), a same-shaped DECOY set with "
+        "key_sum-poisoning values is produced and ABORTED, and the "
+        "read back runs at isolation read_committed (LSO-bounded "
+        "fetch, aborted-span filtering, control batches dropped). "
+        "Count and key-sum per priority match the parquet truth ONLY "
+        "if the aborted transaction is fully invisible and the "
+        "committed one fully visible — the atomicity that makes the "
+        "2PC sink exactly-once across restarts. Oracle: the same "
+        "aggregate over the committed subset.",
+)
+def kafka_txn_exactly_once_agg(spark, sf_dir):
+    import tempfile
+
+    from ..sources.kafka_net import (READ_COMMITTED, StubKafkaBroker,
+                                     kafka_net_read, kafka_txn_write)
+    src = (t(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 101 == 0)
+           .repartition(3, "o_orderkey")
+           .select(F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                   .alias("timestamp"),
+                   F.encode(F.col("o_orderkey").cast("string"), "utf-8")
+                   .alias("key"),
+                   F.encode("o_orderpriority", "utf-8").alias("value")))
+    # decoys carry the SAME priorities but shifted keys: leaking any
+    # aborted record flips both n and key_sum in the hashed result
+    decoy = src.withColumn(
+        "key", F.encode((F.decode("key", "utf-8").cast("bigint") + 1)
+                        .cast("string"), "utf-8"))
+    log_dir = tempfile.mkdtemp(prefix="kafka_eos_q_")
+    with StubKafkaBroker(log_dir) as broker:
+        kafka_txn_write(src, broker.host, broker.port, "orders_eos",
+                        "eos-commit", commit=True)
+        kafka_txn_write(decoy, broker.host, broker.port, "orders_eos",
+                        "eos-abort", commit=False)
+        back = (kafka_net_read(spark, broker.host, broker.port,
+                               "orders_eos", READ_COMMITTED)
+                .localCheckpoint(eager=True))
+    return (back.select(
+        F.decode(F.col("key"), "utf-8").cast("bigint").alias("k"),
+        F.decode(F.col("value"), "utf-8").alias("priority"))
+        .groupBy("priority")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("bigint").alias("key_sum")))
+
+
+@register(
     "es_rest_roundtrip_agg",
     """
     SELECT o_orderpriority AS priority,

@@ -48,10 +48,16 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .kafka_wire import LOG_SCHEMA, decode_record_batch
+from .kafka_wire import (ATTR_CONTROL, ATTR_TRANSACTIONAL, CTRL_ABORT,
+                         CTRL_COMMIT, LOG_SCHEMA, decode_record_batch,
+                         decode_record_batch_meta, encode_control_batch,
+                         encode_record_batch)
 
 API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
+API_INIT_PRODUCER_ID, API_ADD_PARTITIONS_TO_TXN, API_END_TXN = 22, 24, 26
 ERR_NONE, ERR_UNKNOWN_TOPIC = 0, 3
+ERR_INVALID_PRODUCER_EPOCH = 47
+READ_UNCOMMITTED, READ_COMMITTED = 0, 1
 
 
 # ---------------------------------------------------------------------------
@@ -184,11 +190,65 @@ class KafkaProtocolClient:
                 out[name] = sorted(parts)
         return out
 
+    def init_producer_id(self, transactional_id: str | None,
+                         timeout_ms: int = 60000) -> tuple[int, int]:
+        """InitProducerId v0 → (producer_id, producer_epoch). Re-init
+        of the SAME transactional id bumps the epoch — the fencing
+        handshake FlinkKafkaProducer relies on to invalidate zombie
+        producers after recovery (FlinkKafkaProducer.java:100,
+        Semantic.EXACTLY_ONCE)."""
+        body = io.BytesIO()
+        _w_str(body, transactional_id)
+        body.write(struct.pack(">i", timeout_ms))
+        buf = self._call(API_INIT_PRODUCER_ID, 0, body.getvalue())
+        _throttle, err, pid, epoch = struct.unpack_from(">ihqh", buf, 0)
+        if err != ERR_NONE:
+            raise ValueError(f"init_producer_id error {err}")
+        return pid, epoch
+
+    def add_partitions_to_txn(self, transactional_id: str, pid: int,
+                              epoch: int, topic: str,
+                              partitions: list[int]) -> None:
+        """AddPartitionsToTxn v0: register the partitions this
+        transaction will write, so EndTxn knows where markers go."""
+        body = io.BytesIO()
+        _w_str(body, transactional_id)
+        body.write(struct.pack(">qh", pid, epoch))
+        body.write(struct.pack(">i", 1))
+        _w_str(body, topic)
+        body.write(struct.pack(">i", len(partitions)))
+        for p in partitions:
+            body.write(struct.pack(">i", p))
+        buf = self._call(API_ADD_PARTITIONS_TO_TXN, 0, body.getvalue())
+        pos = 4 + 4                                # throttle + topics(=1)
+        _name, pos = _r_str(buf, pos)
+        n_parts, = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        for _ in range(n_parts):
+            _part, err = struct.unpack_from(">ih", buf, pos)
+            pos += 6
+            if err != ERR_NONE:
+                raise ValueError(f"add_partitions_to_txn error {err}")
+
+    def end_txn(self, transactional_id: str, pid: int, epoch: int,
+                commit: bool) -> None:
+        """EndTxn v0: commit or abort — the broker writes the
+        corresponding control marker into every registered
+        partition (the transaction's second phase)."""
+        body = io.BytesIO()
+        _w_str(body, transactional_id)
+        body.write(struct.pack(">qhb", pid, epoch, 1 if commit else 0))
+        buf = self._call(API_END_TXN, 0, body.getvalue())
+        _throttle, err = struct.unpack_from(">ih", buf, 0)
+        if err != ERR_NONE:
+            raise ValueError(f"end_txn error {err}")
+
     def produce(self, topic: str, partition: int,
-                record_set: bytes) -> int:
+                record_set: bytes,
+                transactional_id: str | None = None) -> int:
         """Produce v3 (acks=-1) → base offset assigned by the broker."""
         body = io.BytesIO()
-        _w_str(body, None)                         # transactional_id
+        _w_str(body, transactional_id)
         body.write(struct.pack(">hi", -1, 30000))  # acks, timeout
         body.write(struct.pack(">i", 1))
         _w_str(body, topic)
@@ -205,12 +265,13 @@ class KafkaProtocolClient:
             raise ValueError(f"produce error {err} on {topic}-{part}")
         return base_offset
 
-    def fetch(self, topic: str, partition: int, offset: int,
-              max_bytes: int = 1 << 24):
-        """Fetch v4 → (high_watermark, [(offset, ts, key, value), ...])
-        with every record at offset >= the requested one."""
+    def _fetch_raw(self, topic: str, partition: int, offset: int,
+                   max_bytes: int, isolation_level: int):
+        """Fetch v4 → (high_watermark, last_stable_offset,
+        [(pid, first_offset)], [(base, attrs, pid, records)])."""
         body = io.BytesIO()
-        body.write(struct.pack(">iiiib", -1, 100, 1, max_bytes, 0))
+        body.write(struct.pack(">iiiib", -1, 100, 1, max_bytes,
+                               isolation_level))
         body.write(struct.pack(">i", 1))
         _w_str(body, topic)
         body.write(struct.pack(">i", 1))
@@ -220,14 +281,19 @@ class KafkaProtocolClient:
         pos += 4                                   # topic array count (=1)
         _name, pos = _r_str(buf, pos)
         pos += 4                                   # partition count (=1)
-        part, err, hwm, _lso = struct.unpack_from(">ihqq", buf, pos)
+        part, err, hwm, lso = struct.unpack_from(">ihqq", buf, pos)
         pos += 22
         n_aborted, = struct.unpack_from(">i", buf, pos)
-        pos += 4 + 16 * max(n_aborted, 0)
+        pos += 4
+        aborted = []
+        for _ in range(max(n_aborted, 0)):
+            apid, afirst = struct.unpack_from(">qq", buf, pos)
+            pos += 16
+            aborted.append((apid, afirst))
         record_set, pos = _r_bytes(buf, pos)
         if err != ERR_NONE:
             raise ValueError(f"fetch error {err} on {topic}-{part}")
-        records = []
+        batches = []
         if record_set:
             mv = memoryview(record_set)
             p = 0
@@ -241,9 +307,58 @@ class KafkaProtocolClient:
                 batch_len, = struct.unpack_from(">i", mv, p + 8)
                 if p + 12 + batch_len > len(mv):
                     break
-                _base, recs, p = decode_record_batch(mv, p)
-                records.extend(r for r in recs if r[0] >= offset)
+                base, attrs, pid, recs, p = decode_record_batch_meta(
+                    mv, p)
+                batches.append((base, attrs, pid, recs))
+        return hwm, lso, aborted, batches
+
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 1 << 24):
+        """Fetch v4 READ_UNCOMMITTED → (high_watermark,
+        [(offset, ts, key, value), ...]) with every record at
+        offset >= the requested one. Control batches are skipped
+        (markers are broker bookkeeping, never consumer records)."""
+        hwm, _lso, _ab, batches = self._fetch_raw(
+            topic, partition, offset, max_bytes, READ_UNCOMMITTED)
+        records = []
+        for _base, attrs, _pid, recs in batches:
+            if attrs & ATTR_CONTROL:
+                continue
+            records.extend(r for r in recs if r[0] >= offset)
         return hwm, records
+
+    def fetch_committed(self, topic: str, partition: int, offset: int,
+                        max_bytes: int = 1 << 24):
+        """Fetch v4 READ_COMMITTED → (last_stable_offset, next_offset,
+        records): the KafkaConsumer isolation.level=read_committed
+        contract. Data batches of ABORTED transactions are dropped
+        using the response's aborted-transaction index (a batch from
+        producer P is aborted when an index entry (P, first_offset)
+        precedes it and P's ABORT marker hasn't passed yet); control
+        batches close the spans and are never emitted. next_offset
+        advances past FILTERED batches too, so drain loops cannot
+        stall on an all-aborted stretch."""
+        lso, next_off = None, offset
+        hwm, lso, aborted, batches = self._fetch_raw(
+            topic, partition, offset, max_bytes, READ_COMMITTED)
+        aborted = sorted(aborted, key=lambda t: t[1])
+        ai = 0
+        aborted_pids: set[int] = set()
+        records = []
+        for base, attrs, pid, recs in batches:
+            while ai < len(aborted) and aborted[ai][1] <= base:
+                aborted_pids.add(aborted[ai][0])
+                ai += 1
+            next_off = max(next_off, base + len(recs))
+            if attrs & ATTR_CONTROL:
+                if recs and struct.unpack_from(
+                        ">hh", recs[0][2], 0)[1] == CTRL_ABORT:
+                    aborted_pids.discard(pid)
+                continue
+            if (attrs & ATTR_TRANSACTIONAL) and pid in aborted_pids:
+                continue
+            records.extend(r for r in recs if r[0] >= offset)
+        return lso, next_off, records
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +382,12 @@ class _Handler(socketserver.BaseRequestHandler):
                     out = srv.handle_produce(body)
                 elif api_key == API_FETCH:
                     out = srv.handle_fetch(body)
+                elif api_key == API_INIT_PRODUCER_ID:
+                    out = srv.handle_init_producer_id(body)
+                elif api_key == API_ADD_PARTITIONS_TO_TXN:
+                    out = srv.handle_add_partitions_to_txn(body)
+                elif api_key == API_END_TXN:
+                    out = srv.handle_end_txn(body)
                 else:
                     raise ValueError(f"unsupported api_key {api_key}")
                 _send_frame(self.request, struct.pack(">i", corr) + out)
@@ -285,6 +406,17 @@ class StubKafkaBroker:
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._lock = threading.Lock()
+        # transaction-coordinator state (the subset a single-broker
+        # cluster needs): transactional_id -> producer id, CURRENT
+        # epoch per pid (fencing), and the partitions each open
+        # transaction registered (where EndTxn writes markers).
+        # The LOG stays the single source of truth for visibility:
+        # aborted/open spans are recomputed from the control batches
+        # in the segment files, never from coordinator memory.
+        self._txn_pid: dict[str, int] = {}
+        self._pid_epoch: dict[int, int] = {}
+        self._txn_parts: dict[str, set[tuple[str, int]]] = {}
+        self._next_pid = 1000
         self._server = socketserver.ThreadingTCPServer(
             (host, 0), _Handler)
         self._server.daemon_threads = True
@@ -352,8 +484,98 @@ class StubKafkaBroker:
                 out.write(struct.pack(">ii", 1, 0))   # isr [0]
         return out.getvalue()
 
+    def _txn_scan(self, raw: bytes):
+        """Walk a partition log → (aborted [(pid, first_offset)],
+        open {pid: first_offset}). A transactional data batch opens a
+        span for its producer; the next control marker for that
+        producer closes it (ABORT → the span joins the aborted index
+        served to READ_COMMITTED fetches). The log IS the index."""
+        mv, pos = memoryview(raw), 0
+        open_txn: dict[int, int] = {}
+        aborted: list[tuple[int, int]] = []
+        while pos < len(mv):
+            base, attrs, pid, recs, pos = decode_record_batch_meta(
+                mv, pos)
+            if attrs & ATTR_CONTROL:
+                first = open_txn.pop(pid, None)
+                if first is not None and struct.unpack_from(
+                        ">hh", recs[0][2], 0)[1] == CTRL_ABORT:
+                    aborted.append((pid, first))
+            elif attrs & ATTR_TRANSACTIONAL:
+                open_txn.setdefault(pid, base)
+        return aborted, open_txn
+
+    def handle_init_producer_id(self, body: memoryview) -> bytes:
+        txn_id, pos = _r_str(body, 0)
+        with self._lock:
+            if txn_id is None:            # idempotent-only producer
+                pid = self._next_pid
+                self._next_pid += 1
+                epoch = 0
+            else:
+                pid = self._txn_pid.get(txn_id)
+                if pid is None:
+                    pid = self._next_pid
+                    self._next_pid += 1
+                    self._txn_pid[txn_id] = pid
+                    epoch = 0
+                else:
+                    # re-initialization BUMPS the epoch: any zombie
+                    # still producing with the old epoch is fenced
+                    epoch = self._pid_epoch[pid] + 1
+            self._pid_epoch[pid] = epoch
+        return struct.pack(">ihqh", 0, ERR_NONE, pid, epoch)
+
+    def handle_add_partitions_to_txn(self, body: memoryview) -> bytes:
+        txn_id, pos = _r_str(body, 0)
+        pid, epoch = struct.unpack_from(">qh", body, pos)
+        pos += 10
+        n_topics, = struct.unpack_from(">i", body, pos)
+        pos += 4
+        out = io.BytesIO()
+        out.write(struct.pack(">i", 0))            # throttle_time
+        out.write(struct.pack(">i", n_topics))
+        with self._lock:
+            fenced = (self._txn_pid.get(txn_id) != pid
+                      or self._pid_epoch.get(pid) != epoch)
+            err = ERR_INVALID_PRODUCER_EPOCH if fenced else ERR_NONE
+            for _ in range(n_topics):
+                topic, pos = _r_str(body, pos)
+                n_parts, = struct.unpack_from(">i", body, pos)
+                pos += 4
+                _w_str(out, topic)
+                out.write(struct.pack(">i", n_parts))
+                for _p in range(n_parts):
+                    part, = struct.unpack_from(">i", body, pos)
+                    pos += 4
+                    if not fenced:
+                        self._txn_parts.setdefault(txn_id, set()).add(
+                            (topic, part))
+                    out.write(struct.pack(">ih", part, err))
+        return out.getvalue()
+
+    def handle_end_txn(self, body: memoryview) -> bytes:
+        txn_id, pos = _r_str(body, 0)
+        pid, epoch, committed = struct.unpack_from(">qhb", body, pos)
+        with self._lock:
+            if (self._txn_pid.get(txn_id) != pid
+                    or self._pid_epoch.get(pid) != epoch):
+                return struct.pack(">ih", 0,
+                                   ERR_INVALID_PRODUCER_EPOCH)
+            marker = CTRL_COMMIT if committed else CTRL_ABORT
+            for topic, part in sorted(
+                    self._txn_parts.pop(txn_id, set())):
+                path = self._path(topic, part)
+                raw = (open(path, "rb").read()
+                       if os.path.exists(path) else b"")
+                ctrl = encode_control_batch(self._log_end(raw), marker,
+                                            pid, epoch)
+                with open(path, "ab") as fh:
+                    fh.write(ctrl)
+        return struct.pack(">ih", 0, ERR_NONE)
+
     def handle_produce(self, body: memoryview) -> bytes:
-        _txn, pos = _r_str(body, 0)
+        txn_id, pos = _r_str(body, 0)
         _acks, _timeout = struct.unpack_from(">hi", body, pos)
         pos += 6
         n_topics, = struct.unpack_from(">i", body, pos)
@@ -370,6 +592,33 @@ class StubKafkaBroker:
                 pos += 4
                 record_set, pos = _r_bytes(body, pos)
                 with self._lock:
+                    # transactional guards BEFORE any append: a
+                    # zombie producer (stale epoch after a re-init)
+                    # is fenced with INVALID_PRODUCER_EPOCH, and a
+                    # transactional batch for a partition the txn
+                    # never registered is rejected (the coordinator
+                    # could not place its marker)
+                    err, p = ERR_NONE, 0
+                    while p < len(record_set):
+                        blen, = struct.unpack_from(">i", record_set,
+                                                   p + 8)
+                        attrs, = struct.unpack_from(">h", record_set,
+                                                    p + 21)
+                        bpid, bepoch = struct.unpack_from(
+                            ">qh", record_set, p + 43)
+                        if (bpid >= 0 and
+                                self._pid_epoch.get(bpid, bepoch)
+                                > bepoch):
+                            err = ERR_INVALID_PRODUCER_EPOCH
+                        elif (attrs & ATTR_TRANSACTIONAL
+                              and txn_id is not None
+                              and (topic, part) not in
+                              self._txn_parts.get(txn_id, set())):
+                            err = 48      # INVALID_TXN_STATE
+                        p += 12 + blen
+                    if err != ERR_NONE:
+                        out_parts.append((part, err, -1, -1))
+                        continue
                     path = self._path(topic, part)
                     raw = (open(path, "rb").read()
                            if os.path.exists(path) else b"")
@@ -402,6 +651,7 @@ class StubKafkaBroker:
         return out.getvalue()
 
     def handle_fetch(self, body: memoryview) -> bytes:
+        isolation, = struct.unpack_from(">b", body, 16)
         pos = 4 + 4 + 4 + 4 + 1                    # fixed fetch prefix
         n_topics, = struct.unpack_from(">i", body, pos)
         pos += 4
@@ -428,16 +678,31 @@ class StubKafkaBroker:
                 with self._lock:
                     raw = open(path, "rb").read()
                 hwm = self._log_end(raw)
+                # visibility is recomputed from the log's control
+                # batches: LSO = first offset of the earliest OPEN
+                # transaction (read_committed fetches stop there),
+                # and the aborted-span index is what the consumer
+                # uses to drop aborted data batches
+                aborted, open_txn = self._txn_scan(raw)
+                lso = min(open_txn.values(), default=hwm)
+                ceiling = lso if isolation == READ_COMMITTED else hwm
                 # serve every batch whose LAST offset >= the request
+                # and (read_committed) whose base is below the LSO
                 mv, p, chunks = memoryview(raw), 0, []
                 while p < len(mv):
                     start = p
                     base, recs, p = decode_record_batch(mv, p)
-                    if base + len(recs) - 1 >= offset:
+                    if (base + len(recs) - 1 >= offset
+                            and base < ceiling):
                         chunks.append(bytes(mv[start:p]))
                 out.write(struct.pack(">ihqq", part, ERR_NONE, hwm,
-                                      hwm))
-                out.write(struct.pack(">i", 0))    # aborted_txns
+                                      lso))
+                if isolation == READ_COMMITTED:
+                    out.write(struct.pack(">i", len(aborted)))
+                    for apid, afirst in aborted:
+                        out.write(struct.pack(">qq", apid, afirst))
+                else:
+                    out.write(struct.pack(">i", 0))  # aborted_txns
                 _w_bytes(out, b"".join(chunks) or None)
         return out.getvalue()
 
@@ -447,14 +712,22 @@ class StubKafkaBroker:
 # ---------------------------------------------------------------------------
 
 def kafka_net_read(spark: SparkSession, host: str, port: int,
-                   topic: str) -> DataFrame:
+                   topic: str,
+                   isolation_level: int = READ_UNCOMMITTED
+                   ) -> DataFrame:
     """Batch-read a topic OVER THE WIRE into the Kafka source schema
     (partition, offset, timestamp, key, value): the driver asks
     Metadata for the partition list, then one task per partition
     opens its own connection and drains [0, high-watermark) — the
     reference's per-subtask partition assignment
     (KafkaTopicPartitionAssigner), and the shape that scales (no
-    record bytes ever pass through the driver)."""
+    record bytes ever pass through the driver).
+
+    isolation_level=READ_COMMITTED drains to the LAST STABLE OFFSET
+    instead, dropping aborted transactions' batches — the consumer
+    half of the reference's end-to-end exactly-once story
+    (FlinkKafkaConsumer paired with an EXACTLY_ONCE producer reads
+    with isolation.level=read_committed)."""
     cli = KafkaProtocolClient(host, port)
     try:
         parts = cli.metadata([topic]).get(topic, [])
@@ -466,17 +739,85 @@ def kafka_net_read(spark: SparkSession, host: str, port: int,
             c = KafkaProtocolClient(host, port)
             try:
                 offset = 0
-                while True:
-                    hwm, records = c.fetch(topic, part, offset)
-                    for off, ts, key, value in records:
-                        yield (part, off, ts, key, value)
-                    if records:
-                        offset = records[-1][0] + 1
-                    if offset >= hwm or not records:
-                        break
+                if isolation_level == READ_COMMITTED:
+                    while True:
+                        lso, next_off, records = c.fetch_committed(
+                            topic, part, offset)
+                        for off, ts, key, value in records:
+                            yield (part, off, ts, key, value)
+                        if next_off == offset or next_off >= lso:
+                            break
+                        offset = next_off
+                else:
+                    while True:
+                        hwm, records = c.fetch(topic, part, offset)
+                        for off, ts, key, value in records:
+                            yield (part, off, ts, key, value)
+                        if records:
+                            offset = records[-1][0] + 1
+                        if offset >= hwm or not records:
+                            break
             finally:
                 c.close()
 
     rdd = (spark.sparkContext
            .parallelize(parts, max(len(parts), 1)).mapPartitions(drain))
     return spark.createDataFrame(rdd, LOG_SCHEMA)
+
+
+def kafka_txn_write(df: DataFrame, host: str, port: int, topic: str,
+                    transactional_id_prefix: str, commit: bool = True,
+                    batch_size: int = 1000) -> int:
+    """Transactional EXACTLY-ONCE produce over the wire — the
+    reference's FlinkKafkaProducer.Semantic.EXACTLY_ONCE mapped to
+    Spark's task model (FlinkKafkaProducer.java:100; the 2PC contract
+    of TwoPhaseCommitSinkFunction): each task owns ONE transactional
+    id (prefix + partition index, the reference's per-subtask id
+    pool), runs InitProducerId (acquiring a fenced epoch),
+    AddPartitionsToTxn, produces its rows as TRANSACTIONAL
+    RecordBatch v2 frames with monotonically increasing
+    baseSequence, and EndTxns with commit/abort. Until the commit
+    marker lands, a read_committed consumer sees NOTHING from this
+    transaction; an abort makes the written bytes permanently
+    invisible (the atomicity the 2PC sink needs across restarts).
+    df columns: (timestamp bigint, key binary, value binary).
+    Returns the number of produced records."""
+
+    def write_part(ix: int, rows):
+        c = KafkaProtocolClient(host, port)
+        try:
+            txn_id = f"{transactional_id_prefix}-{ix}"
+            pid, epoch = c.init_producer_id(txn_id)
+            c.add_partitions_to_txn(txn_id, pid, epoch, topic, [ix])
+            n, seq, buf = 0, 0, []
+
+            def flush():
+                nonlocal seq
+                if not buf:
+                    return
+                batch = encode_record_batch(
+                    0, buf, attributes=ATTR_TRANSACTIONAL,
+                    producer_id=pid, producer_epoch=epoch,
+                    base_sequence=seq)
+                c.produce(topic, ix, batch, transactional_id=txn_id)
+                seq += len(buf)
+                buf.clear()
+
+            for row in rows:
+                buf.append((row.timestamp,
+                            bytes(row.key) if row.key is not None
+                            else None,
+                            bytes(row.value) if row.value is not None
+                            else None))
+                n += 1
+                if len(buf) >= batch_size:
+                    flush()
+            flush()
+            c.end_txn(txn_id, pid, epoch, commit)
+            yield n
+        finally:
+            c.close()
+
+    counts = (df.select("timestamp", "key", "value").rdd
+              .mapPartitionsWithIndex(write_part).collect())
+    return int(sum(counts))

@@ -104,21 +104,34 @@ def _read_vbytes(buf: memoryview, pos: int) -> tuple[bytes | None, int]:
 # RecordBatch v2
 # ---------------------------------------------------------------------------
 
+ATTR_TRANSACTIONAL = 0x10   # attributes bit 4 (spec: isTransactional)
+ATTR_CONTROL = 0x20         # attributes bit 5 (spec: isControlBatch)
+CTRL_ABORT, CTRL_COMMIT = 0, 1   # ControlRecordType (spec)
+
+
 def encode_record_batch(base_offset: int,
                         records: list[tuple[int, bytes | None,
-                                            bytes | None]]) -> bytes:
+                                            bytes | None]],
+                        *, attributes: int = 0, producer_id: int = -1,
+                        producer_epoch: int = -1,
+                        base_sequence: int = -1) -> bytes:
     """records: [(timestamp_ms, key, value)] → one RecordBatch v2.
 
     Layout per the spec: the CRC-32C covers everything AFTER the crc
     field (attributes onward); batchLength counts bytes after the
-    batchLength field itself.
+    batchLength field itself. Transactional batches set attribute
+    bit 4 and carry the producer id/epoch/baseSequence the broker
+    uses for fencing; control batches (bit 5) carry the txn markers.
     """
     assert records
     first_ts = records[0][0]
     max_ts = max(ts for ts, _k, _v in records)
     body = io.BytesIO()
-    body.write(struct.pack(">hiq", 0, len(records) - 1, first_ts))
-    body.write(struct.pack(">qqhiI", max_ts, -1, -1, -1, len(records)))
+    body.write(struct.pack(">hiq", attributes, len(records) - 1,
+                           first_ts))
+    body.write(struct.pack(">qqhiI", max_ts, producer_id,
+                           producer_epoch, base_sequence,
+                           len(records)))
     for i, (ts, key, value) in enumerate(records):
         rec = io.BytesIO()
         rec.write(b"\x00")                       # record attributes
@@ -140,9 +153,27 @@ def encode_record_batch(base_offset: int,
     return head + b
 
 
-def decode_record_batch(buf: memoryview, pos: int):
-    """One batch at ``pos`` → (base_offset, [(offset, ts, key, value)],
-    next_pos). Verifies magic and the CRC-32C."""
+def encode_control_batch(base_offset: int, marker: int,
+                         producer_id: int, producer_epoch: int,
+                         timestamp_ms: int = 0) -> bytes:
+    """One transaction-marker control batch (spec: control batches
+    have attribute bits 4+5 set and a single record whose key is
+    version:int16=0 + ControlRecordType:int16, value is
+    version:int16=0 + coordinatorEpoch:int32)."""
+    key = struct.pack(">hh", 0, marker)
+    value = struct.pack(">hi", 0, 0)
+    return encode_record_batch(
+        base_offset, [(timestamp_ms, key, value)],
+        attributes=ATTR_TRANSACTIONAL | ATTR_CONTROL,
+        producer_id=producer_id, producer_epoch=producer_epoch)
+
+
+def decode_record_batch_meta(buf: memoryview, pos: int):
+    """One batch at ``pos`` → (base_offset, attributes, producer_id,
+    [(offset, ts, key, value)], next_pos). Verifies magic + CRC-32C.
+    Callers that need transaction semantics (control markers,
+    READ_COMMITTED filtering) read attributes/producer_id here;
+    decode_record_batch keeps the plain-records view."""
     base_offset, batch_len, _epoch, magic, crc = struct.unpack_from(
         ">qiibI", buf, pos)
     if magic != 2:
@@ -173,6 +204,15 @@ def decode_record_batch(buf: memoryview, pos: int):
             _hv, p = _read_vbytes(buf, p)
         out.append((base_offset + off_delta, first_ts + ts_delta,
                     key, value))
+    producer_id, = struct.unpack_from(">q", buf, body_start + 22)
+    return base_offset, _attrs, producer_id, out, end
+
+
+def decode_record_batch(buf: memoryview, pos: int):
+    """One batch at ``pos`` → (base_offset, [(offset, ts, key, value)],
+    next_pos). Verifies magic and the CRC-32C."""
+    base_offset, _attrs, _pid, out, end = decode_record_batch_meta(
+        buf, pos)
     return base_offset, out, end
 
 

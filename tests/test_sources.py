@@ -2015,3 +2015,145 @@ def test_amqp_large_body_splits_at_frame_max():
         cli.publish("big", big)
         assert cli.get("big") == big          # reassembled intact
         cli.close()
+
+
+def test_kafka_transactions_wire_protocol():
+    """The Kafka transaction protocol end-to-end over TCP — the wire
+    surface behind FlinkKafkaProducer.Semantic.EXACTLY_ONCE
+    (FlinkKafkaProducer.java:100, TwoPhaseCommitSinkFunction):
+    InitProducerId epoch handshake, AddPartitionsToTxn, transactional
+    RecordBatch v2 produce, EndTxn commit/abort markers, and the two
+    consumer isolation levels. Aborted data must be invisible to
+    read_committed, control markers invisible to everyone, an OPEN
+    transaction must gate the last stable offset, and a zombie
+    producer with a stale epoch must be fenced."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        KafkaProtocolClient, StubKafkaBroker)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        ATTR_TRANSACTIONAL, encode_record_batch)
+
+    def txn_batch(pid, ep, seq, recs):
+        return encode_record_batch(
+            0, recs, attributes=ATTR_TRANSACTIONAL, producer_id=pid,
+            producer_epoch=ep, base_sequence=seq)
+
+    log_dir = tempfile.mkdtemp(prefix="kafka_txn_")
+    with StubKafkaBroker(log_dir) as broker:
+        cli = KafkaProtocolClient(broker.host, broker.port)
+        try:
+            # committed transaction: two records
+            pid, ep = cli.init_producer_id("txn-a")
+            assert ep == 0
+            cli.add_partitions_to_txn("txn-a", pid, ep, "t", [0])
+            cli.produce("t", 0, txn_batch(pid, ep, 0,
+                                          [(1000, b"k1", b"v1"),
+                                           (1001, b"k2", b"v2")]),
+                        transactional_id="txn-a")
+            cli.end_txn("txn-a", pid, ep, True)
+            # aborted transaction: one decoy record
+            pid2, ep2 = cli.init_producer_id("txn-b")
+            assert pid2 != pid
+            cli.add_partitions_to_txn("txn-b", pid2, ep2, "t", [0])
+            cli.produce("t", 0, txn_batch(pid2, ep2, 0,
+                                          [(1002, b"BAD", b"BAD")]),
+                        transactional_id="txn-b")
+            cli.end_txn("txn-b", pid2, ep2, False)
+            # plain non-transactional record afterwards
+            cli.produce("t", 0, encode_record_batch(
+                0, [(1003, b"k3", b"v3")]))
+
+            # read_uncommitted: aborted data visible, markers not
+            hwm, recs = cli.fetch("t", 0, 0)
+            assert hwm == 6          # 3 data batches + 2 markers
+            assert [(o, k) for o, _t, k, _v in recs] == [
+                (0, b"k1"), (1, b"k2"), (3, b"BAD"), (5, b"k3")]
+            # read_committed: aborted data AND markers invisible
+            lso, nxt, recs = cli.fetch_committed("t", 0, 0)
+            assert lso == 6 and nxt == 6
+            assert [(o, k) for o, _t, k, _v in recs] == [
+                (0, b"k1"), (1, b"k2"), (5, b"k3")]
+
+            # an OPEN transaction gates the last stable offset
+            pid3, ep3 = cli.init_producer_id("txn-c")
+            cli.add_partitions_to_txn("txn-c", pid3, ep3, "t", [0])
+            cli.produce("t", 0, txn_batch(pid3, ep3, 0,
+                                          [(1004, b"open", b"open")]),
+                        transactional_id="txn-c")
+            lso, _nxt, recs = cli.fetch_committed("t", 0, 0)
+            assert lso == 6
+            assert all(k != b"open" for _o, _t, k, _v in recs)
+            cli.end_txn("txn-c", pid3, ep3, True)
+            lso, _nxt, recs = cli.fetch_committed("t", 0, 0)
+            assert lso == 8 and recs[-1][2] == b"open"
+
+            # fencing: re-init bumps the epoch; the zombie is refused
+            pid4, ep4 = cli.init_producer_id("txn-a")
+            assert pid4 == pid and ep4 == ep + 1
+            cli.add_partitions_to_txn("txn-a", pid4, ep4, "t", [0])
+            try:
+                cli.produce("t", 0, txn_batch(pid, ep, 0,
+                                              [(1005, b"z", b"z")]),
+                            transactional_id="txn-a")
+            except ValueError as e:
+                assert "error 47" in str(e)     # INVALID_PRODUCER_EPOCH
+            else:
+                raise AssertionError("stale epoch must be fenced")
+            # a partition the txn never registered is rejected
+            try:
+                cli.produce("t", 1, txn_batch(pid4, ep4, 0,
+                                              [(1006, b"y", b"y")]),
+                            transactional_id="txn-a")
+            except ValueError as e:
+                assert "error 48" in str(e)     # INVALID_TXN_STATE
+            else:
+                raise AssertionError("unregistered partition produce")
+            cli.end_txn("txn-a", pid4, ep4, False)
+        finally:
+            cli.close()
+
+
+def test_kafka_txn_exactly_once_spark_roundtrip(spark, orders):
+    """The exactly-once sink/source pair on Spark: a committed
+    transactional write (one txn per task, the reference's
+    per-subtask transactional-id pool), an ABORTED decoy write of
+    the same shape, and a third small committed txn. A READ_COMMITTED
+    kafka_net_read must return exactly the committed rows;
+    READ_UNCOMMITTED additionally sees the aborted decoys — the
+    atomicity contract of TwoPhaseCommitSinkFunction realized over
+    the real protocol."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        READ_COMMITTED, StubKafkaBroker, kafka_net_read,
+        kafka_txn_write)
+
+    src = (orders.limit(200).repartition(3)
+           .select(F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                   .alias("timestamp"),
+                   F.encode(F.col("o_orderkey").cast("string"), "utf-8")
+                   .alias("key"),
+                   F.encode("o_orderpriority", "utf-8").alias("value")))
+    decoy = src.withColumn("value", F.encode(F.lit("DECOY"), "utf-8"))
+    log_dir = tempfile.mkdtemp(prefix="kafka_eos_")
+    with StubKafkaBroker(log_dir) as broker:
+        n1 = kafka_txn_write(src, broker.host, broker.port, "t",
+                             "sink-commit", commit=True, batch_size=32)
+        n2 = kafka_txn_write(decoy, broker.host, broker.port, "t",
+                             "sink-abort", commit=False, batch_size=32)
+        assert n1 == n2 == 200
+        committed = (kafka_net_read(spark, broker.host, broker.port,
+                                    "t", READ_COMMITTED)
+                     .localCheckpoint(eager=True))
+        everything = (kafka_net_read(spark, broker.host, broker.port,
+                                     "t")
+                      .localCheckpoint(eager=True))
+    vals = [bytes(r.value) for r in committed.collect()]
+    assert len(vals) == 200 and b"DECOY" not in set(vals)
+    keys = sorted(bytes(r.key) for r in committed.collect())
+    src_keys = sorted(bytes(r.key) for r in src.collect())
+    assert keys == src_keys
+    allvals = [bytes(r.value) for r in everything.collect()]
+    assert len(allvals) == 400
+    assert sum(v == b"DECOY" for v in allvals) == 200
