@@ -521,8 +521,26 @@ class StubKafkaBroker:
                     epoch = 0
                 else:
                     # re-initialization BUMPS the epoch: any zombie
-                    # still producing with the old epoch is fenced
-                    epoch = self._pid_epoch[pid] + 1
+                    # still producing with the old epoch is fenced.
+                    # It also ABORTS a transaction the previous
+                    # incarnation left open — the recovery contract
+                    # (KIP-98: InitPidRequest "completes/aborts any
+                    # transaction left incomplete"); this is what
+                    # lets a restarted 2PC sink reuse its
+                    # transactional id and rewrite the batch without
+                    # leaking the crashed attempt's rows
+                    old_epoch = self._pid_epoch[pid]
+                    for topic, part in sorted(
+                            self._txn_parts.pop(txn_id, set())):
+                        path = self._path(topic, part)
+                        raw = (open(path, "rb").read()
+                               if os.path.exists(path) else b"")
+                        ctrl = encode_control_batch(
+                            self._log_end(raw), CTRL_ABORT, pid,
+                            old_epoch)
+                        with open(path, "ab") as fh:
+                            fh.write(ctrl)
+                    epoch = old_epoch + 1
             self._pid_epoch[pid] = epoch
         return struct.pack(">ihqh", 0, ERR_NONE, pid, epoch)
 

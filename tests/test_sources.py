@@ -2157,3 +2157,58 @@ def test_kafka_txn_exactly_once_spark_roundtrip(spark, orders):
     allvals = [bytes(r.value) for r in everything.collect()]
     assert len(allvals) == 400
     assert sum(v == b"DECOY" for v in allvals) == 200
+
+
+def test_kafka_txn_crashed_attempt_recovery():
+    """The recovery half of exactly-once (KIP-98 InitPidRequest
+    aborts an incomplete transaction): attempt 1 produces rows but
+    CRASHES before EndTxn (open transaction gates the LSO); the
+    restarted attempt re-runs InitProducerId with the SAME
+    transactional id — the broker aborts the orphaned transaction
+    and bumps the epoch — then rewrites and commits. The committed
+    view must contain the batch EXACTLY ONCE."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        KafkaProtocolClient, StubKafkaBroker)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        ATTR_TRANSACTIONAL, encode_record_batch)
+
+    def txn_batch(pid, ep, recs):
+        return encode_record_batch(
+            0, recs, attributes=ATTR_TRANSACTIONAL, producer_id=pid,
+            producer_epoch=ep, base_sequence=0)
+
+    rows = [(1000 + i, f"k{i}".encode(), f"v{i}".encode())
+            for i in range(5)]
+    log_dir = tempfile.mkdtemp(prefix="kafka_txn_rec_")
+    with StubKafkaBroker(log_dir) as broker:
+        # attempt 1: produce, then crash before EndTxn
+        c1 = KafkaProtocolClient(broker.host, broker.port)
+        pid, ep = c1.init_producer_id("sink-0")
+        c1.add_partitions_to_txn("sink-0", pid, ep, "t", [0])
+        c1.produce("t", 0, txn_batch(pid, ep, rows),
+                   transactional_id="sink-0")
+        c1.close()                           # crash: no EndTxn
+        probe = KafkaProtocolClient(broker.host, broker.port)
+        lso, _n, recs = probe.fetch_committed("t", 0, 0)
+        assert lso == 0 and recs == []       # nothing visible yet
+
+        # attempt 2: same transactional id — recovery
+        c2 = KafkaProtocolClient(broker.host, broker.port)
+        pid2, ep2 = c2.init_producer_id("sink-0")
+        assert pid2 == pid and ep2 == ep + 1
+        c2.add_partitions_to_txn("sink-0", pid2, ep2, "t", [0])
+        c2.produce("t", 0, txn_batch(pid2, ep2, rows),
+                   transactional_id="sink-0")
+        c2.end_txn("sink-0", pid2, ep2, True)
+        c2.close()
+
+        lso, _n, recs = probe.fetch_committed("t", 0, 0)
+        keys = [k for _o, _t, k, _v in recs]
+        assert keys == [f"k{i}".encode() for i in range(5)]  # ONCE
+        # uncommitted view shows both attempts' bytes (the aborted
+        # attempt is on disk, just never visible to read_committed)
+        _hwm, all_recs = probe.fetch("t", 0, 0)
+        assert len(all_recs) == 10
+        probe.close()
