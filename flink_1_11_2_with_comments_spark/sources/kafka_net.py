@@ -839,3 +839,114 @@ def kafka_txn_write(df: DataFrame, host: str, port: int, topic: str,
     counts = (df.select("timestamp", "key", "value").rdd
               .mapPartitionsWithIndex(write_part).collect())
     return int(sum(counts))
+
+
+def kafka_txn_write_idempotent(df: DataFrame, host: str, port: int,
+                               topic: str, transactional_id_prefix: str,
+                               batch_size: int = 1000) -> int:
+    """Exactly-once transactional produce that is SAFE TO REPLAY with
+    the same transactional_id_prefix — the property a streaming 2PC
+    sink needs when a micro-batch can be re-attempted after a crash
+    (TwoPhaseCommitSinkFunction.java's recoverAndCommit contract).
+
+    Mechanism: each task's transaction writes its data rows AND one
+    marker record (key = the task's transactional id) to a sibling
+    `<topic>__markers` partition IN THE SAME TRANSACTION. Kafka
+    transactions are atomic across topic-partitions, so the marker is
+    read_committed-visible IFF the data committed. A replay first
+    checks the marker: present → the previous attempt committed,
+    skip (NO duplicate); absent → the previous attempt either never
+    committed or left an open transaction, which InitProducerId
+    aborts before the rewrite (no partial leak). There is no crash
+    window: commit and marker are one atomic decision, unlike the
+    commit-then-record pattern whose failure between the two steps
+    duplicates. Assumes Spark's deterministic batch replay (same
+    micro-batch id → same rows), the planner's standard
+    foreachBatch idempotence contract.
+
+    Returns the number of records written by THIS call (0 for a
+    fully-skipped replay)."""
+    marker_topic = f"{topic}__markers"
+
+    def write_part(ix: int, rows):
+        c = KafkaProtocolClient(host, port)
+        try:
+            txn_id = f"{transactional_id_prefix}-{ix}"
+            key = txn_id.encode()
+            # committed marker present -> this task already landed
+            # (a first-ever attempt sees no marker partition at all:
+            # UNKNOWN_TOPIC from the fetch is "no marker")
+            off = 0
+            while True:
+                try:
+                    lso, nxt, recs = c.fetch_committed(
+                        marker_topic, ix, off)
+                except ValueError:
+                    break
+                if any(k == key for _o, _t, k, _v in recs):
+                    yield 0
+                    return
+                if nxt == off or nxt >= lso:
+                    break
+                off = nxt
+            pid, epoch = c.init_producer_id(txn_id)   # aborts orphans
+            c.add_partitions_to_txn(txn_id, pid, epoch, topic, [ix])
+            c.add_partitions_to_txn(txn_id, pid, epoch, marker_topic,
+                                    [ix])
+            n, seq, buf = 0, 0, []
+
+            def flush():
+                nonlocal seq
+                if not buf:
+                    return
+                batch = encode_record_batch(
+                    0, buf, attributes=ATTR_TRANSACTIONAL,
+                    producer_id=pid, producer_epoch=epoch,
+                    base_sequence=seq)
+                c.produce(topic, ix, batch, transactional_id=txn_id)
+                seq += len(buf)
+                buf.clear()
+
+            for row in rows:
+                buf.append((row.timestamp,
+                            bytes(row.key) if row.key is not None
+                            else None,
+                            bytes(row.value) if row.value is not None
+                            else None))
+                n += 1
+                if len(buf) >= batch_size:
+                    flush()
+            flush()
+            marker = encode_record_batch(
+                0, [(0, key, str(n).encode())],
+                attributes=ATTR_TRANSACTIONAL, producer_id=pid,
+                producer_epoch=epoch, base_sequence=seq)
+            c.produce(marker_topic, ix, marker,
+                      transactional_id=txn_id)
+            c.end_txn(txn_id, pid, epoch, True)
+            yield n
+        finally:
+            c.close()
+
+    counts = (df.select("timestamp", "key", "value").rdd
+              .mapPartitionsWithIndex(write_part).collect())
+    return int(sum(counts))
+
+
+def kafka_txn_sink_stream(stream_df: DataFrame, host: str, port: int,
+                          topic: str, sink_id: str,
+                          checkpoint_dir: str):
+    """Streaming exactly-once Kafka sink — the reference's
+    FlinkKafkaProducer EXACTLY_ONCE as a Structured Streaming sink:
+    each micro-batch commits through kafka_txn_write_idempotent with
+    a (sink, epoch)-scoped transactional-id prefix, so a batch
+    replayed after a crash/restart lands EXACTLY ONCE (marker-in-
+    transaction dedup), and a batch whose first attempt died
+    mid-write leaks nothing (orphan abort on re-init). Returns the
+    started StreamingQuery."""
+    def write_batch(df, epoch_id):
+        kafka_txn_write_idempotent(df, host, port, topic,
+                                   f"{sink_id}-e{epoch_id}")
+
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir).start())

@@ -2212,3 +2212,84 @@ def test_kafka_txn_crashed_attempt_recovery():
         _hwm, all_recs = probe.fetch("t", 0, 0)
         assert len(all_recs) == 10
         probe.close()
+
+
+def test_kafka_txn_visibility_fuzz():
+    """Model-based fuzz of transactional visibility: a random (but
+    seeded) interleaving of producers across overlapping transactions
+    — produce / commit / abort / crash-and-reinit — replayed against
+    a driver-side model of what read_committed must show. Any
+    divergence in LSO filtering, aborted-span indexing, marker
+    placement, or recovery-abort ordering surfaces as a sequence
+    mismatch."""
+    import random
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        KafkaProtocolClient, StubKafkaBroker)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        ATTR_TRANSACTIONAL, encode_record_batch)
+
+    rng = random.Random(421)
+    log_dir = tempfile.mkdtemp(prefix="kafka_txn_fuzz_")
+    with StubKafkaBroker(log_dir) as broker:
+        cli = KafkaProtocolClient(broker.host, broker.port)
+        # three producers with overlapping transactions on one
+        # partition; the model tracks per-txn pending rows
+        state = {}          # txn_id -> (pid, epoch, [values])
+        committed_model = []
+        seq_no = 0
+        for step in range(300):
+            tid = f"p{rng.randrange(3)}"
+            if tid not in state:
+                pid, ep = cli.init_producer_id(tid)
+                cli.add_partitions_to_txn(tid, pid, ep, "fz", [0])
+                state[tid] = (pid, ep, [])
+            pid, ep, pending = state[tid]
+            act = rng.random()
+            if act < 0.55:                        # produce one batch
+                vals = [f"{tid}-{step}-{i}".encode()
+                        for i in range(rng.randrange(1, 4))]
+                batch = encode_record_batch(
+                    0, [(1000 + step, None, v) for v in vals],
+                    attributes=ATTR_TRANSACTIONAL, producer_id=pid,
+                    producer_epoch=ep, base_sequence=seq_no)
+                seq_no += len(vals)
+                cli.produce("fz", 0, batch, transactional_id=tid)
+                pending.extend(vals)
+            elif act < 0.75:                      # commit
+                cli.end_txn(tid, pid, ep, True)
+                committed_model.extend(pending)
+                del state[tid]
+            elif act < 0.9:                       # abort
+                cli.end_txn(tid, pid, ep, False)
+                del state[tid]
+            else:                                 # crash + re-init:
+                del state[tid]                    # orphan gets
+                pid2, ep2 = cli.init_producer_id(tid)   # broker-aborted
+                assert ep2 == ep + 1
+                cli.add_partitions_to_txn(tid, pid2, ep2, "fz", [0])
+                state[tid] = (pid2, ep2, [])
+        # close every open transaction so the LSO reaches the end
+        for tid, (pid, ep, pending) in list(state.items()):
+            cli.end_txn(tid, pid, ep, True)
+            committed_model.extend(pending)
+
+        # drain read_committed over the wire and compare sequences
+        got, offset = [], 0
+        while True:
+            lso, nxt, recs = cli.fetch_committed("fz", 0, offset)
+            got.extend(v for _o, _t, _k, v in recs)
+            if nxt == offset or nxt >= lso:
+                break
+            offset = nxt
+        cli.close()
+    # same MULTISET and same per-producer ORDER as the model (global
+    # order across producers depends on commit interleaving, but each
+    # producer's committed rows must appear in produce order)
+    assert sorted(got) == sorted(committed_model)
+    for p in ("p0", "p1", "p2"):
+        got_p = [v for v in got if v.startswith(p.encode())]
+        model_p = [v for v in committed_model
+                   if v.startswith(p.encode())]
+        assert got_p == model_p

@@ -360,3 +360,104 @@ def test_iterate_stream_routes_null_exit_cond_rows(spark):
     # id=9: NULL through round 1 (exit_cond NULL -> must feed back),
     # resolved to -1 in round 2; id=1: 2 -> 2 -> 1 -> 0 exits
     assert got == [(1, 0), (9, -1)]
+
+
+
+def test_kafka_txn_sink_stream_exactly_once_across_restart(spark, sf_dir):
+    """Streaming exactly-once into Kafka over the wire — the
+    reference's FlinkKafkaProducer.Semantic.EXACTLY_ONCE under its
+    intended streaming regime (TwoPhaseCommitSinkFunction): a replayed
+    stream commits each micro-batch transactionally with a marker
+    record INSIDE the same transaction; the query is stopped
+    mid-input and restarted from the checkpoint. Recovery paths are
+    then driven deterministically: (a) a ZOMBIE replay of an
+    already-committed batch is a no-op (marker dedup), and (b) a
+    crashed attempt that produced rows but never committed leaks
+    nothing — the re-attempt aborts the orphan and lands the batch
+    exactly once. read_committed must hold every input row once."""
+    import os
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        READ_COMMITTED, KafkaProtocolClient, StubKafkaBroker,
+        kafka_net_read, kafka_txn_sink_stream,
+        kafka_txn_write_idempotent)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        ATTR_TRANSACTIONAL, encode_record_batch)
+    from flink_1_11_2_with_comments_spark.sources.replay import (
+        extend_replay, replay_as_stream)
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    src = (orders.limit(300)
+           .select(F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                   .alias("timestamp"),
+                   F.encode(F.col("o_orderkey").cast("string"), "utf-8")
+                   .alias("key"),
+                   F.encode("o_orderpriority", "utf-8").alias("value")))
+    half1 = src.where(F.decode("key", "utf-8").cast("bigint") % 2 == 0)
+    half2 = src.where(F.decode("key", "utf-8").cast("bigint") % 2 != 0)
+    extra = (src.limit(7)
+             .withColumn("key", F.encode(F.concat(
+                 F.lit("x"), F.decode("key", "utf-8")), "utf-8")))
+
+    base = tempfile.mkdtemp(prefix="kafka_eos_stream_")
+    ckpt = os.path.join(base, "ckpt")
+    log_dir = os.path.join(base, "log")
+    src_dir = tempfile.mkdtemp(prefix="kafka_eos_src_")
+    with StubKafkaBroker(log_dir) as broker:
+        stream = replay_as_stream(half1, n_batches=3,
+                                  order_by="timestamp",
+                                  base_dir=src_dir)
+        q = kafka_txn_sink_stream(stream, broker.host, broker.port,
+                                  "eos", "sink", ckpt)
+        q.processAllAvailable()
+        q.stop()
+        # restart from the same checkpoint with the second half
+        data_dir = os.path.join(src_dir, "data")
+        extend_replay(half2, data_dir, n_batches=3,
+                      order_by="timestamp")
+        stream2 = (spark.readStream.schema(src.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        q2 = kafka_txn_sink_stream(stream2, broker.host, broker.port,
+                                   "eos", "sink", ckpt)
+        q2.processAllAvailable()
+        q2.stop()
+
+        # (a) zombie replay: SAME prefix, same rows, same partitioning
+        ex1 = extra.repartition(2)
+        n_first = kafka_txn_write_idempotent(
+            ex1, broker.host, broker.port, "eos", "sink-extra")
+        n_zombie = kafka_txn_write_idempotent(
+            ex1, broker.host, broker.port, "eos", "sink-extra")
+        assert n_first == 7 and n_zombie == 0
+
+        # (b) crashed attempt: rows produced under the batch's txn id
+        # but never committed; the re-attempt must not duplicate them
+        c = KafkaProtocolClient(broker.host, broker.port)
+        pid, ep = c.init_producer_id("sink-crash-0")
+        c.add_partitions_to_txn("sink-crash-0", pid, ep, "eos", [0])
+        c.produce("eos", 0, encode_record_batch(
+            0, [(0, b"xGHOST", b"GHOST")],
+            attributes=ATTR_TRANSACTIONAL, producer_id=pid,
+            producer_epoch=ep, base_sequence=0),
+            transactional_id="sink-crash-0")
+        c.close()                               # crash before EndTxn
+        ghost = (extra.limit(1)
+                 .withColumn("key", F.encode(F.lit("xGHOST"), "utf-8"))
+                 .withColumn("value", F.encode(F.lit("REAL"), "utf-8"))
+                 .coalesce(1))
+        n_rec = kafka_txn_write_idempotent(
+            ghost, broker.host, broker.port, "eos", "sink-crash")
+        assert n_rec == 1
+
+        back = (kafka_net_read(spark, broker.host, broker.port, "eos",
+                               READ_COMMITTED)
+                .localCheckpoint(eager=True))
+    got = sorted(bytes(r.key) for r in back.collect())
+    want = sorted([bytes(r.key) for r in src.collect()]
+                  + [bytes(r.key) for r in extra.collect()]
+                  + [b"xGHOST"])
+    assert got == want            # every row exactly once
+    ghosts = [bytes(r.value) for r in back.collect()
+              if bytes(r.key) == b"xGHOST"]
+    assert ghosts == [b"REAL"]    # the crashed attempt never leaked
