@@ -53,8 +53,9 @@ from .kafka_wire import (ATTR_CONTROL, ATTR_TRANSACTIONAL, CTRL_ABORT,
                          decode_record_batch_meta, encode_control_batch,
                          encode_record_batch)
 
-API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
+API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
 API_INIT_PRODUCER_ID, API_ADD_PARTITIONS_TO_TXN, API_END_TXN = 22, 24, 26
+TS_LATEST, TS_EARLIEST = -1, -2      # ListOffsets sentinel timestamps
 ERR_NONE, ERR_UNKNOWN_TOPIC = 0, 3
 ERR_INVALID_PRODUCER_EPOCH = 47
 READ_UNCOMMITTED, READ_COMMITTED = 0, 1
@@ -189,6 +190,30 @@ class KafkaProtocolClient:
             if err == ERR_NONE:
                 out[name] = sorted(parts)
         return out
+
+    def list_offsets(self, topic: str, partition: int,
+                     timestamp: int) -> int:
+        """ListOffsets v1: the earliest offset whose record timestamp
+        is >= the given timestamp — or the log start / log end for
+        the TS_EARLIEST / TS_LATEST sentinels. This is the lookup
+        behind the reference consumer's startup modes
+        (FlinkKafkaConsumerBase.setStartFromTimestamp/-Earliest/
+        -Latest, KafkaConsumer#offsetsForTimes)."""
+        body = io.BytesIO()
+        body.write(struct.pack(">i", -1))          # replica_id
+        body.write(struct.pack(">i", 1))
+        _w_str(body, topic)
+        body.write(struct.pack(">i", 1))
+        body.write(struct.pack(">iq", partition, timestamp))
+        buf = self._call(API_LIST_OFFSETS, 1, body.getvalue())
+        pos = 4                                    # topic count (=1)
+        _name, pos = _r_str(buf, pos)
+        pos += 4                                   # partition count (=1)
+        part, err, _ts, off = struct.unpack_from(">ihqq", buf, pos)
+        if err != ERR_NONE:
+            raise ValueError(f"list_offsets error {err} on "
+                             f"{topic}-{part}")
+        return off
 
     def init_producer_id(self, transactional_id: str | None,
                          timeout_ms: int = 60000) -> tuple[int, int]:
@@ -382,6 +407,8 @@ class _Handler(socketserver.BaseRequestHandler):
                     out = srv.handle_produce(body)
                 elif api_key == API_FETCH:
                     out = srv.handle_fetch(body)
+                elif api_key == API_LIST_OFFSETS:
+                    out = srv.handle_list_offsets(body)
                 elif api_key == API_INIT_PRODUCER_ID:
                     out = srv.handle_init_producer_id(body)
                 elif api_key == API_ADD_PARTITIONS_TO_TXN:
@@ -504,6 +531,55 @@ class StubKafkaBroker:
             elif attrs & ATTR_TRANSACTIONAL:
                 open_txn.setdefault(pid, base)
         return aborted, open_txn
+
+    def handle_list_offsets(self, body: memoryview) -> bytes:
+        pos = 4                                    # replica_id
+        n_topics, = struct.unpack_from(">i", body, pos)
+        pos += 4
+        out = io.BytesIO()
+        out.write(struct.pack(">i", n_topics))
+        for _ in range(n_topics):
+            topic, pos = _r_str(body, pos)
+            n_parts, = struct.unpack_from(">i", body, pos)
+            pos += 4
+            _w_str(out, topic)
+            out.write(struct.pack(">i", n_parts))
+            for _p in range(n_parts):
+                part, ts = struct.unpack_from(">iq", body, pos)
+                pos += 12
+                path = self._path(topic, part)
+                if not os.path.exists(path):
+                    out.write(struct.pack(">ihqq", part,
+                                          ERR_UNKNOWN_TOPIC, -1, -1))
+                    continue
+                with self._lock:
+                    raw = open(path, "rb").read()
+                if ts == TS_EARLIEST:
+                    off, hit_ts = 0, -1
+                else:
+                    end = self._log_end(raw)
+                    if ts == TS_LATEST:
+                        off, hit_ts = end, -1
+                    else:
+                        # earliest record with timestamp >= ts
+                        # (KafkaConsumer#offsetsForTimes semantics);
+                        # no match -> offset -1, as the real broker
+                        off, hit_ts = -1, -1
+                        mv, p = memoryview(raw), 0
+                        while p < len(mv):
+                            base, attrs, _pid, recs, p = \
+                                decode_record_batch_meta(mv, p)
+                            if attrs & ATTR_CONTROL:
+                                continue
+                            for o, rts, _k, _v in recs:
+                                if rts >= ts and (off < 0 or o < off):
+                                    off, hit_ts = o, rts
+                                    break
+                            if off >= 0:
+                                break
+                out.write(struct.pack(">ihqq", part, ERR_NONE,
+                                      hit_ts, off))
+        return out.getvalue()
 
     def handle_init_producer_id(self, body: memoryview) -> bytes:
         txn_id, pos = _r_str(body, 0)
@@ -731,8 +807,8 @@ class StubKafkaBroker:
 
 def kafka_net_read(spark: SparkSession, host: str, port: int,
                    topic: str,
-                   isolation_level: int = READ_UNCOMMITTED
-                   ) -> DataFrame:
+                   isolation_level: int = READ_UNCOMMITTED,
+                   start_from: str | int = "earliest") -> DataFrame:
     """Batch-read a topic OVER THE WIRE into the Kafka source schema
     (partition, offset, timestamp, key, value): the driver asks
     Metadata for the partition list, then one task per partition
@@ -745,18 +821,34 @@ def kafka_net_read(spark: SparkSession, host: str, port: int,
     instead, dropping aborted transactions' batches — the consumer
     half of the reference's end-to-end exactly-once story
     (FlinkKafkaConsumer paired with an EXACTLY_ONCE producer reads
-    with isolation.level=read_committed)."""
+    with isolation.level=read_committed).
+
+    start_from maps the reference consumer's startup modes
+    (FlinkKafkaConsumerBase.setStartFromEarliest/-Latest/
+    -Timestamp): "earliest", "latest" (an empty batch read — the
+    streaming tail would start here), or an int timestamp-ms
+    resolved per partition through ListOffsets."""
     cli = KafkaProtocolClient(host, port)
     try:
         parts = cli.metadata([topic]).get(topic, [])
     finally:
         cli.close()
 
+    def _start_offset(c, part: int) -> int:
+        if start_from == "earliest":
+            return 0
+        if start_from == "latest":
+            return c.list_offsets(topic, part, TS_LATEST)
+        off = c.list_offsets(topic, part, int(start_from))
+        if off < 0:                 # no record at/after the timestamp
+            return c.list_offsets(topic, part, TS_LATEST)
+        return off
+
     def drain(part_iter):
         for part in part_iter:
             c = KafkaProtocolClient(host, port)
             try:
-                offset = 0
+                offset = _start_offset(c, part)
                 if isolation_level == READ_COMMITTED:
                     while True:
                         lso, next_off, records = c.fetch_committed(

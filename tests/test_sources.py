@@ -2293,3 +2293,58 @@ def test_kafka_txn_visibility_fuzz():
         model_p = [v for v in committed_model
                    if v.startswith(p.encode())]
         assert got_p == model_p
+
+
+def test_kafka_list_offsets_and_startup_modes(spark):
+    """ListOffsets v1 + the consumer startup modes it backs
+    (FlinkKafkaConsumerBase.setStartFromEarliest/-Latest/-Timestamp,
+    KafkaConsumer#offsetsForTimes): the earliest/latest sentinels,
+    timestamp -> first offset with record ts >= t, the no-match
+    contract (offset -1), and kafka_net_read slicing a topic by
+    timestamp."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        TS_EARLIEST, TS_LATEST, KafkaProtocolClient, StubKafkaBroker,
+        kafka_net_read)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        encode_record_batch)
+
+    log_dir = tempfile.mkdtemp(prefix="kafka_lo_")
+    with StubKafkaBroker(log_dir) as broker:
+        cli = KafkaProtocolClient(broker.host, broker.port)
+        try:
+            # 10 records, timestamps 1000, 1010, ..., 1090
+            for i in range(0, 10, 2):
+                cli.produce("t", 0, encode_record_batch(
+                    0, [(1000 + 10 * i, f"k{i}".encode(), b"v"),
+                        (1000 + 10 * (i + 1), f"k{i+1}".encode(),
+                         b"v")]))
+            assert cli.list_offsets("t", 0, TS_EARLIEST) == 0
+            assert cli.list_offsets("t", 0, TS_LATEST) == 10
+            assert cli.list_offsets("t", 0, 1000) == 0
+            assert cli.list_offsets("t", 0, 1001) == 1
+            assert cli.list_offsets("t", 0, 1050) == 5
+            assert cli.list_offsets("t", 0, 1090) == 9
+            assert cli.list_offsets("t", 0, 99999) == -1   # no match
+            try:
+                cli.list_offsets("missing", 0, TS_LATEST)
+            except ValueError as e:
+                assert "error 3" in str(e)
+            else:
+                raise AssertionError("expected UNKNOWN_TOPIC")
+        finally:
+            cli.close()
+
+        by_ts = kafka_net_read(spark, broker.host, broker.port, "t",
+                               start_from=1050).localCheckpoint(True)
+        assert sorted(bytes(r.key) for r in by_ts.collect()) == \
+            [f"k{i}".encode() for i in range(5, 10)]
+        latest = kafka_net_read(spark, broker.host, broker.port, "t",
+                                start_from="latest") \
+            .localCheckpoint(True)
+        assert latest.count() == 0
+        past_end = kafka_net_read(spark, broker.host, broker.port,
+                                  "t", start_from=99999) \
+            .localCheckpoint(True)
+        assert past_end.count() == 0
