@@ -1029,6 +1029,63 @@ def kafka_txn_exactly_once_agg(spark, sf_dir):
 
 
 @register(
+    "avro_registry_kafka_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(o_totalprice), 2) AS price_sum
+    FROM orders WHERE o_orderkey % 103 = 0
+    GROUP BY 1
+    """,
+    doc="Confluent-registry Avro over the Kafka wire "
+        "(flink-avro-confluent-registry's "
+        "ConfluentRegistryAvroDeserializationSchema + "
+        "FlinkKafkaConsumer composition): a deterministic orders "
+        "subset is framed executor-side as magic 0x00 + schema id + "
+        "Avro binary (schema registered against the in-process REST "
+        "registry, ids deduplicated across tasks), produced into the "
+        "topic log, read back OVER TCP (kafka_net_read), and decoded "
+        "with the writer schema fetched by embedded id — count, "
+        "key-sum and price-sum per priority prove the long/string/"
+        "double binary encodings and the framing survived the double "
+        "hop byte-exact. Oracle: the same aggregate off the parquet "
+        "truth.",
+)
+def avro_registry_kafka_agg(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.avro_registry import (StubSchemaRegistry,
+                                         avro_registry_frame,
+                                         avro_registry_unframe)
+    from ..sources.kafka_net import StubKafkaBroker, kafka_net_read
+    from ..sources.kafka_wire import kafka_log_write
+    src = (t(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 103 == 0)
+           .repartition(3, "o_orderkey")
+           .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+    log_dir = tempfile.mkdtemp(prefix="avro_reg_q_")
+    target = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType())])
+    with StubSchemaRegistry() as reg:
+        framed = avro_registry_frame(src, reg.url, "orders-value")
+        kafka_log_write(framed, log_dir, "orders_avro")
+        with StubKafkaBroker(log_dir) as broker:
+            log = kafka_net_read(spark, broker.host, broker.port,
+                                 "orders_avro")
+            back = avro_registry_unframe(log, reg.url, target) \
+                .localCheckpoint(eager=True)
+    return (back.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                 F.round(F.sum("o_totalprice"), 2).alias("price_sum")))
+
+
+@register(
     "es_rest_roundtrip_agg",
     """
     SELECT o_orderpriority AS priority,

@@ -2348,3 +2348,71 @@ def test_kafka_list_offsets_and_startup_modes(spark):
                                   "t", start_from=99999) \
             .localCheckpoint(True)
         assert past_end.count() == 0
+
+
+def test_avro_confluent_registry_wire_format(spark, orders):
+    """The Confluent registry Avro wire format
+    (flink-avro-confluent-registry: ConfluentSchemaRegistryCoder —
+    magic 0x00 + 4-byte BE schema id + Avro binary) against the
+    in-process REST registry: framing pinned byte-level, identical
+    schemas deduplicate to one global id, evolution (old- and
+    new-schema messages interleaved in one topic) decodes each
+    message with its own writer schema, and unknown ids fail
+    loudly."""
+    import struct as _struct
+
+    from flink_1_11_2_with_comments_spark.sources.avro_py import (
+        avro_schema_for)
+    from flink_1_11_2_with_comments_spark.sources.avro_registry import (
+        SchemaRegistryClient, StubSchemaRegistry,
+        avro_registry_frame, avro_registry_unframe,
+        encode_registry_record)
+    from pyspark.sql import types as T
+
+    with StubSchemaRegistry() as reg:
+        cli = SchemaRegistryClient(reg.url)
+        s1 = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"}]}
+        id1 = cli.register("t-value", s1)
+        assert cli.register("t-value", s1) == id1      # dedup
+        s2 = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "b", "type": ["null", "string"]}]}
+        id2 = cli.register("t-value", s2)
+        assert id2 != id1
+        assert cli.get_by_id(id1) == s1
+        assert cli.latest("t-value")[0] == id2
+        # framing: magic 0, big-endian id, then avro body
+        raw = encode_registry_record([7], s1, id1)
+        assert raw[0] == 0 and _struct.unpack(">I", raw[1:5])[0] == id1
+        assert raw[5:] == b"\x0e"                      # zigzag(7)
+        try:
+            cli.get_by_id(99999)
+        except Exception:
+            pass
+        else:
+            raise AssertionError("unknown schema id must fail")
+
+        # Spark path with schema EVOLUTION inside one topic
+        old = (orders.limit(40)
+               .select(F.col("o_orderkey").alias("k")))
+        new = (orders.limit(80).where(F.col("o_orderkey") % 2 == 0)
+               .select(F.col("o_orderkey").alias("k"),
+                       F.col("o_orderpriority").alias("p")))
+        framed = (avro_registry_frame(old, reg.url, "evo-value")
+                  .unionAll(avro_registry_frame(new, reg.url,
+                                                "evo-value")))
+        target = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("p", T.StringType())])
+        back = avro_registry_unframe(framed, reg.url, target) \
+            .localCheckpoint(eager=True)
+        rows = back.collect()
+        assert len(rows) == 40 + new.count()
+        assert {r.p for r in rows if r.p is not None} \
+            == {r.o_orderpriority for r in
+                orders.limit(80).where(F.col("o_orderkey") % 2 == 0)
+                .collect()}
+        assert sum(r.p is None for r in rows) == 40    # old-schema msgs
+        # avro schema derivation matches the registered subject
+        assert avro_schema_for(old.schema)["fields"][0]["name"] == "k"
