@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     # nothing ships never-driver-checked.
     "kafka_txn_exactly_once_agg",     # NEW: EXACTLY_ONCE txn protocol
     "avro_registry_kafka_agg",        # NEW: Confluent-registry Avro
+    "pubsub_pull_roundtrip_agg",      # NEW: GCP Pub/Sub REST face
     # (d) family canaries, oldest-first: the two remaining round-1
     # rows, then the full round-2 cohort, then the oldest round-3
     # fn_*/null_* rows until the window fills.

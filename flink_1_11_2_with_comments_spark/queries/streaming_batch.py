@@ -1086,6 +1086,52 @@ def avro_registry_kafka_agg(spark, sf_dir):
 
 
 @register(
+    "pubsub_pull_roundtrip_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 107 = 0
+    GROUP BY 1
+    """,
+    doc="GCP Pub/Sub exercised END-TO-END over its real protocol "
+        "(REST/JSON — flink-connector-gcp-pubsub's PubSubSource/"
+        "PubSubSink wire surface): a deterministic orders subset "
+        "publishes executor-side, then PARALLEL TASKS PULL FROM ONE "
+        "SUBSCRIPTION (the service-side load balancing that is the "
+        "reference source's scaling model — no client partition "
+        "assignment exists), with acknowledgements deferred until "
+        "the result is materialized (the reference's "
+        "ack-on-checkpoint at-least-once discipline) and messageId "
+        "dedup absorbing redelivery. Count and key-sum per priority "
+        "prove exactly-once EXTRACTION despite the at-least-once "
+        "transport. Oracle: the same aggregate off the parquet "
+        "truth.",
+)
+def pubsub_pull_roundtrip_agg(spark, sf_dir):
+    from ..sources.pubsub_rest import (StubPubSubServer, pubsub_read,
+                                       pubsub_write)
+    src = (t(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 107 == 0)
+           .repartition(3, "o_orderkey")
+           .select(F.encode(F.concat_ws(
+               "|", F.col("o_orderkey").cast("string"),
+               "o_orderpriority"), "utf-8").alias("value")))
+    with StubPubSubServer({"orders_ps": ["q"]}) as srv:
+        pubsub_write(src, srv.endpoint, srv.project, "orders_ps")
+        back = pubsub_read(spark, srv.endpoint, srv.project, "q")
+        decoded = (back.select(F.split(F.decode("data", "utf-8"), "\\|")
+                               .alias("f"))
+                   .select(F.col("f").getItem(0).cast("bigint")
+                           .alias("k"),
+                           F.col("f").getItem(1).alias("priority"))
+                   .localCheckpoint(eager=True))
+    return (decoded.groupBy("priority")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").cast("bigint").alias("key_sum")))
+
+
+@register(
     "es_rest_roundtrip_agg",
     """
     SELECT o_orderpriority AS priority,
