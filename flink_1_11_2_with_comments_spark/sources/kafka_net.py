@@ -512,14 +512,21 @@ class StubKafkaBroker:
         return out.getvalue()
 
     def _txn_scan(self, raw: bytes):
-        """Walk a partition log → (aborted [(pid, first_offset)],
-        open {pid: first_offset}). A transactional data batch opens a
-        span for its producer; the next control marker for that
-        producer closes it (ABORT → the span joins the aborted index
-        served to READ_COMMITTED fetches). The log IS the index."""
+        """Walk a partition log → (aborted
+        [(pid, first_offset, marker_offset)], open
+        {pid: first_offset}). A transactional data batch opens a span
+        for its producer; the next control marker for that producer
+        closes it (ABORT → the span joins the aborted index served to
+        READ_COMMITTED fetches). The marker offset is kept so a fetch
+        can serve only spans OVERLAPPING its range — the real
+        broker's .txnindex does the same; returning spans that ended
+        below the fetch offset would leave the consumer's
+        aborted-producer set stuck (its cancelling marker is never
+        served) and silently drop later COMMITTED batches. The log IS
+        the index."""
         mv, pos = memoryview(raw), 0
         open_txn: dict[int, int] = {}
-        aborted: list[tuple[int, int]] = []
+        aborted: list[tuple[int, int, int]] = []
         while pos < len(mv):
             base, attrs, pid, recs, pos = decode_record_batch_meta(
                 mv, pos)
@@ -527,7 +534,7 @@ class StubKafkaBroker:
                 first = open_txn.pop(pid, None)
                 if first is not None and struct.unpack_from(
                         ">hh", recs[0][2], 0)[1] == CTRL_ABORT:
-                    aborted.append((pid, first))
+                    aborted.append((pid, first, base))
             elif attrs & ATTR_TRANSACTIONAL:
                 open_txn.setdefault(pid, base)
         return aborted, open_txn
@@ -772,14 +779,25 @@ class StubKafkaBroker:
                 with self._lock:
                     raw = open(path, "rb").read()
                 hwm = self._log_end(raw)
-                # visibility is recomputed from the log's control
-                # batches: LSO = first offset of the earliest OPEN
-                # transaction (read_committed fetches stop there),
-                # and the aborted-span index is what the consumer
-                # uses to drop aborted data batches
-                aborted, open_txn = self._txn_scan(raw)
-                lso = min(open_txn.values(), default=hwm)
-                ceiling = lso if isolation == READ_COMMITTED else hwm
+                if isolation == READ_COMMITTED:
+                    # visibility is recomputed from the log's control
+                    # batches: LSO = first offset of the earliest
+                    # OPEN transaction (read_committed fetches stop
+                    # there); only aborted spans OVERLAPPING the
+                    # fetched range are served — a span whose marker
+                    # sits below the fetch offset is history the
+                    # consumer must not see (its cancelling marker
+                    # would never arrive)
+                    aborted, open_txn = self._txn_scan(raw)
+                    lso = min(open_txn.values(), default=hwm)
+                    ceiling = lso
+                    served_aborted = [(apid, afirst) for
+                                      apid, afirst, amark in aborted
+                                      if amark >= offset]
+                else:
+                    # read_uncommitted never consults the index;
+                    # skip the full-log transaction scan entirely
+                    lso, ceiling, served_aborted = hwm, hwm, []
                 # serve every batch whose LAST offset >= the request
                 # and (read_committed) whose base is below the LSO
                 mv, p, chunks = memoryview(raw), 0, []
@@ -791,12 +809,9 @@ class StubKafkaBroker:
                         chunks.append(bytes(mv[start:p]))
                 out.write(struct.pack(">ihqq", part, ERR_NONE, hwm,
                                       lso))
-                if isolation == READ_COMMITTED:
-                    out.write(struct.pack(">i", len(aborted)))
-                    for apid, afirst in aborted:
-                        out.write(struct.pack(">qq", apid, afirst))
-                else:
-                    out.write(struct.pack(">i", 0))  # aborted_txns
+                out.write(struct.pack(">i", len(served_aborted)))
+                for apid, afirst in served_aborted:
+                    out.write(struct.pack(">qq", apid, afirst))
                 _w_bytes(out, b"".join(chunks) or None)
         return out.getvalue()
 
@@ -899,30 +914,8 @@ def kafka_txn_write(df: DataFrame, host: str, port: int, topic: str,
             txn_id = f"{transactional_id_prefix}-{ix}"
             pid, epoch = c.init_producer_id(txn_id)
             c.add_partitions_to_txn(txn_id, pid, epoch, topic, [ix])
-            n, seq, buf = 0, 0, []
-
-            def flush():
-                nonlocal seq
-                if not buf:
-                    return
-                batch = encode_record_batch(
-                    0, buf, attributes=ATTR_TRANSACTIONAL,
-                    producer_id=pid, producer_epoch=epoch,
-                    base_sequence=seq)
-                c.produce(topic, ix, batch, transactional_id=txn_id)
-                seq += len(buf)
-                buf.clear()
-
-            for row in rows:
-                buf.append((row.timestamp,
-                            bytes(row.key) if row.key is not None
-                            else None,
-                            bytes(row.value) if row.value is not None
-                            else None))
-                n += 1
-                if len(buf) >= batch_size:
-                    flush()
-            flush()
+            n, _seq = _produce_rows(c, topic, ix, txn_id, pid, epoch,
+                                    rows, batch_size)
             c.end_txn(txn_id, pid, epoch, commit)
             yield n
         finally:
@@ -931,6 +924,39 @@ def kafka_txn_write(df: DataFrame, host: str, port: int, topic: str,
     counts = (df.select("timestamp", "key", "value").rdd
               .mapPartitionsWithIndex(write_part).collect())
     return int(sum(counts))
+
+
+def _produce_rows(c: KafkaProtocolClient, topic: str, ix: int,
+                  txn_id: str, pid: int, epoch: int, rows,
+                  batch_size: int) -> tuple[int, int]:
+    """Shared transactional produce loop: buffer (timestamp, key,
+    value) rows into RecordBatch v2 frames with a monotonically
+    increasing baseSequence. Returns (rows_produced, next_sequence)
+    so a caller can append further batches (e.g. the idempotence
+    marker) in the same transaction."""
+    n, seq, buf = 0, 0, []
+
+    def flush():
+        nonlocal seq
+        if not buf:
+            return
+        batch = encode_record_batch(
+            0, buf, attributes=ATTR_TRANSACTIONAL,
+            producer_id=pid, producer_epoch=epoch, base_sequence=seq)
+        c.produce(topic, ix, batch, transactional_id=txn_id)
+        seq += len(buf)
+        buf.clear()
+
+    for row in rows:
+        buf.append((row.timestamp,
+                    bytes(row.key) if row.key is not None else None,
+                    bytes(row.value) if row.value is not None
+                    else None))
+        n += 1
+        if len(buf) >= batch_size:
+            flush()
+    flush()
+    return n, seq
 
 
 def kafka_txn_write_idempotent(df: DataFrame, host: str, port: int,
@@ -973,8 +999,14 @@ def kafka_txn_write_idempotent(df: DataFrame, host: str, port: int,
                 try:
                     lso, nxt, recs = c.fetch_committed(
                         marker_topic, ix, off)
-                except ValueError:
-                    break
+                except ValueError as e:
+                    # ONLY "no marker partition yet" may be read as
+                    # "no marker": any other fetch error must abort
+                    # the attempt, not silently conclude the previous
+                    # attempt never committed (that would duplicate)
+                    if f"error {ERR_UNKNOWN_TOPIC} " in str(e):
+                        break
+                    raise
                 if any(k == key for _o, _t, k, _v in recs):
                     yield 0
                     return
@@ -985,30 +1017,8 @@ def kafka_txn_write_idempotent(df: DataFrame, host: str, port: int,
             c.add_partitions_to_txn(txn_id, pid, epoch, topic, [ix])
             c.add_partitions_to_txn(txn_id, pid, epoch, marker_topic,
                                     [ix])
-            n, seq, buf = 0, 0, []
-
-            def flush():
-                nonlocal seq
-                if not buf:
-                    return
-                batch = encode_record_batch(
-                    0, buf, attributes=ATTR_TRANSACTIONAL,
-                    producer_id=pid, producer_epoch=epoch,
-                    base_sequence=seq)
-                c.produce(topic, ix, batch, transactional_id=txn_id)
-                seq += len(buf)
-                buf.clear()
-
-            for row in rows:
-                buf.append((row.timestamp,
-                            bytes(row.key) if row.key is not None
-                            else None,
-                            bytes(row.value) if row.value is not None
-                            else None))
-                n += 1
-                if len(buf) >= batch_size:
-                    flush()
-            flush()
+            n, seq = _produce_rows(c, topic, ix, txn_id, pid, epoch,
+                                   rows, batch_size)
             marker = encode_record_batch(
                 0, [(0, key, str(n).encode())],
                 attributes=ATTR_TRANSACTIONAL, producer_id=pid,

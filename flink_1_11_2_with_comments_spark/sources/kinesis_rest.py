@@ -37,6 +37,7 @@ import hashlib
 import hmac
 import json
 import threading
+import time
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -181,9 +182,12 @@ def kinesis_read(spark: SparkSession, endpoint: str, region: str,
             # with a non-null NextShardIterator while
             # MillisBehindLatest > 0 (records further along the
             # shard); stopping on the first empty page would silently
-            # truncate the read. Stop only when caught up to the tip
-            # (behind == 0) or after a bounded run of empty pages
-            # (defensive, in case a server reports stale lag forever).
+            # truncate the read. Sparse TRIM_HORIZON regions can
+            # serve HUNDREDS of empty pages in a row, so keep
+            # following the iterator with a short backoff (the AWS
+            # SDK consumers poll the same way) while the service
+            # still reports lag; the generous page budget only guards
+            # against a server reporting stale lag forever.
             empty_streak = 0
             while it:
                 recs, it, behind = c.get_records(it)
@@ -195,8 +199,9 @@ def kinesis_read(spark: SparkSession, endpoint: str, region: str,
                     if behind <= 0:
                         break
                     empty_streak += 1
-                    if empty_streak >= 64:
+                    if empty_streak >= 10_000:
                         break
+                    time.sleep(min(0.02 * empty_streak, 0.2))
 
     rdd = (spark.sparkContext
            .parallelize(shards, max(len(shards), 1))

@@ -36,6 +36,7 @@ dishonestly.
 from __future__ import annotations
 
 import base64
+import datetime as _dt
 import json
 import threading
 import time
@@ -50,6 +51,18 @@ PUBSUB_SCHEMA = T.StructType([
     T.StructField("publish_time_ms", T.LongType()),
     T.StructField("data", T.BinaryType()),
 ])
+
+
+def _rfc3339_ms(ts: str) -> int:
+    """publishTime per the REST API is an RFC3339 string with up to
+    nanosecond precision and a Z suffix — parse to epoch millis
+    (fractional digits beyond microseconds are truncated)."""
+    if "." in ts:
+        head, frac = ts.rstrip("Z").split(".", 1)
+        ts = f"{head}.{frac[:6]:<06s}+00:00"
+    else:
+        ts = ts.rstrip("Z") + "+00:00"
+    return int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
 
 
 class PubSubClient:
@@ -81,7 +94,7 @@ class PubSubClient:
         for rm in out.get("receivedMessages", []):
             m = rm["message"]
             recs.append((rm["ackId"], m["messageId"],
-                         int(m["publishTimeMs"]),
+                         _rfc3339_ms(m["publishTime"]),
                          base64.b64decode(m["data"])))
         return recs
 
@@ -129,13 +142,27 @@ def pubsub_read(spark: SparkSession, endpoint: str, project: str,
     def drain(_ix_iter):
         c = PubSubClient(endpoint, project)
         leased: list = []
+        seen: set[str] = set()
         empties = 0
-        while empties < 2:      # two consecutive empty pulls = drained
+        # the REST contract allows empty pull responses while backlog
+        # remains (load-balancing lag) — back off briefly and only
+        # conclude "drained" after several consecutive empties; a
+        # production bounded read should prefer an external stopping
+        # rule (message count or publish-time watermark). Only
+        # UNSEEN messageIds reset the counter: a lease that expires
+        # during the drain and redelivers to the same task must not
+        # keep the loop alive forever (every ackId is still
+        # collected, so the newest lease gets acknowledged).
+        while empties < 5:
             recs = c.pull(subscription)
-            if not recs:
+            fresh = [r for r in recs if r[1] not in seen]
+            if not fresh:
                 empties += 1
+                time.sleep(0.2)
+                leased.extend(recs)
                 continue
             empties = 0
+            seen.update(r[1] for r in recs)
             leased.extend(recs)
         for ack_id, mid, ts, data in leased:
             yield (ack_id, mid, ts, data)
@@ -230,14 +257,17 @@ class StubPubSubServer:
     # -- operations (called under self.lock) ---------------------------
     def publish(self, topic: str, messages: list[dict]) -> dict:
         ids = []
-        now_ms = int(time.time() * 1000)
+        now = _dt.datetime.now(_dt.timezone.utc)
+        # nanosecond-precision RFC3339, the shape the real service
+        # emits (client-side truncation to micros is exercised)
+        publish_time = now.strftime("%Y-%m-%dT%H:%M:%S.%f") + "123Z"
         for m in messages:
             mid = str(self._next_id)
             self._next_id += 1
             ids.append(mid)
             for sub in self.subs_of_topic.get(topic, []):
                 self.queues[sub].append(
-                    {"messageId": mid, "publishTimeMs": now_ms,
+                    {"messageId": mid, "publishTime": publish_time,
                      "data": m["data"]})
         return {"messageIds": ids}
 

@@ -2466,3 +2466,60 @@ def test_pubsub_rest_roundtrip_and_lease_semantics(spark):
             assert "connector" in str(e) or "API" in str(e)
         else:
             raise AssertionError("gate must raise")
+
+
+def test_kafka_read_committed_from_mid_log_offset():
+    """A read_committed fetch from a NON-ZERO offset must still see
+    committed batches even when an earlier ABORTED transaction's
+    span (data + marker) lies entirely below the requested offset:
+    the broker must serve only aborted-span index entries that
+    OVERLAP the fetched range (the real .txnindex behavior) — a
+    stale entry with its cancelling marker below the fetch offset
+    would leave the consumer's aborted-producer set stuck and
+    silently drop every later committed batch."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        KafkaProtocolClient, StubKafkaBroker)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        ATTR_TRANSACTIONAL, encode_record_batch)
+
+    def txn_batch(pid, ep, seq, recs):
+        return encode_record_batch(
+            0, recs, attributes=ATTR_TRANSACTIONAL, producer_id=pid,
+            producer_epoch=ep, base_sequence=seq)
+
+    log_dir = tempfile.mkdtemp(prefix="kafka_midlog_")
+    with StubKafkaBroker(log_dir) as broker:
+        cli = KafkaProtocolClient(broker.host, broker.port)
+        try:
+            # SAME producer: abort txn1 (offsets 0-1, marker at 2),
+            # then commit txn2 (offsets 3-4, marker at 5)
+            pid, ep = cli.init_producer_id("p")
+            cli.add_partitions_to_txn("p", pid, ep, "t", [0])
+            cli.produce("t", 0, txn_batch(pid, ep, 0,
+                                          [(1000, b"a1", b"x"),
+                                           (1001, b"a2", b"x")]),
+                        transactional_id="p")
+            cli.end_txn("p", pid, ep, False)
+            pid, ep = cli.init_producer_id("p")
+            cli.add_partitions_to_txn("p", pid, ep, "t", [0])
+            cli.produce("t", 0, txn_batch(pid, ep, 0,
+                                          [(1002, b"c1", b"y"),
+                                           (1003, b"c2", b"y")]),
+                        transactional_id="p")
+            cli.end_txn("p", pid, ep, True)
+
+            # full read: committed only
+            _lso, _n, recs = cli.fetch_committed("t", 0, 0)
+            assert [k for _o, _t2, k, _v in recs] == [b"c1", b"c2"]
+            # THE regression: fetch from offset 3 (past the aborted
+            # span AND its marker) must still see c1/c2
+            _lso, _n, recs = cli.fetch_committed("t", 0, 3)
+            assert [k for _o, _t2, k, _v in recs] == [b"c1", b"c2"]
+            # from offset 1: aborted data still filtered, committed
+            # data still served (the span overlaps, marker at 2)
+            _lso, _n, recs = cli.fetch_committed("t", 0, 1)
+            assert [k for _o, _t2, k, _v in recs] == [b"c1", b"c2"]
+        finally:
+            cli.close()
