@@ -217,11 +217,17 @@ def decode_record_batch(buf: memoryview, pos: int):
 
 
 def decode_log(raw: bytes):
-    """A log segment = concatenated record batches; yield records."""
+    """A log segment = concatenated record batches; yield records.
+    Control batches (transaction markers) are broker bookkeeping,
+    never consumer records — skipped, exactly as every consumer
+    isolation level does on the wire."""
     buf = memoryview(raw)
     pos = 0
     while pos < len(buf):
-        _base, records, pos = decode_record_batch(buf, pos)
+        _base, attrs, _pid, records, pos = decode_record_batch_meta(
+            buf, pos)
+        if attrs & ATTR_CONTROL:
+            continue
         yield from records
 
 
