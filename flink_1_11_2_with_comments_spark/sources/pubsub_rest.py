@@ -5,10 +5,13 @@ Reference: flink-connectors/flink-connector-gcp-pubsub
 from the SAME subscription and the service load-balances messages
 across pullers; acknowledgements are deferred until the checkpoint
 completes so a failure replays unacked messages — at-least-once;
-PubSubSink.java publishes per subtask). The wire surface is the
-published JSON/REST API (topics:publish, subscriptions:pull,
-subscriptions:acknowledge — the same endpoints the Google emulator
-speaks), implemented here in pure stdlib:
+PubSubSink.java publishes per subtask). The reference drives the
+service through its gRPC API (BlockingGrpcPubSubSubscriber.java) —
+gRPC needs protobuf, absent in-container, so this module implements
+the SAME service operations through Pub/Sub's equally-public
+JSON/REST API (topics:publish, subscriptions:pull,
+subscriptions:acknowledge — one service, two published transports;
+the Google emulator speaks both), in pure stdlib:
 
 - ``PubSubClient``: publish / pull / acknowledge against any
   endpoint (a real ``pubsub.googleapis.com`` URL with an auth header
