@@ -511,8 +511,8 @@ def pregel(edges: DataFrame, initial: DataFrame, send_msg,
     return state
 
 
-def k_core_pairs(pairs: DataFrame, k: int,
-                 max_iter: int = 30) -> DataFrame:
+def k_core_pairs(pairs: DataFrame, k: int, max_iter: int = 30,
+                 peels_per_job: int = 4) -> DataFrame:
     """k_core over the HALF-representation: ``pairs`` holds each
     undirected edge ONCE as (a, b), already distinct. Semantically
     identical to k_core(pairs ∪ reversed(pairs)) but materializes
@@ -520,44 +520,83 @@ def k_core_pairs(pairs: DataFrame, k: int,
     dominant 10x-scaling cost of the full-orientation variant (the
     24M-row write alone cost more than the whole peel at 10x sf0.1),
     and every consumer of both orientations can read the half cache
-    twice instead. Degrees come from ONE pass
-    (explode(array(a,b)) -> count, map-side combined); each round's
-    decrement probe is two broadcast-hash joins over the same cached
-    frame (b-side hits + a-side hits) — same bytes scanned as one
-    pass over the doubled list, half the memory and half the write.
-    Same Gelly contract and same unrolled-SQL oracle as k_core.
+    twice instead. Same Gelly contract and same unrolled-SQL oracle
+    as k_core (DataSet.iterateDelta, DataSet.java:1179).
+
+    Per-round work, minimized two ways vs the r12 shape:
+
+    - ONE pass over the cached half-edge list per round: both
+      orientations come out of a single explode scan probed against
+      the broadcast peel delta (the r12 shape ran two separate
+      broadcast joins — two full cache scans — for the same 2|E|
+      probes). The |E| cache scan is the dominant linear cost of a
+      round, so this halves it.
+    - The per-round driver action is FOLDED into the peel: a peel is
+      idempotent past its fixpoint (removing nothing decrements
+      nothing), so rounds are chained LAZILY (_superstep eager=False
+      keeps each round's plan flat) and ONE count at the end of a
+      batch both materializes the whole chain and answers the
+      convergence question. Speculative rounds inside a batch never
+      see an exact delta size, so they only run while the PROVABLE
+      bound fits the broadcast budget: a peeled vertex has
+      in-subgraph degree < k, so the next delta — a subset of the
+      peeled set's alive neighbors — has at most |delta| * (k-1)
+      rows. Batch entry sizes are exact (counted at the previous
+      batch boundary); a first round that peels half the graph
+      shuffle-joins instead of broadcasting.
+
+    Trailing speculative rounds past the fixpoint are no-ops (empty
+    build side; AQE's empty-relation propagation skips the edge
+    scan), costing only the |V_alive| degree-table rewrite — which is
+    exactly what lets the SQL oracle unroll a fixed round count.
     """
     pairs = _superstep(pairs.select("a", "b"))
     deg = (pairs.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node").agg(F.count("*").alias("d")))
     deg = _superstep(deg)
     broadcast_rows = 5_000_000
-    for _ in range(max_iter):
-        removed = deg.where(F.col("d") < k).select("node")
-        n_removed = removed.count()
-        if n_removed == 0:
-            break
-        rem = removed
-        if n_removed <= broadcast_rows:
-            rem = F.broadcast(rem)
-        # neighbors of the peeled delta, from both edge directions:
-        # each is a map-side broadcast probe of the half cache
-        hit_b = (pairs.join(rem, pairs.b == rem.node)
-                 .select(F.col("a").alias("nbr")))
-        hit_a = (pairs.join(rem, pairs.a == rem.node)
-                 .select(F.col("b").alias("nbr")))
-        dec = (hit_b.unionAll(hit_a)
-               .groupBy(F.col("nbr").alias("node"))
+
+    def peel(deg: DataFrame, rem: DataFrame) -> DataFrame:
+        # single scan of the half cache: explode both orientations,
+        # probe the broadcast delta, count decrements per survivor
+        exp = (pairs.select(F.explode(F.array(
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+        )).alias("e")).select("e.u", "e.v"))
+        dec = (exp.join(rem, exp.u == rem.node)
+               .groupBy(F.col("v").alias("node"))
                .agg(F.count("*").alias("__dec")))
-        deg = (deg.where(F.col("d") >= k)
-               .join(dec, "node", "left")
-               .select("node",
-                       (F.col("d") - F.coalesce(F.col("__dec"),
-                                                F.lit(0))).alias("d")))
-        deg = _superstep(deg)
-    else:
-        if deg.where(F.col("d") < k).limit(1).count() > 0:
-            _warn_not_converged("k_core", max_iter)
+        return _superstep(
+            deg.where(F.col("d") >= k)
+            .join(dec, "node", "left")
+            .select("node",
+                    (F.col("d") - F.coalesce(F.col("__dec"),
+                                             F.lit(0))).alias("d")))
+
+    rounds = 0
+    # this count is the ONLY driver action per batch: it materializes
+    # the lazily-checkpointed chain AND measures the next delta
+    n_below = deg.where(F.col("d") < k).count()
+    while n_below > 0 and rounds < max_iter:
+        removed = deg.where(F.col("d") < k).select("node")
+        rem = (F.broadcast(removed) if n_below <= broadcast_rows
+               else removed)
+        deg = peel(deg, rem)
+        rounds += 1
+        # speculative rounds: no action between peels; broadcast is
+        # safe while the worst-case delta bound fits the budget
+        bound = n_below * max(k - 1, 1)
+        batched = 1
+        while (batched < peels_per_job and rounds < max_iter
+               and bound <= broadcast_rows):
+            removed = deg.where(F.col("d") < k).select("node")
+            deg = peel(deg, F.broadcast(removed))
+            rounds += 1
+            batched += 1
+            bound *= max(k - 1, 1)
+        n_below = deg.where(F.col("d") < k).count()
+    if n_below > 0:
+        _warn_not_converged("k_core", max_iter)
     return deg.select("node",
                       F.col("d").cast("bigint").alias("core_degree"))
 

@@ -28,69 +28,59 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 # The external correctness gate evaluates the registry in insertion order
 # and may only reach the first N entries (every round so far stopped at 50).
-# Round-11 rotation: CORRECTNESS_r10 came back 49/50 — the whole r10
-# window green except events_hourly_to_daily_rollup, whose TRUE cause
-# (DuckDB SUM(BIGINT)→HUGEINT renders 73.0 vs Spark BIGINT 73) is fixed
-# this round with CAST(SUM(hn) AS BIGINT); the r1-r10 union covers 332
-# of the 334 pre-round-11 entries. This list front-loads (a) the
-# round-11 new/changed queries: the re-fixed rollup, the two entries
-# that landed after the r10 window froze and have NEVER been
-# driver-checked (corpus_domain_quota, tpcds_aligned_week_returns), the
-# re-thresholded setop_except_all (its old fixture was vacuously
-# empty), the delta-degree graph_k_core, the count-aware-prefiltered
-# CEP pair, the two NEW hash-enforced decode faces and the two
-# kernel-rewired check faces; then (b) family canaries rotated
-# oldest-first — the round-1/2 agg tail (incl. agg_stats, hand-verified
-# r10 but last driver-checked r1), the unnest and OVER families, the
-# round-3 setops, and the oldest fn_* rows. If this window comes back
-# green the union is 100% driver-touched and debt-free.
+#
+# INVARIANT (asserted by tests/test_window_invariant.py against the
+# committed tests/query_source_manifest.json): any query whose source
+# — transitively, including package-internal operators it calls and
+# its oracle SQL — changed since its manifest hash was recorded MUST
+# appear in this window. This is the rule whose absence let r11 ship
+# seven rewritten plans and r12 ship graph_k_core with only
+# pre-rewrite green rows. Changing a query therefore requires (1)
+# adding it here and (2) regenerating the manifest
+# (`python -m tests.query_manifest`, which refuses to re-hash
+# un-windowed queries).
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-12 WINDOW (the driver checks the first ~50 entries).
-    # (a) the 7 queries whose PLANS were rewritten after the r11
-    # window froze — their union-green rows predate the current
-    # plans; all locally parity-pinned under the strict comparator,
-    # re-verification is this round's top ask (r11 verdict #1).
-    "tpch_q18",                       # HAVING fold rewrite
-    "tpch_q13",                       # aggregate-before-join rewrite
-    "basket_brand_lift",              # one-shuffle co-occurrence
-    "graph_clustering_coefficient",   # one-shuffle co-occurrence
-    "tpcds_item_chain_resale",        # lead-window chain
-    "events_kmv_intersection",        # WindowGroupLimit top-k
-    "corpus_quality_classifier_fit",  # persisted feature table
-    # (b) connector faces whose transport code changed this round
-    # (advisor fixes: kinesis empty-page drain, Cassandra signed-tail
-    # murmur3, kafka multi-batch produce rebase) — re-check them on
-    # the new code even though the fixes are behavior-preserving for
-    # the loopback fixtures.
+    # ROUND-13 WINDOW (the driver checks the first 50 entries).
+    # (a) queries whose transitive source changed this round — the
+    # exact changed-set computed by the manifest diff, not memory:
+    # graph_k_core's k_core_pairs gained batched speculative peels +
+    # a single-scan decrement (the r12 verdict's #1: its half-edge
+    # rewrite shipped r12 without a driver check; re-verify FIRST);
+    # pubsub_read now acks on the executors; kinesis_read's exhausted
+    # page budget warns instead of truncating silently.
+    "graph_k_core",
+    "pubsub_pull_roundtrip_agg",
     "kinesis_wire_roundtrip_agg",
-    "cql_native_roundtrip_agg",
-    "kafka_wire_roundtrip_agg",
-    # (c) NEW round-12 queries — appended here as each lands so
-    # nothing ships never-driver-checked.
-    "kafka_txn_exactly_once_agg",     # NEW: EXACTLY_ONCE txn protocol
-    "avro_registry_kafka_agg",        # NEW: Confluent-registry Avro
-    "pubsub_pull_roundtrip_agg",      # NEW: GCP Pub/Sub REST face
-    # (d) family canaries, oldest-first: the two remaining round-1
-    # rows, then the full round-2 cohort, then the oldest round-3
-    # fn_*/null_* rows until the window fills.
-    "limit_offset", "values_inline",
-    "rank_topn_per_group", "window_session_dynamic_gap",
-    "dedup_keep_first_row", "dedup_simhash", "dedup_embedding_cosine",
-    "text_fingerprint", "text_token_stats",
-    "ann_ivf_topk", "ann_lsh_buckets",
-    "async_lookup_join", "flink_sql_lookup_join",
-    "dataset_cogroup", "dataset_map_partition", "side_outputs",
-    "udf_table_function", "multimodal_metadata", "null_aggregates",
-    "fn_cast_semantics", "fn_collections",
-    "fn_conditional", "fn_temporal_overlaps", "fn_sql_udf_surface",
-    "fn_string_extras", "fn_time_type", "fn_percentiles",
-    "fn_higher_order", "fn_string_position",
-    "null_join_semantics", "null_not_in", "null_distinct_groupby",
-    "window_hop_agg", "window_topn", "window_tumble_join",
-    "dedup_keep_last_row", "udf_table_aggregate_top2",
-    # displaced to round 13 by the three new round-12 queries:
-    # dedup_ngram_jaccard, dedup_simhash_pairs, graph_sssp (all r3,
-    # families already represented in this window)
+    # (b) NEW round-13 queries — appended as each lands so nothing
+    # ships never-driver-checked.
+    "streaming_iterate_halving",      # NEW: DataStream.iterate face
+    # (c) the oldest union rows: everything last driver-checked in
+    # round 3 (the three r12-displaced canaries among them) ...
+    "ann_ivf_assign", "cep_not_followed_by",
+    "count_sliding_window_batch", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "evictor_delta_window",
+    "evictor_time_window", "graph_sssp",
+    "match_recognize_all_rows", "multimodal_features",
+    # ... then the round-4 cohort, which fills the window. Three
+    # MATCH_RECOGNIZE variants (permute/reluctant/skip_to_first)
+    # are deferred to r14 — the family keeps five rows in-window.
+    "approx_sketches", "boilerplate_ngrams", "cep_funnel",
+    "cep_until", "corpus_bigram_logprob", "corpus_contamination",
+    "corpus_sample", "corpus_tfidf_topterms",
+    "dedup_cluster_canonical", "match_recognize_alternation",
+    "match_recognize_exclusion", "match_recognize_group_times",
+    "match_recognize_prev", "multimodal_audio_decode",
+    "multimodal_video_boxes", "sample_stratified",
+    "temporal_sort_batch", "text_chunking", "text_entropy",
+    "text_redact", "tpcds_above_group_average",
+    "tpcds_bucket_report", "tpcds_channel_intersect",
+    "tpcds_channel_union", "tpcds_exists_chain",
+    "tpcds_line_count_band", "tpcds_monthly_share",
+    "tpcds_multi_band_count", "tpcds_period_over_period",
+    "tpcds_repeat_customers", "tpcds_returns_net",
+    "tpcds_rollup_report", "tpcds_semi_anti_chain",
+    "tpcds_two_fact_report", "tpcds_window_over_rollup",
+    "tpcds_year_over_year_customer",
 )
 
 

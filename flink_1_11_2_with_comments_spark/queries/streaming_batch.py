@@ -2070,3 +2070,48 @@ def cdc_canal_materialize(spark, sf_dir):
         "ts_ms bigint, event_id bigint, user_id bigint, value double")
     return materialize_upsert(parsed, keys=["user_id"],
                               order_cols=["ts_ms", "event_id"])
+
+
+@register(
+    "streaming_iterate_halving",
+    """
+    WITH RECURSIVE it AS (
+      SELECT o_orderkey AS okey,
+             CAST(o_orderkey // 2 AS BIGINT) AS cur,
+             CAST(1 AS BIGINT) AS steps
+      FROM orders WHERE o_orderkey % 25 = 0
+      UNION ALL
+      SELECT okey, CAST(cur // 2 AS BIGINT), steps + 1
+      FROM it WHERE cur > 1
+    )
+    SELECT okey, cur, steps FROM it WHERE cur <= 1
+    """,
+    doc="DataStream.iterate as a driver-checkable face "
+        "(DataStream.java:520, IterativeStream.closeWith): seed "
+        "every 25th order key into the feedback loop, the body "
+        "halves it and counts steps, rows exit when the value "
+        "reaches <=1 — the canonical convergence-loop shape of the "
+        "reference's streaming-iteration examples. Runs the REAL "
+        "streaming mechanism (one continuously-running query whose "
+        "feedback files become its own next micro-batches, "
+        "streaming/iterate.iterate_stream); the oracle is the exact "
+        "recursive-CTE unrolling of the same loop. Scale: loop depth "
+        "is log2(max key) supersteps, independent of data size; each "
+        "superstep is one distributed micro-batch over the feedback "
+        "channel, no driver row-work.",
+)
+def streaming_iterate_halving(spark, sf_dir):
+    from ..streaming.iterate import iterate_stream
+    orders = t(spark, sf_dir, "orders")
+    seed = (orders.where(F.col("o_orderkey") % 25 == 0)
+            .select(F.col("o_orderkey").alias("okey"),
+                    F.col("o_orderkey").cast("bigint").alias("cur"),
+                    F.lit(0).cast("bigint").alias("steps")))
+
+    def body(df):
+        return df.select(
+            "okey",
+            F.floor(F.col("cur") / 2).cast("bigint").alias("cur"),
+            (F.col("steps") + 1).alias("steps"))
+
+    return iterate_stream(spark, seed, body, F.col("cur") <= 1)

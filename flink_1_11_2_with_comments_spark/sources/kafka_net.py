@@ -40,6 +40,7 @@ per-subtask-partition assignment (KafkaTopicPartitionAssigner).
 from __future__ import annotations
 
 import io
+import json
 import os
 import socket
 import socketserver
@@ -982,9 +983,50 @@ def kafka_txn_write_idempotent(df: DataFrame, host: str, port: int,
     micro-batch id → same rows), the planner's standard
     foreachBatch idempotence contract.
 
+    The marker payload records the attempt's PARTITION COUNT, and
+    every task verifies it (against its own marker, and — when its
+    own partition has none — against partition 0's, the canonical
+    layout record): dedup is keyed on the task index, so a replay
+    that materializes with a different partition count or
+    row-to-partition mapping would silently misalign markers and
+    duplicate or drop rows (advisor r12). A detected layout change
+    fails the batch LOUDLY instead; same-layout replay is the
+    deterministic-replay contract this sink documents.
+
     Returns the number of records written by THIS call (0 for a
     fully-skipped replay)."""
     marker_topic = f"{topic}__markers"
+    num_parts = df.rdd.getNumPartitions()
+
+    def scan_markers(c: "KafkaProtocolClient", part: int):
+        """All committed marker records of one marker partition
+        (UNKNOWN_TOPIC = partition never written = no markers)."""
+        out, off = [], 0
+        while True:
+            try:
+                lso, nxt, recs = c.fetch_committed(
+                    marker_topic, part, off)
+            except ValueError as e:
+                # ONLY "no marker partition yet" may be read as
+                # "no marker": any other fetch error must abort
+                # the attempt, not silently conclude the previous
+                # attempt never committed (that would duplicate)
+                if f"error {ERR_UNKNOWN_TOPIC} " in str(e):
+                    return out
+                raise
+            out.extend(recs)
+            if nxt == off or nxt >= lso:
+                return out
+
+    def check_layout(payload: bytes) -> None:
+        meta = json.loads(payload.decode())
+        if meta.get("parts") != num_parts:
+            raise RuntimeError(
+                f"kafka_txn_write_idempotent: replay partition "
+                f"layout changed — prior attempt committed with "
+                f"{meta.get('parts')} partitions, this attempt has "
+                f"{num_parts}; task-index marker dedup cannot align "
+                "them, refusing to write (duplicates otherwise)")
 
     def write_part(ix: int, rows):
         c = KafkaProtocolClient(host, port)
@@ -992,35 +1034,32 @@ def kafka_txn_write_idempotent(df: DataFrame, host: str, port: int,
             txn_id = f"{transactional_id_prefix}-{ix}"
             key = txn_id.encode()
             # committed marker present -> this task already landed
-            # (a first-ever attempt sees no marker partition at all:
-            # UNKNOWN_TOPIC from the fetch is "no marker")
-            off = 0
-            while True:
-                try:
-                    lso, nxt, recs = c.fetch_committed(
-                        marker_topic, ix, off)
-                except ValueError as e:
-                    # ONLY "no marker partition yet" may be read as
-                    # "no marker": any other fetch error must abort
-                    # the attempt, not silently conclude the previous
-                    # attempt never committed (that would duplicate)
-                    if f"error {ERR_UNKNOWN_TOPIC} " in str(e):
-                        break
-                    raise
-                if any(k == key for _o, _t, k, _v in recs):
-                    yield 0
-                    return
-                if nxt == off or nxt >= lso:
-                    break
-                off = nxt
+            mine = [v for _o, _t, k, v in scan_markers(c, ix)
+                    if k == key]
+            if mine:
+                check_layout(mine[0])
+                yield 0
+                return
+            if ix != 0:
+                # no marker for THIS index — but a prior attempt with
+                # FEWER partitions would have left this partition
+                # empty while its partition-0 marker records the old
+                # layout; probe it so the mismatch fails loudly here
+                # too instead of double-writing
+                prefix_key = f"{transactional_id_prefix}-0".encode()
+                for _o, _t, k, v in scan_markers(c, 0):
+                    if k == prefix_key:
+                        check_layout(v)
             pid, epoch = c.init_producer_id(txn_id)   # aborts orphans
             c.add_partitions_to_txn(txn_id, pid, epoch, topic, [ix])
             c.add_partitions_to_txn(txn_id, pid, epoch, marker_topic,
                                     [ix])
             n, seq = _produce_rows(c, topic, ix, txn_id, pid, epoch,
                                    rows, batch_size)
+            marker_payload = json.dumps(
+                {"rows": n, "parts": num_parts}).encode()
             marker = encode_record_batch(
-                0, [(0, key, str(n).encode())],
+                0, [(0, key, marker_payload)],
                 attributes=ATTR_TRANSACTIONAL, producer_id=pid,
                 producer_epoch=epoch, base_sequence=seq)
             c.produce(marker_topic, ix, marker,

@@ -200,6 +200,21 @@ def kinesis_read(spark: SparkSession, endpoint: str, region: str,
                         break
                     empty_streak += 1
                     if empty_streak >= 10_000:
+                        # budget exhausted with the service STILL
+                        # reporting lag: this drain is TRUNCATED, not
+                        # complete — say so loudly instead of
+                        # returning a silently short read (advisor
+                        # r12). warnings on an executor land in the
+                        # task stderr log.
+                        import warnings
+                        warnings.warn(
+                            f"kinesis_read: shard {sid} page budget "
+                            f"exhausted after {empty_streak} empty "
+                            f"pages with MillisBehindLatest={behind}"
+                            " still reported — read truncated; the "
+                            "stream is either unbounded or the "
+                            "service lag metric is stale",
+                            RuntimeWarning, stacklevel=1)
                         break
                     time.sleep(min(0.02 * empty_streak, 0.2))
 

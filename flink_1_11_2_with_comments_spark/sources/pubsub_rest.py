@@ -131,7 +131,8 @@ def pubsub_write(df: DataFrame, endpoint: str, project: str,
 
 def pubsub_read(spark: SparkSession, endpoint: str, project: str,
                 subscription: str, parallelism: int = 4,
-                ack: bool = True) -> DataFrame:
+                ack: bool = True, empty_pulls: int = 5,
+                empty_backoff_s: float = 0.2) -> DataFrame:
     """Parallel pull: ``parallelism`` tasks against ONE subscription —
     the service distributes messages across pullers, exactly the
     reference PubSubSource's scaling model (no partition assignment
@@ -141,7 +142,24 @@ def pubsub_read(spark: SparkSession, endpoint: str, project: str,
     lease replays after the deadline — at-least-once). The result is
     eagerly materialized BEFORE acks are sent, so a downstream
     failure cannot lose messages, and redeliveries are deduped by
-    messageId."""
+    messageId.
+
+    Acks run ON THE EXECUTORS, per partition, after the
+    localCheckpoint materializes — never collected to the driver
+    (O(messages) driver state is exactly the bottleneck this
+    connector's every-task-pulls-one-subscription model exists to
+    avoid). The checkpoint is the ordering barrier: a task acks only
+    leases whose payloads are already persisted, so the at-least-once
+    contract is identical to the driver-side shape it replaces.
+
+    ``empty_pulls``/``empty_backoff_s`` tune the bounded-read stopping
+    rule: against the real service, load-balancing lag can plausibly
+    return that many consecutive empty responses with backlog
+    remaining, so a production bounded read should raise them (or
+    stop on an external rule — expected count or publish-time
+    watermark) rather than trust the default ~1s window. An
+    under-read is at-least-once-safe (unpulled messages simply stay
+    in the subscription) but silent, hence the explicit knobs."""
     def drain(_ix_iter):
         c = PubSubClient(endpoint, project)
         leased: list = []
@@ -149,19 +167,17 @@ def pubsub_read(spark: SparkSession, endpoint: str, project: str,
         empties = 0
         # the REST contract allows empty pull responses while backlog
         # remains (load-balancing lag) — back off briefly and only
-        # conclude "drained" after several consecutive empties; a
-        # production bounded read should prefer an external stopping
-        # rule (message count or publish-time watermark). Only
-        # UNSEEN messageIds reset the counter: a lease that expires
-        # during the drain and redelivers to the same task must not
-        # keep the loop alive forever (every ackId is still
+        # conclude "drained" after `empty_pulls` consecutive empties.
+        # Only UNSEEN messageIds reset the counter: a lease that
+        # expires during the drain and redelivers to the same task
+        # must not keep the loop alive forever (every ackId is still
         # collected, so the newest lease gets acknowledged).
-        while empties < 5:
+        while empties < empty_pulls:
             recs = c.pull(subscription)
             fresh = [r for r in recs if r[1] not in seen]
             if not fresh:
                 empties += 1
-                time.sleep(0.2)
+                time.sleep(empty_backoff_s)
                 leased.extend(recs)
                 continue
             empties = 0
@@ -177,10 +193,22 @@ def pubsub_read(spark: SparkSession, endpoint: str, project: str,
                                        parallelism)
         .mapPartitions(drain), raw_schema).localCheckpoint(eager=True)
     if ack:
-        ack_ids = [r.ack_id for r in raw.select("ack_id").collect()]
-        c = PubSubClient(endpoint, project)
-        for i in range(0, len(ack_ids), 500):
-            c.acknowledge(subscription, ack_ids[i:i + 500])
+        # executor-side ack pass over the persisted checkpoint blocks:
+        # per-partition batching, no driver collection. foreachPartition
+        # reads the already-materialized blocks, so every acked lease's
+        # payload is durable first (ack-after-checkpoint).
+        def ack_part(rows) -> None:
+            c = PubSubClient(endpoint, project)
+            buf: list[str] = []
+            for row in rows:
+                buf.append(row.ack_id)
+                if len(buf) >= 500:
+                    c.acknowledge(subscription, buf)
+                    buf.clear()
+            if buf:
+                c.acknowledge(subscription, buf)
+
+        raw.select("ack_id").foreachPartition(ack_part)
     return (raw.select("message_id", "publish_time_ms", "data")
             .dropDuplicates(["message_id"]))
 
@@ -197,10 +225,18 @@ class _PubSubHandler(BaseHTTPRequestHandler):
         srv: StubPubSubServer = self.server.ps  # type: ignore
         n = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(n) or b"{}")
-        # /v1/projects/{p}/topics/{t}:publish etc.
+        # /v1/projects/{p}/topics/{t}:publish etc. — a malformed path
+        # (too few segments, no :verb) gets the same 404 the unknown
+        # verbs get, instead of an unhandled IndexError/ValueError that
+        # drops the connection mid-response (advisor r12)
         parts = self.path.strip("/").split("/")
-        kind, name_verb = parts[3], parts[4]
-        name, verb = name_verb.split(":")
+        try:
+            kind, name_verb = parts[3], parts[4]
+            name, verb = name_verb.split(":")
+        except (IndexError, ValueError):
+            self.send_response(404)
+            self.end_headers()
+            return
         with srv.lock:
             if kind == "topics" and verb == "publish":
                 out = srv.publish(name, payload["messages"])

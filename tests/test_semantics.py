@@ -395,6 +395,33 @@ def test_k_core_known_graph(spark):
     assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
 
 
+def test_k_core_pairs_cascade_across_batches(spark):
+    """k_core_pairs on a graph whose peel CASCADES one layer per
+    round: an 8-vertex path (each peel drops one more endpoint below
+    k=2) attached to nothing, plus a 4-cycle that survives as the
+    2-core. The cascade runs more rounds than peels_per_job, so the
+    batched speculative peeling crosses at least one batch boundary
+    (the folded-count path); trailing speculative no-op rounds must
+    not change the result. Verified against the unbatched
+    full-orientation k_core on the same graph."""
+    from flink_1_11_2_with_comments_spark.operators.graph import (
+        k_core, k_core_pairs)
+    chain = [(i, i + 1) for i in range(1, 8)]          # path 1..8
+    cycle = [(20, 21), (21, 22), (22, 23), (20, 23)]   # C4 survives
+    pairs = spark.createDataFrame(chain + cycle, "a bigint, b bigint")
+    for ppj in (1, 2, 4):
+        got = {(r.node, r.core_degree)
+               for r in k_core_pairs(pairs, k=2,
+                                     peels_per_job=ppj).collect()}
+        assert got == {(20, 2), (21, 2), (22, 2), (23, 2)}, ppj
+    und = spark.createDataFrame(
+        chain + cycle + [(b, a) for a, b in chain + cycle],
+        "src bigint, dst bigint")
+    ref = {(r.node, r.core_degree)
+           for r in k_core(und, k=2).collect()}
+    assert ref == {(20, 2), (21, 2), (22, 2), (23, 2)}
+
+
 def test_cooccurrence_pairs_equals_self_join(spark):
     """The one-shuffle grouped pair expansion must produce exactly the
     multiset the self-join build produced (same groups, same a < b

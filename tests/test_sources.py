@@ -2295,6 +2295,132 @@ def test_kafka_txn_visibility_fuzz():
         assert got_p == model_p
 
 
+def test_kafka_txn_visibility_fuzz_multi_partition():
+    """r12 verdict ask: the same seeded visibility model across TWO
+    partitions. A transaction's batches interleave across partitions
+    and its commit/abort markers land in EACH partition it touched —
+    possibly in different fetch pages — while LSO gating and
+    aborted-span indexing are strictly per-partition state. The
+    cross-partition interactions the single-partition fuzz cannot
+    see: a txn holding only p0 open must not gate p1's LSO, an abort
+    must cancel the txn's spans on BOTH partitions, and a
+    crash-reinit must orphan-abort everywhere the txn produced."""
+    import random
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        KafkaProtocolClient, StubKafkaBroker)
+    from flink_1_11_2_with_comments_spark.sources.kafka_wire import (
+        ATTR_TRANSACTIONAL, encode_record_batch)
+
+    rng = random.Random(1213)
+    log_dir = tempfile.mkdtemp(prefix="kafka_txn_fuzz_mp_")
+    with StubKafkaBroker(log_dir) as broker:
+        cli = KafkaProtocolClient(broker.host, broker.port)
+        # txn_id -> (pid, epoch, {part: [pending values]}, parts_added)
+        state: dict = {}
+        committed_model: dict[int, list[bytes]] = {0: [], 1: []}
+        seq_no = 0
+        for step in range(400):
+            tid = f"p{rng.randrange(3)}"
+            if tid not in state:
+                pid, ep = cli.init_producer_id(tid)
+                state[tid] = (pid, ep, {0: [], 1: []}, set())
+            pid, ep, pending, parts = state[tid]
+            act = rng.random()
+            if act < 0.6:                         # produce one batch
+                part = rng.randrange(2)
+                if part not in parts:
+                    cli.add_partitions_to_txn(tid, pid, ep, "fz",
+                                              [part])
+                    parts.add(part)
+                vals = [f"{tid}-{step}-{i}".encode()
+                        for i in range(rng.randrange(1, 4))]
+                batch = encode_record_batch(
+                    0, [(1000 + step, None, v) for v in vals],
+                    attributes=ATTR_TRANSACTIONAL, producer_id=pid,
+                    producer_epoch=ep, base_sequence=seq_no)
+                seq_no += len(vals)
+                cli.produce("fz", part, batch, transactional_id=tid)
+                pending[part].extend(vals)
+            elif act < 0.78:                      # commit both parts
+                cli.end_txn(tid, pid, ep, True)
+                for part in (0, 1):
+                    committed_model[part].extend(pending[part])
+                del state[tid]
+            elif act < 0.92:                      # abort both parts
+                cli.end_txn(tid, pid, ep, False)
+                del state[tid]
+            else:                                 # crash + re-init
+                del state[tid]
+                pid2, ep2 = cli.init_producer_id(tid)
+                assert ep2 == ep + 1
+                state[tid] = (pid2, ep2, {0: [], 1: []}, set())
+        for tid, (pid, ep, pending, _parts) in list(state.items()):
+            cli.end_txn(tid, pid, ep, True)
+            for part in (0, 1):
+                committed_model[part].extend(pending[part])
+
+        for part in (0, 1):
+            got, offset = [], 0
+            while True:
+                lso, nxt, recs = cli.fetch_committed("fz", part,
+                                                     offset)
+                got.extend(v for _o, _t, _k, v in recs)
+                if nxt == offset or nxt >= lso:
+                    break
+                offset = nxt
+            assert sorted(got) == sorted(committed_model[part])
+            for p in ("p0", "p1", "p2"):
+                got_p = [v for v in got if v.startswith(p.encode())]
+                model_p = [v for v in committed_model[part]
+                           if v.startswith(p.encode())]
+                assert got_p == model_p
+        cli.close()
+
+
+def test_kafka_txn_idempotent_replay_layout_mismatch(spark, orders):
+    """advisor r12: kafka_txn_write_idempotent keys replay dedup on
+    the task index, so a replay materializing with a DIFFERENT
+    partition count must fail LOUDLY (markers record the attempt's
+    partition count) instead of silently duplicating or dropping —
+    both when the replaying task finds its own marker (fewer parts)
+    and when its partition is beyond the prior layout (more parts,
+    detected via the canonical partition-0 marker)."""
+    import tempfile
+
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        StubKafkaBroker, kafka_txn_write_idempotent)
+
+    src = (orders.limit(40)
+           .select(F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                   .alias("timestamp"),
+                   F.encode(F.col("o_orderkey").cast("string"), "utf-8")
+                   .alias("key"),
+                   F.encode("o_orderpriority", "utf-8").alias("value")))
+    log_dir = tempfile.mkdtemp(prefix="kafka_txn_layout_")
+    with StubKafkaBroker(log_dir) as broker:
+        n1 = kafka_txn_write_idempotent(
+            src.repartition(2), broker.host, broker.port, "t",
+            "sink-b7")
+        assert n1 == 40
+        # same layout replay: clean no-op
+        assert kafka_txn_write_idempotent(
+            src.repartition(2), broker.host, broker.port, "t",
+            "sink-b7") == 0
+        # replay with MORE partitions: tasks 2.. have no marker but
+        # partition 0's records parts=2 — must refuse
+        with pytest.raises(Exception, match="layout changed"):
+            kafka_txn_write_idempotent(
+                src.repartition(4), broker.host, broker.port, "t",
+                "sink-b7")
+        # replay with FEWER partitions: own marker records parts=2
+        with pytest.raises(Exception, match="layout changed"):
+            kafka_txn_write_idempotent(
+                src.coalesce(1), broker.host, broker.port, "t",
+                "sink-b7")
+
+
 def test_kafka_list_offsets_and_startup_modes(spark):
     """ListOffsets v1 + the consumer startup modes it backs
     (FlinkKafkaConsumerBase.setStartFromEarliest/-Latest/-Timestamp,
