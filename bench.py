@@ -103,6 +103,10 @@ SCALE10_EXTRA = [
     # round-11 second pass: linearity evidence for the one-shuffle
     # co-occurrence build + salted wedge enumeration
     "graph_clustering_coefficient",
+    # round-13 newcomer: the DataStream.iterate face — seed rows are
+    # data-proportional but loop depth is log2(max key), so the ratio
+    # should track the per-micro-batch row work, not the depth
+    "streaming_iterate_halving",
 ]
 
 
