@@ -10,9 +10,13 @@ genuine PNG files). PNG PIXEL decode is real too: png_decode
 inflates the IDAT stream with the stdlib zlib and undoes the full
 RFC-2083 filter set (None/Sub/Up/Average/Paeth), so genuine encoder
 output decodes in this container — see synthesize_png_pixels /
-decode_png_pixels. Only codecs that need external libraries (JPEG
-DCT, audio resample, video frame decode) remain gated:
-`decode_image` raises NotImplementedError unless the deterministic
+decode_png_pixels. Round 13: baseline-sequential GRAYSCALE JPEG is
+real too (pipeline/jpeg.py — pure numpy/stdlib ITU-T T.81 subset:
+DCT/quant/zigzag/Huffman/byte-stuffing both directions, tables read
+from the stream's own DQT/DHT; see synthesize_jpeg_gray /
+jpeg_roundtrip_check). Still gated: color/progressive JPEG, sinc
+audio resample, video frame decode — `decode_image` raises
+NotImplementedError unless the deterministic
 fake decoder is chosen. At 100 TB the
 pattern is: binary column stays columnar in parquet, header fields
 extract JVM-side (predicate pushdown on dimensions!), pixel decode
@@ -1213,3 +1217,90 @@ def gif_decode_check(documents: DataFrame) -> DataFrame:
             .select("doc_id", "width", "height", "n_pixels",
                     (F.col("px_md5") == F.col("e_md5"))
                     .alias("decode_ok")))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline grayscale, pipeline/jpeg.py) — round 13 upgrades the
+# "JPEG DCT stays gated" boundary to a real pure-numpy codec
+# ---------------------------------------------------------------------------
+
+def _jpeg_gray_field(doc_id: int, ln: int) -> tuple[int, int, bytes]:
+    """Closed-form grayscale test image: a smooth linear ramp with a
+    per-document offset. Deliberately wrap-free (base<=63, 2x+3y<=68
+    at the 16x12 max), so the field is DC + low-frequency AC energy
+    and the baseline-JPEG roundtrip error is small and deterministic
+    — the property the check face's tolerance pins."""
+    w, h = ln % 16 + 1, ln % 12 + 1
+    base = doc_id % 64
+    gray = bytes(((base + 2 * x + 3 * y) & 0xFF)
+                 for y in range(h) for x in range(w))
+    return w, h, gray
+
+
+def synthesize_jpeg_gray(documents: DataFrame,
+                         quality: int = 90) -> DataFrame:
+    """Per-document baseline-JPEG binary column (grayscale ramp
+    field), encoded executor-side with pipeline/jpeg.jpeg_encode —
+    the same Arrow-batched mapInPandas shape as the PNG/GIF
+    synthesizers."""
+    from .jpeg import jpeg_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h, gray = _jpeg_gray_field(int(doc_id), len(text))
+                rows.append({"doc_id": int(doc_id),
+                             "media": jpeg_encode(w, h, gray, quality),
+                             "width": w, "height": h})
+            yield pd.DataFrame(rows)
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(
+                run, "doc_id bigint, media binary, width int, "
+                     "height int"))
+
+
+def jpeg_roundtrip_check(documents: DataFrame, quality: int = 90,
+                         tol: int = 4) -> DataFrame:
+    """Hash-enforced closed loop over the JPEG codec: encode the
+    closed-form grayscale field (synthesize_jpeg_gray), DECODE the
+    resulting stream with pipeline/jpeg.jpeg_decode (tables read from
+    the stream's own DQT/DHT, not shared state), and compare against
+    the field recomputed INDEPENDENTLY — decode_ok requires the SOF0
+    dimensions to match AND max |decoded - expected| <= tol (JPEG is
+    lossy; on the wrap-free ramp the baseline error at q90 is a few
+    levels and deterministic, so the boolean is hash-stable). Any
+    regression in the DCT, quantization, zigzag, Huffman coding,
+    byte stuffing, or marker layout flips decode_ok."""
+    import numpy as np
+
+    from .jpeg import jpeg_decode
+
+    enc = synthesize_jpeg_gray(documents, quality)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media, w, h in zip(pdf["doc_id"], pdf["media"],
+                                           pdf["width"], pdf["height"]):
+                dw, dh, px = jpeg_decode(bytes(media))
+                ok = (dw, dh) == (int(w), int(h))
+                if ok:
+                    base = int(doc_id) % 64
+                    exp = np.array([(base + 2 * x + 3 * y) & 0xFF
+                                    for y in range(dh)
+                                    for x in range(dw)], dtype=np.int64)
+                    got = np.frombuffer(px, dtype=np.uint8) \
+                        .astype(np.int64)
+                    ok = bool(np.max(np.abs(got - exp)) <= tol)
+                rows.append({"doc_id": int(doc_id), "width": int(w),
+                             "height": int(h),
+                             "n_pixels": int(w) * int(h),
+                             "decode_ok": bool(ok)})
+            yield pd.DataFrame(rows)
+
+    return enc.mapInPandas(
+        run, "doc_id bigint, width int, height int, n_pixels bigint, "
+             "decode_ok boolean")

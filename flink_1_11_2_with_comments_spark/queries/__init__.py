@@ -54,6 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     # (b) NEW round-13 queries — appended as each lands so nothing
     # ships never-driver-checked.
     "streaming_iterate_halving",      # NEW: DataStream.iterate face
+    "multimodal_jpeg_check",          # NEW: real baseline-JPEG codec
     # (c) the oldest union rows: everything last driver-checked in
     # round 3 (the three r12-displaced canaries among them) ...
     "ann_ivf_assign", "cep_not_followed_by",
@@ -61,13 +62,15 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs", "evictor_delta_window",
     "evictor_time_window", "graph_sssp",
     "match_recognize_all_rows", "multimodal_features",
-    # ... then the round-4 cohort, which fills the window. Three
-    # MATCH_RECOGNIZE variants (permute/reluctant/skip_to_first)
-    # are deferred to r14 — the family keeps five rows in-window.
+    # ... then the round-4 cohort, which fills the window. Four
+    # MATCH_RECOGNIZE variants (alternation/permute/reluctant/
+    # skip_to_first, all r4) are deferred to r14 — the family keeps
+    # four rows in-window and the deferral stays >= r04, within the
+    # r12 verdict's staleness bound.
     "approx_sketches", "boilerplate_ngrams", "cep_funnel",
     "cep_until", "corpus_bigram_logprob", "corpus_contamination",
     "corpus_sample", "corpus_tfidf_topterms",
-    "dedup_cluster_canonical", "match_recognize_alternation",
+    "dedup_cluster_canonical",
     "match_recognize_exclusion", "match_recognize_group_times",
     "match_recognize_prev", "multimodal_audio_decode",
     "multimodal_video_boxes", "sample_stratified",

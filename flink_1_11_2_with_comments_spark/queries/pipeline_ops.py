@@ -3493,6 +3493,37 @@ def multimodal_gif_check(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_check",
+    """
+    SELECT doc_id,
+           CAST(length(text) % 16 + 1 AS INT) AS width,
+           CAST(length(text) % 12 + 1 AS INT) AS height,
+           CAST((length(text) % 16 + 1) * (length(text) % 12 + 1)
+                AS BIGINT) AS n_pixels,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+    doc="HASH-ENFORCED face for the baseline JPEG codec (round 13 "
+        "upgrades the former 'JPEG DCT stays gated' boundary to a "
+        "real pure-numpy ITU-T T.81 grayscale implementation, "
+        "pipeline/jpeg.py): encode a wrap-free closed-form grayscale "
+        "ramp per document (synthesize_jpeg_gray, executor-side "
+        "mapInPandas), DECODE the stream with tables read from its "
+        "own DQT/DHT segments, and require SOF0 dims to match AND "
+        "max |decoded-expected| <= 4 (lossy codec; at q90 the ramp "
+        "error is <=1 and deterministic). decode_ok covers the DCT, "
+        "quantization, zigzag, canonical Huffman coding, amplitude "
+        "convention, byte stuffing, and marker layout; the oracle "
+        "restates dims/decode_ok from length(text). Scale: map-only "
+        "Arrow-batched Python, zero shuffle "
+        "(pipeline/multimodal.py jpeg_roundtrip_check).",
+)
+def multimodal_jpeg_check(spark, sf_dir):
+    from ..pipeline.multimodal import jpeg_roundtrip_check
+    return jpeg_roundtrip_check(t(spark, sf_dir, "documents"))
+
+
+@register(
     "events_hll_union",
     f"""
     WITH h AS (

@@ -1555,3 +1555,101 @@ def test_bloom_prefilter_guarantees_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_jpeg_dct_matches_direct_definition():
+    """The 8x8 DCT matrix product must equal the O(N^4) textbook
+    DCT-II definition (and IDCT must invert it exactly) — the
+    numeric core of the baseline JPEG codec, pinned against the
+    formula rather than a fixture."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        dct2, idct2)
+    rng = np.random.RandomState(7)
+    b = rng.randint(-128, 128, (8, 8)).astype(float)
+    assert np.allclose(idct2(dct2(b)), b, atol=1e-9)
+    direct = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 0.5 ** 0.5 if u == 0 else 1.0
+            cv = 0.5 ** 0.5 if v == 0 else 1.0
+            s = sum(b[x, y]
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    * np.cos((2 * y + 1) * v * np.pi / 16)
+                    for x in range(8) for y in range(8))
+            direct[u, v] = 0.25 * cu * cv * s
+    assert np.allclose(dct2(b), direct, atol=1e-9)
+
+
+def test_jpeg_zigzag_and_huffman_canonical():
+    """zigzag_order is the spec's diagonal walk (generated, but pin
+    its head and bijectivity); the canonical Huffman builder must be
+    prefix-free and invert exactly."""
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        AC_BITS, AC_VALS, DC_BITS, DC_VALS, build_huffman,
+        build_huffman_decode, zigzag_order)
+    zz = zigzag_order()
+    assert len(zz) == 64 and len(set(zz)) == 64
+    assert zz[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    assert zz[-1] == (7, 7)
+    for bits, vals in ((DC_BITS, DC_VALS), (AC_BITS, AC_VALS)):
+        enc = build_huffman(bits, vals)
+        assert len(enc) == sum(bits) == len(vals)
+        codes = sorted((l, c) for c, l in enc.values())
+        # prefix-free: no code is a prefix of a longer one
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1:]:
+                assert not (l2 > l1 and (c2 >> (l2 - l1)) == c1)
+        dec = build_huffman_decode(bits, vals)
+        assert all(dec[enc[s]] == s for s in enc)
+
+
+def test_jpeg_roundtrip_structure_and_error_bounds():
+    """Encode→decode roundtrips: flat block exact, wrap-free ramps
+    within 1 level at q90, non-multiple-of-8 dims crop back exactly,
+    marker layout (SOI/DQT/SOF0/DHT/SOS/EOI) present, and the
+    unsupported-stream gates raise loudly."""
+    import numpy as np
+    import pytest
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode, jpeg_encode)
+
+    def maxerr(w, h, mk, q=90):
+        gray = bytes(mk(x, y) & 0xFF for y in range(h)
+                     for x in range(w))
+        data = jpeg_encode(w, h, gray, q)
+        for marker in (b"\xFF\xD8", b"\xFF\xDB", b"\xFF\xC0",
+                       b"\xFF\xC4", b"\xFF\xDA", b"\xFF\xD9"):
+            assert marker in data
+        dw, dh, px = jpeg_decode(data)
+        assert (dw, dh) == (w, h)
+        got = np.frombuffer(px, np.uint8).astype(int)
+        exp = np.frombuffer(gray, np.uint8).astype(int)
+        return int(np.max(np.abs(got - exp)))
+
+    assert maxerr(8, 8, lambda x, y: 128) == 0          # flat: exact
+    assert maxerr(16, 12, lambda x, y: 30 + 2 * x + 3 * y) <= 1
+    assert maxerr(9, 5, lambda x, y: 10 + 3 * x + 2 * y) <= 1
+    assert maxerr(1, 1, lambda x, y: 200) <= 1
+    # high-frequency content: larger but bounded error, dims exact
+    assert maxerr(23, 17, lambda x, y: (x * x + y) % 200) <= 40
+    # loud gates
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x00\x01")
+    good = jpeg_encode(8, 8, bytes(64), 90)
+    prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(prog)
+
+
+def test_jpeg_roundtrip_check_face(spark, documents):
+    """The driver face's closed loop over real documents: every row
+    decode_ok, dims from length(text)."""
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        jpeg_roundtrip_check)
+    got = jpeg_roundtrip_check(documents.limit(200)).collect()
+    assert len(got) == 200
+    assert all(r.decode_ok for r in got)
+    assert all(r.n_pixels == r.width * r.height for r in got)
