@@ -10,14 +10,15 @@ genuine PNG files). PNG PIXEL decode is real too: png_decode
 inflates the IDAT stream with the stdlib zlib and undoes the full
 RFC-2083 filter set (None/Sub/Up/Average/Paeth), so genuine encoder
 output decodes in this container — see synthesize_png_pixels /
-decode_png_pixels. Round 13: baseline-sequential GRAYSCALE JPEG is
-real too (pipeline/jpeg.py — pure numpy/stdlib ITU-T T.81 subset:
-DCT/quant/zigzag/Huffman/byte-stuffing both directions, tables read
-from the stream's own DQT/DHT; see synthesize_jpeg_gray /
-jpeg_roundtrip_check). Still gated: color/progressive JPEG, sinc
-audio resample, video frame decode — `decode_image` raises
-NotImplementedError unless the deterministic
-fake decoder is chosen. At 100 TB the
+decode_png_pixels. Round 13: baseline-sequential JPEG is real too —
+GRAYSCALE and YCbCr 4:4:4 COLOR (pipeline/jpeg.py — pure
+numpy/stdlib ITU-T T.81 subset: DCT/quant/zigzag/Huffman/
+byte-stuffing both directions, JFIF color conversion, interleaved
+MCUs, tables read from the stream's own DQT/DHT; see
+synthesize_jpeg / jpeg_roundtrip_check). Still gated: subsampled
+(4:2:0) and progressive JPEG, sinc audio resample, video frame
+decode — `decode_image` raises NotImplementedError unless the
+deterministic fake decoder is chosen. At 100 TB the
 pattern is: binary column stays columnar in parquet, header fields
 extract JVM-side (predicate pushdown on dimensions!), pixel decode
 runs in executor-side Python with Arrow batches, outputs are
@@ -1224,77 +1225,84 @@ def gif_decode_check(documents: DataFrame) -> DataFrame:
 # "JPEG DCT stays gated" boundary to a real pure-numpy codec
 # ---------------------------------------------------------------------------
 
-def _jpeg_gray_field(doc_id: int, ln: int) -> tuple[int, int, bytes]:
-    """Closed-form grayscale test image: a smooth linear ramp with a
-    per-document offset. Deliberately wrap-free (base<=63, 2x+3y<=68
-    at the 16x12 max), so the field is DC + low-frequency AC energy
-    and the baseline-JPEG roundtrip error is small and deterministic
-    — the property the check face's tolerance pins."""
-    w, h = ln % 16 + 1, ln % 12 + 1
-    base = doc_id % 64
-    gray = bytes(((base + 2 * x + 3 * y) & 0xFF)
-                 for y in range(h) for x in range(w))
-    return w, h, gray
+def _jpeg_field(doc_id: int, ln: int) -> tuple[int, int, int, bytes]:
+    """Closed-form test image → (width, height, ncomp, pixel bytes):
+    even doc_ids get a GRAYSCALE linear ramp, odd doc_ids an RGB
+    ramp, both with a per-document offset and deliberately wrap-free
+    (base<=63, the per-channel slopes stay <256 at the 16x12 max) so
+    the field is DC + low-frequency AC energy and the baseline-JPEG
+    roundtrip error is small and deterministic — the property the
+    check face's tolerance pins."""
+    return _jpeg_field_from_dims(doc_id, ln % 16 + 1, ln % 12 + 1)
 
 
-def synthesize_jpeg_gray(documents: DataFrame,
-                         quality: int = 90) -> DataFrame:
-    """Per-document baseline-JPEG binary column (grayscale ramp
-    field), encoded executor-side with pipeline/jpeg.jpeg_encode —
-    the same Arrow-batched mapInPandas shape as the PNG/GIF
-    synthesizers."""
-    from .jpeg import jpeg_encode
+def synthesize_jpeg(documents: DataFrame,
+                    quality: int = 90) -> DataFrame:
+    """Per-document baseline-JPEG binary column — grayscale streams
+    for even doc_ids, YCbCr 4:4:4 color for odd — encoded
+    executor-side with pipeline/jpeg (the same Arrow-batched
+    mapInPandas shape as the PNG/GIF synthesizers)."""
+    from .jpeg import jpeg_encode, jpeg_encode_color
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w, h, gray = _jpeg_gray_field(int(doc_id), len(text))
-                rows.append({"doc_id": int(doc_id),
-                             "media": jpeg_encode(w, h, gray, quality),
-                             "width": w, "height": h})
+                w, h, ncomp, px = _jpeg_field(int(doc_id), len(text))
+                media = (jpeg_encode(w, h, px, quality) if ncomp == 1
+                         else jpeg_encode_color(w, h, px, quality))
+                rows.append({"doc_id": int(doc_id), "media": media,
+                             "width": w, "height": h, "ncomp": ncomp})
             yield pd.DataFrame(rows)
 
     par = documents.sparkSession.sparkContext.defaultParallelism
     return (documents.select("doc_id", "text").repartition(par)
             .mapInPandas(
                 run, "doc_id bigint, media binary, width int, "
-                     "height int"))
+                     "height int, ncomp int"))
 
 
 def jpeg_roundtrip_check(documents: DataFrame, quality: int = 90,
-                         tol: int = 4) -> DataFrame:
+                         tol_gray: int = 4,
+                         tol_color: int = 6) -> DataFrame:
     """Hash-enforced closed loop over the JPEG codec: encode the
-    closed-form grayscale field (synthesize_jpeg_gray), DECODE the
-    resulting stream with pipeline/jpeg.jpeg_decode (tables read from
-    the stream's own DQT/DHT, not shared state), and compare against
-    the field recomputed INDEPENDENTLY — decode_ok requires the SOF0
-    dimensions to match AND max |decoded - expected| <= tol (JPEG is
-    lossy; on the wrap-free ramp the baseline error at q90 is a few
-    levels and deterministic, so the boolean is hash-stable). Any
+    closed-form fields (synthesize_jpeg — grayscale AND YCbCr 4:4:4
+    color, alternating by doc_id), DECODE each stream with
+    pipeline/jpeg.jpeg_decode_any (tables read from the stream's own
+    DQT/DHT, per-component ids honored), and compare against the
+    field recomputed INDEPENDENTLY — decode_ok requires the SOF0
+    dimensions AND component count to match, plus
+    max |decoded - expected| within the per-mode tolerance (JPEG is
+    lossy; on the wrap-free ramps the q90 error is <=1 gray / <=2
+    color and deterministic, so the boolean is hash-stable). Any
     regression in the DCT, quantization, zigzag, Huffman coding,
-    byte stuffing, or marker layout flips decode_ok."""
+    byte stuffing, color conversion, MCU interleave, or marker
+    layout flips decode_ok."""
     import numpy as np
 
-    from .jpeg import jpeg_decode
+    from .jpeg import jpeg_decode_any
 
-    enc = synthesize_jpeg_gray(documents, quality)
+    enc = synthesize_jpeg(documents, quality)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, media, w, h in zip(pdf["doc_id"], pdf["media"],
-                                           pdf["width"], pdf["height"]):
-                dw, dh, px = jpeg_decode(bytes(media))
-                ok = (dw, dh) == (int(w), int(h))
+            for doc_id, media, w, h, nc in zip(
+                    pdf["doc_id"], pdf["media"], pdf["width"],
+                    pdf["height"], pdf["ncomp"]):
+                dw, dh, dnc, px = jpeg_decode_any(bytes(media))
+                ok = (dw, dh, dnc) == (int(w), int(h), int(nc))
                 if ok:
-                    base = int(doc_id) % 64
-                    exp = np.array([(base + 2 * x + 3 * y) & 0xFF
-                                    for y in range(dh)
-                                    for x in range(dw)], dtype=np.int64)
+                    # expectation replayed from the closed form,
+                    # independent of every codec path
+                    exp = np.frombuffer(
+                        _jpeg_field_from_dims(int(doc_id), dw, dh)[3],
+                        dtype=np.uint8).astype(np.int64)
                     got = np.frombuffer(px, dtype=np.uint8) \
                         .astype(np.int64)
-                    ok = bool(np.max(np.abs(got - exp)) <= tol)
+                    tol = tol_gray if dnc == 1 else tol_color
+                    ok = (got.shape == exp.shape
+                          and bool(np.max(np.abs(got - exp)) <= tol))
                 rows.append({"doc_id": int(doc_id), "width": int(w),
                              "height": int(h),
                              "n_pixels": int(w) * int(h),
@@ -1304,3 +1312,19 @@ def jpeg_roundtrip_check(documents: DataFrame, quality: int = 90,
     return enc.mapInPandas(
         run, "doc_id bigint, width int, height int, n_pixels bigint, "
              "decode_ok boolean")
+
+
+def _jpeg_field_from_dims(doc_id: int, w: int,
+                          h: int) -> tuple[int, int, int, bytes]:
+    """_jpeg_field with the dims given directly (the check stage
+    knows them from the decoded SOF0, not from text length)."""
+    base = doc_id % 64
+    if doc_id % 2 == 0:
+        px = bytes(((base + 2 * x + 3 * y) & 0xFF)
+                   for y in range(h) for x in range(w))
+        return w, h, 1, px
+    px = bytes(v for y in range(h) for x in range(w)
+               for v in ((20 + base + 2 * x + y) & 0xFF,
+                         (40 + base + x + 2 * y) & 0xFF,
+                         (60 + base + x + y) & 0xFF))
+    return w, h, 3, px

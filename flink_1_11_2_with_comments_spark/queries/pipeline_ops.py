@@ -3505,18 +3505,22 @@ def multimodal_gif_check(spark, sf_dir):
     """,
     doc="HASH-ENFORCED face for the baseline JPEG codec (round 13 "
         "upgrades the former 'JPEG DCT stays gated' boundary to a "
-        "real pure-numpy ITU-T T.81 grayscale implementation, "
-        "pipeline/jpeg.py): encode a wrap-free closed-form grayscale "
-        "ramp per document (synthesize_jpeg_gray, executor-side "
-        "mapInPandas), DECODE the stream with tables read from its "
-        "own DQT/DHT segments, and require SOF0 dims to match AND "
-        "max |decoded-expected| <= 4 (lossy codec; at q90 the ramp "
-        "error is <=1 and deterministic). decode_ok covers the DCT, "
-        "quantization, zigzag, canonical Huffman coding, amplitude "
-        "convention, byte stuffing, and marker layout; the oracle "
-        "restates dims/decode_ok from length(text). Scale: map-only "
-        "Arrow-batched Python, zero shuffle "
-        "(pipeline/multimodal.py jpeg_roundtrip_check).",
+        "real pure-numpy ITU-T T.81 baseline-sequential "
+        "implementation, pipeline/jpeg.py — GRAYSCALE and YCbCr "
+        "4:4:4 COLOR): encode a wrap-free closed-form ramp per "
+        "document (even doc_ids grayscale, odd RGB — "
+        "synthesize_jpeg, executor-side mapInPandas), DECODE each "
+        "stream with tables read from its own DQT/DHT segments "
+        "(per-component ids honored), and require SOF0 dims + "
+        "component count to match AND max |decoded-expected| within "
+        "the per-mode tolerance (lossy codec; at q90 the ramp error "
+        "is <=1 gray / <=2 color and deterministic). decode_ok "
+        "covers the DCT, quantization, zigzag, canonical Huffman "
+        "coding, amplitude convention, byte stuffing, JFIF color "
+        "conversion, interleaved-MCU per-component DC prediction, "
+        "and marker layout; the oracle restates dims/decode_ok from "
+        "length(text). Scale: map-only Arrow-batched Python, zero "
+        "shuffle (pipeline/multimodal.py jpeg_roundtrip_check).",
 )
 def multimodal_jpeg_check(spark, sf_dir):
     from ..pipeline.multimodal import jpeg_roundtrip_check

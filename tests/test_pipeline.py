@@ -1653,3 +1653,61 @@ def test_jpeg_roundtrip_check_face(spark, documents):
     assert len(got) == 200
     assert all(r.decode_ok for r in got)
     assert all(r.n_pixels == r.width * r.height for r in got)
+
+
+def test_jpeg_color_roundtrip_and_gates():
+    """YCbCr 4:4:4 color: smooth RGB ramps roundtrip within 2 levels
+    at q90, flat blocks within 1 (color conversion rounds twice),
+    dims/crop exact on non-multiple-of-8 images; the grayscale
+    wrapper rejects color streams; subsampled streams are rejected
+    by the decoder gate."""
+    import numpy as np
+    import pytest
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode, jpeg_decode_any, jpeg_encode_color)
+
+    def maxerr(w, h, mk):
+        rgb = bytes(v for y in range(h) for x in range(w)
+                    for v in mk(x, y))
+        data = jpeg_encode_color(w, h, rgb, 90)
+        dw, dh, nc, px = jpeg_decode_any(data)
+        assert (dw, dh, nc) == (w, h, 3)
+        got = np.frombuffer(px, np.uint8).astype(int)
+        exp = np.frombuffer(rgb, np.uint8).astype(int)
+        return int(np.max(np.abs(got - exp))), data
+
+    err, _ = maxerr(8, 8, lambda x, y: (100, 150, 200))
+    assert err <= 1
+    err, data = maxerr(16, 12, lambda x, y: (20 + 2 * x + y,
+                                             40 + x + 2 * y,
+                                             60 + x + y))
+    assert err <= 2
+    err, _ = maxerr(9, 5, lambda x, y: (10 + 3 * x, 30 + 2 * y,
+                                        50 + x + y))
+    assert err <= 2
+    with pytest.raises(ValueError, match="color stream"):
+        jpeg_decode(data)
+    # decoder gate: claim 2x2 luma subsampling in SOF0
+    sub = data.replace(b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+                       b"\x01\x22\x00\x02\x11\x00\x03\x11\x00", 1)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_decode_any(sub)
+
+
+def test_jpeg_color_conversion_inverts():
+    """rgb_to_ycbcr / ycbcr_to_rgb invert to within the precision the
+    PUBLISHED JFIF constants allow: both directions use the spec's
+    6-decimal roundings (0.168736/0.344136/1.402/...), so the float
+    roundtrip error is ~1e-3 on the 0-255 scale — far below the
+    0.5-level pixel quantization that dominates the codec, but NOT
+    1e-9 (a tighter assertion would be pinning numerics the spec
+    never promises)."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        rgb_to_ycbcr, ycbcr_to_rgb)
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (5, 7, 3)).astype(float)
+    y, cb, cr = rgb_to_ycbcr(rgb)
+    assert np.allclose(ycbcr_to_rgb(y, cb, cr), rgb, atol=2e-3)
