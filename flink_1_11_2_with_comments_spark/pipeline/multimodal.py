@@ -15,9 +15,12 @@ GRAYSCALE and YCbCr 4:4:4 COLOR (pipeline/jpeg.py — pure
 numpy/stdlib ITU-T T.81 subset: DCT/quant/zigzag/Huffman/
 byte-stuffing both directions, JFIF color conversion, interleaved
 MCUs, tables read from the stream's own DQT/DHT; see
-synthesize_jpeg / jpeg_roundtrip_check). Still gated: subsampled
-(4:2:0) and progressive JPEG, sinc audio resample, video frame
-decode — `decode_image` raises NotImplementedError unless the
+synthesize_jpeg / jpeg_roundtrip_check). Band-limited
+(windowed-sinc) audio resampling is real too (resample_sinc_kernel /
+resample_pcm_sinc — the cutoff-scaled Hann-sinc doubles as the
+anti-aliasing filter, scalar-reference-pinned). Still gated:
+subsampled (4:2:0) and progressive JPEG, video frame decode,
+mp3/opus — `decode_image` raises NotImplementedError unless the
 deterministic fake decoder is chosen. At 100 TB the
 pattern is: binary column stays columnar in parquet, header fields
 extract JVM-side (predicate pushdown on dimensions!), pixel decode
@@ -640,10 +643,10 @@ def resample_pcm_linear(media: DataFrame, target_rate: int,
     amplitude statistics of the resampled signal. Output position i
     samples the source at t = i * src_rate / target_rate; y(t) =
     x[⌊t⌋] + frac·(x[⌊t⌋+1] − x[⌊t⌋]) — per-sample math a pure-Python
-    reference replays exactly (pinned in tests). Band-limited (sinc /
-    polyphase) resampling needs scipy-class kernels and stays the
-    documented env-gated boundary. Arrow-batched mapInPandas,
-    map-only, zero shuffle."""
+    reference replays exactly (pinned in tests). For band-limited
+    resampling use the sibling resample_pcm_sinc (round 13; direct
+    windowed-sinc, no scipy). Arrow-batched mapInPandas, map-only,
+    zero shuffle."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1328,3 +1331,78 @@ def _jpeg_field_from_dims(doc_id: int, w: int,
                          (40 + base + x + 2 * y) & 0xFF,
                          (60 + base + x + y) & 0xFF))
     return w, h, 3, px
+
+
+# ---------------------------------------------------------------------------
+# Band-limited (windowed-sinc) resampling — round 13 upgrades the
+# "sinc resampling stays gated" boundary to a real numpy kernel
+# ---------------------------------------------------------------------------
+
+def resample_sinc_kernel(x, src_rate: int, target_rate: int,
+                         taps: int = 32):
+    """Band-limited resample of a float64 sample vector: a
+    Hann-windowed sinc interpolator with `taps` source samples of
+    support per output sample, the textbook Whittaker-Shannon
+    reconstruction made finite by the window. For downsampling the
+    sinc cutoff scales to the TARGET Nyquist (fc = target/src), so
+    the same kernel is the anti-aliasing filter. Per-output-sample
+    kernel normalization makes DC exact (a constant input resamples
+    to the identical constant) and flattens the passband ripple the
+    raw truncated sinc would have near the edges. Pure numpy — no
+    scipy — so it runs inside the Arrow-batched executors like every
+    other production kernel here; a scalar pure-Python reference
+    replays it exactly in tests."""
+    import numpy as np
+
+    n = len(x)
+    if n < 2:
+        return x
+    n_out = (n - 1) * target_rate // src_rate + 1
+    t = np.arange(n_out) * (src_rate / target_rate)
+    fc = min(1.0, target_rate / src_rate)
+    half = taps // 2
+    k0 = np.floor(t).astype(np.int64)
+    offs = np.arange(-half + 1, half + 1)
+    idx = k0[:, None] + offs[None, :]
+    valid = (idx >= 0) & (idx < n)
+    d = t[:, None] - idx                   # distance in source samples
+    win = np.where(np.abs(d) <= half,
+                   0.5 + 0.5 * np.cos(np.pi * d / half), 0.0)
+    ker = fc * np.sinc(fc * d) * win * valid
+    norm = ker.sum(axis=1)
+    y = (ker * x[np.clip(idx, 0, n - 1)]).sum(axis=1)
+    return y / np.where(norm == 0.0, 1.0, norm)
+
+
+def resample_pcm_sinc(media: DataFrame, target_rate: int,
+                      media_col: str = "media",
+                      taps: int = 32) -> DataFrame:
+    """REAL band-limited audio resample over a WAV binary column —
+    the sibling of resample_pcm_linear with the windowed-sinc kernel
+    (the former env-gated boundary; scipy-class polyphase FFT
+    resamplers remain out of scope, this is the direct-form
+    evaluation). Arrow-batched mapInPandas, map-only, zero
+    shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
+                src_rate, x = wav_parse(bytes(blob))
+                y = resample_sinc_kernel(x.astype(np.float64),
+                                         src_rate, target_rate, taps)
+                n_out = len(y)
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "sample_rate": int(target_rate),
+                    "n_samples": int(n_out),
+                    "mean_amp": round(float(np.abs(y).mean()), 6)
+                    if n_out else 0.0,
+                    "rms": round(float(np.sqrt((y * y).mean())), 6)
+                    if n_out else 0.0,
+                    "peak": int(np.abs(y).max()) if n_out else 0})
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", media_col).mapInPandas(
+        run, RESAMPLE_SCHEMA)

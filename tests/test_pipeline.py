@@ -1711,3 +1711,93 @@ def test_jpeg_color_conversion_inverts():
     rgb = rng.randint(0, 256, (5, 7, 3)).astype(float)
     y, cb, cr = rgb_to_ycbcr(rgb)
     assert np.allclose(ycbcr_to_rgb(y, cb, cr), rgb, atol=2e-3)
+
+
+def test_sinc_resample_properties_and_scalar_reference():
+    """The windowed-sinc kernel's defining properties, plus an exact
+    replay by a scalar pure-Python reference (same normalization,
+    same Hann window, same cutoff scaling):
+    - DC exactness: a constant resamples to the identical constant.
+    - Reconstruction: a band-limited sine far below Nyquist upsampled
+      2x matches the analytic sine to ~1e-3 of amplitude away from
+      the edges (Whittaker-Shannon with a 32-tap Hann window).
+    - Anti-aliasing: a sine ABOVE the target Nyquist downsampled 4x
+      is strongly attenuated (the cutoff-scaled sinc IS the filter),
+      where linear interpolation would alias it at near-full
+      amplitude."""
+    import math
+
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        resample_linear_kernel, resample_sinc_kernel)
+
+    # DC exactness
+    const = np.full(200, 123.0)
+    y = resample_sinc_kernel(const, 8000, 16000)
+    assert np.allclose(y, 123.0, atol=1e-9)
+
+    # reconstruction of a band-limited sine (f = 0.02 * src rate)
+    src, tgt, f, n = 8000, 16000, 160.0, 400
+    x = np.sin(2 * np.pi * f * np.arange(n) / src)
+    y = resample_sinc_kernel(x, src, tgt)
+    t_out = np.arange(len(y)) / tgt
+    exact = np.sin(2 * np.pi * f * t_out)
+    interior = slice(64, len(y) - 64)
+    assert np.max(np.abs(y[interior] - exact[interior])) < 2e-3
+
+    # anti-aliasing: 7 kHz sine at 16 kHz downsampled to 4 kHz
+    # (target Nyquist 2 kHz) must come out attenuated; linear
+    # interpolation aliases it to a strong in-band tone
+    x = np.sin(2 * np.pi * 7000 * np.arange(1024) / 16000)
+    y_sinc = resample_sinc_kernel(x, 16000, 4000)
+    y_lin = resample_linear_kernel(x, 16000, 4000)
+    mid = slice(16, len(y_sinc) - 16)
+    assert np.max(np.abs(y_sinc[mid])) < 0.15
+    assert np.max(np.abs(y_lin[mid])) > 0.4
+
+    # scalar reference replays the vectorized kernel bit-for-bit-ish
+    def scalar_ref(x, src_rate, target_rate, taps=32):
+        n = len(x)
+        n_out = (n - 1) * target_rate // src_rate + 1
+        fc = min(1.0, target_rate / src_rate)
+        half = taps // 2
+        out = []
+        for i in range(n_out):
+            t = i * (src_rate / target_rate)
+            k0 = math.floor(t)
+            acc = norm = 0.0
+            for off in range(-half + 1, half + 1):
+                k = k0 + off
+                if not 0 <= k < n:
+                    continue
+                d = t - k
+                if abs(d) > half:
+                    continue
+                w = 0.5 + 0.5 * math.cos(math.pi * d / half)
+                s = 1.0 if d == 0 else (
+                    math.sin(math.pi * fc * d) / (math.pi * fc * d))
+                ker = fc * s * w
+                acc += ker * x[k]
+                norm += ker
+            out.append(acc / (norm if norm else 1.0))
+        return np.array(out)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(150)
+    for src, tgt in ((8000, 16000), (16000, 4000), (44100, 16000)):
+        got = resample_sinc_kernel(x, src, tgt)
+        ref = scalar_ref(x, src, tgt)
+        assert np.allclose(got, ref, atol=1e-9), (src, tgt)
+
+
+def test_resample_pcm_sinc_spark_face(spark, documents):
+    """The Spark kernel over real WAV binaries: schema, counts, and
+    the DC/attenuation sanity of the stats columns."""
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        resample_pcm_sinc, synthesize_wav_pcm)
+    wav = synthesize_wav_pcm(documents.limit(50))
+    got = resample_pcm_sinc(wav, 16000).collect()
+    assert len(got) == 50
+    assert all(r.sample_rate == 16000 and r.n_samples > 0 for r in got)
+    assert all(r.peak <= 13000 for r in got)   # no kernel overshoot blowup
