@@ -11,17 +11,18 @@ inflates the IDAT stream with the stdlib zlib and undoes the full
 RFC-2083 filter set (None/Sub/Up/Average/Paeth), so genuine encoder
 output decodes in this container — see synthesize_png_pixels /
 decode_png_pixels. Round 13: baseline-sequential JPEG is real too —
-GRAYSCALE and YCbCr 4:4:4 COLOR (pipeline/jpeg.py — pure
-numpy/stdlib ITU-T T.81 subset: DCT/quant/zigzag/Huffman/
-byte-stuffing both directions, JFIF color conversion, interleaved
-MCUs, tables read from the stream's own DQT/DHT; see
-synthesize_jpeg / jpeg_roundtrip_check). Band-limited
-(windowed-sinc) audio resampling is real too (resample_sinc_kernel /
-resample_pcm_sinc — the cutoff-scaled Hann-sinc doubles as the
-anti-aliasing filter, scalar-reference-pinned). Still gated:
-subsampled (4:2:0) and progressive JPEG, video frame decode,
-mp3/opus — `decode_image` raises NotImplementedError unless the
-deterministic fake decoder is chosen. At 100 TB the
+GRAYSCALE, YCbCr 4:4:4, and 4:2:0 chroma-subsampled COLOR
+(pipeline/jpeg.py — pure numpy/stdlib ITU-T T.81 subset:
+DCT/quant/zigzag/Huffman/byte-stuffing both directions, JFIF color
+conversion, interleaved MCUs with sampling factors, box-filter
+chroma downsample / replication upsample, tables read from the
+stream's own DQT/DHT; see synthesize_jpeg / jpeg_roundtrip_check).
+Band-limited (windowed-sinc) audio resampling is real too
+(resample_sinc_kernel / resample_pcm_sinc — the cutoff-scaled
+Hann-sinc doubles as the anti-aliasing filter,
+scalar-reference-pinned). Still gated: progressive JPEG, video
+frame decode, mp3/opus — `decode_image` raises NotImplementedError
+unless the deterministic fake decoder is chosen. At 100 TB the
 pattern is: binary column stays columnar in parquet, header fields
 extract JVM-side (predicate pushdown on dimensions!), pixel decode
 runs in executor-side Python with Arrow batches, outputs are
@@ -1230,20 +1231,21 @@ def gif_decode_check(documents: DataFrame) -> DataFrame:
 
 def _jpeg_field(doc_id: int, ln: int) -> tuple[int, int, int, bytes]:
     """Closed-form test image → (width, height, ncomp, pixel bytes):
-    even doc_ids get a GRAYSCALE linear ramp, odd doc_ids an RGB
-    ramp, both with a per-document offset and deliberately wrap-free
-    (base<=63, the per-channel slopes stay <256 at the 16x12 max) so
-    the field is DC + low-frequency AC energy and the baseline-JPEG
-    roundtrip error is small and deterministic — the property the
-    check face's tolerance pins."""
+    doc_id %% 3 picks GRAYSCALE (0) or an RGB ramp (1 and 2 — the
+    synthesizer encodes 1 as 4:4:4 and 2 as 4:2:0), all with a
+    per-document offset and deliberately wrap-free (base<=63, the
+    per-channel slopes stay <256 at the 16x12 max) so the field is
+    DC + low-frequency AC energy and the baseline-JPEG roundtrip
+    error is small and deterministic — the property the check face's
+    tolerance pins."""
     return _jpeg_field_from_dims(doc_id, ln % 16 + 1, ln % 12 + 1)
 
 
 def synthesize_jpeg(documents: DataFrame,
                     quality: int = 90) -> DataFrame:
-    """Per-document baseline-JPEG binary column — grayscale streams
-    for even doc_ids, YCbCr 4:4:4 color for odd — encoded
-    executor-side with pipeline/jpeg (the same Arrow-batched
+    """Per-document baseline-JPEG binary column — doc_id %% 3 picks
+    grayscale (0), YCbCr 4:4:4 (1), or 4:2:0 chroma-subsampled (2) —
+    encoded executor-side with pipeline/jpeg (the same Arrow-batched
     mapInPandas shape as the PNG/GIF synthesizers)."""
     from .jpeg import jpeg_encode, jpeg_encode_color
 
@@ -1252,8 +1254,10 @@ def synthesize_jpeg(documents: DataFrame,
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 w, h, ncomp, px = _jpeg_field(int(doc_id), len(text))
+                sub = "4:2:0" if int(doc_id) % 3 == 2 else "4:4:4"
                 media = (jpeg_encode(w, h, px, quality) if ncomp == 1
-                         else jpeg_encode_color(w, h, px, quality))
+                         else jpeg_encode_color(w, h, px, quality,
+                                                subsampling=sub))
                 rows.append({"doc_id": int(doc_id), "media": media,
                              "width": w, "height": h, "ncomp": ncomp})
             yield pd.DataFrame(rows)
@@ -1322,7 +1326,7 @@ def _jpeg_field_from_dims(doc_id: int, w: int,
     """_jpeg_field with the dims given directly (the check stage
     knows them from the decoded SOF0, not from text length)."""
     base = doc_id % 64
-    if doc_id % 2 == 0:
+    if doc_id % 3 == 0:
         px = bytes(((base + 2 * x + 3 * y) & 0xFF)
                    for y in range(h) for x in range(w))
         return w, h, 1, px

@@ -1688,10 +1688,12 @@ def test_jpeg_color_roundtrip_and_gates():
     assert err <= 2
     with pytest.raises(ValueError, match="color stream"):
         jpeg_decode(data)
-    # decoder gate: claim 2x2 luma subsampling in SOF0
+    # decoder gate: claim 2x1 luma sampling in SOF0 — a legal JPEG
+    # layout (4:2:2) but outside this codec's declared 1x1/4:2:0
+    # subset, so it must be rejected loudly
     sub = data.replace(b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
-                       b"\x01\x22\x00\x02\x11\x00\x03\x11\x00", 1)
-    with pytest.raises(ValueError, match="subsampling"):
+                       b"\x01\x21\x00\x02\x11\x00\x03\x11\x00", 1)
+    with pytest.raises(ValueError, match="sampling pattern"):
         jpeg_decode_any(sub)
 
 
@@ -1801,3 +1803,32 @@ def test_resample_pcm_sinc_spark_face(spark, documents):
     assert len(got) == 50
     assert all(r.sample_rate == 16000 and r.n_samples > 0 for r in got)
     assert all(r.peak <= 13000 for r in got)   # no kernel overshoot blowup
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0: luma 2x2 + box-averaged chroma roundtrips smooth ramps
+    within 2 levels at q90 (nearest chroma upsample), dims/crop exact
+    on every alignment class (multiple of 16, of 8, odd), and the
+    SOF0 sampling bytes really say 2x2/1x1/1x1."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode_any, jpeg_encode_color)
+    for (w, h) in [(32, 32), (16, 12), (9, 5), (1, 1), (23, 17)]:
+        rgb = bytes(v for y in range(h) for x in range(w)
+                    for v in ((20 + 2 * x + y) & 0xFF,
+                              (40 + x + 2 * y) & 0xFF,
+                              (60 + x + y) & 0xFF))
+        data = jpeg_encode_color(w, h, rgb, 90, subsampling="4:2:0")
+        assert b"\x01\x22\x00\x02\x11\x00\x03\x11\x00" in data
+        dw, dh, nc, px = jpeg_decode_any(data)
+        assert (dw, dh, nc) == (w, h, 3)
+        got = np.frombuffer(px, np.uint8).astype(int)
+        exp = np.frombuffer(rgb, np.uint8).astype(int)
+        assert int(np.max(np.abs(got - exp))) <= 2, (w, h)
+    # 4:2:0 streams are smaller than 4:4:4 once chroma blocks dominate
+    big = bytes(v for y in range(64) for x in range(64)
+                for v in ((20 + x) & 0xFF, (40 + y) & 0xFF, 60))
+    s444 = len(jpeg_encode_color(64, 64, big, 90, subsampling="4:4:4"))
+    s420 = len(jpeg_encode_color(64, 64, big, 90, subsampling="4:2:0"))
+    assert s420 < s444
