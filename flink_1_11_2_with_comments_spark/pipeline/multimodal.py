@@ -20,9 +20,12 @@ stream's own DQT/DHT; see synthesize_jpeg / jpeg_roundtrip_check).
 Band-limited (windowed-sinc) audio resampling is real too
 (resample_sinc_kernel / resample_pcm_sinc — the cutoff-scaled
 Hann-sinc doubles as the anti-aliasing filter,
-scalar-reference-pinned). Still gated: progressive JPEG, video
-frame decode, mp3/opus — `decode_image` raises NotImplementedError
-unless the deterministic fake decoder is chosen. At 100 TB the
+scalar-reference-pinned). Motion-JPEG VIDEO is real too
+(pipeline/mjpeg_avi.py — spec-correct AVI RIFF container walk +
+per-frame JPEG decode; see synthesize_mjpeg / mjpeg_frame_check).
+Still gated: progressive JPEG, inter-coded video (H.264/VP9/AV1),
+mp3/opus — `decode_image` raises NotImplementedError unless the
+deterministic fake decoder is chosen. At 100 TB the
 pattern is: binary column stays columnar in parquet, header fields
 extract JVM-side (predicate pushdown on dimensions!), pixel decode
 runs in executor-side Python with Arrow batches, outputs are
@@ -1410,3 +1413,93 @@ def resample_pcm_sinc(media: DataFrame, target_rate: int,
 
     return media.select("doc_id", media_col).mapInPandas(
         run, RESAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (pipeline/mjpeg_avi.py) — round 13 closes the
+# "video frame decode" gate for Motion-JPEG
+# ---------------------------------------------------------------------------
+
+def synthesize_mjpeg(documents: DataFrame,
+                     quality: int = 90) -> DataFrame:
+    """Per-document MJPEG AVI clip (len%5+2 frames of the panning
+    ramp field at the same len-derived dims the JPEG face uses),
+    built executor-side — container AND per-frame codec are the
+    in-repo implementations."""
+    from .mjpeg_avi import mjpeg_synthesize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ln = len(text)
+                w, h = ln % 16 + 1, ln % 12 + 1
+                n = ln % 5 + 2
+                rows.append({"doc_id": int(doc_id),
+                             "media": mjpeg_synthesize(
+                                 w, h, n, int(doc_id), quality),
+                             "width": w, "height": h, "n_frames": n})
+            yield pd.DataFrame(rows)
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(
+                run, "doc_id bigint, media binary, width int, "
+                     "height int, n_frames int"))
+
+
+def mjpeg_frame_check(documents: DataFrame, every: int = 2,
+                      quality: int = 90, tol: int = 6) -> DataFrame:
+    """Hash-enforced closed loop over the MJPEG video pipeline:
+    synthesize a clip per document, walk the AVI container, decode
+    every `every`-th frame (skipped frames cost only the container
+    walk — the frame-sampling access pattern the module docstring
+    describes), and verify each sampled frame against the panning
+    ramp replayed independently. decode_ok requires container dims,
+    frame count, sampled-frame indices, per-frame dims, and the
+    per-frame error bound to ALL hold."""
+    import numpy as np
+
+    from .mjpeg_avi import avi_parse, mjpeg_sample_frames
+
+    enc = synthesize_mjpeg(documents, quality)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media, w, h, n in zip(
+                    pdf["doc_id"], pdf["media"], pdf["width"],
+                    pdf["height"], pdf["n_frames"]):
+                blob = bytes(media)
+                pw, ph, _fps, raw = avi_parse(blob)
+                sampled = mjpeg_sample_frames(blob, every=every)
+                ok = ((pw, ph, len(raw)) == (int(w), int(h), int(n))
+                      and [s[0] for s in sampled]
+                      == list(range(0, int(n), every)))
+                if ok:
+                    base = int(doc_id) % 64
+                    for ix, fw, fh, px in sampled:
+                        exp = np.array(
+                            [v for y in range(fh) for x in range(fw)
+                             for v in (
+                                 (20 + base + 2 * ix + 2 * x + y) & 0xFF,
+                                 (40 + base + 2 * ix + x + 2 * y) & 0xFF,
+                                 (60 + base + 2 * ix + x + y) & 0xFF)],
+                            dtype=np.int64)
+                        got = np.frombuffer(px, dtype=np.uint8) \
+                            .astype(np.int64)
+                        if (fw, fh) != (int(w), int(h)) \
+                                or got.shape != exp.shape \
+                                or np.max(np.abs(got - exp)) > tol:
+                            ok = False
+                            break
+                rows.append({"doc_id": int(doc_id),
+                             "n_frames": int(n),
+                             "n_sampled": (int(n) + every - 1) // every,
+                             "width": int(w), "height": int(h),
+                             "decode_ok": bool(ok)})
+            yield pd.DataFrame(rows)
+
+    return enc.mapInPandas(
+        run, "doc_id bigint, n_frames int, n_sampled int, width int, "
+             "height int, decode_ok boolean")

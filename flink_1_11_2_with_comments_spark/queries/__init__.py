@@ -55,6 +55,7 @@ _PRIORITY: tuple[str, ...] = (
     # ships never-driver-checked.
     "streaming_iterate_halving",      # NEW: DataStream.iterate face
     "multimodal_jpeg_check",          # NEW: real baseline-JPEG codec
+    "multimodal_mjpeg_frames",        # NEW: MJPEG-AVI frame sampling
     # (c) the oldest union rows: everything last driver-checked in
     # round 3 (the three r12-displaced canaries among them) ...
     "ann_ivf_assign", "cep_not_followed_by",
@@ -62,11 +63,13 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs", "evictor_delta_window",
     "evictor_time_window", "graph_sssp",
     "match_recognize_all_rows", "multimodal_features",
-    # ... then the round-4 cohort, which fills the window. Four
-    # MATCH_RECOGNIZE variants (alternation/permute/reluctant/
-    # skip_to_first, all r4) are deferred to r14 — the family keeps
-    # four rows in-window and the deferral stays >= r04, within the
-    # r12 verdict's staleness bound.
+    # ... then the round-4 cohort, which fills the window. Five r4
+    # rows are deferred to r14 to make room for the round-13 faces —
+    # four MATCH_RECOGNIZE variants (alternation/permute/reluctant/
+    # skip_to_first; the family keeps four rows in-window) and
+    # tpcds_channel_union (channel_intersect, same shape family,
+    # stays). Deferral keeps every entry >= r04, within the r12
+    # verdict's staleness bound.
     "approx_sketches", "boilerplate_ngrams", "cep_funnel",
     "cep_until", "corpus_bigram_logprob", "corpus_contamination",
     "corpus_sample", "corpus_tfidf_topterms",
@@ -77,7 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "temporal_sort_batch", "text_chunking", "text_entropy",
     "text_redact", "tpcds_above_group_average",
     "tpcds_bucket_report", "tpcds_channel_intersect",
-    "tpcds_channel_union", "tpcds_exists_chain",
+    "tpcds_exists_chain",
     "tpcds_line_count_band", "tpcds_monthly_share",
     "tpcds_multi_band_count", "tpcds_period_over_period",
     "tpcds_repeat_customers", "tpcds_returns_net",

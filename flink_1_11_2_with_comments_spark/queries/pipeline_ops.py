@@ -3528,6 +3528,41 @@ def multimodal_jpeg_check(spark, sf_dir):
 
 
 @register(
+    "multimodal_mjpeg_frames",
+    """
+    SELECT doc_id,
+           CAST(length(text) % 5 + 2 AS INT) AS n_frames,
+           CAST((length(text) % 5 + 3) // 2 AS INT) AS n_sampled,
+           CAST(length(text) % 16 + 1 AS INT) AS width,
+           CAST(length(text) % 12 + 1 AS INT) AS height,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+    doc="HASH-ENFORCED face for VIDEO frame sampling over a real "
+        "video format (round 13 closes the 'video frame decode' "
+        "gate for Motion-JPEG, pipeline/mjpeg_avi.py): build an "
+        "MJPEG AVI clip per document (spec-correct RIFF container — "
+        "hdrl/avih/strh/strf/movi/idx1, word-aligned chunks — whose "
+        "'00dc' frames are in-repo baseline 4:2:0 JPEGs), walk the "
+        "container, decode every 2nd frame (skipped frames cost "
+        "ONLY the container walk — MJPEG frames are independent, "
+        "which is exactly why it's the lab format for vision-data "
+        "curation), and verify each sampled frame against the "
+        "panning ramp replayed independently. decode_ok folds in "
+        "container dims, frame count, sampled indices, per-frame "
+        "dims, and the error bound; the oracle restates "
+        "counts/dims/decode_ok from length(text). Inter-coded "
+        "codecs (H.264/VP9/AV1) remain the documented env-gated "
+        "boundary and the parser rejects them loudly. Scale: "
+        "map-only Arrow-batched Python, zero shuffle "
+        "(pipeline/multimodal.py mjpeg_frame_check).",
+)
+def multimodal_mjpeg_frames(spark, sf_dir):
+    from ..pipeline.multimodal import mjpeg_frame_check
+    return mjpeg_frame_check(t(spark, sf_dir, "documents"))
+
+
+@register(
     "events_hll_union",
     f"""
     WITH h AS (

@@ -1832,3 +1832,51 @@ def test_jpeg_420_subsampled_roundtrip():
     s444 = len(jpeg_encode_color(64, 64, big, 90, subsampling="4:4:4"))
     s420 = len(jpeg_encode_color(64, 64, big, 90, subsampling="4:2:0"))
     assert s420 < s444
+
+
+def test_mjpeg_avi_container_and_frame_sampling():
+    """MJPEG AVI: the RIFF container round-trips (dims, fps, frame
+    count, word-aligned chunks), every-2nd frame-sampling decodes
+    the panning ramp within 2 levels, skipped frames are never
+    decoded (the sampler returns exactly the sampled indices), and
+    the loud gates hold (non-AVI RIFF, non-MJPG codec)."""
+    import numpy as np
+    import pytest
+
+    from flink_1_11_2_with_comments_spark.pipeline.mjpeg_avi import (
+        avi_build, avi_parse, mjpeg_sample_frames, mjpeg_synthesize)
+
+    clip = mjpeg_synthesize(16, 12, 7, doc_id=5)
+    w, h, fps, frames = avi_parse(clip)
+    assert (w, h, fps, len(frames)) == (16, 12, 10, 7)
+    sampled = mjpeg_sample_frames(clip, every=2)
+    assert [s[0] for s in sampled] == [0, 2, 4, 6]
+    base = 5 % 64
+    for ix, fw, fh, px in sampled:
+        exp = np.array(
+            [v for y in range(12) for x in range(16)
+             for v in ((20 + base + 2 * ix + 2 * x + y) & 0xFF,
+                       (40 + base + 2 * ix + x + 2 * y) & 0xFF,
+                       (60 + base + 2 * ix + x + y) & 0xFF)])
+        got = np.frombuffer(px, np.uint8).astype(int)
+        assert (fw, fh) == (16, 12)
+        assert int(np.max(np.abs(got - exp))) <= 2, ix
+    # odd-length frame payloads must be word-padded per RIFF; an
+    # odd-sized fake frame still parses back byte-exact
+    odd = [b"\xFF\xD8odd!\xFF\xD9", b"\xFF\xD8even\xFF\xD9"]
+    back = avi_parse(avi_build(4, 4, odd))[3]
+    assert back == odd
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        avi_parse(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="MJPG only"):
+        avi_parse(clip.replace(b"vidsMJPG", b"vidsH264", 1))
+
+
+def test_mjpeg_frame_check_face(spark, documents):
+    """The driver face's closed loop over real documents."""
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        mjpeg_frame_check)
+    got = mjpeg_frame_check(documents.limit(120)).collect()
+    assert len(got) == 120
+    assert all(r.decode_ok for r in got)
+    assert all(r.n_sampled == (r.n_frames + 1) // 2 for r in got)
