@@ -103,10 +103,13 @@ SCALE10_EXTRA = [
     # round-11 second pass: linearity evidence for the one-shuffle
     # co-occurrence build + salted wedge enumeration
     "graph_clustering_coefficient",
-    # round-13 newcomer: the DataStream.iterate face — seed rows are
+    # round-13 newcomers: the DataStream.iterate face — seed rows are
     # data-proportional but loop depth is log2(max key), so the ratio
-    # should track the per-micro-batch row work, not the depth
+    # should track the per-micro-batch row work, not the depth — and
+    # the two new codec closed loops (map-only Python, zero shuffle;
+    # ratios should track doc count like the other *_check faces)
     "streaming_iterate_halving",
+    "multimodal_jpeg_check", "multimodal_mjpeg_frames",
 ]
 
 
