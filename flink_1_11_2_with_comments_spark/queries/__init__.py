@@ -56,6 +56,13 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_iterate_halving",      # NEW: DataStream.iterate face
     "multimodal_jpeg_check",          # NEW: real baseline-JPEG codec
     "multimodal_mjpeg_frames",        # NEW: MJPEG-AVI frame sampling
+    # (b2) flagged by the manifest invariant after png_decode gained
+    # Adam7 interlace support (it previously IGNORED the interlace
+    # byte — a genuine interlaced file would have mis-decoded): every
+    # face whose transitive hash reaches the decoder re-verifies.
+    "multimodal_pixel_decode", "multimodal_pixel_check",
+    "multimodal_image_resize", "multimodal_roundtrip_check",
+    "multimodal_transform_check",
     # (c) the oldest union rows: everything last driver-checked in
     # round 3 (the three r12-displaced canaries among them) ...
     "ann_ivf_assign", "cep_not_followed_by",
@@ -68,21 +75,24 @@ _PRIORITY: tuple[str, ...] = (
     # four MATCH_RECOGNIZE variants (alternation/permute/reluctant/
     # skip_to_first; the family keeps four rows in-window) and
     # tpcds_channel_union (channel_intersect, same shape family,
-    # stays). Deferral keeps every entry >= r04, within the r12
-    # verdict's staleness bound.
+    # stays); five more r4 rows (corpus_sample, text_redact,
+    # tpcds_line_count_band, tpcds_multi_band_count,
+    # tpcds_period_over_period) defer for the Adam7-flagged
+    # multimodal re-verifications — changed plans outrank
+    # stale-but-unchanged canaries; every deferred entry stays
+    # >= r04, within the r12 verdict's staleness bound.
     "approx_sketches", "boilerplate_ngrams", "cep_funnel",
     "cep_until", "corpus_bigram_logprob", "corpus_contamination",
-    "corpus_sample", "corpus_tfidf_topterms",
+    "corpus_tfidf_topterms",
     "dedup_cluster_canonical",
     "match_recognize_exclusion", "match_recognize_group_times",
     "match_recognize_prev", "multimodal_audio_decode",
     "multimodal_video_boxes", "sample_stratified",
     "temporal_sort_batch", "text_chunking", "text_entropy",
-    "text_redact", "tpcds_above_group_average",
+    "tpcds_above_group_average",
     "tpcds_bucket_report", "tpcds_channel_intersect",
     "tpcds_exists_chain",
-    "tpcds_line_count_band", "tpcds_monthly_share",
-    "tpcds_multi_band_count", "tpcds_period_over_period",
+    "tpcds_monthly_share",
     "tpcds_repeat_customers", "tpcds_returns_net",
     "tpcds_rollup_report", "tpcds_semi_anti_chain",
     "tpcds_two_fact_report", "tpcds_window_over_rollup",

@@ -1880,3 +1880,59 @@ def test_mjpeg_frame_check_face(spark, documents):
     assert len(got) == 120
     assert all(r.decode_ok for r in got)
     assert all(r.n_sampled == (r.n_frames + 1) // 2 for r in got)
+
+
+def test_png_adam7_interlaced_decode():
+    """png_decode must handle genuine Adam7-interlaced PNGs (before
+    round 13 the interlace byte was silently ignored — a real
+    interlaced file would have MIS-decoded). The test builds the
+    interlaced stream with an INDEPENDENT encoder (gathering pixels
+    per pass straight from the Adam7 definition, per-scanline filter
+    type 0, one zlib stream) and requires pixel-exact reconstruction
+    on every width/height alignment class, plus the loud gate for
+    unknown interlace methods."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        PNG_SIGNATURE, png_decode)
+
+    PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", crc))
+
+    def encode_adam7(w, h, rgba: bytes) -> bytes:
+        raw = bytearray()
+        for x0, y0, dx, dy in PASSES:
+            for y in range(y0, h, dy):
+                row = bytearray(b"\x00")      # filter type 0
+                for x in range(x0, w, dx):
+                    off = (y * w + x) * 4
+                    row += rgba[off:off + 4]
+                if len(row) > 1:
+                    raw += row
+        ihdr = (struct.pack(">II", w, h)
+                + bytes([8, 6, 0, 0, 1]))     # interlace = 1
+        return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    for (w, h) in [(8, 8), (16, 12), (9, 5), (1, 1), (3, 3), (23, 17)]:
+        rgba = bytes(((x * 7 + y * 13 + c * 29 + 5) & 0xFF)
+                     for y in range(h) for x in range(w)
+                     for c in range(4))
+        dw, dh, px = png_decode(encode_adam7(w, h, rgba))
+        assert (dw, dh) == (w, h)
+        assert px == rgba, (w, h)
+    # unknown interlace method rejected loudly
+    bad = bytearray(encode_adam7(4, 4, bytes(64)))
+    # signature(8) + chunk len(4) + 'IHDR'(4) + body offset 12
+    bad[8 + 4 + 4 + 12] = 2
+    with pytest.raises(ValueError, match="interlace"):
+        png_decode(bytes(bad))
