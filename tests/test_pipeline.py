@@ -1936,3 +1936,43 @@ def test_png_adam7_interlaced_decode():
     bad[8 + 4 + 4 + 12] = 2
     with pytest.raises(ValueError, match="interlace"):
         png_decode(bytes(bad))
+
+
+def test_jpeg_and_avi_decoders_fail_cleanly_on_corruption():
+    """Robustness fuzz (seeded): truncations and random single-byte
+    corruptions of valid JPEG/AVI streams must either decode to
+    SOMETHING (bit flips in entropy data can still be decodable —
+    JPEG has no payload checksum, so that is spec-correct behavior)
+    or raise ValueError/IndexError-class errors promptly — never
+    hang, never segfault, never raise an unrelated internal error.
+    Dimension-bearing fields are the adversarial surface: the
+    decoders must not allocate from unvalidated lengths."""
+    import random
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode_any, jpeg_encode_color)
+    from flink_1_11_2_with_comments_spark.pipeline.mjpeg_avi import (
+        avi_parse, mjpeg_synthesize)
+
+    rgb = bytes(v for y in range(12) for x in range(16)
+                for v in ((20 + x) & 0xFF, (40 + y) & 0xFF, 60))
+    good_jpeg = jpeg_encode_color(16, 12, rgb, 90)
+    good_avi = mjpeg_synthesize(8, 8, 3, doc_id=1)
+    rng = random.Random(99)
+
+    def attempt(fn, blob):
+        try:
+            fn(blob)
+        except (ValueError, IndexError, KeyError, struct_error):
+            pass
+
+    import struct
+    struct_error = struct.error
+    for blob, fn in ((good_jpeg, jpeg_decode_any),
+                     (good_avi, avi_parse)):
+        for cut in range(0, len(blob), max(len(blob) // 40, 1)):
+            attempt(fn, blob[:cut])               # truncations
+        for _ in range(150):                      # bit flips
+            b = bytearray(blob)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            attempt(fn, bytes(b))
