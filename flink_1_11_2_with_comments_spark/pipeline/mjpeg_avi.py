@@ -98,10 +98,13 @@ def avi_parse(data: bytes) -> tuple[int, int, int, list[bytes]]:
                             f"avi: video codec {codec!r} unsupported "
                             "— MJPG only (inter-coded codecs are the "
                             "documented env-gated boundary)")
-                    rate, = struct.unpack(
-                        "<I", data[payload_start + 24:
-                                   payload_start + 28])
-                    fps = rate
+                    scale, rate = struct.unpack(
+                        "<II", data[payload_start + 20:
+                                    payload_start + 28])
+                    # AVI rate/scale encoding: fps = dwRate/dwScale
+                    # (e.g. NTSC 30000/1001); in-repo clips write
+                    # dwScale=1 but external files commonly don't
+                    fps = rate // max(scale, 1)
             elif fourcc == b"strf" and size >= 24:
                 w, h = struct.unpack(
                     "<ii", data[payload_start + 4:payload_start + 12])

@@ -1316,8 +1316,8 @@ def jpeg_roundtrip_check(documents: DataFrame, quality: int = 90,
                          tol_gray: int = 4,
                          tol_color: int = 6) -> DataFrame:
     """Hash-enforced closed loop over the JPEG codec: encode the
-    closed-form fields (synthesize_jpeg — grayscale AND YCbCr 4:4:4
-    color, alternating by doc_id), DECODE each stream with
+    closed-form fields (synthesize_jpeg — doc_id % 3 picks the mode:
+    0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0), DECODE each stream with
     pipeline/jpeg.jpeg_decode_any (tables read from the stream's own
     DQT/DHT, per-component ids honored), and compare against the
     field recomputed INDEPENDENTLY — decode_ok requires the SOF0

@@ -40,63 +40,54 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (`python -m tests.query_manifest`, which refuses to re-hash
 # un-windowed queries).
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-13 WINDOW (the driver checks the first 50 entries).
-    # (a) queries whose transitive source changed this round — the
-    # exact changed-set computed by the manifest diff, not memory:
-    # graph_k_core's k_core_pairs gained batched speculative peels +
-    # a single-scan decrement (the r12 verdict's #1: its half-edge
-    # rewrite shipped r12 without a driver check; re-verify FIRST);
-    # pubsub_read now acks on the executors; kinesis_read's exhausted
-    # page budget warns instead of truncating silently.
+    # ROUND-14 WINDOW (the driver checks the first 50 entries).
+    # (a) queries whose transitive source changed (or is planned to
+    # change) this round — the exact changed-set comes from the
+    # manifest diff, not memory:
+    # graph_k_core: co-purchase pair-build restructured (two-phase
+    # partial distinct before the global pair dedup — the r13
+    # verdict's #1); tpcds_net_after_returns: lineitem pre-aggregated
+    # to order grain before the orders join (ratio 2.87 two rounds);
+    # multimodal_jpeg_check: restart-marker (DRI/RSTn) + odd-dimension
+    # 4:2:0 decode support lands in pipeline/jpeg.py; mjpeg_frames:
+    # avi_parse fps now honors the dwRate/dwScale encoding (advisor
+    # r13) and shares the jpeg decoder.
     "graph_k_core",
-    "pubsub_pull_roundtrip_agg",
-    "kinesis_wire_roundtrip_agg",
-    # (b) NEW round-13 queries — appended as each lands so nothing
-    # ships never-driver-checked.
-    "streaming_iterate_halving",      # NEW: DataStream.iterate face
-    "multimodal_jpeg_check",          # NEW: real baseline-JPEG codec
-    "multimodal_mjpeg_frames",        # NEW: MJPEG-AVI frame sampling
-    # (b2) flagged by the manifest invariant after png_decode gained
-    # Adam7 interlace support (it previously IGNORED the interlace
-    # byte — a genuine interlaced file would have mis-decoded): every
-    # face whose transitive hash reaches the decoder re-verifies.
-    "multimodal_pixel_decode", "multimodal_pixel_check",
-    "multimodal_image_resize", "multimodal_roundtrip_check",
-    "multimodal_transform_check",
-    # (c) the oldest union rows: everything last driver-checked in
-    # round 3 (the three r12-displaced canaries among them) ...
-    "ann_ivf_assign", "cep_not_followed_by",
-    "count_sliding_window_batch", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "evictor_delta_window",
-    "evictor_time_window", "graph_sssp",
-    "match_recognize_all_rows", "multimodal_features",
-    # ... then the round-4 cohort, which fills the window. Five r4
-    # rows are deferred to r14 to make room for the round-13 faces —
-    # four MATCH_RECOGNIZE variants (alternation/permute/reluctant/
-    # skip_to_first; the family keeps four rows in-window) and
-    # tpcds_channel_union (channel_intersect, same shape family,
-    # stays); five more r4 rows (corpus_sample, text_redact,
-    # tpcds_line_count_band, tpcds_multi_band_count,
-    # tpcds_period_over_period) defer for the Adam7-flagged
-    # multimodal re-verifications — changed plans outrank
-    # stale-but-unchanged canaries; every deferred entry stays
-    # >= r04, within the r12 verdict's staleness bound.
-    "approx_sketches", "boilerplate_ngrams", "cep_funnel",
-    "cep_until", "corpus_bigram_logprob", "corpus_contamination",
-    "corpus_tfidf_topterms",
-    "dedup_cluster_canonical",
-    "match_recognize_exclusion", "match_recognize_group_times",
-    "match_recognize_prev", "multimodal_audio_decode",
-    "multimodal_video_boxes", "sample_stratified",
-    "temporal_sort_batch", "text_chunking", "text_entropy",
-    "tpcds_above_group_average",
-    "tpcds_bucket_report", "tpcds_channel_intersect",
-    "tpcds_exists_chain",
-    "tpcds_monthly_share",
-    "tpcds_repeat_customers", "tpcds_returns_net",
-    "tpcds_rollup_report", "tpcds_semi_anti_chain",
-    "tpcds_two_fact_report", "tpcds_window_over_rollup",
-    "tpcds_year_over_year_customer",
+    "tpcds_net_after_returns",
+    "multimodal_jpeg_check",
+    "multimodal_mjpeg_frames",
+    # (b) NEW round-14 queries — appended as each lands so nothing
+    # ships never-driver-checked. (reserved: 2 slots)
+    # (c) the oldest union rows: the ten r4 entries explicitly
+    # deferred from the r13 window (verdict r13 ask #3 — after this
+    # round nothing is older than r06).
+    "corpus_sample",
+    "match_recognize_alternation", "match_recognize_permute",
+    "match_recognize_reluctant", "match_recognize_skip_to_first",
+    "text_redact", "tpcds_channel_union",
+    "tpcds_line_count_band", "tpcds_multi_band_count",
+    "tpcds_period_over_period",
+    # (d) then the round-6 cohort, stalest-first, filling the window
+    # (37 rows last checked r06; the final three —
+    # tpcds_unreturned_channel_ratio, tpcds_wide_join_growth,
+    # tpcds_yearly_brand_delta — defer to r15 to hold the two
+    # new-face slots in (b); every deferred entry stays >= r06).
+    "ann_pq_adc_topk", "ann_pq_encode", "asof_join_batch",
+    "corpus_k_anonymity", "corpus_mixture_weights",
+    "corpus_pack_sequences", "corpus_train_val_test_split",
+    "dedup_exact_substring_spans", "events_winsorize",
+    "events_winsorize_approx", "heavy_hitters", "join_salted_skew",
+    "match_recognize_or_define", "multimodal_decode",
+    "text_repetition_ngrams", "tpcds_am_pm_ratio",
+    "tpcds_channel_equal_share", "tpcds_channel_growth_gate",
+    "tpcds_channel_overlap", "tpcds_channel_ratio",
+    "tpcds_cumulative_channel_join", "tpcds_disjunctive_bands",
+    "tpcds_excess_discount", "tpcds_frequent_buyers",
+    "tpcds_latency_band_matrix", "tpcds_monthly_variance",
+    "tpcds_moving_avg_deviation", "tpcds_promo_share",
+    "tpcds_regional_growth", "tpcds_return_window_gap",
+    "tpcds_returns_adjusted_spend", "tpcds_sold_returned_rebought",
+    "tpcds_subsequent_period", "tpcds_two_metric_rank",
 )
 
 

@@ -960,6 +960,55 @@ def _produce_rows(c: KafkaProtocolClient, topic: str, ix: int,
     return n, seq
 
 
+def _scan_marker_partition(c: "KafkaProtocolClient", marker_topic: str,
+                           part: int):
+    """All committed marker records of one marker partition
+    (UNKNOWN_TOPIC = partition never written = no markers). Drains
+    page by page — marker partitions accumulate one record per
+    micro-batch epoch, so a long-running sink's log can exceed one
+    fetch response (advisor r13: the inline loop once forgot to
+    advance the offset and refetched page 0 forever)."""
+    out, off = [], 0
+    while True:
+        try:
+            lso, nxt, recs = c.fetch_committed(marker_topic, part, off)
+        except ValueError as e:
+            # ONLY "no marker partition yet" may be read as
+            # "no marker": any other fetch error must abort
+            # the attempt, not silently conclude the previous
+            # attempt never committed (that would duplicate)
+            if f"error {ERR_UNKNOWN_TOPIC} " in str(e):
+                return out
+            raise
+        out.extend(recs)
+        if nxt == off or nxt >= lso:
+            return out
+        off = nxt
+
+
+def _check_marker_layout(payload: bytes, num_parts: int) -> None:
+    """Verify a committed marker's recorded partition count against
+    this attempt's. Markers written by the pre-layout-check code
+    version carried str(n) payloads (e.g. b"42") — surface that
+    format problem explicitly instead of an AttributeError deep in
+    json handling (advisor r13)."""
+    meta = json.loads(payload.decode())
+    if not isinstance(meta, dict):
+        raise RuntimeError(
+            "kafka_txn_write_idempotent: marker payload is a "
+            f"legacy scalar ({meta!r}), not a layout record — "
+            "cannot verify the prior attempt's partition count; "
+            "refusing to write (drain/recreate the marker topic "
+            "to upgrade)")
+    if meta.get("parts") != num_parts:
+        raise RuntimeError(
+            f"kafka_txn_write_idempotent: replay partition "
+            f"layout changed — prior attempt committed with "
+            f"{meta.get('parts')} partitions, this attempt has "
+            f"{num_parts}; task-index marker dedup cannot align "
+            "them, refusing to write (duplicates otherwise)")
+
+
 def kafka_txn_write_idempotent(df: DataFrame, host: str, port: int,
                                topic: str, transactional_id_prefix: str,
                                batch_size: int = 1000) -> int:
@@ -999,34 +1048,10 @@ def kafka_txn_write_idempotent(df: DataFrame, host: str, port: int,
     num_parts = df.rdd.getNumPartitions()
 
     def scan_markers(c: "KafkaProtocolClient", part: int):
-        """All committed marker records of one marker partition
-        (UNKNOWN_TOPIC = partition never written = no markers)."""
-        out, off = [], 0
-        while True:
-            try:
-                lso, nxt, recs = c.fetch_committed(
-                    marker_topic, part, off)
-            except ValueError as e:
-                # ONLY "no marker partition yet" may be read as
-                # "no marker": any other fetch error must abort
-                # the attempt, not silently conclude the previous
-                # attempt never committed (that would duplicate)
-                if f"error {ERR_UNKNOWN_TOPIC} " in str(e):
-                    return out
-                raise
-            out.extend(recs)
-            if nxt == off or nxt >= lso:
-                return out
+        return _scan_marker_partition(c, marker_topic, part)
 
     def check_layout(payload: bytes) -> None:
-        meta = json.loads(payload.decode())
-        if meta.get("parts") != num_parts:
-            raise RuntimeError(
-                f"kafka_txn_write_idempotent: replay partition "
-                f"layout changed — prior attempt committed with "
-                f"{meta.get('parts')} partitions, this attempt has "
-                f"{num_parts}; task-index marker dedup cannot align "
-                "them, refusing to write (duplicates otherwise)")
+        _check_marker_layout(payload, num_parts)
 
     def write_part(ix: int, rows):
         c = KafkaProtocolClient(host, port)

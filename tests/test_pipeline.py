@@ -1870,6 +1870,16 @@ def test_mjpeg_avi_container_and_frame_sampling():
         avi_parse(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError, match="MJPG only"):
         avi_parse(clip.replace(b"vidsMJPG", b"vidsH264", 1))
+    # externally produced AVIs use the rate/scale encoding (NTSC
+    # 30000/1001): fps must be dwRate/dwScale, not raw dwRate
+    # (advisor r13 — in-repo clips write dwScale=1 so only an
+    # externally-shaped header exercises the division)
+    import struct
+    strh_at = clip.index(b"vidsMJPG")
+    ntsc = (clip[:strh_at + 20]
+            + struct.pack("<II", 1001, 30000)
+            + clip[strh_at + 28:])
+    assert avi_parse(ntsc)[2] == 29  # 30000 // 1001
 
 
 def test_mjpeg_frame_check_face(spark, documents):

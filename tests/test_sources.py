@@ -2649,3 +2649,50 @@ def test_kafka_read_committed_from_mid_log_offset():
             assert [k for _o, _t2, k, _v in recs] == [b"c1", b"c2"]
         finally:
             cli.close()
+
+
+def test_kafka_marker_scan_paginates_and_layout_check():
+    """Regression for the r13 advisor findings: (1) the marker-scan
+    drain loop must ADVANCE its fetch offset when one page does not
+    cover the whole marker partition (the refactor once dropped
+    `off = nxt`, refetching page 0 forever and duplicating records);
+    (2) legacy scalar marker payloads (pre-layout-check b"42") must
+    raise the explicit layout error, not AttributeError."""
+    from flink_1_11_2_with_comments_spark.sources.kafka_net import (
+        _check_marker_layout, _scan_marker_partition)
+
+    class PagingClient:
+        """fetch_committed stub serving a 5-record log in 2-record
+        pages: (lso, next_offset, records)."""
+        def __init__(self):
+            self.log = [(i, 0, b"k%d" % i, b"v%d" % i)
+                        for i in range(5)]
+            self.calls = 0
+
+        def fetch_committed(self, topic, part, off):
+            self.calls += 1
+            assert self.calls <= 10, "drain loop did not advance"
+            page = self.log[off:off + 2]
+            nxt = off + len(page)
+            return len(self.log), nxt, page
+
+    c = PagingClient()
+    recs = _scan_marker_partition(c, "t__markers", 0)
+    assert [k for _o, _t, k, _v in recs] == [b"k0", b"k1", b"k2",
+                                             b"k3", b"k4"]
+    assert c.calls == 3  # 2+2+1, each page fetched exactly once
+
+    class EmptyClient:
+        def fetch_committed(self, topic, part, off):
+            raise ValueError(f"fetch error 3 (UNKNOWN_TOPIC)")
+
+    assert _scan_marker_partition(EmptyClient(), "t__markers", 0) == []
+
+    import json as _json
+    import pytest as _pytest
+    _check_marker_layout(_json.dumps({"rows": 9, "parts": 4}).encode(), 4)
+    with _pytest.raises(RuntimeError, match="layout changed"):
+        _check_marker_layout(
+            _json.dumps({"rows": 9, "parts": 2}).encode(), 4)
+    with _pytest.raises(RuntimeError, match="legacy scalar"):
+        _check_marker_layout(b"42", 4)
