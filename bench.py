@@ -221,6 +221,75 @@ def scale10_main() -> None:
     }))
 
 
+def kcore_profile_main() -> None:
+    """Phase profile for graph_k_core at base and 10x — the
+    graduation evidence the r13 verdict asked for: is the peel loop
+    the scaling term, or the data-proportional pair build?
+
+    Phases (each measured best-of-N from a cold cache):
+      build        — co-purchase pair build (basket group + partial
+                     +final distinct) up to the materialized
+                     half-edge localCheckpoint
+      build_degree — build + the initial degree aggregate + first
+                     convergence count (everything before the loop)
+      full         — the whole face (graph_k_core registry fn)
+      peel = full − build_degree (the loop: all peel rounds + batch
+                     convergence counts + final core-degree report)
+    """
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR",
+                             "/tmp/spark_graft_scale10")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark("bench-kcore-profile")
+    build_scale10(spark, base_dir, out_dir)
+    from pyspark.sql import functions as F
+
+    from flink_1_11_2_with_comments_spark.operators.graph import (
+        _superstep, k_core_pairs)
+    from flink_1_11_2_with_comments_spark.queries.graph_ops import (
+        _copurchase_pairs)
+
+    def timed(fn) -> float:
+        took = []
+        for _ in range(runs):
+            _release_persisted(spark)
+            t0 = time.perf_counter()
+            fn()
+            took.append(time.perf_counter() - t0)
+        return round(min(took), 4)
+
+    def build(sf_dir):
+        _superstep(_copurchase_pairs(spark, sf_dir, persist=False)
+                   .select("a", "b")).count()
+
+    def build_degree(sf_dir):
+        p = _superstep(_copurchase_pairs(spark, sf_dir, persist=False)
+                       .select("a", "b"))
+        deg = _superstep(
+            p.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node").agg(F.count("*").alias("d")))
+        deg.where(F.col("d") < 80).count()
+
+    def full(sf_dir):
+        k_core_pairs(_copurchase_pairs(spark, sf_dir, persist=False),
+                     k=80).count()
+
+    out = {"metric": "kcore_phase_profile", "unit": "sec",
+           "runs": runs, "k": 80}
+    for label, d in (("base", base_dir), ("x10", out_dir)):
+        t_build = timed(lambda: build(d))
+        t_bd = timed(lambda: build_degree(d))
+        t_full = timed(lambda: full(d))
+        out[label] = {"build": t_build, "build_degree": t_bd,
+                      "full": t_full,
+                      "peel": round(t_full - t_bd, 4)}
+    for ph in ("build", "build_degree", "full", "peel"):
+        b, x = out["base"][ph], out["x10"][ph]
+        out.setdefault("ratio", {})[ph] = (round(x / b, 2) if b > 0
+                                           else None)
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -265,5 +334,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scale10" in sys.argv[1:]:
         scale10_main()
+    elif "--kcore-profile" in sys.argv[1:]:
+        kcore_profile_main()
     else:
         main()

@@ -1986,3 +1986,126 @@ def test_jpeg_and_avi_decoders_fail_cleanly_on_corruption():
             b = bytearray(blob)
             b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
             attempt(fn, bytes(b))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn (r13 verdict ask #7 — the one baseline feature real
+    camera files use heavily): a restart-segmented stream declares
+    DRI, contains the cycling RST0..7 markers byte-aligned in the
+    entropy data, decodes bit-identically to the unsegmented stream
+    (predictor resets on both sides cancel), and the sequence check
+    catches a desynced marker. Covers gray and 4:2:0 color, interval
+    1 (every MCU) and a mid-scan interval, and >8 segments so the
+    RSTn index wraps."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode_any, jpeg_encode, jpeg_encode_color)
+
+    def check(data, w, h, nc, ref_px):
+        dw, dh, dnc, px = jpeg_decode_any(data)
+        assert (dw, dh, dnc) == (w, h, nc)
+        got = np.frombuffer(px, np.uint8).astype(int)
+        ref = np.frombuffer(ref_px, np.uint8).astype(int)
+        assert int(np.max(np.abs(got - ref))) == 0
+        return data
+
+    # grayscale 40x24 = 5x3 = 15 MCUs; interval 1 -> 14 RST markers,
+    # so the index wraps past RST7
+    w, h = 40, 24
+    gray = bytes((30 + 2 * x + 3 * y) & 0xFF
+                 for y in range(h) for x in range(w))
+    plain = jpeg_encode(w, h, gray, 90)
+    _pw, _ph, _nc, ref = jpeg_decode_any(plain)
+    seg1 = jpeg_encode(w, h, gray, 90, restart_interval=1)
+    check(seg1, w, h, 1, ref)
+    assert b"\xFF\xDD" + struct.pack(">HH", 4, 1) in seg1
+    sos = seg1.index(b"\xFF\xDA")
+    entropy = seg1[sos:]
+    for m in range(8):           # all eight marker codes appear
+        assert bytes((0xFF, 0xD0 + m)) in entropy
+    assert entropy.count(b"\xFF\xD0") >= 2  # wrapped past RST7
+    check(jpeg_encode(w, h, gray, 90, restart_interval=4),
+          w, h, 1, ref)
+    # 4:2:0 color: 48x32 -> 3x2 = 6 MCUs, interval 2 -> 2 markers
+    rgb = bytes(v for y in range(32) for x in range(48)
+                for v in ((20 + 2 * x + y) & 0xFF,
+                          (40 + x + 2 * y) & 0xFF,
+                          (60 + x + y) & 0xFF))
+    plain_c = jpeg_encode_color(48, 32, rgb, 90, subsampling="4:2:0")
+    _w, _h, _n, ref_c = jpeg_decode_any(plain_c)
+    seg_c = jpeg_encode_color(48, 32, rgb, 90, subsampling="4:2:0",
+                              restart_interval=2)
+    assert seg_c != plain_c
+    check(seg_c, 48, 32, 3, ref_c)
+    # a desynced marker (RST0 where RST1 is due) fails loudly
+    bad = seg1.replace(b"\xFF\xD1", b"\xFF\xD0", 1)
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode_any(bad)
+    # a marker with no DRI declared is still rejected
+    no_dri = seg1.replace(b"\xFF\xDD" + struct.pack(">HH", 4, 1),
+                          b"", 1)
+    with pytest.raises(ValueError, match="marker"):
+        jpeg_decode_any(no_dri)
+
+
+def test_png_adam7_interop_hand_assembled():
+    """Cross-codec pin for the Adam7 decoder (r13 verdict ask #6):
+    the interlaced stream is assembled HERE from the spec's literal
+    8x8 pass-number matrix (RFC 2083 §2 figure) — an independent
+    formulation from the decoder's (x0,y0,dx,dy) stride tuples — so
+    an encoder/decoder error pair cannot cancel the way a
+    self-roundtrip allows. Odd dimensions (10x7: passes with partial
+    and empty rows), per-pass filter types 0, 1 and 2 exercised."""
+    import struct
+    import zlib
+
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        PNG_SIGNATURE, _png_chunk, png_decode)
+
+    PAT = [  # RFC 2083: pass number of pixel (x % 8, y % 8)
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    w, h = 10, 7
+    px = {(x, y): bytes(((x * 7 + y) & 0xFF, (x + y * 11) & 0xFF,
+                         (x * x + 3 * y) & 0xFF, 255))
+          for y in range(h) for x in range(w)}
+    raw = bytearray()
+    for p in range(1, 8):
+        rows = []
+        for y in range(h):
+            line = b"".join(px[x, y] for x in range(w)
+                            if PAT[y % 8][x % 8] == p)
+            if line:
+                rows.append(line)
+        for ri, line in enumerate(rows):
+            ft = (p + ri) % 3  # mix None/Sub/Up across pass rows
+            if ft == 0:
+                raw += b"\x00" + line
+            elif ft == 1:      # Sub: filt[i] = raw[i] - raw[i-4]
+                raw += b"\x01" + bytes(
+                    (line[i] - (line[i - 4] if i >= 4 else 0)) & 0xFF
+                    for i in range(len(line)))
+            else:              # Up: filt[i] = raw[i] - prev_raw[i]
+                prev = rows[ri - 1] if ri else bytes(len(line))
+                raw += b"\x02" + bytes(
+                    (line[i] - prev[i]) & 0xFF
+                    for i in range(len(line)))
+    ihdr = struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 1])
+    data = (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+    dw, dh, out = png_decode(data)
+    assert (dw, dh) == (w, h)
+    expect = b"".join(px[x, y] for y in range(h) for x in range(w))
+    assert out == expect
