@@ -110,6 +110,10 @@ SCALE10_EXTRA = [
     # ratios should track doc count like the other *_check faces)
     "streaming_iterate_halving",
     "multimodal_jpeg_check", "multimodal_mjpeg_frames",
+    # round-14 newcomer: join-in-loop-body iterate — depth is capped
+    # at 8 supersteps by construction, so the ratio should track the
+    # per-superstep frontier join, not the loop
+    "streaming_iterate_chain_walk",
 ]
 
 
@@ -131,11 +135,12 @@ _KEY_COLS = {
 _STRIDE = 100_000_000  # larger than any base key domain
 
 
-def build_scale10(spark, base_dir: str, out_dir: str) -> None:
-    """Replicate every base table 10x with join-consistent key offsets
-    (replica i adds i*stride to each key column; timestamps unchanged,
-    so time windows see 10x density). 16 files per table, matching the
-    SCALE.md round-1/round-4 recipe."""
+def build_scaled(spark, base_dir: str, out_dir: str,
+                 factor: int) -> None:
+    """Replicate every base table `factor`x with join-consistent key
+    offsets (replica i adds i*stride to each key column; timestamps
+    unchanged, so time windows see `factor`x density). 16 files per
+    table, matching the SCALE.md round-1/round-4 recipe."""
     from pyspark.sql import functions as F
     for table, key_cols in _KEY_COLS.items():
         dst = os.path.join(out_dir, f"{table}.parquet")
@@ -146,13 +151,17 @@ def build_scale10(spark, base_dir: str, out_dir: str) -> None:
         if not key_cols:  # fixed dimension: single copy
             df.write.mode("overwrite").parquet(dst)
             continue
-        rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0),
-                                                        F.lit(9))))
+        rep = df.withColumn("__r", F.explode(F.sequence(
+            F.lit(0), F.lit(factor - 1))))
         for k in key_cols:
             rep = rep.withColumn(k, F.col(k) + F.col("__r")
                                  * F.lit(_STRIDE))
         rep.drop("__r").repartition(16).write.mode("overwrite") \
             .parquet(dst)
+
+
+def build_scale10(spark, base_dir: str, out_dir: str) -> None:
+    build_scaled(spark, base_dir, out_dir, 10)
 
 
 
@@ -290,6 +299,74 @@ def kcore_profile_main() -> None:
     print(json.dumps(out))
 
 
+def mjpeg_profile_main() -> None:
+    """Two-scale phase profile for multimodal_mjpeg_frames — the
+    graduation evidence the r13 verdict asked for (the face debuted
+    at 10x ratio 3.88 with only a prose flat-marginal-cost claim).
+
+    The face is map-only (zero shuffle): T(N) = fixed + marginal * W
+    where W = frame-ops (JPEG encodes during clip synthesis + sampled
+    decodes). Solving the two measurements: fixed = (10*T1 - T10)/9,
+    marginal = (T10 - T1)/(W10 - W1). A flat marginal (µs/frame-op
+    stable across scales by construction of the linear model) plus a
+    large fixed share at base explains a sub-10x wall-clock ratio
+    that is NOT plan degradation.
+
+    A THIRD scale point (5x) over-determines the two-parameter
+    model: fixed/marginal are fitted from (base, x5) and the x10
+    prediction error is reported — small error = the marginal cost
+    really is flat, not an artifact of fitting 2 points with 2
+    parameters."""
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR",
+                             "/tmp/spark_graft_scale10")
+    mid_dir = os.environ.get("SPARK_GRAFT_SCALE5_DIR",
+                             "/tmp/spark_graft_scale5")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark("bench-mjpeg-profile")
+    build_scale10(spark, base_dir, out_dir)
+    build_scaled(spark, base_dir, mid_dir, 5)
+    from pyspark.sql import functions as F
+    specs = q.all_specs()
+
+    def frame_ops(d: str) -> int:
+        # encodes (n_frames) + sampled decodes ((n_frames+1)//2),
+        # restated from the face's length(text) formulas
+        n = F.length("text") % 5 + 2
+        return (spark.read.parquet(os.path.join(d, "documents.parquet"))
+                .select((n + (n + 1) / 2).cast("long").alias("w"))
+                .agg(F.sum("w")).collect()[0][0])
+
+    out = {"metric": "mjpeg_phase_profile", "unit": "sec",
+           "runs": runs}
+    meas = {}
+    for label, d in (("base", base_dir), ("x5", mid_dir),
+                     ("x10", out_dir)):
+        w = frame_ops(d)
+        took = []
+        for _ in range(runs):
+            _release_persisted(spark)
+            t0 = time.perf_counter()
+            specs["multimodal_mjpeg_frames"].fn(spark, d).count()
+            took.append(time.perf_counter() - t0)
+        meas[label] = (round(min(took), 4), int(w))
+        out[label] = {"sec": meas[label][0], "frame_ops": int(w)}
+    t1, w1 = meas["base"]
+    t5, w5 = meas["x5"]
+    t10, w10 = meas["x10"]
+    out["ratio"] = round(t10 / t1, 2)
+    # fit fixed+marginal on (base, x5); x10 is the held-out check
+    marginal = (t5 - t1) / (w5 - w1)
+    fixed = t1 - marginal * w1
+    out["fixed_sec"] = round(fixed, 4)
+    out["fixed_share_base"] = round(fixed / t1, 3)
+    out["marginal_us_per_frame_op"] = round(marginal * 1e6, 2)
+    pred10 = fixed + marginal * w10
+    out["x10_predicted_sec"] = round(pred10, 4)
+    out["x10_prediction_err"] = round((t10 - pred10) / t10, 3)
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -336,5 +413,7 @@ if __name__ == "__main__":
         scale10_main()
     elif "--kcore-profile" in sys.argv[1:]:
         kcore_profile_main()
+    elif "--mjpeg-profile" in sys.argv[1:]:
+        mjpeg_profile_main()
     else:
         main()

@@ -57,7 +57,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_check",
     "multimodal_mjpeg_frames",
     # (b) NEW round-14 queries — appended as each lands so nothing
-    # ships never-driver-checked. (reserved: 2 slots)
+    # ships never-driver-checked. (reserved: 1 more slot)
+    "streaming_iterate_chain_walk",   # NEW: join-in-loop-body iterate
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).

@@ -2115,3 +2115,68 @@ def streaming_iterate_halving(spark, sf_dir):
             (F.col("steps") + 1).alias("steps"))
 
     return iterate_stream(spark, seed, body, F.col("cur") <= 1)
+
+
+@register(
+    "streaming_iterate_chain_walk",
+    """
+    WITH sub AS (
+      SELECT o_custkey AS ckey, o_orderkey AS okey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+      FROM orders WHERE o_custkey % 20 = 0
+    )
+    SELECT ckey, okey, CAST(rn AS BIGINT) AS depth, TRUE AS done
+    FROM sub WHERE rn = LEAST(cnt, 8)
+    """,
+    doc="DataStream.iterate with a JOIN in the loop body — the "
+        "Gelly-style message-passing shape (r13 verdict ask #8: "
+        "harden the feedback mechanism beyond per-row transforms; "
+        "reference IterativeStream.closeWith + the Gelly "
+        "scatter-gather loop over DataSet.iterateDelta, "
+        "DataSet.java:1179). Each customer's orders form a successor "
+        "chain (order -> next order by key); the frontier seeds at "
+        "every 20th customer's first order and each superstep "
+        "stream-static JOINS the feedback frontier against the "
+        "static edge table to advance one hop, rows exiting when "
+        "the chain ends or at the 8-hop cap. The oracle states the "
+        "walk's closed form independently (row_number/count window: "
+        "the walk must land on order #LEAST(cnt, 8)). Scale: loop "
+        "depth is min(8, max chain length) supersteps independent "
+        "of data size; the per-superstep join is a broadcast "
+        "equi-join (the %20 gate makes the edge table dim-sized; at "
+        "full scale drop the hint and each superstep is one keyed "
+        "shuffle of the SHRINKING frontier, never the full fact).",
+)
+def streaming_iterate_chain_walk(spark, sf_dir):
+    from ..streaming.iterate import iterate_stream
+    orders = t(spark, sf_dir, "orders").where(F.col("o_custkey") % 20
+                                              == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (orders.select(F.col("o_custkey").alias("e_ckey"),
+                           F.col("o_orderkey").alias("e_okey"),
+                           F.lead("o_orderkey").over(w).alias("e_nxt"))
+             .persist())
+    seed = (orders.groupBy(F.col("o_custkey").alias("ckey"))
+            .agg(F.min("o_orderkey").alias("okey"))
+            .select("ckey", "okey",
+                    F.lit(1).cast("bigint").alias("depth"),
+                    F.lit(False).alias("done")))
+
+    def body(df):
+        j = df.join(F.broadcast(edges),
+                    (df["ckey"] == edges["e_ckey"])
+                    & (df["okey"] == edges["e_okey"]), "left")
+        adv = (F.col("e_nxt").isNotNull() & (F.col("depth") < 8)
+               & ~F.col("done"))
+        return j.select(
+            "ckey",
+            F.when(adv, F.col("e_nxt")).otherwise(F.col("okey"))
+            .alias("okey"),
+            F.when(adv, F.col("depth") + 1).otherwise(F.col("depth"))
+            .alias("depth"),
+            F.when(adv, F.lit(False)).otherwise(F.lit(True))
+            .alias("done"))
+
+    return iterate_stream(spark, seed, body, F.col("done"))

@@ -1032,3 +1032,37 @@ def test_round11_rewrite_plan_contracts(spark, sf_dir):
 
     p = plan(spark, "graph_clustering_coefficient", sf_dir)
     assert p.count("lineitem.parquet") == 1, "one fact scan via cooccurrence"
+
+
+def test_copurchase_pair_build_partial_distinct(spark, sf_dir):
+    """The co-purchase pair build (graph_k_core's dominant linear
+    cost at 10x — the r13 verdict's 'two-phase the pair-distinct'
+    ask) must dedup MAP-SIDE before the pair exchange: the plan has
+    a partial HashAggregate keyed (a, b) in the SAME stage as the
+    basket explode, so only locally-distinct pairs hit the shuffle.
+    Asserted structurally: exactly two exchanges total (basket group
+    + pair dedup), and a HashAggregate pair (partial+final) around
+    the pair exchange."""
+    from flink_1_11_2_with_comments_spark.queries.graph_ops import (
+        _copurchase_pairs)
+    df = _copurchase_pairs(spark, sf_dir, persist=False)
+    je = df._jdf.queryExecution()
+    mode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    p = je.explainString(mode)
+    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    import re
+    assert body.count("Exchange") == 2, body
+    # pair-grain dedup is partial+final (two plain HashAggregate
+    # nodes on keys a,b) besides the basket ObjectHashAggregate pair
+    assert len(re.findall(r"(?<!Object)HashAggregate", body)) == 2, body
+    assert body.count("ObjectHashAggregate") == 2, body
+    # node numbering is bottom-up: explode < partial dedup < pair
+    # exchange means the partial aggregate sits in the explode's
+    # stage, upstream of the shuffle
+    gen_n = int(re.search(r"\((\d+)\) Generate", p).group(1))
+    partial_n = min(int(m) for m in
+                    re.findall(r"\((\d+)\) HashAggregate", p))
+    pair_ex_n = max(int(m) for m in
+                    re.findall(r"\((\d+)\) Exchange", p))
+    assert gen_n < partial_n < pair_ex_n, p
