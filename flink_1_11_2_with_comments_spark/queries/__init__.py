@@ -57,8 +57,9 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_check",
     "multimodal_mjpeg_frames",
     # (b) NEW round-14 queries — appended as each lands so nothing
-    # ships never-driver-checked. (reserved: 1 more slot)
+    # ships never-driver-checked.
     "streaming_iterate_chain_walk",   # NEW: join-in-loop-body iterate
+    "dedup_image_phash",              # NEW: DCT-pHash image dedup
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).

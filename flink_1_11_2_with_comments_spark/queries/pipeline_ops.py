@@ -4561,3 +4561,41 @@ def corpus_domain_quota(spark, sf_dir):
     return (d.select("doc_id", "source",
                      F.row_number().over(w).alias("quota_rank"))
             .where(F.col("quota_rank") <= 40))
+
+
+@register(
+    "dedup_image_phash",
+    """
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY doc_id % 23) AS cluster_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 23)
+             AS is_canonical
+    FROM documents
+    """,
+    doc="HASH-ENFORCED image near-duplicate detection by perceptual "
+        "hash (DCT pHash, pipeline/phash.py) — the canonical visual "
+        "dedup of training-data curation (drop rescaled copies of "
+        "the same picture), extending the repo's dedup family "
+        "(exact / minhash / simhash / embedding-cosine) into the "
+        "image modality. The corpus renders doc_id%23-keyed tiles at "
+        "RESOLUTIONS varying with the text length (the same picture "
+        "at 1x/2x/3x scale); the pipeline PNG-decodes every image, "
+        "area-resizes to 32x32, takes the 32-point DCT, thresholds "
+        "the 63 low-frequency AC coefficients on their median into "
+        "a 64-bit hash (scale-invariant: the box resize inverts the "
+        "block upscale exactly), and clusters on hash equality. The "
+        "oracle states the ground-truth clustering (doc_id % 23) "
+        "closed-form; one flipped hash bit anywhere in decode / "
+        "resize / DCT / threshold splits a cluster and fails the "
+        "compare (the 23 tiles sit >=20 Hamming bits apart, pinned "
+        "in tests, so merges are impossible too). Scale: hash is "
+        "map-only Arrow-batched Python over the corpus (zero "
+        "shuffle, images never move); clustering shuffles 8-byte "
+        "hashes once. Hamming-radius lookup ships alongside "
+        "(phash_bands: 4x16-bit pigeonhole bands, candidate pairs "
+        "from an equi-join — same discipline as simhash; pinned in "
+        "tests/test_pipeline.py).",
+)
+def dedup_image_phash(spark, sf_dir):
+    from ..pipeline.phash import phash_cluster_check
+    return phash_cluster_check(t(spark, sf_dir, "documents"))

@@ -2109,3 +2109,83 @@ def test_png_adam7_interop_hand_assembled():
     assert (dw, dh) == (w, h)
     expect = b"".join(px[x, y] for y in range(h) for x in range(w))
     assert out == expect
+
+
+def test_phash_properties_and_bands():
+    """DCT pHash invariants: affine pixel transforms flip 0 bits
+    (median threshold), small local edits stay within the hamming
+    band radius, the 23 face tiles are pairwise >= 20 bits apart (so
+    oracle clusters can never merge), block upscales hash EXACTLY
+    (the face's scale-invariance contract), and the 4x16 pigeonhole
+    band split finds any pair within hamming 3 via an exact band
+    match."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.phash import (
+        _phash_tile, area_resize_gray, hamming64, phash64)
+
+    img = np.array([[(2 * x * 3 + y * 2) & 0xFF for x in range(40)]
+                    for y in range(30)], float)
+    h0 = phash64(img)
+    assert hamming64(h0, phash64(img * 0.5 + 10)) == 0   # affine
+    bump = img.copy()
+    bump[5:7, 5:7] += 9
+    assert hamming64(h0, phash64(bump)) <= 3             # local edit
+    # constant image resize is exact; upscale path covered too
+    assert np.allclose(area_resize_gray(np.full((50, 70), 7.0)), 7.0)
+    assert area_resize_gray(np.arange(12.0).reshape(3, 4)).shape \
+        == (32, 32)
+    tiles = [phash64(_phash_tile(p).astype(float)) for p in range(23)]
+    assert len(set(tiles)) == 23
+    assert min(hamming64(a, b) for i, a in enumerate(tiles)
+               for b in tiles[i + 1:]) >= 20
+    for p in (0, 7, 22):
+        t = _phash_tile(p).astype(float)
+        for sx, sy in ((2, 1), (3, 2), (2, 2)):
+            up = np.repeat(np.repeat(t, sy, 0), sx, 1)
+            assert phash64(up) == phash64(t), (p, sx, sy)
+    # pigeonhole: hamming <= 3 guarantees one exact 16-bit band match
+    a = tiles[0]
+    b = a ^ (1 << 2) ^ (1 << 40) ^ (1 << 63)   # 3 flipped bits
+    width, mask = 16, 0xFFFF
+    shared = [i for i in range(4)
+              if (a >> (i * width)) & mask == (b >> (i * width)) & mask]
+    assert shared, "pigeonhole violated"
+
+
+def test_phash_cluster_face_and_band_join(spark, documents):
+    """End-to-end over Spark: the face's clusters equal the ground
+    truth (doc_id % 23 — scale-varied renders of one tile collapse
+    to one hash), and the banded index joins a 2-bit-perturbed probe
+    back to its cluster via an exact band equi-join."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_2_with_comments_spark.pipeline.phash import (
+        phash_bands, phash_cluster_check, phash_column,
+        synthesize_phash_corpus)
+
+    docs = documents.limit(120)
+    got = phash_cluster_check(docs).collect()
+    rows = {r.doc_id: r for r in got}
+    import collections
+    truth = collections.Counter(d % 23 for d in rows)
+    for doc_id, r in rows.items():
+        assert r.cluster_size == truth[doc_id % 23], doc_id
+        assert r.is_canonical == (doc_id == min(
+            d for d in rows if d % 23 == doc_id % 23))
+    # banded near-dup lookup: perturb one corpus hash by 2 bits and
+    # find its home cluster through a band match
+    hashes = phash_column(synthesize_phash_corpus(docs))
+    bands = phash_bands(hashes)
+    probe = (hashes.limit(1)
+             .select(F.col("doc_id").alias("p_doc"),
+                     F.col("phash").bitwiseXOR(F.lit(1 << 5))
+                     .bitwiseXOR(F.lit(1 << 50)).alias("phash")))
+    pb = phash_bands(probe.withColumnRenamed("p_doc", "doc_id")) \
+        .withColumnRenamed("doc_id", "p_doc")
+    cand = (pb.join(bands, ["band_ix", "band_val"])
+            .select("p_doc", "doc_id").distinct())
+    found = {r.doc_id for r in cand.collect()}
+    p_doc = probe.collect()[0].p_doc
+    same_cluster = {d for d in rows if d % 23 == p_doc % 23}
+    assert same_cluster <= found
