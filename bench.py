@@ -110,10 +110,11 @@ SCALE10_EXTRA = [
     # ratios should track doc count like the other *_check faces)
     "streaming_iterate_halving",
     "multimodal_jpeg_check", "multimodal_mjpeg_frames",
-    # round-14 newcomer: join-in-loop-body iterate — depth is capped
+    # round-14 newcomers: join-in-loop-body iterate — depth is capped
     # at 8 supersteps by construction, so the ratio should track the
-    # per-superstep frontier join, not the loop
-    "streaming_iterate_chain_walk",
+    # per-superstep frontier join, not the loop — and the pHash image
+    # dedup (map-only codec+hash, one 8-byte-key shuffle)
+    "streaming_iterate_chain_walk", "dedup_image_phash",
 ]
 
 
