@@ -28,9 +28,18 @@ Honesty notes:
   camera files use) are supported on both sides: the encoder
   byte-aligns and emits the cycling RST0..7 markers with DC
   predictor resets, the decoder verifies the cycle and resets its
-  predictors (E.2.4). Progressive, 12-bit, arithmetic-coded, and
-  sampling patterns other than 1x1/4:2:0 are rejected loudly:
-  this is the baseline sequential subset, exactly declared.
+  predictors (E.2.4). PROGRESSIVE (SOF2) is supported on both
+  sides as of r14: the decoder runs the full spectral-selection +
+  successive-approximation machinery (DC/AC first and refinement
+  scans, EOB runs, per-scan table snapshots, G.1.2.2/G.1.2.3),
+  unified with baseline (which is the single-full-band special
+  case of the same code paths); the encoder emits the standard
+  libjpeg-style script (DC Al=1 + refine, two AC bands per
+  component, first + refine) with its own declared flat AC table
+  (the Annex-K baseline table lacks EOBn symbols). 12-bit,
+  arithmetic-coded, lossless/hierarchical, and sampling patterns
+  other than 1x1/4:2:0 are rejected loudly: the supported subset
+  is exactly declared.
 - The embedded default Huffman tables are the well-known T.81
   Annex K luminance tables. Even if a transcription slipped, every
   emitted stream stays spec-valid (the DHT segment IS the table)
@@ -89,6 +98,20 @@ AC_VALS = (
     0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 )
+
+
+# Progressive scans additionally emit EOBn symbols (r<<4 for r<15),
+# which the baseline Annex-K AC table does not define. The
+# progressive encoder therefore declares its OWN flat AC table
+# (every (run, size) symbol with size <= 10 at code length 9 —
+# 176 symbols < 2^9, trivially prefix-free and canonical); the
+# decoder reads whatever DHT declares, so interop is unaffected.
+# Compression is a few percent worse than an optimized table — this
+# encoder optimizes for spec coverage, not rate.
+PROG_AC_VALS = tuple((r << 4) | s for r in range(16)
+                     for s in range(11))
+PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS),
+                0, 0, 0, 0, 0, 0, 0)
 
 
 def zigzag_order() -> list[tuple[int, int]]:
@@ -378,6 +401,206 @@ def _encode_scan(planes: list[np.ndarray], samplings: list[tuple[int, int]],
     return w.flush()
 
 
+def _quantized_grids(planes: list[np.ndarray],
+                     samplings: list[tuple[int, int]],
+                     qtab: np.ndarray) -> list[np.ndarray]:
+    """Forward DCT + quantize every 8x8 block of every (padded)
+    plane → per-component zigzag coefficient grids (gh, gw, 64) —
+    the shared front half of the progressive encoder."""
+    grids = []
+    for plane, (hi, vi) in zip(planes, samplings):
+        gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
+                  .reshape(gh * gw, 8, 8))
+        coef = np.matmul(np.matmul(_D, blocks), _D.T)
+        qz = np.round(coef / qtab).astype(np.int64).reshape(gh * gw,
+                                                           64)
+        grids.append(qz[:, _ZZ_FLAT].reshape(gh, gw, 64))
+    return grids
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: Huffman symbols, an
+    EOB-run accumulator, and the buffered correction bits that must
+    follow the next emitted symbol (G.1.2.3's BE buffer)."""
+
+    def __init__(self, dc_enc, ac_enc):
+        self.w = _BitWriter()
+        self.dc_enc, self.ac_enc = dc_enc, ac_enc
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def _flush_be(self) -> None:
+        for b in self.be:
+            self.w.put(b, 1)
+        self.be = []
+
+    def emit_ac(self, sym: int) -> None:
+        c, l = self.ac_enc[sym]
+        self.w.put(c, l)
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.emit_ac(r << 4)
+            if r:
+                self.w.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self._flush_be()
+
+    def count_eob(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        return self.w.flush()
+
+
+def _prog_ac_first_block(sw: _ProgScanWriter, zz, lo: int, se: int,
+                         al: int) -> None:
+    band = [(k, int(zz[k])) for k in range(lo, se + 1)]
+    vals = [(k, (abs(v) >> al) * (1 if v > 0 else -1))
+            for k, v in band]
+    if not any(t for _k, t in vals):
+        sw.count_eob()
+        return
+    sw.flush_eob()
+    run = 0
+    last_nz = max(i for i, (_k, t) in enumerate(vals) if t)
+    for i, (_k, t) in enumerate(vals):
+        if i > last_nz:
+            break
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            sw.emit_ac(0xF0)          # ZRL
+            run -= 16
+        size, amp = _amplitude_encode(t)
+        sw.emit_ac((run << 4) | size)
+        sw.w.put(amp, size)
+        run = 0
+    if last_nz < len(vals) - 1:
+        sw.count_eob()
+
+
+def _prog_ac_refine_block(sw: _ProgScanWriter, zz, lo: int, se: int,
+                          al: int) -> None:
+    newly = []
+    for k in range(lo, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 1:
+            newly.append(k)
+    if not newly:
+        # whole band joins the EOB run; correction bits buffer
+        for k in range(lo, se + 1):
+            v = int(zz[k])
+            if abs(v) >> (al + 1):
+                sw.be.append((abs(v) >> al) & 1)
+        sw.count_eob()
+        return
+    sw.flush_eob()
+    run = 0
+    for k in range(lo, se + 1):
+        if k > newly[-1]:
+            break                     # tail joins the EOB run below
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+        elif a > 1:                   # already significant: buffer
+            sw.be.append(a & 1)       # its correction bit
+        else:                         # newly significant (a == 1)
+            while run > 15:
+                sw.emit_ac(0xF0)
+                sw._flush_be()
+                run -= 16
+            sw.emit_ac((run << 4) | 1)
+            sw.w.put(1 if v > 0 else 0, 1)
+            sw._flush_be()
+            run = 0
+    # trailing positions past the last newly-significant coefficient:
+    # their correction bits buffer and the block joins the EOB run
+    if newly[-1] < se:
+        for k in range(newly[-1] + 1, se + 1):
+            v = int(zz[k])
+            if abs(v) >> (al + 1):
+                sw.be.append((abs(v) >> al) & 1)
+        sw.count_eob()
+
+
+def _encode_progressive(grids: list[np.ndarray],
+                        samplings: list[tuple[int, int]],
+                        block_dims: list[tuple[int, int]],
+                        mcus: tuple[int, int]) -> list[tuple]:
+    """The scan script: interleaved DC first (Al=1) + DC refine,
+    then per component two AC spectral bands (1-5, 6-63), each as a
+    first pass (Al=1) and a refinement (Ah=1, Al=0) — the standard
+    libjpeg-style successive-approximation script, exercising every
+    progressive decode path. Returns [(scan_comps, ss, se, ah, al,
+    entropy)]."""
+    dc_enc = build_huffman(DC_BITS, DC_VALS)
+    ac_enc = build_huffman(PROG_AC_BITS, PROG_AC_VALS)
+    mcus_x, mcus_y = mcus
+    ncomp = len(grids)
+    scans = []
+
+    # --- DC first, interleaved, Al=1 ---
+    sw = _ProgScanWriter(dc_enc, ac_enc)
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, grid in enumerate(grids):
+                hi, vi = samplings[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        v = int(grid[my * vi + byy, mx * hi + bxx, 0])
+                        t = v >> 1
+                        size, amp = _amplitude_encode(t - preds[ci])
+                        preds[ci] = t
+                        c, l = dc_enc[size]
+                        sw.w.put(c, l)
+                        if size:
+                            sw.w.put(amp, size)
+    scans.append((list(range(ncomp)), 0, 0, 0, 1, sw.w.flush()))
+
+    # --- DC refinement, interleaved, Ah=1 Al=0: one raw bit/block ---
+    sw = _ProgScanWriter(dc_enc, ac_enc)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, grid in enumerate(grids):
+                hi, vi = samplings[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        v = int(grid[my * vi + byy, mx * hi + bxx, 0])
+                        sw.w.put(v & 1, 1)
+    scans.append((list(range(ncomp)), 0, 0, 1, 0, sw.w.flush()))
+
+    # --- AC bands per component, non-interleaved ---
+    bands = [(1, 5), (6, 63)]
+    for ci, grid in enumerate(grids):
+        bw, bh = block_dims[ci]
+        for lo, hi_k in bands:
+            sw = _ProgScanWriter(dc_enc, ac_enc)
+            for by in range(bh):
+                for bx in range(bw):
+                    _prog_ac_first_block(sw, grid[by, bx], lo, hi_k, 1)
+            scans.append(([ci], lo, hi_k, 0, 1, sw.finish()))
+    for ci, grid in enumerate(grids):
+        bw, bh = block_dims[ci]
+        for lo, hi_k in bands:
+            sw = _ProgScanWriter(dc_enc, ac_enc)
+            for by in range(bh):
+                for bx in range(bw):
+                    _prog_ac_refine_block(sw, grid[by, bx], lo, hi_k,
+                                          0)
+            scans.append(([ci], lo, hi_k, 1, 0, sw.finish()))
+    return scans
+
+
 def _build_stream(width: int, height: int,
                   samplings: list[tuple[int, int]],
                   qtab: np.ndarray, entropy: bytes,
@@ -411,21 +634,71 @@ def _build_stream(width: int, height: int,
     return bytes(out)
 
 
+def _build_progressive(width: int, height: int,
+                       samplings: list[tuple[int, int]],
+                       qtab: np.ndarray, scans: list[tuple]) -> bytes:
+    """Assemble SOI/APP0/DQT/SOF2/DHT/(SOS...)xN/EOI — the
+    progressive frame: one SOF2, two Huffman tables (Annex-K DC as
+    id 0, the flat progressive AC table as class-1 id 1), then every
+    scan with its own SOS header carrying Ss/Se/Ah/Al."""
+    ncomp = len(samplings)
+    out = bytearray()
+    out += b"\xFF\xD8"                                   # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16)           # APP0 JFIF
+    out += b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    zz_tab = qtab.reshape(64)[_ZZ_FLAT]
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00"  # DQT Pq=0
+    out += bytes(int(v) for v in zz_tab)
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                     height, width, ncomp)
+    for cid, (hi, vi) in enumerate(samplings, start=1):  # SOF2 comps
+        out += bytes((cid, (hi << 4) | vi, 0x00))
+    for cls_id, bits, vals in ((0x00, DC_BITS, DC_VALS),
+                               (0x11, PROG_AC_BITS, PROG_AC_VALS)):
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([cls_id]) + bytes(bits) + bytes(vals)
+    for comp_ixs, ss, se, ah, al, entropy in scans:
+        n = len(comp_ixs)
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * n, n)
+        for ix in comp_ixs:
+            # dc table 0; ac table 1 (the progressive table) for AC
+            # scans, 0 (unused) for DC scans
+            out += bytes((ix + 1, 0x01 if ss > 0 else 0x00))
+        out += bytes((ss, se, (ah << 4) | al))
+        out += entropy
+    out += b"\xFF\xD9"                                   # EOI
+    return bytes(out)
+
+
 def jpeg_encode(width: int, height: int, gray: bytes,
-                quality: int = 90, restart_interval: int = 0) -> bytes:
+                quality: int = 90, restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """Encode a grayscale image (row-major, one byte per pixel) as a
-    baseline-sequential JFIF stream. Edge blocks are padded by edge
-    replication (the standard encoder choice); the decoder crops back
-    to the SOF0 dimensions. restart_interval > 0 declares DRI and
-    segments the scan with RSTn markers every that many MCUs."""
+    JFIF stream — baseline sequential by default, progressive (SOF2,
+    spectral selection + successive approximation) when
+    `progressive` is set. Edge blocks are padded by edge replication
+    (the standard encoder choice); the decoder crops back to the
+    SOF0 dimensions. restart_interval > 0 declares DRI and segments
+    the baseline scan with RSTn markers every that many MCUs
+    (baseline only)."""
     if len(gray) != width * height:
         raise ValueError("jpeg_encode: pixel buffer size mismatch")
     img = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
     aw, ah = 8 * ((width + 7) // 8), 8 * ((height + 7) // 8)
     qtab = quality_scale(quality)
     samplings = [(1, 1)]
-    entropy = _encode_scan([_pad_plane(img, ah, aw)], samplings, qtab,
-                           restart_interval)
+    planes = [_pad_plane(img, ah, aw)]
+    if progressive:
+        if restart_interval:
+            raise ValueError("jpeg_encode: restart intervals are a "
+                             "baseline-encoder option here")
+        grids = _quantized_grids(planes, samplings, qtab)
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        scans = _encode_progressive(grids, samplings, [(bw, bh)],
+                                    (aw // 8, ah // 8))
+        return _build_progressive(width, height, samplings, qtab,
+                                  scans)
+    entropy = _encode_scan(planes, samplings, qtab, restart_interval)
     return _build_stream(width, height, samplings, qtab, entropy,
                          restart_interval)
 
@@ -433,7 +706,8 @@ def jpeg_encode(width: int, height: int, gray: bytes,
 def jpeg_encode_color(width: int, height: int, rgb: bytes,
                       quality: int = 90,
                       subsampling: str = "4:4:4",
-                      restart_interval: int = 0) -> bytes:
+                      restart_interval: int = 0,
+                      progressive: bool = False) -> bytes:
     """Encode an interleaved RGB image (row-major, 3 bytes per pixel)
     as a baseline-sequential YCbCr JFIF stream. subsampling:
     "4:4:4" (every component 1x1) or "4:2:0" (luma 2x2, chroma
@@ -466,6 +740,24 @@ def jpeg_encode_color(width: int, height: int, rgb: bytes,
     else:
         raise ValueError(f"jpeg_encode_color: unsupported subsampling "
                          f"{subsampling!r} (4:4:4 or 4:2:0)")
+    if progressive:
+        if restart_interval:
+            raise ValueError("jpeg_encode_color: restart intervals "
+                             "are a baseline-encoder option here")
+        grids = _quantized_grids(planes, samplings, qtab)
+        hmax = max(h for h, _v in samplings)
+        vmax = max(v for _h, v in samplings)
+        block_dims = []
+        for hi, vi in samplings:
+            cw = (width * hi + hmax - 1) // hmax
+            ch = (height * vi + vmax - 1) // vmax
+            block_dims.append(((cw + 7) // 8, (ch + 7) // 8))
+        mcus = (planes[0].shape[1] // (8 * samplings[0][0]),
+                planes[0].shape[0] // (8 * samplings[0][1]))
+        scans = _encode_progressive(grids, samplings, block_dims,
+                                    mcus)
+        return _build_progressive(width, height, samplings, qtab,
+                                  scans)
     entropy = _encode_scan(planes, samplings, qtab, restart_interval)
     return _build_stream(width, height, samplings, qtab, entropy,
                          restart_interval)
@@ -475,15 +767,194 @@ def jpeg_encode_color(width: int, height: int, rgb: bytes,
 # decoder
 # ---------------------------------------------------------------------------
 
+def _extract_entropy(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Slice one scan's entropy segment starting at `pos`: stuffed
+    0xFF00 and RST0-7 markers stay inside; any other marker ends the
+    scan. Returns (entropy bytes, position of the ending marker)."""
+    p = pos
+    n = len(data)
+    while p < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        if p + 1 >= n:
+            raise ValueError("jpeg: dangling 0xFF at end of scan")
+        nxt = data[p + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p += 2
+            continue
+        return data[pos:p], p
+    raise ValueError("jpeg: scan not terminated by a marker")
+
+
+def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
+                 al: int, dc_tabs, ac_tabs, restart_interval: int,
+                 comps, grids, block_dims, mcu_dims) -> None:
+    """Decode ONE scan's entropy data into the zigzag coefficient
+    grids — the unified T.81 successive-approximation machinery:
+    baseline sequential is the single-scan special case (ss=0 se=63
+    ah=al=0) of the same code paths (the progressive AC-first coder
+    degenerates to baseline AC coding because EOB == an EOB run of
+    length 1). Restart boundaries reset DC predictors AND the EOB
+    run (E.2.4), with the RSTn cycle verified per scan."""
+    reader = _BitReader(entropy)
+    preds = {ix: 0 for ix, _d, _a in scan}
+    state = {"eobrun": 0, "restarts": 0}
+
+    def read_symbol(tab) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | reader.bit()
+            length += 1
+            sym = tab.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def refine_nonzero(zz, k, p1, m1) -> None:
+        if reader.bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def do_block(ix, dc_id, ac_id, zz) -> None:
+        if ss == 0:                       # DC scan (or baseline DC)
+            if ah == 0:
+                size = read_symbol(dc_tabs[dc_id])
+                if size > 15:  # T.81 F.1.2.1.1: SSSS <= 15; a
+                    # corrupt DHT could otherwise define a 255-bit
+                    # "size" and overflow the predictor
+                    raise ValueError(f"jpeg: corrupt DC size {size}")
+                preds[ix] += _amplitude_decode(size, reader.bits(size))
+                zz[0] = preds[ix] << al
+            else:                         # DC refinement: raw bit
+                if reader.bit():
+                    zz[0] |= 1 << al
+        if se >= 1 and ss <= se:          # AC band (baseline: 1..63)
+            lo = max(ss, 1)
+            if ah == 0:
+                _ac_first(zz, lo, se, al, ac_tabs[ac_id],
+                          read_symbol, reader, state)
+            else:
+                _ac_refine(zz, lo, se, al, ac_tabs[ac_id],
+                           read_symbol, reader, refine_nonzero, state)
+
+    def maybe_restart(idx: int) -> None:
+        if restart_interval and idx and idx % restart_interval == 0:
+            # E.2.4: byte-align, consume RSTn (n cycles 0..7 — a
+            # skipped/repeated segment desyncs the cycle and fails
+            # loudly), reset every DC predictor and the EOB run
+            m = reader.sync_restart()
+            expect = (idx // restart_interval - 1) % 8
+            if m != expect:
+                raise ValueError(
+                    f"jpeg: restart marker out of sequence "
+                    f"(got RST{m}, expected RST{expect})")
+            for k in preds:
+                preds[k] = 0
+            state["eobrun"] = 0
+
+    if len(scan) > 1 or (ss == 0 and se == 63):
+        # interleaved MCU traversal (multi-component scans; also the
+        # baseline single-component full-band case, where MCU==block)
+        mcus_x, mcus_y = mcu_dims
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(my * mcus_x + mx)
+                for ix, dc_id, ac_id in scan:
+                    hi, vi = comps[ix][1]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            zz = grids[ix][my * vi + byy,
+                                           mx * hi + bxx]
+                            do_block(ix, dc_id, ac_id, zz)
+    else:
+        # non-interleaved: single component, raster over its REAL
+        # block grid (A.2.2 — padding blocks of the interleaved grid
+        # are not coded)
+        ix, dc_id, ac_id = scan[0]
+        bw, bh = block_dims[ix]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(by * bw + bx)
+                do_block(ix, dc_id, ac_id, grids[ix][by, bx])
+
+
+def _ac_first(zz, lo, se, al, ac_tab, read_symbol, reader,
+              state) -> None:
+    """AC coefficients, first pass (Ah=0) — G.1.2.2 with EOB runs;
+    degenerates to baseline F.1.2.2 when al=0 (EOB0 == run of 1)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = lo
+    while k <= se:
+        sym = read_symbol(ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r < 15:                # EOBn
+                state["eobrun"] = (1 << r) - 1 + reader.bits(r)
+                return
+            k += 16                   # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        zz[k] = _amplitude_decode(s, reader.bits(s)) << al
+        k += 1
+
+
+def _ac_refine(zz, lo, se, al, ac_tab, read_symbol, reader,
+               refine_nonzero, state) -> None:
+    """AC successive-approximation refinement (Ah>0) — G.1.2.3: each
+    already-nonzero coefficient consumes one correction bit as the
+    scan passes it; newly-significant coefficients arrive as ±1<<al
+    after a run count of ZERO-HISTORY positions."""
+    p1, m1 = 1 << al, -1 << al
+    k = lo
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = read_symbol(ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:            # EOBn — current block included
+                    state["eobrun"] = (1 << r) + reader.bits(r)
+                    break
+                # ZRL: 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "jpeg: refinement scan with size > 1")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                refine_nonzero(zz, k, p1, m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
 def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline-sequential 1x1-sampled JFIF stream produced
-    by any encoder of that subset → (width, height, ncomp, pixels):
+    """Decode a JFIF stream → (width, height, ncomp, pixels):
     row-major gray bytes for 1 component, interleaved RGB bytes
-    (YCbCr→RGB, JFIF full-range) for 3. Tables come from the stream's
-    own DQT/DHT segments; per-component table ids are honored, and
-    DRI/RSTn restart segmentation is decoded (predictor resets +
-    cycle verification, E.2.4). Progressive (SOF2), arithmetic
-    coding, 12-bit precision, and sampling patterns other than
+    (YCbCr→RGB, JFIF full-range) for 3. Supports baseline sequential
+    (SOF0) AND progressive (SOF2 — spectral selection + successive
+    approximation, DC/AC first and refinement scans, EOB runs,
+    per-scan table redefinition), with DRI/RSTn restart segmentation
+    in both (predictor+EOB-run resets, cycle verification, E.2.4).
+    Tables come from the stream's own DQT/DHT segments; per-component
+    table ids are honored. Arithmetic coding, 12-bit precision,
+    lossless/hierarchical SOFs, and sampling patterns other than
     1x1/4:2:0 are rejected with explicit errors."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
@@ -495,8 +966,7 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = None
     # per component: (component id, (h_sampling, v_sampling), quant id)
     comps: list[tuple[int, tuple[int, int], int]] = []
-    scan: list[tuple[int, int, int]] = []  # (comp ix, dc id, ac id)
-    entropy_start = None
+    scans: list[tuple] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -530,7 +1000,7 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
                 tab = build_huffman_decode(bits, vals)
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
                 p += 17 + n
-        elif marker == 0xC0:          # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", seg[:6])
             if precision != 8:
@@ -538,7 +1008,7 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
             if ncomp not in (1, 3):
                 raise ValueError(
                     f"jpeg: {ncomp}-component streams unsupported "
-                    "(baseline grayscale or YCbCr 4:4:4 only)")
+                    "(grayscale or YCbCr only)")
             for ci in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, (samp >> 4, samp & 0x0F), tq))
@@ -547,20 +1017,21 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
                                [(2, 2), (1, 1), (1, 1)]):
                 raise ValueError(
                     f"jpeg: sampling pattern {pattern} unsupported — "
-                    "baseline here is 1x1 everywhere (grayscale / "
+                    "supported here is 1x1 everywhere (grayscale / "
                     "4:4:4) or 4:2:0 (luma 2x2, chroma 1x1)")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"jpeg: SOF{marker - 0xC0} (progressive/extended/"
-                "arithmetic) unsupported — baseline sequential only")
+                f"jpeg: SOF{marker - 0xC0} (extended/lossless/"
+                "arithmetic/hierarchical) unsupported — baseline "
+                "sequential and progressive Huffman only")
         elif marker == 0xDD:          # DRI (B.2.4.4)
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:          # SOS
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
             ncomp_s = seg[0]
-            if ncomp_s != len(comps):
-                raise ValueError("jpeg: scan/frame component mismatch "
-                                 "(multi-scan streams unsupported)")
+            scan = []
             for ci in range(ncomp_s):
                 cid, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 matches = [i for i, (c, _s, _q) in enumerate(comps)
@@ -570,90 +1041,40 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
                         f"jpeg: scan references unknown component "
                         f"id {cid}")
                 scan.append((matches[0], tabs >> 4, tabs & 0x0F))
-            entropy_start = pos + seglen
-            break
+            ss, se, a = seg[1 + 2 * ncomp_s:4 + 2 * ncomp_s]
+            entropy, pos = _extract_entropy(data, pos + seglen)
+            scans.append((scan, ss, se, a >> 4, a & 0x0F,
+                          dict(dc_tabs), dict(ac_tabs),
+                          restart_interval, entropy))
+            continue
         pos += seglen
-    if width is None or entropy_start is None:
+    if width is None or not scans:
         raise ValueError("jpeg: missing SOF0/SOS")
-    # entropy data runs until the EOI marker
-    end = data.rfind(b"\xFF\xD9")
-    if end < 0:
-        raise ValueError("jpeg: missing EOI")
-    reader = _BitReader(data[entropy_start:end])
-
-    def read_symbol(tab) -> int:
-        code, length = 0, 0
-        while length <= 16:
-            code = (code << 1) | reader.bit()
-            length += 1
-            sym = tab.get((code, length))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
-
     hmax = max(s[0] for _c, s, _q in comps)
     vmax = max(s[1] for _c, s, _q in comps)
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    planes = [np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi),
-                       dtype=np.float64)
-              for _c, (hi, vi), _q in comps]
-    preds = [0] * len(comps)
-    n_mcus = mcus_y * mcus_x
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            idx = my * mcus_x + mx
-            if restart_interval and idx and idx % restart_interval == 0:
-                # E.2.4: byte-align, consume RSTn (n cycles 0..7 —
-                # a skipped/repeated segment desyncs the cycle and
-                # fails loudly), reset every DC predictor
-                m = reader.sync_restart()
-                expect = (idx // restart_interval - 1) % 8
-                if m != expect:
-                    raise ValueError(
-                        f"jpeg: restart marker out of sequence "
-                        f"(got RST{m}, expected RST{expect})")
-                preds = [0] * len(comps)
-            for ix, dc_id, ac_id in scan:
-                dc_tab, ac_tab = dc_tabs[dc_id], ac_tabs[ac_id]
-                hi, vi = comps[ix][1]
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = read_symbol(dc_tab)
-                        if size > 15:  # T.81 F.1.2.1.1: SSSS <= 15;
-                            # a corrupt DHT could otherwise define a
-                            # 255-bit "size" and overflow the
-                            # predictor
-                            raise ValueError(
-                                f"jpeg: corrupt DC size {size}")
-                        preds[ix] += _amplitude_decode(
-                            size, reader.bits(size))
-                        zz[0] = preds[ix]
-                        i = 1
-                        while i < 64:
-                            sym = read_symbol(ac_tab)
-                            if sym == 0x00:   # EOB
-                                break
-                            if sym == 0xF0:   # ZRL
-                                i += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            i += run
-                            if i >= 64:
-                                raise ValueError(
-                                    "jpeg: AC index overflow")
-                            zz[i] = _amplitude_decode(
-                                size, reader.bits(size))
-                            i += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[_ZZ_FLAT] = zz
-                        qtab = qtabs[comps[ix][2]]
-                        block = idct2(coef.reshape(8, 8) * qtab) \
-                            + 128.0
-                        y0 = (my * vi + byy) * 8
-                        x0 = (mx * hi + bxx) * 8
-                        planes[ix][y0:y0 + 8, x0:x0 + 8] = block
+    grids = [np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+             for _c, (hi, vi), _q in comps]
+    block_dims = []
+    for _c, (hi, vi), _q in comps:
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        block_dims.append(((cw + 7) // 8, (ch + 7) // 8))
+    for (scan, ss, se, ah, al, dcs, acs, ri, entropy) in scans:
+        _decode_scan(entropy, scan, ss, se, ah, al, dcs, acs, ri,
+                     comps, grids, block_dims, (mcus_x, mcus_y))
+    # reconstruct: dequantize + batched IDCT + assemble per component
+    planes = []
+    for (_c, (hi, vi), tq), grid in zip(comps, grids):
+        gh, gw, _ = grid.shape
+        nat = np.zeros((gh * gw, 64), dtype=np.float64)
+        nat[:, _ZZ_FLAT] = grid.reshape(gh * gw, 64)
+        blocks = nat.reshape(gh * gw, 8, 8) * qtabs[tq]
+        px = np.matmul(np.matmul(_D.T, blocks), _D) + 128.0
+        plane = (px.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(gh * 8, gw * 8))
+        planes.append(plane)
     # upsample subsampled components to full resolution (nearest /
     # sample replication, the JFIF default) and crop to SOF0 dims
     cropped = []

@@ -1288,11 +1288,12 @@ def synthesize_jpeg(documents: DataFrame,
                     quality: int = 90) -> DataFrame:
     """Per-document baseline-JPEG binary column — doc_id %% 3 picks
     grayscale (0), YCbCr 4:4:4 (1), or 4:2:0 chroma-subsampled (2);
-    every second document additionally declares a DRI restart
-    interval of 2 MCUs (doc_id %% 2, so each of the three modes gets
-    both restart-segmented and plain streams — the r14 coverage of
-    the one baseline feature real camera files use heavily) —
-    encoded executor-side with pipeline/jpeg (the same Arrow-batched
+    every fifth document (doc_id %% 5 == 0) encodes PROGRESSIVE
+    (SOF2, the r14 successive-approximation script), and every
+    second of the remaining documents declares a DRI restart
+    interval of 2 MCUs — so each of the three modes ships plain,
+    restart-segmented AND progressive streams — encoded
+    executor-side with pipeline/jpeg (the same Arrow-batched
     mapInPandas shape as the PNG/GIF synthesizers)."""
     from .jpeg import jpeg_encode, jpeg_encode_color
 
@@ -1302,13 +1303,16 @@ def synthesize_jpeg(documents: DataFrame,
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 w, h, ncomp, px = _jpeg_field(int(doc_id), len(text))
                 sub = "4:2:0" if int(doc_id) % 3 == 2 else "4:4:4"
-                ri = 2 if int(doc_id) % 2 else 0
+                prog = int(doc_id) % 5 == 0
+                ri = 2 if (int(doc_id) % 2 and not prog) else 0
                 media = (jpeg_encode(w, h, px, quality,
-                                     restart_interval=ri)
+                                     restart_interval=ri,
+                                     progressive=prog)
                          if ncomp == 1
                          else jpeg_encode_color(w, h, px, quality,
                                                 subsampling=sub,
-                                                restart_interval=ri))
+                                                restart_interval=ri,
+                                                progressive=prog))
                 rows.append({"doc_id": int(doc_id), "media": media,
                              "width": w, "height": h, "ncomp": ncomp})
             yield pd.DataFrame(rows)
@@ -1325,8 +1329,9 @@ def jpeg_roundtrip_check(documents: DataFrame, quality: int = 90,
                          tol_color: int = 6) -> DataFrame:
     """Hash-enforced closed loop over the JPEG codec: encode the
     closed-form fields (synthesize_jpeg — doc_id % 3 picks the mode:
-    0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0; odd doc_ids are
-    additionally restart-segmented with DRI=2), DECODE each stream with
+    0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0; doc_id % 5 == 0
+    streams are PROGRESSIVE SOF2, odd non-progressive doc_ids are
+    restart-segmented with DRI=2), DECODE each stream with
     pipeline/jpeg.jpeg_decode_any (tables read from the stream's own
     DQT/DHT, per-component ids honored), and compare against the
     field recomputed INDEPENDENTLY — decode_ok requires the SOF0

@@ -3508,11 +3508,13 @@ def multimodal_gif_check(spark, sf_dir):
         "real pure-numpy ITU-T T.81 baseline-sequential "
         "implementation, pipeline/jpeg.py — GRAYSCALE and YCbCr "
         "4:4:4 COLOR plus 4:2:0 subsampling, and — r14 — DRI/RSTn "
-        "restart segmentation): encode a wrap-free "
+        "restart segmentation AND PROGRESSIVE SOF2 with spectral "
+        "selection + successive approximation): encode a wrap-free "
         "closed-form ramp per document (doc_id % 3 picks the mode: "
-        "0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0; odd doc_ids "
-        "declare a 2-MCU restart interval, so every mode ships both "
-        "segmented and plain streams — "
+        "0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0; doc_id % 5 == 0 "
+        "encodes progressive, odd remaining doc_ids declare a 2-MCU "
+        "restart interval, so every mode ships plain, segmented and "
+        "progressive streams — "
         "synthesize_jpeg, executor-side mapInPandas), DECODE each "
         "stream with tables read from its own DQT/DHT segments "
         "(per-component ids honored), and require SOF0 dims + "

@@ -1635,13 +1635,17 @@ def test_jpeg_roundtrip_structure_and_error_bounds():
     assert maxerr(1, 1, lambda x, y: 200) <= 1
     # high-frequency content: larger but bounded error, dims exact
     assert maxerr(23, 17, lambda x, y: (x * x + y) % 200) <= 40
-    # loud gates
+    # loud gates (SOF2 progressive is SUPPORTED as of r14 — the
+    # remaining frame-type gates are lossless/arithmetic/extended)
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"\x00\x01")
     good = jpeg_encode(8, 8, bytes(64), 90)
-    prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg_decode(prog)
+    lossless = good.replace(b"\xFF\xC0", b"\xFF\xC3", 1)
+    with pytest.raises(ValueError, match="unsupported"):
+        jpeg_decode(lossless)
+    arith = good.replace(b"\xFF\xC0", b"\xFF\xC9", 1)
+    with pytest.raises(ValueError, match="unsupported"):
+        jpeg_decode(arith)
 
 
 def test_jpeg_roundtrip_check_face(spark, documents):
@@ -2189,3 +2193,60 @@ def test_phash_cluster_face_and_band_join(spark, documents):
     p_doc = probe.collect()[0].p_doc
     same_cluster = {d for d in rows if d % 23 == p_doc % 23}
     assert same_cluster <= found
+
+
+def test_jpeg_progressive_roundtrip_and_structure():
+    """Progressive JPEG (SOF2 — r14, closing the last major JPEG
+    gate): the successive-approximation script (interleaved DC first
+    Al=1 + DC refine, per-component AC bands 1-5/6-63 first Al=1 +
+    refine) must reconstruct EXACTLY the coefficients the baseline
+    scan codes — pixels bit-identical to the baseline decode for
+    gray, 4:4:4 and 4:2:0 across dimension alignment classes. Also
+    pins the marker structure (SOF2, the declared progressive AC
+    table, scan count) and the EOB-run path across all-zero blocks
+    (flat image: every AC band is one long EOB run)."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode_any, jpeg_encode, jpeg_encode_color)
+
+    def eq(base_stream, prog_stream):
+        b = jpeg_decode_any(base_stream)
+        p = jpeg_decode_any(prog_stream)
+        assert b[:3] == p[:3]
+        assert np.array_equal(np.frombuffer(b[3], np.uint8),
+                              np.frombuffer(p[3], np.uint8))
+        return p
+
+    for (w, h) in [(16, 12), (9, 5), (1, 1), (40, 24)]:
+        gray = bytes((30 + 2 * x + 3 * y) & 0xFF
+                     for y in range(h) for x in range(w))
+        prog = jpeg_encode(w, h, gray, 90, progressive=True)
+        assert b"\xFF\xC2" in prog and b"\xFF\xC0" not in prog
+        eq(jpeg_encode(w, h, gray, 90), prog)
+    # gray: 2 DC scans + 2 bands x (first + refine) = 6 SOS
+    prog = jpeg_encode(16, 12, bytes(192), 90, progressive=True)
+    assert prog.count(b"\xFF\xDA") == 6
+    # flat image exercises EOBRUN spanning every block; DC-only
+    w, h, nc, px = jpeg_decode_any(prog)
+    assert (w, h, nc) == (16, 12, 1)
+    assert set(px) == {0}
+    # color: 2 DC + 2 comps... 3 comps x 2 bands x 2 passes = 14 SOS
+    rgb = bytes(v for y in range(32) for x in range(48)
+                for v in ((20 + 2 * x + y) & 0xFF,
+                          (40 + x + 2 * y) & 0xFF, (60 + x + y) & 0xFF))
+    for sub in ("4:4:4", "4:2:0"):
+        prog_c = jpeg_encode_color(48, 32, rgb, 90, subsampling=sub,
+                                   progressive=True)
+        assert prog_c.count(b"\xFF\xDA") == 14
+        eq(jpeg_encode_color(48, 32, rgb, 90, subsampling=sub),
+           prog_c)
+    # high-frequency content stresses ZRL + band splits in SA mode
+    noisy = bytes((x * x * 7 + y * y * 3) % 251
+                  for y in range(24) for x in range(24))
+    eq(jpeg_encode(24, 24, noisy, 90),
+       jpeg_encode(24, 24, noisy, 90, progressive=True))
+    import pytest
+    with pytest.raises(ValueError, match="restart"):
+        jpeg_encode(8, 8, bytes(64), 90, restart_interval=2,
+                    progressive=True)
