@@ -737,9 +737,22 @@ def jpeg_encode_color(width: int, height: int, rgb: bytes,
                     + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
 
         planes = [y_p, box2(cb_p), box2(cr_p)]
+    elif subsampling == "4:2:2":
+        # luma 2x1: chroma halved horizontally only (the other
+        # common camera layout)
+        aw, ah = 16 * ((width + 15) // 16), 8 * ((height + 7) // 8)
+        samplings = [(2, 1), (1, 1), (1, 1)]
+        y_p = _pad_plane(y, ah, aw)
+        cb_p = _pad_plane(cb, ah, aw)
+        cr_p = _pad_plane(cr, ah, aw)
+
+        def boxh(p: np.ndarray) -> np.ndarray:
+            return (p[:, 0::2] + p[:, 1::2]) / 2.0
+
+        planes = [y_p, boxh(cb_p), boxh(cr_p)]
     else:
         raise ValueError(f"jpeg_encode_color: unsupported subsampling "
-                         f"{subsampling!r} (4:4:4 or 4:2:0)")
+                         f"{subsampling!r} (4:4:4, 4:2:0 or 4:2:2)")
     if progressive:
         if restart_interval:
             raise ValueError("jpeg_encode_color: restart intervals "
@@ -1014,11 +1027,12 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, (samp >> 4, samp & 0x0F), tq))
             pattern = [s for _c, s, _q in comps]
             if pattern not in ([(1, 1)] * ncomp,
-                               [(2, 2), (1, 1), (1, 1)]):
+                               [(2, 2), (1, 1), (1, 1)],
+                               [(2, 1), (1, 1), (1, 1)]):
                 raise ValueError(
                     f"jpeg: sampling pattern {pattern} unsupported — "
                     "supported here is 1x1 everywhere (grayscale / "
-                    "4:4:4) or 4:2:0 (luma 2x2, chroma 1x1)")
+                    "4:4:4), 4:2:0 (luma 2x2) or 4:2:2 (luma 2x1)")
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(

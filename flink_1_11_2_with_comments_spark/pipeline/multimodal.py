@@ -1302,7 +1302,12 @@ def synthesize_jpeg(documents: DataFrame,
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 w, h, ncomp, px = _jpeg_field(int(doc_id), len(text))
-                sub = "4:2:0" if int(doc_id) % 3 == 2 else "4:4:4"
+                d = int(doc_id)
+                # mode-2 docs are 4:2:0; mode-1 docs are 4:4:4 except
+                # every 7th, which exercises 4:2:2 (r14)
+                sub = ("4:2:0" if d % 3 == 2
+                       else "4:2:2" if (d % 3 == 1 and d % 7 == 0)
+                       else "4:4:4")
                 prog = int(doc_id) % 5 == 0
                 ri = 2 if (int(doc_id) % 2 and not prog) else 0
                 media = (jpeg_encode(w, h, px, quality,

@@ -1692,11 +1692,12 @@ def test_jpeg_color_roundtrip_and_gates():
     assert err <= 2
     with pytest.raises(ValueError, match="color stream"):
         jpeg_decode(data)
-    # decoder gate: claim 2x1 luma sampling in SOF0 — a legal JPEG
-    # layout (4:2:2) but outside this codec's declared 1x1/4:2:0
-    # subset, so it must be rejected loudly
+    # decoder gate: claim 1x2 luma sampling in SOF0 — a legal JPEG
+    # layout (4:4:0-style vertical subsampling) but outside this
+    # codec's declared 1x1/4:2:0/4:2:2 subset (r14 added 4:2:2 to
+    # the supported side), so it must be rejected loudly
     sub = data.replace(b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
-                       b"\x01\x21\x00\x02\x11\x00\x03\x11\x00", 1)
+                       b"\x01\x12\x00\x02\x11\x00\x03\x11\x00", 1)
     with pytest.raises(ValueError, match="sampling pattern"):
         jpeg_decode_any(sub)
 
@@ -2250,3 +2251,32 @@ def test_jpeg_progressive_roundtrip_and_structure():
     with pytest.raises(ValueError, match="restart"):
         jpeg_encode(8, 8, bytes(64), 90, restart_interval=2,
                     progressive=True)
+
+
+def test_jpeg_422_subsampled_roundtrip():
+    """4:2:2 (luma 2x1, horizontally box-averaged chroma — the other
+    common camera layout, r14): roundtrips within 2 levels at q90 on
+    every alignment class, SOF sampling bytes say 2x1/1x1/1x1, and
+    the progressive + restart paths compose with it."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode_any, jpeg_encode_color)
+    for (w, h) in [(32, 32), (16, 12), (9, 5), (1, 1), (23, 17)]:
+        rgb = bytes(v for y in range(h) for x in range(w)
+                    for v in ((20 + 2 * x + y) & 0xFF,
+                              (40 + x + 2 * y) & 0xFF,
+                              (60 + x + y) & 0xFF))
+        data = jpeg_encode_color(w, h, rgb, 90, subsampling="4:2:2")
+        assert b"\x01\x21\x00\x02\x11\x00\x03\x11\x00" in data
+        dw, dh, nc, px = jpeg_decode_any(data)
+        assert (dw, dh, nc) == (w, h, 3)
+        got = np.frombuffer(px, np.uint8).astype(int)
+        exp = np.frombuffer(rgb, np.uint8).astype(int)
+        assert int(np.max(np.abs(got - exp))) <= 2, (w, h)
+        prog = jpeg_decode_any(jpeg_encode_color(
+            w, h, rgb, 90, subsampling="4:2:2", progressive=True))
+        assert prog[3] == px
+        seg = jpeg_decode_any(jpeg_encode_color(
+            w, h, rgb, 90, subsampling="4:2:2", restart_interval=1))
+        assert seg[3] == px
