@@ -1045,12 +1045,17 @@ def test_copurchase_pair_build_partial_distinct(spark, sf_dir):
     the pair exchange."""
     from flink_1_11_2_with_comments_spark.queries.graph_ops import (
         _copurchase_pairs)
+    # another test may have persisted the identical pair plan
+    # (clustering coefficient's persist=True build); CacheManager
+    # would then substitute InMemoryRelation and hide the exchanges
+    # this test pins
+    spark.catalog.clearCache()
     df = _copurchase_pairs(spark, sf_dir, persist=False)
     je = df._jdf.queryExecution()
     mode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted"))
     p = je.explainString(mode)
-    body = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     import re
     assert body.count("Exchange") == 2, body
     # pair-grain dedup is partial+final (two plain HashAggregate
@@ -1066,3 +1071,18 @@ def test_copurchase_pair_build_partial_distinct(spark, sf_dir):
     pair_ex_n = max(int(m) for m in
                     re.findall(r"\((\d+)\) Exchange", p))
     assert gen_n < partial_n < pair_ex_n, p
+
+
+def test_phash_cluster_plan_shape(spark, sf_dir):
+    """dedup_image_phash: the corpus must never move for the hash
+    (map-only synth+decode+hash pipeline) and clustering shuffles
+    only the 8-byte hash column — plan has exactly two exchanges
+    (the synth repartition + the phash window partition), one Window
+    node, and no cartesian/broadcast-nested-loop joins."""
+    p = plan(spark, "dedup_image_phash", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("Exchange") == 2, body
+    assert body.count("Window") == 1, body
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert body.count("MapInPandas") == 2, body  # synth + hash
