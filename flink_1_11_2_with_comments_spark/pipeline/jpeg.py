@@ -55,6 +55,7 @@ image-dedup/feature pipeline is real executor-side work, not a stub.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -164,8 +165,11 @@ def quality_scale(q: int) -> np.ndarray:
 # Huffman (canonical, from BITS/HUFFVAL)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
 def build_huffman(bits, vals) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length), canonical assignment per T.81 C.2."""
+    """symbol -> (code, length), canonical assignment per T.81 C.2.
+    Cached: the table set is identical across every image of a
+    corpus, and rebuilding it dominated small-image encode time."""
     code, k, out = 0, 0, {}
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -180,6 +184,147 @@ def build_huffman_decode(bits, vals):
     """(code, length) -> symbol."""
     enc = build_huffman(bits, vals)
     return {(c, l): sym for sym, (c, l) in enc.items()}
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_tables(bits, vals):
+    """Canonical-decode arrays per T.81 F.15/F.16 (MINCODE / MAXCODE
+    / VALPTR): read_symbol peeks 16 bits and finds the shortest
+    length l whose l-bit prefix falls inside [mincode[l],
+    maxcode[l]] — O(16) integer compares, no per-bit dict lookups.
+    Cached per DHT content (identical across a corpus's images)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code, k = 0, 0
+    for l in range(1, 17):
+        n = bits[l - 1]
+        if n:
+            valptr[l] = k
+            mincode[l] = code
+            code += n
+            k += n
+            maxcode[l] = code - 1
+        code <<= 1
+    return (tuple(maxcode), tuple(mincode), tuple(valptr),
+            tuple(vals))
+
+
+class _ScanReader:
+    """Entropy reader for one scan: pre-splits the raw segment at
+    RST0-7 boundaries, un-stuffs each piece ONCE (0xFF00 → 0xFF),
+    then serves bulk bit reads from an integer accumulator and
+    canonical Huffman decode from _decode_tables — the fast path
+    that replaced the per-bit/_fill-per-byte reader (the mjpeg
+    profile's marginal cost is this loop)."""
+
+    def __init__(self, entropy: bytes):
+        segs: list[bytes] = []
+        marks: list[int] = []
+        cur = bytearray()
+        i, n = 0, len(entropy)
+        while i < n:
+            b = entropy[i]
+            if b != 0xFF:
+                cur.append(b)
+                i += 1
+                continue
+            nxt = entropy[i + 1] if i + 1 < n else None
+            if nxt == 0x00:               # stuffed data byte
+                cur.append(0xFF)
+                i += 2
+            elif nxt == 0xFF:             # fill byte (B.1.1.2)
+                i += 1
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                marks.append(nxt & 7)
+                cur = bytearray()
+                i += 2
+            else:
+                raise ValueError(
+                    f"jpeg: unexpected marker 0xFF{nxt:02X} inside "
+                    "entropy data" if nxt is not None else
+                    "jpeg: dangling 0xFF in stream")
+        segs.append(bytes(cur))
+        self.segs, self.marks = segs, marks
+        self.seg_ix = 0
+        self._load(0)
+
+    def _load(self, ix: int) -> None:
+        self.buf = self.segs[ix]
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.avail = len(self.buf) * 8
+        self.consumed = 0
+
+    def _overrun(self):
+        if self.seg_ix < len(self.segs) - 1:
+            raise ValueError(
+                "jpeg: restart marker interrupts entropy data (a "
+                "restart marker is only legal at a declared restart "
+                "boundary)")
+        raise ValueError("jpeg: entropy stream truncated")
+
+    def _fill(self, need: int) -> None:
+        buf, pos = self.buf, self.pos
+        while self.nbits < need:
+            self.acc = (self.acc << 8) | (buf[pos] if pos < len(buf)
+                                          else 0xFF)  # virtual 1-pad
+            pos += 1
+            self.nbits += 8
+        self.pos = pos
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        self.consumed += n
+        if self.consumed > self.avail:
+            self._overrun()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def read_symbol(self, tab) -> int:
+        maxcode, mincode, valptr, vals = tab
+        if self.nbits < 16:
+            self._fill(16)
+        w = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        for l in range(1, 17):
+            mc = maxcode[l]
+            if mc >= 0:
+                c = w >> (16 - l)
+                if c <= mc:
+                    self.consumed += l
+                    if self.consumed > self.avail:
+                        self._overrun()
+                    self.nbits -= l
+                    self.acc &= (1 << self.nbits) - 1
+                    return vals[valptr[l] + c - mincode[l]]
+        if self.consumed + 16 > self.avail:
+            # the unmatched window includes virtual pad bits: the
+            # real stream ended here — distinguish marker-interrupt
+            # from truncation
+            self._overrun()
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def sync_restart(self) -> int:
+        """Advance to the next restart segment → the consumed RSTn's
+        index (0-7). The encoder's byte padding is discarded with the
+        old segment's tail."""
+        if self.seg_ix >= len(self.marks):
+            raise ValueError(
+                "jpeg: expected restart marker at restart boundary")
+        m = self.marks[self.seg_ix]
+        self.seg_ix += 1
+        self._load(self.seg_ix)
+        return m
 
 
 class _BitWriter:
@@ -214,64 +359,6 @@ class _BitWriter:
     def flush(self) -> bytes:
         self.pad_align()
         return bytes(self.buf)
-
-
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("jpeg: entropy stream truncated")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("jpeg: dangling 0xFF in stream")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1          # stuffed byte
-            else:
-                raise ValueError(
-                    f"jpeg: unexpected marker 0xFF{nxt:02X} inside "
-                    "entropy data (a restart marker is only legal at "
-                    "a declared restart boundary)")
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-
-    def sync_restart(self) -> int:
-        """Byte-align (discarding the encoder's 1-bit padding) and
-        consume one RSTn marker → n in 0..7 (E.2.4). Optional 0xFF
-        fill bytes before the marker are skipped (B.1.1.2)."""
-        self.acc = 0
-        self.n = 0
-        while (self.pos + 1 < len(self.data)
-               and self.data[self.pos] == 0xFF
-               and self.data[self.pos + 1] == 0xFF):
-            self.pos += 1              # fill byte
-        if (self.pos + 1 >= len(self.data)
-                or self.data[self.pos] != 0xFF
-                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
-            raise ValueError(
-                "jpeg: expected restart marker at restart boundary")
-        m = self.data[self.pos + 1] & 7
-        self.pos += 2
-        return m
-
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def bits(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.bit()
-        return v
 
 
 def _amplitude_encode(v: int) -> tuple[int, int]:
@@ -323,26 +410,28 @@ def _pad_plane(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
                   mode="edge").astype(np.float64) - 128.0
 
 
-def _encode_block(w: _BitWriter, coef_zz: np.ndarray, pred: int,
+def _encode_block(w: _BitWriter, coef_zz: list, pred: int,
                   dc_enc, ac_enc) -> int:
-    """Entropy-code one quantized zigzag block; returns the new DC
-    predictor."""
-    diff = int(coef_zz[0]) - pred
+    """Entropy-code one quantized zigzag block (a plain int list —
+    list ops beat numpy scalar access in this per-coefficient loop);
+    returns the new DC predictor."""
+    diff = coef_zz[0] - pred
     size, amp = _amplitude_encode(diff)
     c, l = dc_enc[size]
     w.put(c, l)
     if size:
         w.put(amp, size)
     run = 0
-    last_nz = int(np.max(np.nonzero(coef_zz)[0])) \
-        if np.any(coef_zz[1:]) else 0
-    for i in range(1, 64):
-        v = int(coef_zz[i])
-        if v == 0 and i <= last_nz:
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if coef_zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = coef_zz[i]
+        if v == 0:
             run += 1
             continue
-        if v == 0:
-            break
         while run >= 16:
             c, l = ac_enc[0xF0]       # ZRL
             w.put(c, l)
@@ -355,7 +444,7 @@ def _encode_block(w: _BitWriter, coef_zz: np.ndarray, pred: int,
     if last_nz < 63:
         c, l = ac_enc[0x00]           # EOB
         w.put(c, l)
-    return int(coef_zz[0])
+    return coef_zz[0]
 
 
 def _encode_scan(planes: list[np.ndarray], samplings: list[tuple[int, int]],
@@ -375,23 +464,23 @@ def _encode_scan(planes: list[np.ndarray], samplings: list[tuple[int, int]],
     mcus_x = planes[0].shape[1] // (8 * samplings[0][0])
     dc_enc = build_huffman(DC_BITS, DC_VALS)
     ac_enc = build_huffman(AC_BITS, AC_VALS)
+    # forward DCT + quantize of EVERY block in one batched matmul
+    # per plane, then plain-int entropy coding (the per-block numpy
+    # path dominated small-image encode time)
+    grids = [g.tolist() for g in _quantized_grids(planes, samplings,
+                                                  qtab)]
     w = _BitWriter()
     preds = [0] * len(planes)
     n_mcus = mcus_y * mcus_x
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, plane in enumerate(planes):
+            for ci, grid in enumerate(grids):
                 hi, vi = samplings[ci]
                 for byy in range(vi):
                     for bxx in range(hi):
-                        y0 = (my * vi + byy) * 8
-                        x0 = (mx * hi + bxx) * 8
-                        block = plane[y0:y0 + 8, x0:x0 + 8]
-                        coef = np.round(dct2(block) / qtab) \
-                            .astype(np.int64)
                         preds[ci] = _encode_block(
-                            w, coef.reshape(64)[_ZZ_FLAT], preds[ci],
-                            dc_enc, ac_enc)
+                            w, grid[my * vi + byy][mx * hi + bxx],
+                            preds[ci], dc_enc, ac_enc)
             idx = my * mcus_x + mx + 1
             if (restart_interval and idx % restart_interval == 0
                     and idx < n_mcus):
@@ -545,6 +634,7 @@ def _encode_progressive(grids: list[np.ndarray],
     dc_enc = build_huffman(DC_BITS, DC_VALS)
     ac_enc = build_huffman(PROG_AC_BITS, PROG_AC_VALS)
     mcus_x, mcus_y = mcus
+    grids = [g.tolist() for g in grids]   # int lists: fast scan loops
     ncomp = len(grids)
     scans = []
 
@@ -557,7 +647,7 @@ def _encode_progressive(grids: list[np.ndarray],
                 hi, vi = samplings[ci]
                 for byy in range(vi):
                     for bxx in range(hi):
-                        v = int(grid[my * vi + byy, mx * hi + bxx, 0])
+                        v = grid[my * vi + byy][mx * hi + bxx][0]
                         t = v >> 1
                         size, amp = _amplitude_encode(t - preds[ci])
                         preds[ci] = t
@@ -575,7 +665,7 @@ def _encode_progressive(grids: list[np.ndarray],
                 hi, vi = samplings[ci]
                 for byy in range(vi):
                     for bxx in range(hi):
-                        v = int(grid[my * vi + byy, mx * hi + bxx, 0])
+                        v = grid[my * vi + byy][mx * hi + bxx][0]
                         sw.w.put(v & 1, 1)
     scans.append((list(range(ncomp)), 0, 0, 1, 0, sw.w.flush()))
 
@@ -587,7 +677,7 @@ def _encode_progressive(grids: list[np.ndarray],
             sw = _ProgScanWriter(dc_enc, ac_enc)
             for by in range(bh):
                 for bx in range(bw):
-                    _prog_ac_first_block(sw, grid[by, bx], lo, hi_k, 1)
+                    _prog_ac_first_block(sw, grid[by][bx], lo, hi_k, 1)
             scans.append(([ci], lo, hi_k, 0, 1, sw.finish()))
     for ci, grid in enumerate(grids):
         bw, bh = block_dims[ci]
@@ -595,7 +685,7 @@ def _encode_progressive(grids: list[np.ndarray],
             sw = _ProgScanWriter(dc_enc, ac_enc)
             for by in range(bh):
                 for bx in range(bw):
-                    _prog_ac_refine_block(sw, grid[by, bx], lo, hi_k,
+                    _prog_ac_refine_block(sw, grid[by][bx], lo, hi_k,
                                           0)
             scans.append(([ci], lo, hi_k, 1, 0, sw.finish()))
     return scans
@@ -810,28 +900,19 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
     degenerates to baseline AC coding because EOB == an EOB run of
     length 1). Restart boundaries reset DC predictors AND the EOB
     run (E.2.4), with the RSTn cycle verified per scan."""
-    reader = _BitReader(entropy)
+    reader = _ScanReader(entropy)
     preds = {ix: 0 for ix, _d, _a in scan}
     state = {"eobrun": 0, "restarts": 0}
-
-    def read_symbol(tab) -> int:
-        code, length = 0, 0
-        while length <= 16:
-            code = (code << 1) | reader.bit()
-            length += 1
-            sym = tab.get((code, length))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
+    read_symbol = reader.read_symbol
 
     def refine_nonzero(zz, k, p1, m1) -> None:
-        if reader.bit() and (int(zz[k]) & p1) == 0:
+        if reader.bit() and (zz[k] & p1) == 0:
             zz[k] += p1 if zz[k] >= 0 else m1
 
     def do_block(ix, dc_id, ac_id, zz) -> None:
         if ss == 0:                       # DC scan (or baseline DC)
             if ah == 0:
-                size = read_symbol(dc_tabs[dc_id])
+                size = read_symbol(_decode_tables(*dc_tabs[dc_id]))
                 if size > 15:  # T.81 F.1.2.1.1: SSSS <= 15; a
                     # corrupt DHT could otherwise define a 255-bit
                     # "size" and overflow the predictor
@@ -844,10 +925,12 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
         if se >= 1 and ss <= se:          # AC band (baseline: 1..63)
             lo = max(ss, 1)
             if ah == 0:
-                _ac_first(zz, lo, se, al, ac_tabs[ac_id],
+                _ac_first(zz, lo, se, al,
+                          _decode_tables(*ac_tabs[ac_id]),
                           read_symbol, reader, state)
             else:
-                _ac_refine(zz, lo, se, al, ac_tabs[ac_id],
+                _ac_refine(zz, lo, se, al,
+                           _decode_tables(*ac_tabs[ac_id]),
                            read_symbol, reader, refine_nonzero, state)
 
     def maybe_restart(idx: int) -> None:
@@ -876,8 +959,8 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
                     hi, vi = comps[ix][1]
                     for byy in range(vi):
                         for bxx in range(hi):
-                            zz = grids[ix][my * vi + byy,
-                                           mx * hi + bxx]
+                            zz = grids[ix][my * vi + byy][mx * hi
+                                                          + bxx]
                             do_block(ix, dc_id, ac_id, zz)
     else:
         # non-interleaved: single component, raster over its REAL
@@ -888,7 +971,7 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
         for by in range(bh):
             for bx in range(bw):
                 maybe_restart(by * bw + bx)
-                do_block(ix, dc_id, ac_id, grids[ix][by, bx])
+                do_block(ix, dc_id, ac_id, grids[ix][by][bx])
 
 
 def _ac_first(zz, lo, se, al, ac_tab, read_symbol, reader,
@@ -1010,8 +1093,9 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
                 bits = tuple(seg[p + 1:p + 17])
                 n = sum(bits)
                 vals = tuple(seg[p + 17:p + 17 + n])
-                tab = build_huffman_decode(bits, vals)
-                (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
+                # stored in BITS/HUFFVAL form; _decode_tables caches
+                # the canonical F.16 decode arrays per content
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = (bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, height, width, ncomp = struct.unpack(
@@ -1068,7 +1152,11 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
     vmax = max(s[1] for _c, s, _q in comps)
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    grids = [np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+    # plain nested lists: the scan decoders mutate single cells in a
+    # tight Python loop, where int list ops beat numpy scalar access
+    # ~3x; reconstruct converts to an array once per component
+    grids = [[[[0] * 64 for _ in range(mcus_x * hi)]
+              for _ in range(mcus_y * vi)]
              for _c, (hi, vi), _q in comps]
     block_dims = []
     for _c, (hi, vi), _q in comps:
@@ -1081,9 +1169,10 @@ def jpeg_decode_any(data: bytes) -> tuple[int, int, int, bytes]:
     # reconstruct: dequantize + batched IDCT + assemble per component
     planes = []
     for (_c, (hi, vi), tq), grid in zip(comps, grids):
-        gh, gw, _ = grid.shape
+        gh, gw = len(grid), len(grid[0])
         nat = np.zeros((gh * gw, 64), dtype=np.float64)
-        nat[:, _ZZ_FLAT] = grid.reshape(gh * gw, 64)
+        nat[:, _ZZ_FLAT] = np.asarray(
+            [blk for row in grid for blk in row], dtype=np.float64)
         blocks = nat.reshape(gh * gw, 8, 8) * qtabs[tq]
         px = np.matmul(np.matmul(_D.T, blocks), _D) + 128.0
         plane = (px.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
