@@ -2280,3 +2280,151 @@ def test_jpeg_422_subsampled_roundtrip():
         seg = jpeg_decode_any(jpeg_encode_color(
             w, h, rgb, 90, subsampling="4:2:2", restart_interval=1))
         assert seg[3] == px
+
+
+def test_jpeg_progressive_hand_assembled_sa_stream():
+    """Cross-codec pin for progressive decode (the Adam7-pin
+    discipline): a successive-approximation stream is assembled HERE
+    bit by bit from the spec's coding rules — an independent
+    formulation from the encoder's _ProgScanWriter — so an
+    encoder/decoder error pair cannot cancel. One 8x8 grayscale
+    block with known coefficients: DC first (Al=1) + DC refine,
+    AC 1..63 first (Al=1, exercising run coding and EOB) + AC
+    refine (Ah=1: a correction bit for the already-significant
+    coefficient AND a newly-significant one after a zero-history
+    run). The decoded pixels must equal the independently computed
+    IDCT of the exact target coefficients."""
+    import struct
+
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        _ZZ_FLAT, DC_BITS, DC_VALS, PROG_AC_BITS, PROG_AC_VALS,
+        _D, build_huffman, jpeg_decode_any)
+
+    # target zigzag coefficients: DC 6, AC k=1 -> 5, AC k=4 -> 1
+    # (newly significant only at the refine pass), rest 0
+    zz = [0] * 64
+    zz[0], zz[1], zz[4] = 6, 5, 1
+
+    class W:  # minimal independent bit writer (big-endian, stuffed)
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def put(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0)
+                    self.acc, self.n = 0, 0
+
+        def done(self):
+            while self.n:
+                self.put(1, 1)
+            return bytes(self.buf)
+
+    dc = build_huffman(DC_BITS, DC_VALS)
+    ac = build_huffman(PROG_AC_BITS, PROG_AC_VALS)
+
+    # scan 1: DC first, Al=1 -> code 6>>1 = 3 (size 2, bits '11')
+    w = W()
+    c, l = dc[2]
+    w.put(c, l)
+    w.put(3, 2)
+    s1 = w.done()
+    # scan 2: DC refine, Al=0 -> raw bit 6 & 1 = 0
+    w = W()
+    w.put(0, 1)
+    s2 = w.done()
+    # scan 3: AC first 1..63, Al=1 -> k=1: (run 0, value 5>>1=2):
+    # symbol (0<<4)|2, amplitude bits '10'; k=4 value 1>>1=0 stays
+    # zero-history; then EOB0 (symbol 0x00)
+    w = W()
+    c, l = ac[0x02]
+    w.put(c, l)
+    w.put(2, 2)
+    c, l = ac[0x00]
+    w.put(c, l)
+    s3 = w.done()
+    # scan 4: AC refine Ah=1 Al=0 over 1..63: k=1 already significant
+    # (|5|>>1=2>1): correction bit 5&1=1 buffered after the next
+    # symbol; k=2,3 zero-history (run 2); k=4 newly significant
+    # (|1|>>0 == 1): symbol (2<<4)|1, sign bit 1, then the buffered
+    # correction bit; tail joins EOB1 with no pending bits
+    w = W()
+    c, l = ac[0x21]
+    w.put(c, l)
+    w.put(1, 1)          # sign of +1
+    w.put(1, 1)          # buffered correction bit for k=1
+    c, l = ac[0x00]      # EOB run of 1 (r=0 -> no extra bits)
+    w.put(c, l)
+    s4 = w.done()
+
+    qtab_flat = [1] * 64  # identity quantization: exact coefficients
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(qtab_flat)
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += bytes((1, 0x11, 0))
+    for cls_id, bits, vals in ((0x00, DC_BITS, DC_VALS),
+                               (0x11, PROG_AC_BITS, PROG_AC_VALS)):
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([cls_id]) + bytes(bits) + bytes(vals)
+    for (ss, se, ah, al, tabs, ent) in ((0, 0, 0, 1, 0x00, s1),
+                                        (0, 0, 1, 0, 0x00, s2),
+                                        (1, 63, 0, 1, 0x01, s3),
+                                        (1, 63, 1, 0, 0x01, s4)):
+        out += b"\xFF\xDA" + struct.pack(">HB", 8, 1)
+        out += bytes((1, tabs, ss, se, (ah << 4) | al))
+        out += ent
+    out += b"\xFF\xD9"
+
+    dw, dh, nc, px = jpeg_decode_any(bytes(out))
+    assert (dw, dh, nc) == (8, 8, 1)
+    nat = np.zeros(64)
+    nat[_ZZ_FLAT] = zz
+    expect = np.clip(np.round(_D.T @ nat.reshape(8, 8) @ _D + 128),
+                     0, 255).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(8, 8),
+                          expect)
+
+
+def test_jpeg_progressive_equals_baseline_fuzz():
+    """Property fuzz: for random small images, dims and subsampling,
+    the progressive decode equals the baseline decode BIT-EXACTLY
+    (both scripts code the same quantized coefficient grids)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode_any, jpeg_encode, jpeg_encode_color)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 30),
+           st.integers(0, 3), st.integers(0, 2 ** 31 - 1))
+    def run(w, h, mode, seed):
+        rng = np.random.default_rng(seed)
+        if mode == 0:
+            px = rng.integers(0, 256, w * h, dtype=np.uint8)
+            base = jpeg_encode(w, h, px.tobytes(), 85)
+            prog = jpeg_encode(w, h, px.tobytes(), 85,
+                               progressive=True)
+        else:
+            sub = {1: "4:4:4", 2: "4:2:0", 3: "4:2:2"}[mode]
+            px = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
+            base = jpeg_encode_color(w, h, px.tobytes(), 85,
+                                     subsampling=sub)
+            prog = jpeg_encode_color(w, h, px.tobytes(), 85,
+                                     subsampling=sub,
+                                     progressive=True)
+        b = jpeg_decode_any(base)
+        p = jpeg_decode_any(prog)
+        assert b[:3] == p[:3]
+        assert b[3] == p[3], (w, h, mode, seed)
+
+    run()
