@@ -57,9 +57,13 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_check",
     "multimodal_mjpeg_frames",
     # (b) NEW round-14 queries — appended as each lands so nothing
-    # ships never-driver-checked.
+    # ships never-driver-checked. (dedup_audio_fingerprint took the
+    # window slot of tpcds_two_metric_rank, which defers to r15 with
+    # the other three r6 rows — new faces outrank stale-but-unchanged
+    # re-verifications, and every deferred row stays >= r06.)
     "streaming_iterate_chain_walk",   # NEW: join-in-loop-body iterate
     "dedup_image_phash",              # NEW: DCT-pHash image dedup
+    "dedup_audio_fingerprint",        # NEW: constellation audio dedup
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -89,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_moving_avg_deviation", "tpcds_promo_share",
     "tpcds_regional_growth", "tpcds_return_window_gap",
     "tpcds_returns_adjusted_spend", "tpcds_sold_returned_rebought",
-    "tpcds_subsequent_period", "tpcds_two_metric_rank",
+    "tpcds_subsequent_period",
 )
 
 

@@ -4601,3 +4601,41 @@ def corpus_domain_quota(spark, sf_dir):
 def dedup_image_phash(spark, sf_dir):
     from ..pipeline.phash import phash_cluster_check
     return phash_cluster_check(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_audio_fingerprint",
+    """
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY doc_id % 23) AS cluster_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 23)
+             AS is_canonical
+    FROM documents
+    """,
+    doc="HASH-ENFORCED audio near-duplicate detection by spectral "
+        "peak-pair constellation fingerprinting (the Shazam-style "
+        "landmark scheme, Wang 2003; pipeline/audio_fp.py) — "
+        "completing the dedup family's modality triplet: text "
+        "(minhash/simhash), image (pHash), AUDIO. The corpus renders "
+        "doc_id%23-keyed per-window integer-bin tone WAVs at "
+        "DURATIONS varying with text length (the same recording at "
+        "different lengths); the pipeline walks each RIFF container, "
+        "frames the PCM (rect window, hop=N_FFT — deterministic), "
+        "takes magnitude spectra (numpy rfft), picks one peak per "
+        "frame (exact for integer-bin tones), packs consecutive-peak "
+        "landmark hashes (f1<<7|f2), and clusters on the md5 "
+        "signature of the COMMON-prefix landmarks — so duration "
+        "variants collapse to one cluster. The oracle states the "
+        "ground-truth clustering (doc_id % 23) closed-form; any "
+        "drift in the WAV walk, STFT, peak pick, landmark packing "
+        "or signature prefix splits/merges a cluster and fails the "
+        "value hash (schedule distinctness and duration invariance "
+        "pinned in tests). Scale: fingerprinting is map-only "
+        "Arrow-batched Python (audio never shuffles); clustering "
+        "shuffles one 8-byte signature per doc; the pairwise "
+        "landmark matcher (hash equi-join, tests) never builds a "
+        "cross product.",
+)
+def dedup_audio_fingerprint(spark, sf_dir):
+    from ..pipeline.audio_fp import audio_fp_cluster_check
+    return audio_fp_cluster_check(t(spark, sf_dir, "documents"))

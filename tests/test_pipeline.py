@@ -2428,3 +2428,83 @@ def test_jpeg_progressive_equals_baseline_fuzz():
         assert b[3] == p[3], (w, h, mode, seed)
 
     run()
+
+
+def test_audio_fingerprint_scheme_properties():
+    """Constellation fingerprint invariants: integer-bin tones give
+    EXACT per-frame peaks (the constellation equals the schedule),
+    signatures are duration-invariant within a cluster and pairwise
+    distinct across the 23 clusters, and the landmark matcher shape
+    (shared-hash counting) separates same-cluster from cross-cluster
+    pairs by a wide margin."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.audio_fp import (
+        COMMON_WINDOWS, fingerprint_signature, peak_pair_hashes,
+        spectral_peaks, synthesize_tone_pcm, tone_schedule)
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        wav_build, wav_parse)
+
+    sigs = {}
+    hashes_by = {}
+    for cid in (0, 7, 11, 22):
+        for nw in (COMMON_WINDOWS, COMMON_WINDOWS + 4):
+            _r, samples = wav_parse(
+                wav_build(8000, synthesize_tone_pcm(cid, nw)))
+            peaks = spectral_peaks(samples)
+            assert list(peaks) == tone_schedule(cid, nw), (cid, nw)
+            h = peak_pair_hashes(peaks)
+            sigs.setdefault(cid, set()).add(fingerprint_signature(h))
+            hashes_by[(cid, nw)] = set(h)
+    assert all(len(v) == 1 for v in sigs.values())
+    flat = [next(iter(v)) for v in sigs.values()]
+    assert len(set(flat)) == len(flat)
+    # matcher margin: same-cluster duration variants share >= 5
+    # landmarks; cross-cluster pairs share at most 1 (accidental
+    # (f1, f2) coincidences only)
+    same = len(hashes_by[(7, 6)] & hashes_by[(7, 10)])
+    cross = max(len(hashes_by[(a, 6)] & hashes_by[(b, 6)])
+                for a in (0, 7, 11, 22) for b in (0, 7, 11, 22)
+                if a != b)
+    assert same >= COMMON_WINDOWS - 1
+    assert cross <= 1, cross
+
+
+def test_audio_fingerprint_face_and_matcher(spark, documents):
+    """End-to-end over Spark: the face's clusters equal the ground
+    truth (doc_id % 23), and the landmark equi-join matcher finds
+    duration variants of the same recording with shared >= 5 while
+    cross-cluster candidate pairs stay below the threshold."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_2_with_comments_spark.pipeline.audio_fp import (
+        audio_fp_cluster_check, landmark_match_counts,
+        peak_pair_hashes, spectral_peaks, synthesize_audio_corpus)
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        wav_parse)
+
+    docs = documents.limit(100)
+    rows = {r.doc_id: r for r in audio_fp_cluster_check(docs).collect()}
+    import collections
+    truth = collections.Counter(d % 23 for d in rows)
+    for doc_id, r in rows.items():
+        assert r.cluster_size == truth[doc_id % 23], doc_id
+        assert r.is_canonical == (doc_id == min(
+            d for d in rows if d % 23 == doc_id % 23))
+    # matcher: landmark arrays via mapInPandas-free route (small set)
+    import pandas as pd
+    media = synthesize_audio_corpus(docs.limit(30)).collect()
+    lm = [(m.doc_id, peak_pair_hashes(spectral_peaks(
+        wav_parse(bytes(m.media))[1]))) for m in media]
+    fp = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [d for d, _ in lm],
+         "landmarks": [h for _, h in lm]}))
+    matches = {(r.a, r.b): r.shared
+               for r in landmark_match_counts(fp, fp).collect()}
+    for (a, b), shared in matches.items():
+        if a % 23 == b % 23:
+            assert shared >= 5, (a, b, shared)
+        else:
+            assert shared <= 2, (a, b, shared)
+    same_pairs = [p for p in matches if p[0] % 23 == p[1] % 23]
+    assert same_pairs, "no same-cluster pairs in the sample"
