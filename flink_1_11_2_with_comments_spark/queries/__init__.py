@@ -58,12 +58,14 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_mjpeg_frames",
     # (b) NEW round-14 queries — appended as each lands so nothing
     # ships never-driver-checked. (dedup_audio_fingerprint took the
-    # window slot of tpcds_two_metric_rank, which defers to r15 with
+    # window slot of tpcds_two_metric_rank and dedup_video_fingerprint
+    # the slot of tpcds_subsequent_period — both defer to r15 with
     # the other three r6 rows — new faces outrank stale-but-unchanged
     # re-verifications, and every deferred row stays >= r06.)
     "streaming_iterate_chain_walk",   # NEW: join-in-loop-body iterate
     "dedup_image_phash",              # NEW: DCT-pHash image dedup
     "dedup_audio_fingerprint",        # NEW: constellation audio dedup
+    "dedup_video_fingerprint",        # NEW: frame-hash video dedup
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -74,10 +76,11 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_line_count_band", "tpcds_multi_band_count",
     "tpcds_period_over_period",
     # (d) then the round-6 cohort, stalest-first, filling the window
-    # (37 rows last checked r06; the final three —
+    # (37 rows last checked r06; the final four —
     # tpcds_unreturned_channel_ratio, tpcds_wide_join_growth,
-    # tpcds_yearly_brand_delta — defer to r15 to hold the two
-    # new-face slots in (b); every deferred entry stays >= r06).
+    # tpcds_yearly_brand_delta, tpcds_subsequent_period — defer to
+    # r15 to hold the new-face slots in (b); every deferred entry
+    # stays >= r06).
     "ann_pq_adc_topk", "ann_pq_encode", "asof_join_batch",
     "corpus_k_anonymity", "corpus_mixture_weights",
     "corpus_pack_sequences", "corpus_train_val_test_split",
@@ -93,7 +96,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_moving_avg_deviation", "tpcds_promo_share",
     "tpcds_regional_growth", "tpcds_return_window_gap",
     "tpcds_returns_adjusted_spend", "tpcds_sold_returned_rebought",
-    "tpcds_subsequent_period",
 )
 
 

@@ -4639,3 +4639,46 @@ def dedup_image_phash(spark, sf_dir):
 def dedup_audio_fingerprint(spark, sf_dir):
     from ..pipeline.audio_fp import audio_fp_cluster_check
     return audio_fp_cluster_check(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_video_fingerprint",
+    """
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY doc_id % 23) AS cluster_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 23)
+             AS is_canonical
+    FROM documents
+    """,
+    doc="HASH-ENFORCED video near-duplicate detection by per-frame "
+        "perceptual hashing over a REAL container/codec pipeline "
+        "(pipeline/video_fp.py) — completing the dedup family's "
+        "modality QUARTET: text (minhash/simhash), image (pHash), "
+        "audio (constellation), VIDEO. The corpus renders one "
+        "MJPEG-AVI clip per document whose footage depends only on "
+        "doc_id % 23 while its DURATION (6..10 frames) and header "
+        "fps vary with text length — the same clip published at "
+        "different lengths. The pipeline walks each RIFF/AVI "
+        "container (frame count is free — no codec work), "
+        "JPEG-decodes ONLY the first 6 frames (MJPEG frames are "
+        "independent: prefix decode costs exactly its share — the "
+        "selective-decode access pattern vision curation relies "
+        "on), DCT-pHashes each frame's luma, and clusters on the "
+        "md5 signature of that frame-hash prefix — so duration "
+        "variants collapse to one cluster. Per-cluster resolution "
+        "(32/64/96 px) and chroma mode (4:4:4/4:2:0/4:2:2) exercise "
+        "every decode layout. The oracle states the ground-truth "
+        "clustering (doc_id % 23) closed-form; any drift in the AVI "
+        "walk, JPEG decode, luma transform, pHash or signature "
+        "prefix splits/merges a cluster and fails the value hash "
+        "(signature distinctness, within-cluster frame sequence "
+        "distinctness, >=16-bit cross-cluster frame margins and "
+        "<=2-bit rescale drift all pinned in tests). Scale: "
+        "fingerprinting is map-only Arrow-batched Python (clips "
+        "never shuffle); clustering shuffles one 8-byte signature "
+        "per clip; the offset-voting frame matcher (tests) is an "
+        "equi-join on the frame hash — never a cross product.",
+)
+def dedup_video_fingerprint(spark, sf_dir):
+    from ..pipeline.video_fp import video_fp_cluster_check
+    return video_fp_cluster_check(t(spark, sf_dir, "documents"))

@@ -2508,3 +2508,101 @@ def test_audio_fingerprint_face_and_matcher(spark, documents):
             assert shared <= 2, (a, b, shared)
     same_pairs = [p for p in matches if p[0] % 23 == p[1] % 23]
     assert same_pairs, "no same-cluster pairs in the sample"
+
+
+def test_video_fingerprint_scheme_properties():
+    """Video frame-hash fingerprint invariants (pipeline/video_fp.py):
+    clip signatures are duration-invariant within a cluster and
+    pairwise distinct across ALL 23 clusters (merges impossible),
+    frames within a cluster hash distinctly (the signature depends
+    on the sequence), the container walk reports the true frame
+    count while only the prefix pays a decode, cross-cluster frame
+    hashes keep a wide Hamming margin, and a JPEG-roundtripped 2x/3x
+    block upscale of the same frame drifts <= 3 bits — inside the
+    4x16-bit band pigeonhole radius, so rescaled re-encodes stay
+    banded-lookup near-dups."""
+    from flink_1_11_2_with_comments_spark.pipeline.phash import (
+        hamming64)
+    from flink_1_11_2_with_comments_spark.pipeline.video_fp import (
+        COMMON_FRAMES, clip_signature, frame_phashes,
+        synthesize_video_clip)
+
+    # duration invariance + 23-way distinctness (the merge-safety
+    # property the face's oracle depends on)
+    sigs = {}
+    for cid in range(23):
+        short, n_short = frame_phashes(
+            synthesize_video_clip(cid, COMMON_FRAMES),
+            limit=COMMON_FRAMES)
+        assert n_short == COMMON_FRAMES
+        assert len(set(short)) == COMMON_FRAMES, cid  # frames distinct
+        sigs[cid] = clip_signature(short)
+        if cid in (0, 7, 11, 22):   # duration variants collapse
+            longer, n_long = frame_phashes(
+                synthesize_video_clip(cid, COMMON_FRAMES + 4),
+                limit=COMMON_FRAMES)
+            assert n_long == COMMON_FRAMES + 4
+            assert clip_signature(longer) == sigs[cid], cid
+    assert len(set(sigs.values())) == 23
+
+    # cross-cluster frame-hash margin + cross-scale drift bound
+    base = {cid: frame_phashes(
+        synthesize_video_clip(cid, 3, scale=1, mode="4:4:4"),
+        limit=3)[0] for cid in (0, 5, 11, 22)}
+    for a in base:
+        for b in base:
+            if a < b:
+                for ha in base[a]:
+                    for hb in base[b]:
+                        assert hamming64(ha, hb) >= 10, (a, b)
+    for cid in (0, 5, 11, 22):
+        for s in (2, 3):
+            up = frame_phashes(
+                synthesize_video_clip(cid, 3, scale=s, mode="4:4:4"),
+                limit=3)[0]
+            for h1, h2 in zip(base[cid], up):
+                d = hamming64(h1, h2)
+                assert d <= 3, (cid, s, d)
+                # pigeonhole: <= 3 flips leave >= 1 of 4 bands equal
+                assert any(
+                    (h1 >> (16 * i)) & 0xFFFF == (h2 >> (16 * i))
+                    & 0xFFFF for i in range(4)), (cid, s)
+
+
+def test_video_fingerprint_face_and_matcher(spark, documents):
+    """End-to-end over Spark: the face's clusters equal the ground
+    truth (doc_id % 23), and the offset-voting matcher recovers the
+    true temporal alignment of a subclip (frames 2..7 of a longer
+    clip match at offset -2 with one vote per shared frame) while
+    cross-cluster pairs never out-vote it."""
+    import pandas as pd
+
+    from flink_1_11_2_with_comments_spark.pipeline.video_fp import (
+        frame_hash_rows, frame_phashes, synthesize_video_clip,
+        video_fp_cluster_check, video_offset_match)
+
+    docs = documents.limit(100)
+    rows = {r.doc_id: r
+            for r in video_fp_cluster_check(docs).collect()}
+    import collections
+    truth = collections.Counter(d % 23 for d in rows)
+    for doc_id, r in rows.items():
+        assert r.cluster_size == truth[doc_id % 23], doc_id
+        assert r.is_canonical == (doc_id == min(
+            d for d in rows if d % 23 == doc_id % 23))
+
+    # matcher: A = cluster-7 frames 0..9, B = its subclip (frames
+    # 2..7), C = cluster 9 — same length as A
+    clips = {1: synthesize_video_clip(7, 10),
+             2: synthesize_video_clip(7, 6, start=2),
+             3: synthesize_video_clip(9, 10)}
+    fp = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(clips),
+         "frame_hashes": [frame_phashes(c)[0]
+                          for c in clips.values()]}))
+    fr = frame_hash_rows(fp)
+    best = {(r.a, r.b): (r.offset, r.votes)
+            for r in video_offset_match(fr, fr).collect()}
+    assert best[(1, 2)] == (-2, 6), best
+    assert best.get((1, 3), (0, 0))[1] <= 1
+    assert best.get((2, 3), (0, 0))[1] <= 1

@@ -1086,3 +1086,19 @@ def test_phash_cluster_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert body.count("MapInPandas") == 2, body  # synth + hash
+
+
+def test_video_fp_cluster_plan_shape(spark, sf_dir):
+    """dedup_video_fingerprint: clips must never move for the
+    fingerprint (map-only synth + container walk + prefix decode +
+    pHash) and clustering shuffles only the 8-byte signature — plan
+    has exactly two exchanges (the synth repartition + the signature
+    window partition), one Window node, two MapInPandas (synth +
+    fingerprint), and no cartesian/broadcast-nested-loop joins."""
+    p = plan(spark, "dedup_video_fingerprint", sf_dir)
+    body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+    assert body.count("Exchange") == 2, body
+    assert body.count("Window") == 1, body
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert body.count("MapInPandas") == 2, body
