@@ -115,6 +115,11 @@ SCALE10_EXTRA = [
     # per-superstep frontier join, not the loop — and the pHash image
     # dedup (map-only codec+hash, one 8-byte-key shuffle)
     "streaming_iterate_chain_walk", "dedup_image_phash",
+    # landed after the SCALE_r14 run — first measured in round 15:
+    # the constellation audio dedup and the frame-hash video dedup
+    # (both map-only fingerprint + one 8-byte-signature shuffle;
+    # ratios should track doc count like the other dedup faces)
+    "dedup_audio_fingerprint", "dedup_video_fingerprint",
 ]
 
 

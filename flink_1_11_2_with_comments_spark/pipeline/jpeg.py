@@ -189,25 +189,34 @@ def build_huffman_decode(bits, vals):
 @functools.lru_cache(maxsize=64)
 def _decode_tables(bits, vals):
     """Canonical-decode arrays per T.81 F.15/F.16 (MINCODE / MAXCODE
-    / VALPTR): read_symbol peeks 16 bits and finds the shortest
-    length l whose l-bit prefix falls inside [mincode[l],
-    maxcode[l]] — O(16) integer compares, no per-bit dict lookups.
-    Cached per DHT content (identical across a corpus's images)."""
+    / VALPTR) PLUS a full 16-bit prefix LUT: lut[w] packs
+    (symbol << 5) | code_length for every 16-bit window w whose
+    prefix is a valid code (0 = invalid prefix), so read_symbol is
+    one list index instead of the F.16 length loop — the libjpeg
+    HUFF_LOOKAHEAD idea taken to the full code width, affordable
+    because the table set is tiny and identical across a corpus's
+    images (cached per DHT content). The F.16 arrays stay for the
+    invalid-prefix error path."""
     mincode = [0] * 17
     maxcode = [-1] * 17
     valptr = [0] * 17
+    lut = [0] * 65536
     code, k = 0, 0
     for l in range(1, 17):
         n = bits[l - 1]
         if n:
             valptr[l] = k
             mincode[l] = code
-            code += n
-            k += n
+            for _ in range(n):
+                lo = code << (16 - l)
+                span = 1 << (16 - l)
+                lut[lo:lo + span] = [(vals[k] << 5) | l] * span
+                code += 1
+                k += 1
             maxcode[l] = code - 1
         code <<= 1
     return (tuple(maxcode), tuple(mincode), tuple(valptr),
-            tuple(vals))
+            tuple(vals), lut)
 
 
 class _ScanReader:
@@ -292,21 +301,18 @@ class _ScanReader:
         return self.bits(1)
 
     def read_symbol(self, tab) -> int:
-        maxcode, mincode, valptr, vals = tab
         if self.nbits < 16:
             self._fill(16)
         w = (self.acc >> (self.nbits - 16)) & 0xFFFF
-        for l in range(1, 17):
-            mc = maxcode[l]
-            if mc >= 0:
-                c = w >> (16 - l)
-                if c <= mc:
-                    self.consumed += l
-                    if self.consumed > self.avail:
-                        self._overrun()
-                    self.nbits -= l
-                    self.acc &= (1 << self.nbits) - 1
-                    return vals[valptr[l] + c - mincode[l]]
+        e = tab[4][w]
+        if e:
+            l = e & 31
+            self.consumed += l
+            if self.consumed > self.avail:
+                self._overrun()
+            self.nbits -= l
+            self.acc &= (1 << self.nbits) - 1
+            return e >> 5
         if self.consumed + 16 > self.avail:
             # the unmatched window includes virtual pad bits: the
             # real stream ended here — distinguish marker-interrupt
@@ -904,6 +910,14 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
     preds = {ix: 0 for ix, _d, _a in scan}
     state = {"eobrun": 0, "restarts": 0}
     read_symbol = reader.read_symbol
+    # resolve each component's decode tables ONCE per scan (the
+    # lru_cache hit per block measurably dominated tiny-image
+    # decode); only touch table ids this scan actually codes with —
+    # a DC-only progressive scan may omit AC ids and vice versa
+    dct = {ix: _decode_tables(*dc_tabs[dc_id])
+           for ix, dc_id, _a in scan if ss == 0 and ah == 0}
+    act = {ix: _decode_tables(*ac_tabs[ac_id])
+           for ix, _d, ac_id in scan if se >= 1 and ss <= se}
 
     def refine_nonzero(zz, k, p1, m1) -> None:
         if reader.bit() and (zz[k] & p1) == 0:
@@ -912,7 +926,7 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
     def do_block(ix, dc_id, ac_id, zz) -> None:
         if ss == 0:                       # DC scan (or baseline DC)
             if ah == 0:
-                size = read_symbol(_decode_tables(*dc_tabs[dc_id]))
+                size = read_symbol(dct[ix])
                 if size > 15:  # T.81 F.1.2.1.1: SSSS <= 15; a
                     # corrupt DHT could otherwise define a 255-bit
                     # "size" and overflow the predictor
@@ -925,12 +939,10 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
         if se >= 1 and ss <= se:          # AC band (baseline: 1..63)
             lo = max(ss, 1)
             if ah == 0:
-                _ac_first(zz, lo, se, al,
-                          _decode_tables(*ac_tabs[ac_id]),
+                _ac_first(zz, lo, se, al, act[ix],
                           read_symbol, reader, state)
             else:
-                _ac_refine(zz, lo, se, al,
-                           _decode_tables(*ac_tabs[ac_id]),
+                _ac_refine(zz, lo, se, al, act[ix],
                            read_symbol, reader, refine_nonzero, state)
 
     def maybe_restart(idx: int) -> None:
