@@ -606,13 +606,20 @@ def _prog_ac_refine_block(sw: _ProgScanWriter, zz, lo: int, se: int,
         a = abs(v) >> al
         if a == 0:
             run += 1
-        elif a > 1:                   # already significant: buffer
+            continue
+        # drain pending ZRLs at EVERY nonzero coefficient (libjpeg
+        # encode_mcu_AC_refine): the decoder groups an
+        # already-significant coefficient's correction bit with the
+        # ZRL only if the coefficient lies within that ZRL's 16
+        # zero-history skips — buffering past a pending ZRL would
+        # flush the bit into the wrong group and desync the scan
+        while run > 15:
+            sw.emit_ac(0xF0)
+            sw._flush_be()
+            run -= 16
+        if a > 1:                     # already significant: buffer
             sw.be.append(a & 1)       # its correction bit
         else:                         # newly significant (a == 1)
-            while run > 15:
-                sw.emit_ac(0xF0)
-                sw._flush_be()
-                run -= 16
             sw.emit_ac((run << 4) | 1)
             sw.w.put(1 if v > 0 else 0, 1)
             sw._flush_be()

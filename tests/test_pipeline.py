@@ -2398,13 +2398,21 @@ def test_jpeg_progressive_equals_baseline_fuzz():
     the progressive decode equals the baseline decode BIT-EXACTLY
     (both scripts code the same quantized coefficient grids)."""
     import numpy as np
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
         jpeg_decode_any, jpeg_encode, jpeg_encode_color)
 
+    # pinned regressions: the encoder's AC-refinement ZRL drain ran
+    # only at newly-significant coefficients, so a correction bit
+    # buffered past a pending ZRL flushed into the wrong bit group
+    # (G.1.2.3 / libjpeg groups it with the symbol whose skip span
+    # covers the coefficient) and desynced the scan
     @settings(max_examples=25, deadline=None)
+    @example(w=6, h=1, mode=2, seed=41866)
+    @example(w=2, h=1, mode=1, seed=0)
+    @example(w=2, h=1, mode=0, seed=3)
     @given(st.integers(1, 40), st.integers(1, 30),
            st.integers(0, 3), st.integers(0, 2 ** 31 - 1))
     def run(w, h, mode, seed):
