@@ -637,19 +637,38 @@ def _prog_ac_refine_block(sw: _ProgScanWriter, zz, lo: int, se: int,
 def _encode_progressive(grids: list[np.ndarray],
                         samplings: list[tuple[int, int]],
                         block_dims: list[tuple[int, int]],
-                        mcus: tuple[int, int]) -> list[tuple]:
+                        mcus: tuple[int, int],
+                        restart_interval: int = 0) -> list[tuple]:
     """The scan script: interleaved DC first (Al=1) + DC refine,
     then per component two AC spectral bands (1-5, 6-63), each as a
     first pass (Al=1) and a refinement (Ah=1, Al=0) — the standard
     libjpeg-style successive-approximation script, exercising every
     progressive decode path. Returns [(scan_comps, ss, se, ah, al,
-    entropy)]."""
+    entropy)].
+
+    restart_interval > 0 segments EVERY scan per E.2.4: RSTn after
+    each `restart_interval` restart units (MCUs in the interleaved
+    DC scans, blocks in the non-interleaved AC scans), n cycling
+    0..7 independently per scan, DC predictors reset, and — the
+    progressive-specific part — any open EOB run (and its buffered
+    correction bits) terminated BEFORE the marker, since G.1.2.2
+    forbids an EOB run from spanning a restart boundary."""
     dc_enc = build_huffman(DC_BITS, DC_VALS)
     ac_enc = build_huffman(PROG_AC_BITS, PROG_AC_VALS)
     mcus_x, mcus_y = mcus
     grids = [g.tolist() for g in grids]   # int lists: fast scan loops
     ncomp = len(grids)
     scans = []
+
+    ri = restart_interval
+    n_mcus = mcus_y * mcus_x
+
+    def mcu_restart(sw: _ProgScanWriter, idx: int) -> None:
+        """After 1-based restart unit `idx`: RSTn except after the
+        last unit of the scan (E.2.4), closing any open EOB run."""
+        if ri and idx % ri == 0 and idx < n_mcus:
+            sw.flush_eob()
+            sw.w.emit_restart(idx // ri - 1)
 
     # --- DC first, interleaved, Al=1 ---
     sw = _ProgScanWriter(dc_enc, ac_enc)
@@ -668,6 +687,10 @@ def _encode_progressive(grids: list[np.ndarray],
                         sw.w.put(c, l)
                         if size:
                             sw.w.put(amp, size)
+            idx = my * mcus_x + mx + 1
+            if ri and idx % ri == 0 and idx < n_mcus:
+                sw.w.emit_restart(idx // ri - 1)
+                preds = [0] * ncomp
     scans.append((list(range(ncomp)), 0, 0, 0, 1, sw.w.flush()))
 
     # --- DC refinement, interleaved, Ah=1 Al=0: one raw bit/block ---
@@ -680,26 +703,38 @@ def _encode_progressive(grids: list[np.ndarray],
                     for bxx in range(hi):
                         v = grid[my * vi + byy][mx * hi + bxx][0]
                         sw.w.put(v & 1, 1)
+            mcu_restart(sw, my * mcus_x + mx + 1)
     scans.append((list(range(ncomp)), 0, 0, 1, 0, sw.w.flush()))
 
-    # --- AC bands per component, non-interleaved ---
+    # --- AC bands per component, non-interleaved: the restart unit
+    # is one BLOCK of the component's real grid (A.2.2) ---
     bands = [(1, 5), (6, 63)]
     for ci, grid in enumerate(grids):
         bw, bh = block_dims[ci]
         for lo, hi_k in bands:
             sw = _ProgScanWriter(dc_enc, ac_enc)
+            n_blocks = bw * bh
             for by in range(bh):
                 for bx in range(bw):
                     _prog_ac_first_block(sw, grid[by][bx], lo, hi_k, 1)
+                    idx = by * bw + bx + 1
+                    if ri and idx % ri == 0 and idx < n_blocks:
+                        sw.flush_eob()
+                        sw.w.emit_restart(idx // ri - 1)
             scans.append(([ci], lo, hi_k, 0, 1, sw.finish()))
     for ci, grid in enumerate(grids):
         bw, bh = block_dims[ci]
         for lo, hi_k in bands:
             sw = _ProgScanWriter(dc_enc, ac_enc)
+            n_blocks = bw * bh
             for by in range(bh):
                 for bx in range(bw):
                     _prog_ac_refine_block(sw, grid[by][bx], lo, hi_k,
                                           0)
+                    idx = by * bw + bx + 1
+                    if ri and idx % ri == 0 and idx < n_blocks:
+                        sw.flush_eob()
+                        sw.w.emit_restart(idx // ri - 1)
             scans.append(([ci], lo, hi_k, 1, 0, sw.finish()))
     return scans
 
@@ -739,8 +774,9 @@ def _build_stream(width: int, height: int,
 
 def _build_progressive(width: int, height: int,
                        samplings: list[tuple[int, int]],
-                       qtab: np.ndarray, scans: list[tuple]) -> bytes:
-    """Assemble SOI/APP0/DQT/SOF2/DHT/(SOS...)xN/EOI — the
+                       qtab: np.ndarray, scans: list[tuple],
+                       restart_interval: int = 0) -> bytes:
+    """Assemble SOI/APP0/DQT/[DRI]/SOF2/DHT/(SOS...)xN/EOI — the
     progressive frame: one SOF2, two Huffman tables (Annex-K DC as
     id 0, the flat progressive AC table as class-1 id 1), then every
     scan with its own SOS header carrying Ss/Se/Ah/Al."""
@@ -752,6 +788,8 @@ def _build_progressive(width: int, height: int,
     zz_tab = qtab.reshape(64)[_ZZ_FLAT]
     out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00"  # DQT Pq=0
     out += bytes(int(v) for v in zz_tab)
+    if restart_interval:                                  # DRI (B.2.4.4)
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
                                      height, width, ncomp)
     for cid, (hi, vi) in enumerate(samplings, start=1):  # SOF2 comps
@@ -792,15 +830,13 @@ def jpeg_encode(width: int, height: int, gray: bytes,
     samplings = [(1, 1)]
     planes = [_pad_plane(img, ah, aw)]
     if progressive:
-        if restart_interval:
-            raise ValueError("jpeg_encode: restart intervals are a "
-                             "baseline-encoder option here")
         grids = _quantized_grids(planes, samplings, qtab)
         bw, bh = (width + 7) // 8, (height + 7) // 8
         scans = _encode_progressive(grids, samplings, [(bw, bh)],
-                                    (aw // 8, ah // 8))
+                                    (aw // 8, ah // 8),
+                                    restart_interval)
         return _build_progressive(width, height, samplings, qtab,
-                                  scans)
+                                  scans, restart_interval)
     entropy = _encode_scan(planes, samplings, qtab, restart_interval)
     return _build_stream(width, height, samplings, qtab, entropy,
                          restart_interval)
@@ -857,9 +893,6 @@ def jpeg_encode_color(width: int, height: int, rgb: bytes,
         raise ValueError(f"jpeg_encode_color: unsupported subsampling "
                          f"{subsampling!r} (4:4:4, 4:2:0 or 4:2:2)")
     if progressive:
-        if restart_interval:
-            raise ValueError("jpeg_encode_color: restart intervals "
-                             "are a baseline-encoder option here")
         grids = _quantized_grids(planes, samplings, qtab)
         hmax = max(h for h, _v in samplings)
         vmax = max(v for _h, v in samplings)
@@ -871,9 +904,9 @@ def jpeg_encode_color(width: int, height: int, rgb: bytes,
         mcus = (planes[0].shape[1] // (8 * samplings[0][0]),
                 planes[0].shape[0] // (8 * samplings[0][1]))
         scans = _encode_progressive(grids, samplings, block_dims,
-                                    mcus)
+                                    mcus, restart_interval)
         return _build_progressive(width, height, samplings, qtab,
-                                  scans)
+                                  scans, restart_interval)
     entropy = _encode_scan(planes, samplings, qtab, restart_interval)
     return _build_stream(width, height, samplings, qtab, entropy,
                          restart_interval)

@@ -23,7 +23,8 @@ Hann-sinc doubles as the anti-aliasing filter,
 scalar-reference-pinned). Motion-JPEG VIDEO is real too
 (pipeline/mjpeg_avi.py — spec-correct AVI RIFF container walk +
 per-frame JPEG decode; see synthesize_mjpeg / mjpeg_frame_check).
-Still gated: progressive JPEG, inter-coded video (H.264/VP9/AV1),
+Progressive JPEG (SOF2, with or without restart intervals) is real
+as of r14. Still gated: inter-coded video (H.264/VP9/AV1),
 mp3/opus — `decode_image` raises NotImplementedError unless the
 deterministic fake decoder is chosen. At 100 TB the
 pattern is: binary column stays columnar in parquet, header fields
@@ -1290,9 +1291,11 @@ def synthesize_jpeg(documents: DataFrame,
     grayscale (0), YCbCr 4:4:4 (1), or 4:2:0 chroma-subsampled (2);
     every fifth document (doc_id %% 5 == 0) encodes PROGRESSIVE
     (SOF2, the r14 successive-approximation script), and every
-    second of the remaining documents declares a DRI restart
-    interval of 2 MCUs — so each of the three modes ships plain,
-    restart-segmented AND progressive streams — encoded
+    second document declares a DRI restart interval of 2 restart
+    units — so each of the three modes ships plain,
+    restart-segmented, progressive AND progressive+restart streams
+    (odd multiples of 5 combine both, the layout real cameras
+    emit) — encoded
     executor-side with pipeline/jpeg (the same Arrow-batched
     mapInPandas shape as the PNG/GIF synthesizers)."""
     from .jpeg import jpeg_encode, jpeg_encode_color
@@ -1309,7 +1312,7 @@ def synthesize_jpeg(documents: DataFrame,
                        else "4:2:2" if (d % 3 == 1 and d % 7 == 0)
                        else "4:4:4")
                 prog = int(doc_id) % 5 == 0
-                ri = 2 if (int(doc_id) % 2 and not prog) else 0
+                ri = 2 if int(doc_id) % 2 else 0
                 media = (jpeg_encode(w, h, px, quality,
                                      restart_interval=ri,
                                      progressive=prog)
@@ -1335,8 +1338,8 @@ def jpeg_roundtrip_check(documents: DataFrame, quality: int = 90,
     """Hash-enforced closed loop over the JPEG codec: encode the
     closed-form fields (synthesize_jpeg — doc_id % 3 picks the mode:
     0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0; doc_id % 5 == 0
-    streams are PROGRESSIVE SOF2, odd non-progressive doc_ids are
-    restart-segmented with DRI=2), DECODE each stream with
+    streams are PROGRESSIVE SOF2, odd doc_ids are restart-segmented
+    with DRI=2 — odd multiples of 5 both), DECODE each stream with
     pipeline/jpeg.jpeg_decode_any (tables read from the stream's own
     DQT/DHT, per-component ids honored), and compare against the
     field recomputed INDEPENDENTLY — decode_ok requires the SOF0

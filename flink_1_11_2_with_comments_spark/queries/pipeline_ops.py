@@ -3512,9 +3512,10 @@ def multimodal_gif_check(spark, sf_dir):
         "selection + successive approximation): encode a wrap-free "
         "closed-form ramp per document (doc_id % 3 picks the mode: "
         "0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0; doc_id % 5 == 0 "
-        "encodes progressive, odd remaining doc_ids declare a 2-MCU "
-        "restart interval, so every mode ships plain, segmented and "
-        "progressive streams — "
+        "encodes progressive, odd doc_ids declare a 2-unit restart "
+        "interval — odd multiples of 5 combine BOTH — so every mode "
+        "ships plain, segmented, progressive and "
+        "progressive+segmented streams — "
         "synthesize_jpeg, executor-side mapInPandas), DECODE each "
         "stream with tables read from its own DQT/DHT segments "
         "(per-component ids honored), and require SOF0 dims + "

@@ -2247,10 +2247,65 @@ def test_jpeg_progressive_roundtrip_and_structure():
                   for y in range(24) for x in range(24))
     eq(jpeg_encode(24, 24, noisy, 90),
        jpeg_encode(24, 24, noisy, 90, progressive=True))
+
+
+def test_jpeg_progressive_restart_intervals():
+    """Progressive + DRI/RSTn combined (the layout real cameras
+    emit): every scan of the SOF2 script is independently
+    restart-segmented — RSTn cycling per scan, EOB runs terminated
+    at each boundary (G.1.2.2 forbids a run spanning a restart),
+    DC predictors reset — and the result decodes bit-identically to
+    both the unsegmented progressive stream and the baseline. A
+    desynced marker still fails loudly."""
+    import struct
+
+    import numpy as np
     import pytest
-    with pytest.raises(ValueError, match="restart"):
-        jpeg_encode(8, 8, bytes(64), 90, restart_interval=2,
-                    progressive=True)
+
+    from flink_1_11_2_with_comments_spark.pipeline.jpeg import (
+        jpeg_decode_any, jpeg_encode, jpeg_encode_color)
+
+    w, h = 40, 24
+    gray = bytes((30 + 2 * x + 3 * y) & 0xFF
+                 for y in range(h) for x in range(w))
+    ref = jpeg_decode_any(jpeg_encode(w, h, gray, 90))
+    for ri in (1, 2, 7):
+        seg = jpeg_encode(w, h, gray, 90, restart_interval=ri,
+                          progressive=True)
+        assert b"\xFF\xC2" in seg
+        assert b"\xFF\xDD" + struct.pack(">HH", 4, ri) in seg
+        got = jpeg_decode_any(seg)
+        assert got[:3] == ref[:3] and got[3] == ref[3]
+    # interval 1 on a 15-block grid: markers in EVERY scan, cycling
+    # past RST7 within the AC scans (14 restarts per scan)
+    seg1 = jpeg_encode(w, h, gray, 90, restart_interval=1,
+                       progressive=True)
+    entropy = seg1[seg1.index(b"\xFF\xDA"):]
+    for m in range(8):
+        assert bytes((0xFF, 0xD0 + m)) in entropy
+    # flat image: the EOB run spanning every block must be split at
+    # each restart boundary (the run-termination path)
+    flat = jpeg_encode(16, 16, bytes(256), 90, restart_interval=1,
+                       progressive=True)
+    fw, fh, fnc, fpx = jpeg_decode_any(flat)
+    assert (fw, fh, fnc) == (16, 16, 1) and set(fpx) == {0}
+    # color, both subsampling layouts, noisy content (ZRL paths)
+    rgb = bytes((x * y * 7 + c * 89 + x + y) % 251
+                for y in range(32) for x in range(48)
+                for c in range(3))
+    for sub in ("4:4:4", "4:2:0", "4:2:2"):
+        base = jpeg_decode_any(
+            jpeg_encode_color(48, 32, rgb, 90, subsampling=sub))
+        segc = jpeg_encode_color(48, 32, rgb, 90, subsampling=sub,
+                                 restart_interval=2, progressive=True)
+        got = jpeg_decode_any(segc)
+        assert got[:3] == base[:3]
+        assert np.array_equal(np.frombuffer(got[3], np.uint8),
+                              np.frombuffer(base[3], np.uint8))
+    # a desynced marker (RST0 where RST1 is due) fails loudly
+    bad = seg1.replace(b"\xFF\xD1", b"\xFF\xD0", 1)
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode_any(bad)
 
 
 def test_jpeg_422_subsampled_roundtrip():
@@ -2417,11 +2472,12 @@ def test_jpeg_progressive_equals_baseline_fuzz():
            st.integers(0, 3), st.integers(0, 2 ** 31 - 1))
     def run(w, h, mode, seed):
         rng = np.random.default_rng(seed)
+        ri = seed % 4                 # 0 = unsegmented; else DRI
         if mode == 0:
             px = rng.integers(0, 256, w * h, dtype=np.uint8)
             base = jpeg_encode(w, h, px.tobytes(), 85)
             prog = jpeg_encode(w, h, px.tobytes(), 85,
-                               progressive=True)
+                               progressive=True, restart_interval=ri)
         else:
             sub = {1: "4:4:4", 2: "4:2:0", 3: "4:2:2"}[mode]
             px = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
@@ -2429,7 +2485,8 @@ def test_jpeg_progressive_equals_baseline_fuzz():
                                      subsampling=sub)
             prog = jpeg_encode_color(w, h, px.tobytes(), 85,
                                      subsampling=sub,
-                                     progressive=True)
+                                     progressive=True,
+                                     restart_interval=ri)
         b = jpeg_decode_any(base)
         p = jpeg_decode_any(prog)
         assert b[:3] == p[:3]
