@@ -936,6 +936,127 @@ def _extract_entropy(data: bytes, pos: int) -> tuple[bytes, int]:
     raise ValueError("jpeg: scan not terminated by a marker")
 
 
+def _block_baseline(reader, dc_lut, ac_lut, zz, pred: int,
+                    eobrun: int) -> tuple[int, int]:
+    """Decode ONE baseline full-band block (ss=0 se=63 ah=al=0) with
+    the reader's bit state held in LOCALS — one Python frame per
+    block instead of one per symbol/amplitude read. The generic
+    path's per-call overhead (read_symbol + bits + _fill +
+    _amplitude_decode, ~6 frames per coefficient) was the measured
+    scaling term of every codec face; semantics and error messages
+    are identical (the fuzz suites compare against the generic
+    path's output bit-for-bit). Returns (new DC predictor, new EOB
+    run)."""
+    buf = reader.buf
+    blen = len(buf)
+    acc, nbits = reader.acc, reader.nbits
+    pos, consumed, avail = reader.pos, reader.consumed, reader.avail
+
+    # --- DC: symbol (SSSS) + amplitude ---
+    while nbits < 16:
+        acc = (acc << 8) | (buf[pos] if pos < blen else 0xFF)
+        pos += 1
+        nbits += 8
+    e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+    if not e:
+        reader.consumed = consumed
+        if consumed + 16 > avail:
+            reader._overrun()
+        raise ValueError("jpeg: invalid Huffman code")
+    l = e & 31
+    size = e >> 5
+    consumed += l
+    if consumed > avail:
+        reader.consumed = consumed
+        reader._overrun()
+    nbits -= l
+    acc &= (1 << nbits) - 1
+    if size:
+        if size > 15:
+            raise ValueError(f"jpeg: corrupt DC size {size}")
+        while nbits < size:
+            acc = (acc << 8) | (buf[pos] if pos < blen else 0xFF)
+            pos += 1
+            nbits += 8
+        consumed += size
+        if consumed > avail:
+            reader.consumed = consumed
+            reader._overrun()
+        nbits -= size
+        v = (acc >> nbits) & ((1 << size) - 1)
+        acc &= (1 << nbits) - 1
+        pred += v if v >> (size - 1) else v - (1 << size) + 1
+    zz[0] = pred
+
+    # --- AC band 1..63 (skipped while an EOB run is open) ---
+    if eobrun > 0:
+        eobrun -= 1
+    else:
+        k = 1
+        while k <= 63:
+            while nbits < 16:
+                acc = (acc << 8) | (buf[pos] if pos < blen else 0xFF)
+                pos += 1
+                nbits += 8
+            e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+            if not e:
+                reader.consumed = consumed
+                if consumed + 16 > avail:
+                    reader._overrun()
+                raise ValueError("jpeg: invalid Huffman code")
+            l = e & 31
+            sym = e >> 5
+            consumed += l
+            if consumed > avail:
+                reader.consumed = consumed
+                reader._overrun()
+            nbits -= l
+            acc &= (1 << nbits) - 1
+            s = sym & 0x0F
+            if s == 0:
+                r = sym >> 4
+                if r < 15:            # EOBn (baseline EOB: r == 0)
+                    if r:
+                        while nbits < r:
+                            acc = (acc << 8) | (buf[pos]
+                                                if pos < blen else 0xFF)
+                            pos += 1
+                            nbits += 8
+                        consumed += r
+                        if consumed > avail:
+                            reader.consumed = consumed
+                            reader._overrun()
+                        nbits -= r
+                        extra = (acc >> nbits) & ((1 << r) - 1)
+                        acc &= (1 << nbits) - 1
+                    else:
+                        extra = 0
+                    eobrun = (1 << r) - 1 + extra
+                    break
+                k += 16               # ZRL
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            while nbits < s:
+                acc = (acc << 8) | (buf[pos] if pos < blen else 0xFF)
+                pos += 1
+                nbits += 8
+            consumed += s
+            if consumed > avail:
+                reader.consumed = consumed
+                reader._overrun()
+            nbits -= s
+            v = (acc >> nbits) & ((1 << s) - 1)
+            acc &= (1 << nbits) - 1
+            zz[k] = v if v >> (s - 1) else v - (1 << s) + 1
+            k += 1
+
+    reader.acc, reader.nbits = acc, nbits
+    reader.pos, reader.consumed = pos, consumed
+    return pred, eobrun
+
+
 def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
                  al: int, dc_tabs, ac_tabs, restart_interval: int,
                  comps, grids, block_dims, mcu_dims) -> None:
@@ -963,7 +1084,16 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
         if reader.bit() and (zz[k] & p1) == 0:
             zz[k] += p1 if zz[k] >= 0 else m1
 
-    def do_block(ix, dc_id, ac_id, zz) -> None:
+    if ss == 0 and se == 63 and ah == 0 and al == 0:
+        # baseline full-band: the locals-inlined per-block fast path
+        def do_block(ix, dc_id, ac_id, zz) -> None:
+            preds[ix], state["eobrun"] = _block_baseline(
+                reader, dct[ix][4], act[ix][4], zz, preds[ix],
+                state["eobrun"])
+    else:
+        do_block = None                   # generic path below
+
+    def do_block_generic(ix, dc_id, ac_id, zz) -> None:
         if ss == 0:                       # DC scan (or baseline DC)
             if ah == 0:
                 size = read_symbol(dct[ix])
@@ -984,6 +1114,9 @@ def _decode_scan(entropy: bytes, scan, ss: int, se: int, ah: int,
             else:
                 _ac_refine(zz, lo, se, al, act[ix],
                            read_symbol, reader, refine_nonzero, state)
+
+    if do_block is None:
+        do_block = do_block_generic
 
     def maybe_restart(idx: int) -> None:
         if restart_interval and idx and idx % restart_interval == 0:
