@@ -419,37 +419,72 @@ def _pad_plane(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def _encode_block(w: _BitWriter, coef_zz: list, pred: int,
                   dc_enc, ac_enc) -> int:
     """Entropy-code one quantized zigzag block (a plain int list —
-    list ops beat numpy scalar access in this per-coefficient loop);
-    returns the new DC predictor."""
+    list ops beat numpy scalar access in this per-coefficient loop)
+    with the writer's bit state in LOCALS and each symbol fused with
+    its amplitude into one shift — one Python frame per block
+    instead of two `put` calls per coefficient (the encode half of
+    the codec faces' scaling term); returns the new DC predictor."""
+    buf = w.buf
+    acc, n = w.acc, w.n
     diff = coef_zz[0] - pred
-    size, amp = _amplitude_encode(diff)
-    c, l = dc_enc[size]
-    w.put(c, l)
-    if size:
-        w.put(amp, size)
+    if diff:
+        size = (diff if diff > 0 else -diff).bit_length()
+        amp = diff if diff > 0 else diff + (1 << size) - 1
+        c, l = dc_enc[size]
+        acc = (acc << (l + size)) | (c << size) | amp
+        n += l + size
+    else:
+        c, l = dc_enc[0]
+        acc = (acc << l) | c
+        n += l
+    while n >= 8:
+        byte = (acc >> (n - 8)) & 0xFF
+        buf.append(byte)
+        if byte == 0xFF:              # byte stuffing (F.1.2.3)
+            buf.append(0x00)
+        n -= 8
+    acc &= (1 << n) - 1
     run = 0
     last_nz = 0
     for i in range(63, 0, -1):
         if coef_zz[i]:
             last_nz = i
             break
+    zc, zl = ac_enc[0xF0]             # ZRL
     for i in range(1, last_nz + 1):
         v = coef_zz[i]
         if v == 0:
             run += 1
             continue
         while run >= 16:
-            c, l = ac_enc[0xF0]       # ZRL
-            w.put(c, l)
+            acc = (acc << zl) | zc
+            n += zl
             run -= 16
-        size, amp = _amplitude_encode(v)
+        size = (v if v > 0 else -v).bit_length()
+        amp = v if v > 0 else v + (1 << size) - 1
         c, l = ac_enc[(run << 4) | size]
-        w.put(c, l)
-        w.put(amp, size)
+        acc = (acc << (l + size)) | (c << size) | amp
+        n += l + size
         run = 0
+        while n >= 8:
+            byte = (acc >> (n - 8)) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)
+            n -= 8
+        acc &= (1 << n) - 1
     if last_nz < 63:
         c, l = ac_enc[0x00]           # EOB
-        w.put(c, l)
+        acc = (acc << l) | c
+        n += l
+        while n >= 8:
+            byte = (acc >> (n - 8)) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)
+            n -= 8
+        acc &= (1 << n) - 1
+    w.acc, w.n = acc, n
     return coef_zz[0]
 
 
