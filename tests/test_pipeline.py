@@ -2671,3 +2671,267 @@ def test_video_fingerprint_face_and_matcher(spark, documents):
     assert best[(1, 2)] == (-2, 6), best
     assert best.get((1, 3), (0, 0))[1] <= 1
     assert best.get((2, 3), (0, 0))[1] <= 1
+
+
+def test_flac_crc_known_answers():
+    """The two FLAC CRCs against published check values: CRC-8 (poly
+    0x07, init 0) of b'123456789' is 0xF4 (CRC-8/SMBUS) and CRC-16
+    (poly 0x8005, init 0, unreflected) is 0xFEE8 (CRC-16/UMTS aka
+    BUYPASS) — pins the polynomial, direction and init so the frame
+    checks can't drift with a refactor."""
+    from flink_1_11_2_with_comments_spark.pipeline.flac import (
+        crc8, crc16)
+    assert crc8(b"123456789") == 0xF4
+    assert crc16(b"123456789") == 0xFEE8
+
+
+def test_flac_roundtrip_and_structure():
+    """Lossless roundtrip is EXACT (byte equality, unlike the lossy
+    JPEG bounds) across content classes, block sizes, channel counts
+    and 8/16-bit depths; the encoder picks CONSTANT for flat blocks
+    and the stream layout (fLaC magic, STREAMINFO fields, frame
+    sync) is pinned."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.flac import (
+        flac_decode, flac_encode)
+
+    rng = np.random.default_rng(3)
+    for n in (1, 191, 192, 1000, 5000):
+        for ch in (1, 2):
+            t = np.arange(n * ch)
+            for sig in ((3000 * np.sin(t * 0.07)).astype("<i2"),
+                        np.full(n * ch, -5, dtype="<i2"),
+                        rng.integers(-32768, 32768, n * ch)
+                           .astype("<i2")):
+                pcm = sig.tobytes()
+                enc = flac_encode(pcm, 16000, channels=ch,
+                                  block_size=192)
+                sr, c, bps, dec = flac_decode(enc)
+                assert (sr, c, bps) == (16000, ch, 16)
+                assert dec == pcm
+    # layout: magic, STREAMINFO is the single (last) metadata block
+    pcm = (900 * np.sin(np.arange(600) * 0.1)).astype("<i2").tobytes()
+    enc = flac_encode(pcm, 44100, block_size=256)
+    assert enc[:4] == b"fLaC"
+    assert enc[4] == 0x80 and enc[5:8] == b"\x00\x00\x22"
+    packed = int.from_bytes(enc[18:26], "big")
+    assert packed >> 44 == 44100
+    assert ((packed >> 41) & 7) + 1 == 1
+    assert ((packed >> 36) & 0x1F) + 1 == 16
+    assert packed & ((1 << 36) - 1) == 600
+    # frames start with the 14-bit sync code
+    assert enc[42] == 0xFF and (enc[43] & 0xFC) == 0xF8
+    # a flat stream is tiny: CONSTANT subframes per frame
+    flat = flac_encode(np.full(4096, 7, dtype="<i2").tobytes(),
+                       8000, block_size=1024)
+    assert len(flat) < 120
+    # compression on smooth content (deterministic, not just likely)
+    assert len(enc) < len(pcm)
+    # 8-bit depth
+    pcm8 = (40 * np.sin(np.arange(500) * 0.2)).astype(np.int8).tobytes()
+    assert flac_decode(flac_encode(pcm8, 8000, bits_per_sample=8,
+                                   block_size=192))[3] == pcm8
+
+
+def test_flac_hand_assembled_interop():
+    """Interop pin (the Adam7/progressive-SA precedent): a stream
+    hand-assembled from RFC 9639's rules using features our encoder
+    NEVER emits — an LPC subframe, rice2 (5-bit) parameters, a
+    partition order > 0, an escape (raw-bits) partition, wasted
+    bits, and all three stereo decorrelations (mid/side, left/side,
+    right/side) — must decode to the closed-form expectation, so a
+    matching encoder/decoder bug pair cannot cancel."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline.flac import (
+        crc8, crc16, flac_decode)
+
+    class BitW:                       # independent MSB-first writer
+        def __init__(self):
+            self.bits = []
+
+        def put(self, v, n):
+            self.bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+        def tobytes(self):
+            bits = self.bits + [0] * ((-len(self.bits)) % 8)
+            return bytes(
+                sum(b << (7 - i) for i, b in enumerate(bits[k:k + 8]))
+                for k in range(0, len(bits), 8))
+
+    # ---- closed-form expectation, computed from spec arithmetic ----
+    # frame 0 (mid/side): mid = LPC order 2 (prec 5, shift 2,
+    # coefs [5, -2], warmup [100, 102]), residual rice2 porder 1 with
+    # an escaped first partition; side = FIXED order 1 with 1 wasted
+    # bit (stored = side >> 1, all side values even)
+    mid = [100, 102]
+    for rv in (3, -2, 0, 1, -1, 2):
+        mid.append(rv + ((5 * mid[-1] - 2 * mid[-2]) >> 2))
+    side0 = [4, 6, 2, 0, -2, -4, 8, 6]
+    l0 = [m + s // 2 for m, s in zip(mid, side0)]
+    r0 = [m - s // 2 for m, s in zip(mid, side0)]
+    # frame 1 (left/side): L constant 50, side verbatim
+    side1 = [1, -1, 0, 2, -3, 5, 7, -6]
+    l1 = [50] * 8
+    r1 = [a - b for a, b in zip(l1, side1)]
+    # frame 2 (right/side): side FIXED order 0, R constant -7
+    side2 = [2, -2, 4, 0, 6, -8, 10, -12]
+    r2 = [-7] * 8
+    l2 = [a + b for a, b in zip(r2, side2)]
+    left = l0 + l1 + l2
+    right = r0 + r1 + r2
+    inter = np.empty(48, dtype="<i2")
+    inter[0::2] = left
+    inter[1::2] = right
+    expect_pcm = inter.tobytes()
+
+    # ---- assemble ----
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += struct.pack(">HH", 8, 8) + b"\x00" * 6
+    packed = (8000 << 44) | (1 << 41) | (15 << 36) | 24
+    si += packed.to_bytes(8, "big")
+    si += hashlib.md5(expect_pcm).digest()
+    out += bytes((0x80,)) + len(si).to_bytes(3, "big") + si
+
+    def header(fi, ch_code):
+        h = bytearray((0xFF, 0xF8, 0x60, (ch_code << 4) | (0b100 << 1)))
+        h.append(fi)                  # frame number < 0x80
+        h.append(7)                   # blocksize-1 (code 0110)
+        h.append(crc8(bytes(h)))
+        return h
+
+    def sub_constant(w, v, bps):
+        w.put(0, 1); w.put(0, 6); w.put(0, 1)
+        w.put(v & ((1 << bps) - 1), bps)
+
+    # frame 0: mid/side = ch_code 1010; mid bps 16, side bps 17
+    w = BitW()
+    w.put(0, 1); w.put(0b100001, 6); w.put(0, 1)   # LPC order 2
+    w.put(100, 16); w.put(102, 16)                 # warmup
+    w.put(4, 4)                                    # precision-1 = 4
+    w.put(2, 5)                                    # shift
+    w.put(5, 5); w.put(-2 & 0x1F, 5)               # coefs
+    w.put(0b01, 2)                                 # rice2
+    w.put(1, 4)                                    # porder 1
+    w.put(0x1F, 5)                                 # escape
+    w.put(4, 5)                                    # raw bits
+    w.put(3, 4); w.put(-2 & 0xF, 4)                # partition 0
+    w.put(1, 5)                                    # partition 1: p=1
+    for rv in (0, 1, -1, 2):
+        folded = rv * 2 if rv >= 0 else -rv * 2 - 1
+        w.put(0, folded >> 1) if folded >> 1 else None
+        w.put(1, 1)
+        w.put(folded & 1, 1)
+    # side: FIXED order 1, wasted = 1 (unary "1" => 0 extra zeros)
+    stored = [s >> 1 for s in side0]
+    w.put(0, 1); w.put(0b001001, 6)
+    w.put(1, 1); w.put(1, 1)                       # wasted flag + unary
+    w.put(stored[0] & 0xFFFF, 16)                  # warmup, eff bps 16
+    w.put(0b00, 2); w.put(0, 4); w.put(2, 4)       # rice p=2
+    for rv in [b - a for a, b in zip(stored, stored[1:])]:
+        folded = rv * 2 if rv >= 0 else -rv * 2 - 1
+        for _ in range(folded >> 2):
+            w.put(0, 1)
+        w.put(1, 1)
+        w.put(folded & 3, 2)
+    f0 = bytes(header(0, 0b1010)) + w.tobytes()
+    out += f0 + struct.pack(">H", crc16(f0))
+
+    # frame 1: left/side = 1000; L bps 16 CONSTANT, side bps 17 VERBATIM
+    w = BitW()
+    sub_constant(w, 50, 16)
+    w.put(0, 1); w.put(0b000001, 6); w.put(0, 1)
+    for v in side1:
+        w.put(v & 0x1FFFF, 17)
+    f1 = bytes(header(1, 0b1000)) + w.tobytes()
+    out += f1 + struct.pack(">H", crc16(f1))
+
+    # frame 2: right/side = 1001; side bps 17 FIXED order 0, R CONSTANT
+    w = BitW()
+    w.put(0, 1); w.put(0b001000, 6); w.put(0, 1)
+    w.put(0b00, 2); w.put(0, 4); w.put(3, 4)       # rice p=3
+    for rv in side2:
+        folded = rv * 2 if rv >= 0 else -rv * 2 - 1
+        for _ in range(folded >> 3):
+            w.put(0, 1)
+        w.put(1, 1)
+        w.put(folded & 7, 3)
+    sub_constant(w, -7, 16)
+    f2 = bytes(header(2, 0b1001)) + w.tobytes()
+    out += f2 + struct.pack(">H", crc16(f2))
+
+    sr, ch, bps, pcm = flac_decode(bytes(out))
+    assert (sr, ch, bps) == (8000, 2, 16)
+    assert pcm == expect_pcm
+
+
+def test_flac_corruption_fails_loudly():
+    """Every integrity layer rejects corruption with a specific
+    error: stream magic, frame sync, header CRC-8, frame CRC-16,
+    STREAMINFO MD5, truncation, reserved subframe type."""
+    import numpy as np
+    import pytest
+
+    from flink_1_11_2_with_comments_spark.pipeline.flac import (
+        flac_decode, flac_encode)
+
+    pcm = (1500 * np.sin(np.arange(1200) * 0.09)).astype("<i2").tobytes()
+    enc = flac_encode(pcm, 16000, block_size=256)
+    assert flac_decode(enc)[3] == pcm
+    with pytest.raises(ValueError, match="marker"):
+        flac_decode(b"fLaX" + enc[4:])
+    # find the first frame (sync after the 42-byte header+streaminfo)
+    fstart = 42
+    assert enc[fstart] == 0xFF
+    b = bytearray(enc)
+    b[fstart] = 0x00
+    with pytest.raises(ValueError, match="sync"):
+        flac_decode(bytes(b))
+    # header crc byte: locate it (frame number is 1 byte here)
+    b = bytearray(enc)
+    b[fstart + 5] ^= 0xFF             # inside the CRC-8-covered span
+    with pytest.raises(ValueError, match="CRC-8|sync|reserved|flac"):
+        flac_decode(bytes(b))
+    # flip a byte deep inside the first frame's entropy
+    b = bytearray(enc)
+    b[fstart + 12] ^= 0x55
+    with pytest.raises(ValueError):
+        flac_decode(bytes(b))
+    with pytest.raises(ValueError):
+        flac_decode(enc[:len(enc) - 3])
+
+
+def test_flac_roundtrip_fuzz():
+    """Property fuzz: arbitrary int16 PCM roundtrips EXACTLY through
+    encode/decode at arbitrary block sizes and channel counts."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_1_11_2_with_comments_spark.pipeline.flac import (
+        flac_decode, flac_encode)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 3000), st.integers(1, 2),
+           st.sampled_from([192, 256, 577, 1024]),
+           st.integers(0, 2 ** 31 - 1))
+    def run(n, ch, bs, seed):
+        rng = np.random.default_rng(seed)
+        kind = seed % 3
+        if kind == 0:
+            sig = rng.integers(-32768, 32768, n * ch).astype("<i2")
+        elif kind == 1:
+            sig = (3000 * np.sin(np.arange(n * ch) * 0.07)).astype("<i2")
+        else:
+            sig = np.full(n * ch, int(rng.integers(-100, 100)),
+                          dtype="<i2")
+        pcm = sig.tobytes()
+        enc = flac_encode(pcm, 16000, channels=ch, block_size=bs)
+        assert flac_decode(enc)[3] == pcm
+
+    run()
