@@ -116,10 +116,12 @@ SCALE10_EXTRA = [
     # dedup (map-only codec+hash, one 8-byte-key shuffle)
     "streaming_iterate_chain_walk", "dedup_image_phash",
     # landed after the SCALE_r14 run — first measured in round 15:
-    # the constellation audio dedup and the frame-hash video dedup
+    # the constellation audio dedup, the frame-hash video dedup
     # (both map-only fingerprint + one 8-byte-signature shuffle;
-    # ratios should track doc count like the other dedup faces)
+    # ratios should track doc count like the other dedup faces) and
+    # the lossless FLAC roundtrip face (map-only codec, zero shuffle)
     "dedup_audio_fingerprint", "dedup_video_fingerprint",
+    "multimodal_flac_check",
 ]
 
 

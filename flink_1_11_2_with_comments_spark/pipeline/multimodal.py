@@ -1402,6 +1402,113 @@ def _jpeg_field_from_dims(doc_id: int, w: int,
     return w, h, 3, px
 
 
+def _flac_field(doc_id: int, text_len: int):
+    """Closed-form per-document PCM for the FLAC face: sample count
+    and rate derive from (doc_id, length(text)) so the oracle can
+    restate them from SQL; content cycles three classes that force
+    distinct subframe choices — a smooth ramp (FIXED predictors), a
+    flat clip (CONSTANT), and a quadratic wrap that is effectively
+    incompressible (VERBATIM / high rice params)."""
+    import numpy as np
+
+    n = text_len % 400 + 50
+    channels = doc_id % 2 + 1
+    sample_rate = 8000 + (doc_id % 3) * 4000
+    base = doc_id % 97
+    i = np.arange(n * channels, dtype=np.int64)
+    if doc_id % 3 == 0:
+        vals = (base * 7 + i * 13) % 4001 - 2000
+    elif doc_id % 3 == 1:
+        vals = np.full(n * channels, base * 11 - 500, dtype=np.int64)
+    else:
+        vals = (i * i * 31 + base * 257) % 65536 - 32768
+    return n, channels, sample_rate, vals.astype("<i2").tobytes()
+
+
+def synthesize_flac(documents: DataFrame) -> DataFrame:
+    """Per-document FLAC binary column over closed-form PCM
+    (_flac_field) at block size 192 so every document spans multiple
+    frames — the same Arrow-batched mapInPandas shape as the
+    PNG/GIF/JPEG synthesizers (pipeline/flac.py flac_encode)."""
+    from .flac import flac_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n, ch, sr, pcm = _flac_field(int(doc_id), len(text))
+                media = flac_encode(pcm, sr, channels=ch,
+                                    block_size=192)
+                rows.append({"doc_id": int(doc_id), "media": media,
+                             "n_samples": n, "channels": ch,
+                             "sample_rate": sr})
+            yield pd.DataFrame(rows)
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (documents.select("doc_id", "text").repartition(par)
+            .mapInPandas(
+                run, "doc_id bigint, media binary, n_samples int, "
+                     "channels int, sample_rate int"))
+
+
+def flac_roundtrip_check(documents: DataFrame) -> DataFrame:
+    """Hash-enforced closed loop over the FLAC codec: encode the
+    closed-form clips (synthesize_flac), DECODE each stream
+    (pipeline/flac.py flac_decode — STREAMINFO parse, frame sync,
+    subframe reconstruction, every CRC-8/CRC-16 and the stream MD5
+    verified), and require EXACT byte equality against the PCM
+    recomputed independently — FLAC is lossless, so unlike the
+    JPEG/MJPEG faces the comparison is bitwise, not a tolerance
+    bound. Any regression in rice coding, predictor selection or
+    reconstruction, frame layout, CRCs, or channel interleave flips
+    decode_ok or raises. Scale: map-only Arrow-batched Python, zero
+    shuffle — the binary column stays columnar in parquet and the
+    codec runs executor-side, the same 100 TB shape as every codec
+    face."""
+    from .flac import flac_decode
+
+    enc = synthesize_flac(documents)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media, n, ch, sr in zip(
+                    pdf["doc_id"], pdf["media"], pdf["n_samples"],
+                    pdf["channels"], pdf["sample_rate"]):
+                dsr, dch, dbps, pcm = flac_decode(bytes(media))
+                exp = _flac_field_pcm(int(doc_id), int(n), int(ch))
+                ok = ((dsr, dch, dbps) == (int(sr), int(ch), 16)
+                      and pcm == exp)
+                rows.append({"doc_id": int(doc_id),
+                             "n_samples": int(n),
+                             "channels": int(ch),
+                             "sample_rate": int(sr),
+                             "n_frames": (int(n) + 191) // 192,
+                             "decode_ok": bool(ok)})
+            yield pd.DataFrame(rows)
+
+    return enc.mapInPandas(
+        run, "doc_id bigint, n_samples int, channels int, "
+             "sample_rate int, n_frames int, decode_ok boolean")
+
+
+def _flac_field_pcm(doc_id: int, n: int, channels: int) -> bytes:
+    """_flac_field's PCM with the sample count given directly (the
+    check stage knows it from the synth row, independent of the
+    decode path under test)."""
+    import numpy as np
+
+    base = doc_id % 97
+    i = np.arange(n * channels, dtype=np.int64)
+    if doc_id % 3 == 0:
+        vals = (base * 7 + i * 13) % 4001 - 2000
+    elif doc_id % 3 == 1:
+        vals = np.full(n * channels, base * 11 - 500, dtype=np.int64)
+    else:
+        vals = (i * i * 31 + base * 257) % 65536 - 32768
+    return vals.astype("<i2").tobytes()
+
+
 # ---------------------------------------------------------------------------
 # Band-limited (windowed-sinc) resampling — round 13 upgrades the
 # "sinc resampling stays gated" boundary to a real numpy kernel

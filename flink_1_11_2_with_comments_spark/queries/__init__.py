@@ -66,6 +66,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_image_phash",              # NEW: DCT-pHash image dedup
     "dedup_audio_fingerprint",        # NEW: constellation audio dedup
     "dedup_video_fingerprint",        # NEW: frame-hash video dedup
+    "multimodal_flac_check",          # NEW: lossless FLAC roundtrip
+    # (multimodal_flac_check took the slot of
+    # tpcds_sold_returned_rebought, which defers to r15 with the
+    # other r6 rows)
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -95,7 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_latency_band_matrix", "tpcds_monthly_variance",
     "tpcds_moving_avg_deviation", "tpcds_promo_share",
     "tpcds_regional_growth", "tpcds_return_window_gap",
-    "tpcds_returns_adjusted_spend", "tpcds_sold_returned_rebought",
+    "tpcds_returns_adjusted_spend",
 )
 
 

@@ -3570,6 +3570,42 @@ def multimodal_mjpeg_frames(spark, sf_dir):
 
 
 @register(
+    "multimodal_flac_check",
+    """
+    SELECT doc_id,
+           CAST(length(text) % 400 + 50 AS INT) AS n_samples,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST((length(text) % 400 + 50 + 191) // 192 AS INT)
+               AS n_frames,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+    doc="HASH-ENFORCED face for the FLAC codec (round 14 closes the "
+        "compressed-audio gate the honest way: audio corpora ship "
+        "FLAC — LibriSpeech, MLS — so 'decode the audio corpus' "
+        "means RFC 9639, pipeline/flac.py): encode a closed-form "
+        "clip per document (doc_id % 3 cycles ramp / flat / "
+        "quadratic-wrap content so FIXED, CONSTANT and "
+        "VERBATIM-class subframes all ship; doc_id % 2 picks "
+        "mono/stereo; block size 192 forces multi-frame streams — "
+        "synthesize_flac, executor-side mapInPandas), DECODE each "
+        "stream with STREAMINFO parse, frame sync, rice residual "
+        "reconstruction and EVERY CRC-8/CRC-16 plus the stream MD5 "
+        "verified, and require EXACT byte equality against the PCM "
+        "recomputed independently — lossless, so the comparison is "
+        "bitwise where the JPEG faces use tolerance bounds. The "
+        "oracle restates counts/rates/decode_ok from "
+        "(doc_id, length(text)). Scale: map-only Arrow-batched "
+        "Python, zero shuffle "
+        "(pipeline/multimodal.py flac_roundtrip_check).",
+)
+def multimodal_flac_check(spark, sf_dir):
+    from ..pipeline.multimodal import flac_roundtrip_check
+    return flac_roundtrip_check(t(spark, sf_dir, "documents"))
+
+
+@register(
     "events_hll_union",
     f"""
     WITH h AS (

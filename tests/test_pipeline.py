@@ -2935,3 +2935,16 @@ def test_flac_roundtrip_fuzz():
         assert flac_decode(enc)[3] == pcm
 
     run()
+
+
+def test_flac_roundtrip_check_face(spark, documents):
+    """The driver face's closed loop over real documents: every row
+    decode_ok (EXACT lossless equality), counts restated from
+    (doc_id, length(text))."""
+    from flink_1_11_2_with_comments_spark.pipeline.multimodal import (
+        flac_roundtrip_check)
+    got = flac_roundtrip_check(documents.limit(200)).collect()
+    assert len(got) == 200
+    assert all(r.decode_ok for r in got)
+    assert all(r.n_frames == (r.n_samples + 191) // 192 for r in got)
+    assert {r.channels for r in got} == {1, 2}
