@@ -375,6 +375,63 @@ def mjpeg_profile_main() -> None:
     print(json.dumps(out))
 
 
+def video_profile_main() -> None:
+    """Three-scale phase profile for dedup_video_fingerprint — same
+    model and graduation logic as mjpeg_profile_main. The face is
+    map-only + one 8-byte-signature shuffle; per document the
+    measured operator does a container walk + SIGNATURE_FRAMES
+    prefix JPEG decodes + pHashes (duration-independent by design),
+    and frame ENCODES are memoized per (cluster, frame) so corpus
+    synthesis is amortized fixed cost, not marginal. W = document
+    count x SIGNATURE_FRAMES decode-ops; fixed/marginal fit on
+    (base, x5), x10 held out."""
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR",
+                             "/tmp/spark_graft_scale10")
+    mid_dir = os.environ.get("SPARK_GRAFT_SCALE5_DIR",
+                             "/tmp/spark_graft_scale5")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark("bench-video-profile")
+    build_scale10(spark, base_dir, out_dir)
+    build_scaled(spark, base_dir, mid_dir, 5)
+    from flink_1_11_2_with_comments_spark.pipeline.video_fp import (
+        SIGNATURE_FRAMES)
+    specs = q.all_specs()
+
+    def decode_ops(d: str) -> int:
+        n = (spark.read.parquet(os.path.join(d, "documents.parquet"))
+             .count())
+        return n * SIGNATURE_FRAMES
+
+    out = {"metric": "video_phase_profile", "unit": "sec",
+           "runs": runs}
+    meas = {}
+    for label, d in (("base", base_dir), ("x5", mid_dir),
+                     ("x10", out_dir)):
+        w = decode_ops(d)
+        took = []
+        for _ in range(runs):
+            _release_persisted(spark)
+            t0 = time.perf_counter()
+            specs["dedup_video_fingerprint"].fn(spark, d).count()
+            took.append(time.perf_counter() - t0)
+        meas[label] = (round(min(took), 4), int(w))
+        out[label] = {"sec": meas[label][0], "decode_ops": int(w)}
+    t1, w1 = meas["base"]
+    t5, w5 = meas["x5"]
+    t10, w10 = meas["x10"]
+    out["ratio"] = round(t10 / t1, 2)
+    marginal = (t5 - t1) / (w5 - w1)
+    fixed = t1 - marginal * w1
+    out["fixed_sec"] = round(fixed, 4)
+    out["fixed_share_base"] = round(fixed / t1, 3)
+    out["marginal_us_per_decode_op"] = round(marginal * 1e6, 2)
+    pred10 = fixed + marginal * w10
+    out["x10_predicted_sec"] = round(pred10, 4)
+    out["x10_prediction_err"] = round((t10 - pred10) / t10, 3)
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -423,5 +480,7 @@ if __name__ == "__main__":
         kcore_profile_main()
     elif "--mjpeg-profile" in sys.argv[1:]:
         mjpeg_profile_main()
+    elif "--video-profile" in sys.argv[1:]:
+        video_profile_main()
     else:
         main()

@@ -11,8 +11,8 @@ offset voting, as in the classic CBCD literature, e.g. TRECVID
 content-based copy detection):
   1. walk the AVI container (pipeline/mjpeg_avi.py) — the frame
      COUNT is free (index/chunk walk, no codec work),
-  2. JPEG-decode ONLY the first COMMON_FRAMES frames (MJPEG frames
-     are independent, so a prefix decode costs exactly its share —
+  2. JPEG-decode ONLY the first SIGNATURE_FRAMES frames (MJPEG
+     frames are independent, so a prefix decode costs its share —
      the selective-decode access pattern the container exists for),
   3. DCT pHash of each decoded frame's luma (pipeline/phash.py),
   4. a clip's SIGNATURE is the md5 of that frame-hash prefix — the
@@ -47,6 +47,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 COMMON_FRAMES = 6           # every synthesized clip has >= this many
+SIGNATURE_FRAMES = 4        # decoded prefix the signature hashes —
+#                             shorter than the clip minimum so every
+#                             duration variant shares it, and the
+#                             per-clip decode cost is bounded by it
+#                             (the knob that sets the face's marginal
+#                             cost: clips pay SIGNATURE_FRAMES JPEG
+#                             decodes regardless of duration)
 _MODES = ("4:4:4", "4:2:0", "4:2:2")
 
 
@@ -67,26 +74,45 @@ def video_tile(cid: int, f: int) -> np.ndarray:
              + f * (X + 2 * Y) * 7) & 0xFF).astype(np.uint8)
 
 
+_FRAME_MEMO: dict[tuple[int, int, int, str], bytes] = {}
+
+
+def _encoded_frame(cid: int, f: int, s: int, m: str) -> bytes:
+    """Encoded JPEG for frame `f` of cluster `cid` at scale `s`,
+    mode `m` — MEMOIZED per executor: frame bytes depend only on
+    these four values (23 clusters x <= 10 frame indices x one
+    (s, m) each in the corpus, so the memo is bounded at a few
+    hundred entries), and without the memo the CORPUS SYNTHESIS
+    (6-10 encodes per document) dominated the measured operator
+    (the per-document prefix DECODE) ~5x in the scale sweep."""
+    key = (cid, f, s, m)
+    enc = _FRAME_MEMO.get(key)
+    if enc is None:
+        from .jpeg import jpeg_encode_color
+
+        t = np.repeat(np.repeat(video_tile(cid, f), s, 0), s, 1)
+        h, w = t.shape
+        rgb = np.dstack([t, t, t]).tobytes()
+        enc = jpeg_encode_color(w, h, rgb, 90, subsampling=m)
+        _FRAME_MEMO[key] = enc
+    return enc
+
+
 def synthesize_video_clip(cid: int, n_frames: int, fps: int = 10,
                           start: int = 0, scale: int | None = None,
                           mode: str | None = None) -> bytes:
     """MJPEG-AVI clip for cluster `cid`: frames start..start+n-1 of
     the cluster's tile sequence, rendered gray-replicated RGB at the
-    cluster's block scale (32/64/96 px) and chroma subsampling mode.
+    cluster's block scale (32/64 px) and chroma subsampling mode.
     Scale and mode are CLUSTER properties (same within a cluster) so
     the prefix signature is bit-deterministic; `start` exists for
     the subclip-alignment matcher tests."""
     from .mjpeg_avi import avi_build
-    from .jpeg import jpeg_encode_color
 
-    s = (cid % 3 + 1) if scale is None else scale
+    s = (cid % 2 + 1) if scale is None else scale
     m = _MODES[(cid // 3) % 3] if mode is None else mode
-    frames = []
-    for f in range(start, start + n_frames):
-        t = np.repeat(np.repeat(video_tile(cid, f), s, 0), s, 1)
-        h, w = t.shape
-        rgb = np.dstack([t, t, t]).tobytes()
-        frames.append(jpeg_encode_color(w, h, rgb, 90, subsampling=m))
+    frames = [_encoded_frame(cid, f, s, m)
+              for f in range(start, start + n_frames)]
     return avi_build(32 * s, 32 * s, frames, fps=fps)
 
 
@@ -113,7 +139,7 @@ def frame_phashes(avi: bytes, limit: int | None = None
 
 
 def clip_signature(frame_hashes: list[int],
-                   k: int = COMMON_FRAMES) -> int:
+                   k: int = SIGNATURE_FRAMES) -> int:
     """Signed-64 signature of the first k frame hashes (the common
     prefix across durations of the same footage)."""
     digest = hashlib.md5(
@@ -154,7 +180,7 @@ def video_fingerprints(media: DataFrame,
             sigs, counts = [], []
             for blob in pdf[media_col]:
                 hashes, n = frame_phashes(bytes(blob),
-                                          limit=COMMON_FRAMES)
+                                          limit=SIGNATURE_FRAMES)
                 sigs.append(clip_signature(hashes))
                 counts.append(n)
             yield pd.DataFrame({

@@ -4697,14 +4697,16 @@ def dedup_audio_fingerprint(spark, sf_dir):
         "fps vary with text length — the same clip published at "
         "different lengths. The pipeline walks each RIFF/AVI "
         "container (frame count is free — no codec work), "
-        "JPEG-decodes ONLY the first 6 frames (MJPEG frames are "
+        "JPEG-decodes ONLY the first 4 frames (MJPEG frames are "
         "independent: prefix decode costs exactly its share — the "
         "selective-decode access pattern vision curation relies "
         "on), DCT-pHashes each frame's luma, and clusters on the "
         "md5 signature of that frame-hash prefix — so duration "
         "variants collapse to one cluster. Per-cluster resolution "
-        "(32/64/96 px) and chroma mode (4:4:4/4:2:0/4:2:2) exercise "
-        "every decode layout. The oracle states the ground-truth "
+        "(32/64 px) and chroma mode (4:4:4/4:2:0/4:2:2) exercise "
+        "every decode layout; frame encodes are memoized per "
+        "(cluster, frame) so corpus synthesis doesn't drown the "
+        "measured decode path. The oracle states the ground-truth "
         "clustering (doc_id % 23) closed-form; any drift in the AVI "
         "walk, JPEG decode, luma transform, pHash or signature "
         "prefix splits/merges a cluster and fails the value hash "
