@@ -9,14 +9,17 @@ xiph.org format document), both directions:
 
 - `flac_encode`: 8/16-bit PCM, mono or stereo, fixed-blocksize
   frames; per-channel subframe choice between CONSTANT (flat
-  blocks), VERBATIM (incompressible blocks) and FIXED predictors of
-  order 0-4 (residual = n-th finite difference, chosen per block by
-  exact rice-cost accounting), rice-coded residuals with per-frame
-  parameter search and the raw-bits escape, STREAMINFO with the
-  spec's MD5 of the unencoded PCM, CRC-8 frame headers and CRC-16
-  frame footers. The encoder is deliberately a clean SUBSET —
-  everything it emits is spec-conformant and decodable by any FLAC
-  decoder.
+  blocks), VERBATIM (incompressible blocks), FIXED predictors of
+  order 0-4 (residual = n-th finite difference — exact on integers,
+  so low-frequency content prefers them) and quantized LPC
+  (Levinson-Durbin analysis, 15-bit coefficients — the winner on
+  mid/high-frequency content where differences AMPLIFY the signal),
+  all chosen per block by exact rice-cost accounting; residuals
+  rice-partitioned at the cost-minimizing partition order with
+  per-partition parameters, STREAMINFO with the spec's MD5 of the
+  unencoded PCM, CRC-8 frame headers and CRC-16 frame footers. The
+  encoder is deliberately a clean SUBSET — everything it emits is
+  spec-conformant and decodable by any FLAC decoder.
 - `flac_decode`: the full frame-level format needed to read real
   streams: all blocksize/samplerate/samplesize header codings,
   UTF-8-style frame numbers, CONSTANT / VERBATIM / FIXED 0-4 / LPC
@@ -193,10 +196,102 @@ def _rice_bits(folded: np.ndarray, p: int) -> np.ndarray:
 # encoder
 # ---------------------------------------------------------------------------
 
+def _lpc_models(sig: np.ndarray, max_order: int) -> list[np.ndarray]:
+    """Levinson-Durbin over the block's autocorrelation → float LPC
+    coefficient vectors for orders 1..max_order (the classic
+    analysis real FLAC encoders run; RFC 9639 only standardizes the
+    decode recurrence, so any coefficient choice is conformant)."""
+    x = sig.astype(np.float64)
+    n = x.size
+    ac = np.array([np.dot(x[:n - k], x[k:])
+                   for k in range(max_order + 1)])
+    if ac[0] == 0:
+        return []
+    err = ac[0]
+    a: list[float] = []
+    models = []
+    for m in range(1, max_order + 1):
+        acc = ac[m] - sum(a[i] * ac[m - 1 - i] for i in range(m - 1))
+        if err <= 0:
+            break
+        k = acc / err
+        a = [a[i] - k * a[m - 2 - i] for i in range(m - 1)] + [k]
+        err *= (1 - k * k)
+        models.append(np.array(a))
+    return models
+
+
+def _quantize_lpc(coefs: np.ndarray,
+                  precision: int = 15) -> tuple[list[int], int] | None:
+    """(quantized coefficients, shift) with coefficients in
+    `precision` signed bits and shift in [0, 15] (the 5-bit field)."""
+    cmax = float(np.max(np.abs(coefs)))
+    if cmax == 0:
+        return None
+    lim = 1 << (precision - 1)
+    shift = precision - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    q = np.clip(np.round(coefs * (1 << shift)), -lim, lim - 1)
+    if not np.any(q):
+        return None
+    return [int(v) for v in q], shift
+
+
+def _fold(res: np.ndarray) -> np.ndarray:
+    return (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+
+
+def _residual_plan(folded: np.ndarray, n: int,
+                   order: int) -> tuple[int, list[int], int]:
+    """(partition_order, per-partition rice params, total bits) for
+    the 4-bit-rice method: try every legal partition order (sizes
+    must divide the block; partition 0 loses the warmup), exact-cost
+    each partition's best parameter."""
+    best = None
+    po = 0
+    while True:
+        nparts = 1 << po
+        if n % nparts or (n >> po) <= order or nparts > folded.size:
+            if po:
+                break
+            po += 1
+            continue
+        psize = n >> po
+        bounds = [0] + [psize * k - order for k in range(1, nparts)] \
+            + [folded.size]
+        params, total = [], 4
+        for k in range(nparts):
+            part = folded[bounds[k]:bounds[k + 1]]
+            p, c = _best_rice_param(part)
+            params.append(p)
+            total += 4 + c
+        if best is None or total < best[2]:
+            best = (po, params, total)
+        po += 1
+        if po > 6:
+            break
+    return best
+
+
+def _emit_residual(bw: _Bits, folded: np.ndarray, n: int,
+                   order: int, plan) -> None:
+    po, params, _total = plan
+    bw.put(0b00, 2)                    # method: 4-bit rice
+    bw.put(po, 4)
+    psize = n >> po
+    bounds = [0] + [psize * k - order for k in range(1, 1 << po)] \
+        + [folded.size]
+    for k, p in enumerate(params):
+        bw.put(p, 4)
+        bw.put_bits(_rice_bits(folded[bounds[k]:bounds[k + 1]], p))
+
+
 def _encode_subframe(bw: _Bits, sig: np.ndarray, bps: int) -> None:
     """One channel of one frame: CONSTANT if flat, else the best of
-    FIXED orders 0-4 by exact rice cost, VERBATIM if even order 0
-    cannot beat raw."""
+    FIXED orders 0-4 and quantized-LPC orders (Levinson-Durbin, up
+    to 8) by exact rice cost — residuals rice-partitioned at the
+    cost-minimizing partition order — with VERBATIM when nothing
+    beats raw."""
     n = sig.size
     if n > 1 and np.all(sig == sig[0]):
         bw.put(0, 1)                   # zero pad bit
@@ -204,15 +299,31 @@ def _encode_subframe(bw: _Bits, sig: np.ndarray, bps: int) -> None:
         bw.put(0, 1)                   # no wasted bits
         bw.put(int(sig[0]) & ((1 << bps) - 1), bps)
         return
-    best = None                        # (bits, order, folded, param)
+    best = None    # (bits, kind, order, folded, extra)
     for order in range(0, min(5, n)):
         res = np.diff(sig, n=order) if order else sig.copy()
-        folded = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+        folded = _fold(res)
         p, cost = _best_rice_param(folded)
         total = order * bps + 2 + 4 + 4 + cost
         if best is None or total < best[0]:
-            best = (total, order, folded, p)
-    if best is None or best[0] >= n * bps:
+            best = (total, "fixed", order, folded, None)
+    if n >= 64:                        # LPC pays off on real blocks
+        prec = 15
+        for coefs in _lpc_models(sig, min(8, n - 1))[1::2]:
+            qz = _quantize_lpc(coefs, prec)
+            if qz is None:
+                continue
+            qcoef, shift = qz
+            order = len(qcoef)
+            acc = np.convolve(sig, np.array(qcoef, dtype=np.int64))
+            res = sig[order:] - (acc[order - 1:n - 1] >> shift)
+            folded = _fold(res)
+            _p, cost = _best_rice_param(folded)
+            total = order * bps + 4 + 5 + order * prec + 2 + 4 + 4 \
+                + cost
+            if total < best[0]:
+                best = (total, "lpc", order, folded, (qcoef, shift))
+    if best[0] >= n * bps:
         bw.put(0, 1)
         bw.put(0b000001, 6)            # VERBATIM
         bw.put(0, 1)
@@ -220,17 +331,27 @@ def _encode_subframe(bw: _Bits, sig: np.ndarray, bps: int) -> None:
         for v in sig.tolist():
             bw.put(v & mask, bps)
         return
-    _total, order, folded, p = best
-    bw.put(0, 1)
-    bw.put(0b001000 | order, 6)        # FIXED, order in low bits
-    bw.put(0, 1)                       # no wasted bits
+    _total, kind, order, folded, extra = best
+    plan = _residual_plan(folded, n, order)
     mask = (1 << bps) - 1
-    for v in sig[:order].tolist():     # warmup samples
-        bw.put(v & mask, bps)
-    bw.put(0b00, 2)                    # residual method: 4-bit rice
-    bw.put(0, 4)                       # partition order 0
-    bw.put(p, 4)
-    bw.put_bits(_rice_bits(folded, p))
+    bw.put(0, 1)
+    if kind == "fixed":
+        bw.put(0b001000 | order, 6)    # FIXED, order in low bits
+        bw.put(0, 1)                   # no wasted bits
+        for v in sig[:order].tolist():
+            bw.put(v & mask, bps)
+    else:
+        qcoef, shift = extra
+        bw.put(0b100000 | (order - 1), 6)   # LPC, order-1 in low 5
+        bw.put(0, 1)
+        for v in sig[:order].tolist():
+            bw.put(v & mask, bps)
+        bw.put(15 - 1, 4)              # precision-1
+        bw.put(shift, 5)
+        pm = (1 << 15) - 1
+        for c in qcoef:
+            bw.put(c & pm, 15)
+    _emit_residual(bw, folded, n, order, plan)
 
 
 def flac_encode(pcm: bytes, sample_rate: int, channels: int = 1,

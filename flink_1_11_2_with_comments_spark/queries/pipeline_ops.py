@@ -3590,7 +3590,8 @@ def multimodal_mjpeg_frames(spark, sf_dir):
         "VERBATIM-class subframes all ship; doc_id % 2 picks "
         "mono/stereo; block size 192 forces multi-frame streams — "
         "synthesize_flac, executor-side mapInPandas), DECODE each "
-        "stream with STREAMINFO parse, frame sync, rice residual "
+        "stream with STREAMINFO parse, frame sync, FIXED and LPC "
+        "subframe reconstruction, partitioned rice residuals "
         "reconstruction and EVERY CRC-8/CRC-16 plus the stream MD5 "
         "verified, and require EXACT byte equality against the PCM "
         "recomputed independently — lossless, so the comparison is "

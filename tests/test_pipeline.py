@@ -2948,3 +2948,78 @@ def test_flac_roundtrip_check_face(spark, documents):
     assert all(r.decode_ok for r in got)
     assert all(r.n_frames == (r.n_samples + 191) // 192 for r in got)
     assert {r.channels for r in got} == {1, 2}
+
+
+def test_flac_lpc_and_partitioned_encoding():
+    """The encoder's LPC path (Levinson-Durbin + 15-bit quantized
+    coefficients) and rice partitioning: high-frequency tones are
+    where fixed differences AMPLIFY the signal (|2sin(w/2)| > 1 for
+    w > pi/3) while LPC models it — the stream must actually carry
+    LPC subframes there, decode EXACTLY, and be much smaller than a
+    a fixed-predictor encoding; nonstationary content must pick a
+    partition order > 0. Also pins that low-frequency tones still
+    prefer fixed differences (quantization-error-free), i.e. the
+    cost comparison is real, not a hardcoded preference."""
+    import numpy as np
+
+    from flink_1_11_2_with_comments_spark.pipeline import flac as F
+
+    def subframe_types(stream):
+        """Parse the frame's subframe type codes via the decoder's
+        own reader, replaying only the header layout."""
+        types = []
+        orig = F._read_subframe
+
+        def spy(r, n, bps):
+            pos0, acc0, nb0 = r.pos, r.acc, r.nbits
+            if r.bits(1):
+                raise ValueError("pad")
+            types.append(r.bits(6))
+            r.pos, r.acc, r.nbits = pos0, acc0, nb0
+            return orig(r, n, bps)
+
+        F._read_subframe = spy
+        try:
+            F.flac_decode(stream)
+        finally:
+            F._read_subframe = orig
+        return types
+
+    t = np.arange(8192)
+    hi = (8000 * np.sin(t * 1.1)).astype("<i2").tobytes()
+    enc_hi = F.flac_encode(hi, 16000)
+    assert F.flac_decode(enc_hi)[3] == hi
+    tps = subframe_types(enc_hi)
+    assert any(tp & 0b100000 for tp in tps), tps     # LPC used
+    # LPC must beat the pure-fixed cost materially on this content
+    assert len(enc_hi) < len(hi) // 2
+    # low-frequency tone: integer differences are exact, LPC carries
+    # coefficient quantization error — fixed must win the comparison
+    lo = (6000 * np.sin(t * 0.013)).astype("<i2").tobytes()
+    tps_lo = subframe_types(F.flac_encode(lo, 16000))
+    assert any(0b001000 <= tp <= 0b001100 for tp in tps_lo), tps_lo
+    # nonstationary block: loud half then quiet half — a partition
+    # order > 0 lets the quiet half use a smaller rice parameter
+    rng = np.random.default_rng(5)
+    loud = rng.integers(-20000, 20000, 2048)
+    quiet = rng.integers(-40, 40, 2048)
+    mix = np.concatenate([loud, quiet]).astype("<i2").tobytes()
+    enc_mix = F.flac_encode(mix, 16000)
+    assert F.flac_decode(enc_mix)[3] == mix
+
+    seen_po = []
+    orig_rr = F._read_residual
+
+    def spy_rr(r, n, order):
+        pos0, acc0, nb0 = r.pos, r.acc, r.nbits
+        r.bits(2)
+        seen_po.append(r.bits(4))
+        r.pos, r.acc, r.nbits = pos0, acc0, nb0
+        return orig_rr(r, n, order)
+
+    F._read_residual = spy_rr
+    try:
+        F.flac_decode(enc_mix)
+    finally:
+        F._read_residual = orig_rr
+    assert max(seen_po) > 0, seen_po
