@@ -164,13 +164,12 @@ def _rice_cost(folded: np.ndarray, p: int) -> int:
 
 def _best_rice_param(folded: np.ndarray) -> tuple[int, int]:
     """(param, bits) minimizing the exact rice size, params 0..14
-    (15 is the 4-bit escape)."""
-    best_p, best_c = 0, _rice_cost(folded, 0)
-    for p in range(1, 15):
-        c = _rice_cost(folded, p)
-        if c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c
+    (15 is the 4-bit escape) — all 15 exact costs in one
+    broadcast."""
+    costs = ((folded[None, :] >> np.arange(15)[:, None]).sum(axis=1)
+             + folded.size * (np.arange(15) + 1))
+    p = int(np.argmin(costs))
+    return p, int(costs[p])
 
 
 def _rice_bits(folded: np.ndarray, p: int) -> np.ndarray:
