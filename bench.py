@@ -115,11 +115,12 @@ SCALE10_EXTRA = [
     # per-superstep frontier join, not the loop — and the pHash image
     # dedup (map-only codec+hash, one 8-byte-key shuffle)
     "streaming_iterate_chain_walk", "dedup_image_phash",
-    # landed after the SCALE_r14 run — first measured in round 15:
+    # round-14 late additions, measured in the final SCALE_r14 sweep:
     # the constellation audio dedup, the frame-hash video dedup
-    # (both map-only fingerprint + one 8-byte-signature shuffle;
-    # ratios should track doc count like the other dedup faces) and
-    # the lossless FLAC roundtrip face (map-only codec, zero shuffle)
+    # (map-only fingerprint + one 8-byte-signature shuffle; the video
+    # face's ratio tracks doc count — graduated by --video-profile's
+    # flat-marginal evidence) and the lossless FLAC roundtrip face
+    # (map-only codec, zero shuffle)
     "dedup_audio_fingerprint", "dedup_video_fingerprint",
     "multimodal_flac_check",
 ]
