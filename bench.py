@@ -433,6 +433,62 @@ def video_profile_main() -> None:
     print(json.dumps(out))
 
 
+def flac_profile_main() -> None:
+    """Three-scale phase profile for multimodal_flac_check — same
+    model and graduation logic as the mjpeg/video harnesses. The
+    face is map-only zero-shuffle; per document it encodes+decodes
+    a closed-form clip of (length(text) % 400 + 50) samples x
+    (doc_id % 2 + 1) channels, so W = total PCM samples, restated
+    from the same SQL the oracle uses. fixed/marginal fit on
+    (base, x5), x10 held out."""
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR",
+                             "/tmp/spark_graft_scale10")
+    mid_dir = os.environ.get("SPARK_GRAFT_SCALE5_DIR",
+                             "/tmp/spark_graft_scale5")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark("bench-flac-profile")
+    build_scale10(spark, base_dir, out_dir)
+    build_scaled(spark, base_dir, mid_dir, 5)
+    from pyspark.sql import functions as F
+    specs = q.all_specs()
+
+    def sample_ops(d: str) -> int:
+        return (spark.read.parquet(os.path.join(d, "documents.parquet"))
+                .select(((F.length("text") % 400 + 50)
+                         * (F.col("doc_id") % 2 + 1))
+                        .cast("long").alias("w"))
+                .agg(F.sum("w")).collect()[0][0])
+
+    out = {"metric": "flac_phase_profile", "unit": "sec",
+           "runs": runs}
+    meas = {}
+    for label, d in (("base", base_dir), ("x5", mid_dir),
+                     ("x10", out_dir)):
+        w = sample_ops(d)
+        took = []
+        for _ in range(runs):
+            _release_persisted(spark)
+            t0 = time.perf_counter()
+            specs["multimodal_flac_check"].fn(spark, d).count()
+            took.append(time.perf_counter() - t0)
+        meas[label] = (round(min(took), 4), int(w))
+        out[label] = {"sec": meas[label][0], "sample_ops": int(w)}
+    t1, w1 = meas["base"]
+    t5, w5 = meas["x5"]
+    t10, w10 = meas["x10"]
+    out["ratio"] = round(t10 / t1, 2)
+    marginal = (t5 - t1) / (w5 - w1)
+    fixed = t1 - marginal * w1
+    out["fixed_sec"] = round(fixed, 4)
+    out["fixed_share_base"] = round(fixed / t1, 3)
+    out["marginal_us_per_sample"] = round(marginal * 1e6, 3)
+    pred10 = fixed + marginal * w10
+    out["x10_predicted_sec"] = round(pred10, 4)
+    out["x10_prediction_err"] = round((t10 - pred10) / t10, 3)
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -483,5 +539,7 @@ if __name__ == "__main__":
         mjpeg_profile_main()
     elif "--video-profile" in sys.argv[1:]:
         video_profile_main()
+    elif "--flac-profile" in sys.argv[1:]:
+        flac_profile_main()
     else:
         main()
