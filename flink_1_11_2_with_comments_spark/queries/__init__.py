@@ -70,6 +70,20 @@ _PRIORITY: tuple[str, ...] = (
     # (multimodal_flac_check took the slot of
     # tpcds_sold_returned_rebought, which defers to r15 with the
     # other r6 rows)
+    # (a2) optimization-round plan changes (r14 opt pass): the two
+    # TPC-DS faces whose shared first-stage aggregate is now persisted
+    # (ReuseExchange provably does not fire across their branches),
+    # and the three sketch faces whose key-domain-sized distinct
+    # tables (hours / per-type user sets) are persisted for their
+    # multiple consumers. Each took the slot of one (d) r6 row —
+    # tpcds_moving_avg_deviation, tpcds_promo_share,
+    # tpcds_regional_growth, tpcds_return_window_gap,
+    # tpcds_returns_adjusted_spend defer to r15 (all stay >= r06).
+    "tpcds_dual_correlated_spend",
+    "tpcds_consecutive_share_growth",
+    "events_kmv_intersection",
+    "events_kmv_distinct_union",
+    "events_hll_trailing_distinct",
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -97,9 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_cumulative_channel_join", "tpcds_disjunctive_bands",
     "tpcds_excess_discount", "tpcds_frequent_buyers",
     "tpcds_latency_band_matrix", "tpcds_monthly_variance",
-    "tpcds_moving_avg_deviation", "tpcds_promo_share",
-    "tpcds_regional_growth", "tpcds_return_window_gap",
-    "tpcds_returns_adjusted_spend",
 )
 
 

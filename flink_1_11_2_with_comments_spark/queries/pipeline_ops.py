@@ -3179,12 +3179,17 @@ def events_hll_distinct(spark, sf_dir):
 def events_kmv_distinct_union(spark, sf_dir):
     from ..pipeline.dedup import md5_int_expr
     e = t(spark, sf_dir, "events")
+    # persist the distinct hash sets: h feeds its own branch AND the
+    # global-distinct 'ALL' branch, and the union of the two (allh)
+    # feeds both the salted min-k rank and the per-type counts — four
+    # event scans + four distinct shuffles without materialization,
+    # one of each with it (|h| = distinct users per type << events)
     h = (e.select("event_type",
                   md5_int_expr(F.col("user_id").cast("string"))
-                  .alias("hv")).distinct())
+                  .alias("hv")).distinct().persist())
     merged = (h.select("hv").distinct()
               .select(F.lit("ALL").alias("event_type"), "hv"))
-    allh = h.unionAll(merged)
+    allh = h.unionAll(merged).persist()
     # two-phase min-k: salt rank, keep 16 per salt, re-rank per key
     w1 = (W.partitionBy("event_type", F.col("hv") % 32)
           .orderBy("hv"))
@@ -4316,11 +4321,16 @@ def events_funnel_conversion(spark, sf_dir):
 def events_kmv_intersection(spark, sf_dir):
     from ..pipeline.dedup import md5_int_expr
     e = t(spark, sf_dir, "events")
+    # persist the per-type distinct user set: it feeds FIVE consumers
+    # (the hash set's three readers, the per-type counts, and the
+    # exact-intersection reference), each of which would otherwise
+    # re-scan events and re-run the distinct shuffle; |du| = distinct
+    # users per type, far below the event count at scale
     du = (e.where(F.col("event_type").isin("view", "purchase"))
-          .select("event_type", "user_id").distinct())
+          .select("event_type", "user_id").distinct().persist())
     h = du.select("event_type",
                   md5_int_expr(F.col("user_id").cast("string"))
-                  .alias("hv"))
+                  .alias("hv")).persist()
     # rk <= 16 directly above the rank window triggers Spark's
     # InferWindowGroupLimit: each map task forwards only its local
     # top-16 hashes per type into the window exchange, so the sort
@@ -4331,7 +4341,7 @@ def events_kmv_intersection(spark, sf_dir):
     w2 = W.partitionBy("event_type").orderBy("hv")
     top16 = (h.withColumn("rk", F.row_number().over(w2))
              .where(F.col("rk") <= 16))
-    cnt = (du.groupBy("event_type")
+    cnt = (h.groupBy("event_type")  # 1:1 with du — reads the cache
            .agg(F.count("*").alias("n_hashes")))
     kth = (top16.join(F.broadcast(cnt), "event_type")
            .where(F.col("rk") == F.least(F.col("n_hashes"), F.lit(16)))
@@ -4344,10 +4354,12 @@ def events_kmv_intersection(spark, sf_dir):
                     .select("hv"), "hv"))
     sample = (common.crossJoin(F.broadcast(theta))
               .where(F.col("hv") < F.col("theta")))
-    ex = (e.where(F.col("event_type") == "view")
-          .select("user_id").distinct()
-          .join(e.where(F.col("event_type") == "purchase")
-                .select("user_id").distinct(), "user_id")
+    # exact reference from the SAME persisted distinct set: a user is
+    # in the intersection iff both types appear among their du rows —
+    # one aggregate instead of two more event scans + a distinct join
+    ex = (du.groupBy("user_id")
+          .agg(F.count("*").alias("n_types"))
+          .where(F.col("n_types") == 2)
           .agg(F.count("*").cast("bigint").alias("exact_intersection")))
     est = F.round(F.count("*") * 1152921504606846976.0
                   / F.first("theta").cast("double"), 4)
@@ -4448,7 +4460,10 @@ def events_hll_trailing_distinct(spark, sf_dir):
     regs = (hb.withColumn("rho", rho)
             .groupBy("hr_num", "bucket")
             .agg(F.max("rho").alias("mj")))
-    hours = h.select("hr_num").distinct()
+    # persist the tiny hour-domain table: it feeds the register grid
+    # AND the exact side's covered-hour semi-join — without it each
+    # consumer re-scans events and re-runs the distinct
+    hours = h.select("hr_num").distinct().persist()
     grid = hours.select(
         "hr_num", F.explode(F.sequence(F.lit(0), F.lit(63)))
         .alias("bucket"))

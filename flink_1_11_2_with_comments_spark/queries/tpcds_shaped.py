@@ -2841,10 +2841,11 @@ def tpcds_supplier_latency_matrix(spark, sf_dir):
         "from the query's own first-stage result. Adaptation: "
         "store_returns -> l_returnflag = 'R', color -> brand, 0.05 x "
         "sum -> 1.3 x avg (the trimmed data has no per-color "
-        "concentration). Scale: the spend aggregate materializes "
-        "once; AQE reuses its exchange for both the 1-row threshold "
-        "and the probe, so the fact is scanned once; the threshold "
-        "joins as a 1-row broadcast, never a cartesian.",
+        "concentration). Scale: the spend aggregate is persisted so "
+        "the fact join runs once (ReuseExchange does NOT fire here — "
+        "the threshold branch prunes to netpaid, so its canonicalized "
+        "plan differs from the probe's); the threshold joins as a "
+        "1-row broadcast, never a cartesian.",
 )
 def tpcds_dual_correlated_spend(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -2858,7 +2859,14 @@ def tpcds_dual_correlated_spend(spark, sf_dir):
              .groupBy("c_custkey", "c_name", "p_brand")
              .agg(dsum(F.col("l_extendedprice")
                        * (1 - F.col("l_discount")), 6)
-                  .alias("netpaid")))
+                  .alias("netpaid"))
+             # materialize the first-stage aggregate: the threshold
+             # branch prunes to netpaid only, so its canonicalized
+             # exchange differs from the probe's and ReuseExchange
+             # never fires — without the persist BOTH branches re-run
+             # the full 4-way fact join (measured: lineitem/orders/
+             # customer/part each scanned twice)
+             .persist())
     thr = spend.agg((F.lit(1.3) * davg("netpaid")).alias("thr"))
     return (spend.join(F.broadcast(thr))
             .where(F.col("netpaid") > F.col("thr"))
@@ -3637,7 +3645,12 @@ def tpcds_consecutive_share_growth(spark, sf_dir):
          .agg(dsum(F.when(urgent, F.col("o_totalprice"))
                    .otherwise(F.lit(0))).alias("urgent_rev"),
               dsum(F.when(urgent, F.lit(0))
-                   .otherwise(F.col("o_totalprice"))).alias("std_rev")))
+                   .otherwise(F.col("o_totalprice"))).alias("std_rev"))
+         # materialize the per-(nation, quarter) aggregate before the
+         # triple self-join: Spark has no cross-branch plan reuse, so
+         # without this each of a/b/c re-runs the fact join+aggregate
+         # (measured: orders/customer/nation each scanned 3x)
+         .persist())
     a = q.alias("a")
     b = q.select(F.col("n_name").alias("nb"), F.col("qidx").alias("qb"),
                  F.col("urgent_rev").alias("ub"),

@@ -633,13 +633,24 @@ def test_r8_tpcds_shapes_plan_quality(spark, sf_dir):
     assert "CartesianProduct" not in p, p
 
     df = specs["tpcds_dual_correlated_spend"].fn(spark, sf_dir)
-    df.collect()  # AQE finalizes the exchange reuse at runtime
+    df.collect()  # AQE finalizes the plan at runtime
     p = df._jdf.queryExecution().executedPlan().toString()
     final = p.split("== Initial Plan ==")[0]  # AQE prints both plans
     assert "CartesianProduct" not in final, final
-    assert "ReusedExchange" in final, final
+    # the spend aggregate is persisted (r14 opt): both the threshold
+    # branch and the probe read the ONE materialized first-stage
+    # result instead of re-running the 4-way fact join per branch
+    # (ReuseExchange cannot fire there — the threshold branch prunes
+    # to netpaid, so its canonicalized exchange differs)
+    # both consumers read the cache (the InMemoryRelation's child is
+    # itself an AdaptiveSparkPlan whose nested "== Initial Plan =="
+    # truncates `final`, so count the probe branch in `final` and the
+    # threshold branch in the full string)
+    assert "InMemoryTableScan" in final, final
+    assert p.count("InMemoryTableScan") >= 2, p
     # the only nested loop is the 1-row threshold broadcast
     assert final.count("BroadcastNestedLoopJoin") <= 1, final
+    spark.catalog.clearCache()  # drop the persisted aggregate
 
     p = plan(spark, "tpcds_bulk_basket_customers", sf_dir)
     assert "CartesianProduct" not in p, p
