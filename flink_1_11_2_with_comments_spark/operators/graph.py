@@ -155,9 +155,23 @@ def connected_components_delta(edges: DataFrame,
     round scans the previous round's materialized RDD, not its
     lineage).
     """
+    # Loop parallelism derives from the INPUT's size — not from
+    # spark.sql.shuffle.partitions: repartition("src") with no count
+    # pins the session shuffle width (32 locally) onto the cached
+    # edge table and, because the distinct below is already
+    # partitioned by src, every round inherits that width for its
+    # joins and checkpoint materializations. At sf0.1 that was
+    # 32-task stages over 1.3k rows (pure scheduler overhead,
+    # ~1.2s/round). The optimizer's size estimate is free (no job;
+    # .rdd.getNumPartitions() would materialize AQE stages) and
+    # scales with the data: ~128 MB of edges per loop partition, so
+    # a 100 TB edge list still runs thousands wide.
+    est_bytes = int(edges._jdf.queryExecution().optimizedPlan()
+                    .stats().sizeInBytes())
+    n_part = max(1, min(2 * est_bytes // (128 << 20) + 1, 200_000))
     undirected = (edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition("src").persist())
+        .repartition(n_part, "src").persist())
     labels = _superstep(
         undirected.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node")))

@@ -84,6 +84,12 @@ _PRIORITY: tuple[str, ...] = (
     "events_kmv_intersection",
     "events_kmv_distinct_union",
     "events_hll_trailing_distinct",
+    # (a3) headline optimizations this round: scale-adaptive loop
+    # width for the CC delta iteration; one-window exact dedup in the
+    # end-to-end pipeline. Slots from two more deferred (d) r6 rows
+    # (tpcds_latency_band_matrix, tpcds_monthly_variance → r15).
+    "graph_connected_components",
+    "pipeline_end_to_end",
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -110,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_channel_overlap", "tpcds_channel_ratio",
     "tpcds_cumulative_channel_join", "tpcds_disjunctive_bands",
     "tpcds_excess_discount", "tpcds_frequent_buyers",
-    "tpcds_latency_band_matrix", "tpcds_monthly_variance",
 )
 
 
