@@ -168,10 +168,19 @@ def connected_components_delta(edges: DataFrame,
     # a 100 TB edge list still runs thousands wide.
     est_bytes = int(edges._jdf.queryExecution().optimizedPlan()
                     .stats().sizeInBytes())
-    n_part = max(1, min(2 * est_bytes // (128 << 20) + 1, 200_000))
-    undirected = (edges.select("src", "dst").union(
+    und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(n_part, "src").persist())
+    if est_bytes < (1 << 50):
+        n_part = max(1, min(2 * est_bytes // (128 << 20) + 1, 200_000))
+        und = und.repartition(n_part, "src")
+    else:
+        # stats unknown (RDD-backed / checkpointed input reports the
+        # defaultSizeInBytes sentinel, Long.MaxValue): an explicit
+        # numPartitions repartition is AQE-exempt, so deriving a width
+        # from the sentinel would pin a 200k-task loop onto a tiny
+        # graph. Fall back to by-column repartition (AQE-coalescible).
+        und = und.repartition("src")
+    undirected = und.persist()
     labels = _superstep(
         undirected.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node")))
