@@ -135,6 +135,89 @@ def minhash_lsh_bands(df: DataFrame, id_col: str, text_col: str,
             .select(id_col, "bk.band", "bk.band_key"))
 
 
+def minhash_lsh_bands_arr(df: DataFrame, id_col: str, text_col: str,
+                          num_hashes: int = 8, rows_per_band: int = 4,
+                          shingle_n: int = 3) -> DataFrame:
+    """MinHash banding with ZERO shuffles: (id, band, band_key).
+
+    Same hash family and band keys as minhash_lsh_bands, but the
+    per-doc signature is a row-local `array_min` over the doc's
+    shingle ARRAY (transform + md5 per element) instead of an
+    explode + groupBy — the signature stage of a 100 TB corpus
+    becomes a pure map over the scan, no (id, shingle) rows ever
+    shuffle. Docs with an empty shingle set produce no bands (the
+    explode path's semantics). Total md5 work is identical; what
+    disappears is the exchange and the doubled subtree when the
+    band table feeds a self-join.
+    """
+    def hash_fn(h: int):
+        # closure factory, NOT a default-arg lambda: F.transform
+        # passes the element index to 2-arg lambdas, which would
+        # silently shadow the hash index
+        return lambda s: md5_int_expr(F.concat(F.lit(f"{h}|"), s))
+
+    mins = [F.array_min(F.transform(F.col("__sh"), hash_fn(h)))
+            .alias(f"m{h}") for h in range(num_hashes)]
+    sigs = (df.select(F.col(id_col),
+                      shingles(text_col, shingle_n).alias("__sh"))
+            .where(F.size("__sh") >= 1)
+            .select(id_col, *mins))
+    n_bands = num_hashes // rows_per_band
+
+    def band_key(b: int):
+        items = [F.concat_ws(":", F.lit(str(h)),
+                             F.col(f"m{h}").cast("string"))
+                 for h in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        return F.md5(F.array_join(F.sort_array(F.array(*items)), ","))
+
+    bands = F.array(*[F.struct(F.lit(b).cast("int").alias("band"),
+                               band_key(b).alias("band_key"))
+                      for b in range(n_bands)])
+    return (sigs.select(id_col, F.explode(bands).alias("bk"))
+            .select(id_col, "bk.band", "bk.band_key"))
+
+
+def lsh_bucket_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs via bucket-local expansion: ONE shuffle keyed
+    by (band, band_key) + a distinct, instead of a band self-join
+    that plans the banding subtree twice. Each bucket's ids collect
+    into one sorted array and expand to (a < b) pairs row-locally —
+    bucket size is bounded by near-duplicate cluster size, the same
+    bound that caps the self-join's output. Returns (a_id, b_id)."""
+    from ..operators.graph import pair_expand
+    return (bands.groupBy("band", "band_key")
+            .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+            .select(F.explode(pair_expand("__ids")).alias("__p"))
+            .select(F.col("__p.a").alias("a_id"),
+                    F.col("__p.b").alias("b_id"))
+            .distinct())
+
+
+def jaccard_pairs_arr(df: DataFrame, pairs: DataFrame, id_col: str,
+                      text_col: str, shingle_n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for (a_id, b_id) pairs, verified
+    ROW-LOCALLY: each side's shingle ARRAY joins onto the pair and
+    |A∩B| is `array_intersect` — no shingle explode, no per-shingle
+    shuffle, no size-table joins (four fewer exchanges and two fewer
+    corpus scans than the inverted-index form). The arrays ride the
+    join at document width, the same bytes the exploded form shuffles
+    as (id, shingle) rows. Use when candidates are pair-bounded (LSH
+    output); keep jaccard_pairs for unbounded pair sets where the
+    inverted index's shingle-keyed shuffle spreads better."""
+    sh = df.select(F.col(id_col),
+                   shingles(text_col, shingle_n).alias("__sh"))
+    a_side = sh.select(F.col(id_col).alias("a_id"),
+                       F.col("__sh").alias("__sh_a"))
+    b_side = sh.select(F.col(id_col).alias("b_id"),
+                       F.col("__sh").alias("__sh_b"))
+    n_inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (pairs.join(a_side, "a_id").join(b_side, "b_id")
+            .select("a_id", "b_id",
+                    (n_inter
+                     / (F.size("__sh_a") + F.size("__sh_b") - n_inter))
+                    .alias("jaccard")))
+
+
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     """Self-join bands on (band, band_key) → distinct candidate pairs a<b."""
     a = bands.select(F.col(id_col).alias("a_id"), "band", "band_key")

@@ -86,10 +86,14 @@ _PRIORITY: tuple[str, ...] = (
     "events_hll_trailing_distinct",
     # (a3) headline optimizations this round: scale-adaptive loop
     # width for the CC delta iteration; one-window exact dedup in the
-    # end-to-end pipeline. Slots from two more deferred (d) r6 rows
-    # (tpcds_latency_band_matrix, tpcds_monthly_variance → r15).
+    # end-to-end pipeline; map-only MinHash banding + bucket-local
+    # candidates + array-intersect verify in dedup_minhash_lsh.
+    # Slots from three more deferred (d) r6 rows
+    # (tpcds_latency_band_matrix, tpcds_monthly_variance,
+    # tpcds_frequent_buyers → r15).
     "graph_connected_components",
     "pipeline_end_to_end",
+    "dedup_minhash_lsh",
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -115,7 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_channel_equal_share", "tpcds_channel_growth_gate",
     "tpcds_channel_overlap", "tpcds_channel_ratio",
     "tpcds_cumulative_channel_join", "tpcds_disjunctive_bands",
-    "tpcds_excess_discount", "tpcds_frequent_buyers",
+    "tpcds_excess_discount",
 )
 
 

@@ -284,13 +284,19 @@ def dedup_ngram_containment(spark, sf_dir):
         "The oracle replays the entire pipeline in SQL.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    from ..pipeline.dedup import (jaccard_pairs, lsh_candidate_pairs,
-                                  minhash_lsh_bands)
+    # r14 opt: map-only banding (row-local array_min signatures, no
+    # shuffle) + bucket-local pair expansion (one shuffle, no band
+    # self-join) + row-local array_intersect verify — 6 document
+    # scans -> 3 and 18 Exchanges -> 3; identical rows (same hash
+    # family, same band keys, same exact-Jaccard threshold).
+    from ..pipeline.dedup import (jaccard_pairs_arr, lsh_bucket_pairs,
+                                  minhash_lsh_bands_arr)
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
-    bands = minhash_lsh_bands(d, "doc_id", "text",
-                              num_hashes=8, rows_per_band=4, shingle_n=1)
-    cand = lsh_candidate_pairs(bands, "doc_id")
-    j = jaccard_pairs(d, cand, "doc_id", "text", shingle_n=1)
+    bands = minhash_lsh_bands_arr(d, "doc_id", "text",
+                                  num_hashes=8, rows_per_band=4,
+                                  shingle_n=1)
+    cand = lsh_bucket_pairs(bands, "doc_id")
+    j = jaccard_pairs_arr(d, cand, "doc_id", "text", shingle_n=1)
     return (j.withColumn("jaccard", F.round("jaccard", 9))
             .where(F.col("jaccard") >= 0.9))
 
