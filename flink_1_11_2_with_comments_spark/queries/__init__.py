@@ -94,6 +94,17 @@ _PRIORITY: tuple[str, ...] = (
     "graph_connected_components",
     "pipeline_end_to_end",
     "dedup_minhash_lsh",
+    # (a4) second opt pass this round: tpch_q21 runs both aggregation
+    # levels off ONE l_orderkey exchange; the three evictor faces
+    # group by the window struct so the aggregate reuses the evictor
+    # window's (keys, w) partitioning (one events shuffle, not two).
+    # Slots from four more deferred (d) r6 rows (tpcds_channel_ratio,
+    # tpcds_cumulative_channel_join, tpcds_disjunctive_bands,
+    # tpcds_excess_discount → r15; every deferred entry stays >= r06).
+    "tpch_q21",
+    "evictor_count_window",
+    "evictor_time_window",
+    "evictor_delta_window",
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -117,9 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "match_recognize_or_define", "multimodal_decode",
     "text_repetition_ngrams", "tpcds_am_pm_ratio",
     "tpcds_channel_equal_share", "tpcds_channel_growth_gate",
-    "tpcds_channel_overlap", "tpcds_channel_ratio",
-    "tpcds_cumulative_channel_join", "tpcds_disjunctive_bands",
-    "tpcds_excess_discount",
+    "tpcds_channel_overlap",
 )
 
 

@@ -40,8 +40,15 @@ def _agg_kept(df: DataFrame, keys: list[str]) -> DataFrame:
     # (see queries/_util.py numeric-determinism note)
     total = F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2) \
         .cast("double")
-    return (df.groupBy(*keys, F.col("w.start").alias("window_start"))
-            .agg(F.count("*").alias("n_kept"), total.alias("total")))
+    # group by the window STRUCT, not w.start: the evictor window
+    # function upstream is partitioned by (keys, w), and for tumbling
+    # windows w <-> w.start is 1:1, so grouping by w lets the agg
+    # reuse that partitioning (ClusteredDistribution satisfied -> no
+    # second full shuffle of the events); w.start is projected after.
+    return (df.groupBy(*keys, "w")
+            .agg(F.count("*").alias("n_kept"), total.alias("total"))
+            .select(*keys, F.col("w.start").alias("window_start"),
+                    "n_kept", "total"))
 
 
 def count_evictor_agg(df: DataFrame, keys: list[str], ts_col: str,
