@@ -105,6 +105,13 @@ _PRIORITY: tuple[str, ...] = (
     "evictor_count_window",
     "evictor_time_window",
     "evictor_delta_window",
+    # (a5) PCA Gram pass widened when the scan underfills the cluster
+    # (the D^2 outer-product fanout ran single-threaded off one
+    # byte-sized scan split; pipeline/pca.py _widen_if_underparallel).
+    # Slots from the last two (d) r6 rows (tpcds_channel_growth_gate,
+    # tpcds_channel_overlap → r15; every deferred entry stays >= r06).
+    "embedding_pca_covariance",
+    "embedding_pca_project_top1",
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -127,8 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_winsorize_approx", "heavy_hitters", "join_salted_skew",
     "match_recognize_or_define", "multimodal_decode",
     "text_repetition_ngrams", "tpcds_am_pm_ratio",
-    "tpcds_channel_equal_share", "tpcds_channel_growth_gate",
-    "tpcds_channel_overlap",
+    "tpcds_channel_equal_share",
 )
 
 
