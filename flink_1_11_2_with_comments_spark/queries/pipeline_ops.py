@@ -919,6 +919,22 @@ def pipeline_end_to_end(spark, sf_dir):
     w = W.partitionBy(h).orderBy("doc_id")
     kept = (d.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
+    # CPU-aware width for the post-dedup feature pass: AQE sizes the
+    # window exchange by BYTES, so at bench scale it coalesces the
+    # ~3 MB of surviving text to one partition and the per-row
+    # regex/array feature compute serializes (measured 0.88 -> 0.63s
+    # from this). Round-robin to core width ONLY when the corpus is
+    # small enough that the extra shuffle is trivially cheap (same
+    # optimizer-stats guard as the CC loop width / pca Gram widen);
+    # at 100 TB the guard leaves the one-text-shuffle plan untouched.
+    try:
+        est = (d._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    except Exception:
+        est = 1 << 50
+    cores = spark.sparkContext.defaultParallelism
+    if est < (1 << 50) and est < cores * (128 << 20):
+        kept = kept.repartition(cores)
     q = quality_features("text")
     filtered = kept.where(q["quality_ok"])
     lang = filtered.select(
