@@ -1113,3 +1113,53 @@ def test_video_fp_cluster_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert body.count("MapInPandas") == 2, body
+
+
+def test_q21_both_agg_levels_share_one_exchange(spark, sf_dir):
+    """r14 opt pin: the per-(order, supplier) and per-order aggregates
+    run off ONE l_orderkey exchange (hash-partitioning by a subset of
+    the grouping key satisfies both ClusteredDistributions). A
+    regression would re-introduce a hashpartitioning on the
+    (l_orderkey, l_suppkey) pair key between them."""
+    p = plan(spark, "tpch_q21", sf_dir)
+    pair_exchanges = [
+        ln for ln in p.splitlines()
+        if "hashpartitioning(" in ln and "l_suppkey" in ln]
+    assert not pair_exchanges, pair_exchanges
+    # exactly two data shuffles total: the loop repartition + the
+    # final s_name aggregate
+    assert sum("hashpartitioning(" in ln for ln in p.splitlines()
+               if ln.strip().startswith("Arguments:")) == 2, p
+
+
+def test_evictor_agg_reuses_window_partitioning(spark, sf_dir):
+    """r14 opt pin: the evictor aggregate groups by the window STRUCT,
+    so it reuses the evictor window function's (keys, w) partitioning
+    — each evictor face shuffles the events exactly once. Grouping by
+    the extracted w.start field would re-exchange everything."""
+    for name in ("evictor_count_window", "evictor_time_window",
+                 "evictor_delta_window"):
+        p = plan(spark, name, sf_dir)
+        body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
+        assert body.count("Exchange") == 1, (name, body)
+        # exactly one Window operator ("Window (n)" — not the
+        # WindowGroupLimit pushdown nodes the count face also plans)
+        assert body.count("Window (") == 1, (name, body)
+
+
+def test_pca_gram_widen_guard(spark, sf_dir):
+    """r14 opt pin: the covariance Gram pass widens a small parquet
+    input to core width (explicit-numPartitions repartition, AQE
+    exempt) but leaves unknown-stats inputs untouched — the sentinel
+    guard that keeps RDD-backed plans from deriving a bogus width."""
+    from flink_1_11_2_with_comments_spark.pipeline.pca import (
+        _widen_if_underparallel, covariance)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = covariance(emb)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "REPARTITION_BY_NUM" in p, p  # the widen fired
+    # createDataFrame yields an RDD-backed plan whose size estimate is
+    # the defaultSizeInBytes sentinel -> must be returned untouched
+    tiny = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
+    assert _widen_if_underparallel(tiny, "vec_id") is tiny
