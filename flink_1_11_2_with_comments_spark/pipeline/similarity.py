@@ -141,20 +141,70 @@ def _bucket_expr(vec_col: str, n_planes: int, offset: int = 0) -> Column:
     return functools.reduce(operator.add, bits)
 
 
+def _plane_weights(n_planes: int, dims: int,
+                   offset: int = 0) -> list[list[float]]:
+    """The hyperplane matrix of `_bucket_expr`, CONSTANT-FOLDED: the
+    weight (md5_int(j|i) % 2001 - 1000)/1000 depends only on the
+    plane and dimension INDICES, never on data, so the md5 can run
+    once per (j, i) at plan-build time instead of once per
+    (row, j, i) at execute time — the expression form re-derived it
+    4.1M times for a 2,000-vector corpus (measured 45-57s, the
+    slowest query in the registry; folding + the smallness guards
+    below took the face to 2.8s with bit-identical rows). hashlib's
+    md5 of the same "j|i" string equals Spark's md5(); int(hex[:15],
+    16) equals conv(substring(md5, 1, 15), 16, 10); the final
+    / 1000.0 is the same IEEE double division — so each literal is
+    bit-identical to what the expression computed (same zigzag-table
+    precedent as the JPEG codec's generated tables)."""
+    import hashlib
+    return [[(((int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:15],
+                    16)) % 2001) - 1000) / 1000.0 for i in range(dims)]
+            for j in range(offset, offset + n_planes)]
+
+
+def _bucket_expr_folded(vec_col: str, n_planes: int, dims: int,
+                        offset: int = 0) -> Column:
+    """`_bucket_expr` with the plane weights as array LITERALS (see
+    _plane_weights). `dims` must be >= the true vector length: the
+    transform only visits real elements, so shorter vectors are fine,
+    but a LONGER vector would index past the literal (NULL weight →
+    NULL plane dot → bit 0) — callers pass the fixture/deployment
+    dimension. The decimal accumulation is unchanged (exact,
+    order-independent, oracle-identical)."""
+    ws = _plane_weights(n_planes, dims, offset)
+
+    def plane_dot(j: int) -> Column:
+        w = F.lit(ws[j])
+        return _dec_sum(F.transform(
+            F.col(vec_col),
+            lambda x, i: (x.cast("double")
+                          * F.element_at(w, i + 1)).cast(DEC)))
+
+    bits = [F.when(plane_dot(j) > 0, F.lit(1 << j).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")) for j in range(n_planes)]
+    return functools.reduce(operator.add, bits)
+
+
 def lsh_buckets(embeddings: DataFrame, id_col: str, vec_col: str,
-                n_planes: int = 16) -> DataFrame:
+                n_planes: int = 16, dims: int | None = None) -> DataFrame:
     """Hyperplane-LSH bucket key per vector — computed entirely
     row-local (`transform` with index + decimal `aggregate`): the
     bucket assignment of a 100 TB embedding table is a map-only scan —
     the earlier explode formulation shuffled dims × planes × rows.
+    Pass `dims` (the known embedding dimension) to use the
+    constant-folded plane weights — same values, no per-row md5
+    (and the plan stays map-only: no widen here, the pinned
+    single-pass property of bucketing a 100 TB corpus).
     """
-    return embeddings.select(
-        id_col, _bucket_expr(vec_col, n_planes).alias("bucket"))
+    expr = (_bucket_expr_folded(vec_col, n_planes, dims) if dims
+            else _bucket_expr(vec_col, n_planes))
+    return embeddings.select(id_col, expr.alias("bucket"))
 
 
 def cosine_dedup_bucketed(embeddings: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95, n_planes: int = 8,
-                          n_tables: int = 1) -> DataFrame:
+                          n_tables: int = 1,
+                          dims: int | None = None) -> DataFrame:
     """LSH-bucketed embedding near-duplicate pairs — the 100 TB form.
 
     Stages, none quadratic in the corpus:
@@ -176,14 +226,33 @@ def cosine_dedup_bucketed(embeddings: DataFrame, id_col: str, vec_col: str,
     tests/test_pipeline.py; SCALE.md records the numbers).
     `cosine_pairs` remains the exact small-input verifier.
     """
+    from .pca import _UNKNOWN_STATS, _widen_if_underparallel
     buckets = F.array(*[
-        _bucket_expr(vec_col, n_planes, offset=t * n_planes)
+        (_bucket_expr_folded(vec_col, n_planes, dims, offset=t * n_planes)
+         if dims else _bucket_expr(vec_col, n_planes, offset=t * n_planes))
         for t in range(n_tables)])
-    sigs = embeddings.select(
+    # the plane-dot evaluation is interpreted (higher-order decimal
+    # aggregate — no codegen for lambda bodies), and the self-join
+    # below plans the signature subtree TWICE; widen a small scan so
+    # the evaluation parallelizes, and persist the signatures when the
+    # corpus is provably small (same optimizer-stats guard) so they
+    # are evaluated ONCE. At 100 TB neither fires: the scan is wide
+    # already and a corpus-sized persist would be worse than the
+    # map-only recompute on each branch.
+    try:
+        est = (embeddings._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    except Exception:
+        est = _UNKNOWN_STATS
+    cores = embeddings.sparkSession.sparkContext.defaultParallelism
+    small = est < _UNKNOWN_STATS and est < cores * (128 << 20)
+    sigs = _widen_if_underparallel(embeddings, id_col).select(
         F.col(id_col), F.col(vec_col),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)).cast("double"))
         .alias("_norm"),
         buckets.alias("_buckets"))
+    if small:
+        sigs = sigs.persist()
     a = (sigs.select(F.col(id_col).alias("a_id"),
                      F.col(vec_col).alias("va"), F.col("_norm").alias("na"),
                      F.posexplode("_buckets").alias("ta", "ba")))

@@ -112,6 +112,16 @@ _PRIORITY: tuple[str, ...] = (
     # tpcds_channel_overlap → r15; every deferred entry stays >= r06).
     "embedding_pca_covariance",
     "embedding_pca_project_top1",
+    # (a6) hyperplane-LSH plane weights constant-folded to plan
+    # literals (they depend only on plane/dim indices; the expression
+    # form re-derived the md5 per row x plane x dim, making
+    # dedup_embedding_cosine the slowest registry query at 45-57s —
+    # now 2.8s, rows bit-identical) + smallness-guarded widen/persist
+    # in pipeline/similarity.py. Slots from the last two (d) r6 rows
+    # (tpcds_am_pm_ratio, tpcds_channel_equal_share → r15; every
+    # deferred entry stays >= r06).
+    "dedup_embedding_cosine",
+    "ann_lsh_buckets",
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -133,8 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_substring_spans", "events_winsorize",
     "events_winsorize_approx", "heavy_hitters", "join_salted_skew",
     "match_recognize_or_define", "multimodal_decode",
-    "text_repetition_ngrams", "tpcds_am_pm_ratio",
-    "tpcds_channel_equal_share",
+    "text_repetition_ngrams",
 )
 
 

@@ -595,8 +595,15 @@ def ann_bruteforce_topk(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     from ..pipeline.similarity import cosine_dedup_bucketed
     e = t(spark, sf_dir, "embeddings")
+    # dims=64 (the fixture embedding dimension): constant-folds the
+    # 32x64 hyperplane matrix into plan literals — the expression form
+    # re-derived the md5 weights once per (row, plane, dim), 4.1M
+    # times at sf0.1, making this the slowest registry query (45-57s);
+    # folded + the operator's smallness-guarded widen/persist: 2.8s,
+    # rows bit-identical (r14 opt).
     return cosine_dedup_bucketed(e, "vec_id", "embedding",
-                                 threshold=0.3, n_planes=8, n_tables=4)
+                                 threshold=0.3, n_planes=8, n_tables=4,
+                                 dims=64)
 
 
 @register(
@@ -627,7 +634,8 @@ def dedup_embedding_cosine(spark, sf_dir):
 def ann_lsh_buckets(spark, sf_dir):
     from ..pipeline.similarity import lsh_buckets
     e = t(spark, sf_dir, "embeddings")
-    return lsh_buckets(e, "vec_id", "embedding", n_planes=16)
+    # dims=64: constant-folded plane weights (see dedup_embedding_cosine)
+    return lsh_buckets(e, "vec_id", "embedding", n_planes=16, dims=64)
 
 
 # ---------------------------------------------------------------------------

@@ -1163,3 +1163,25 @@ def test_pca_gram_widen_guard(spark, sf_dir):
     # the defaultSizeInBytes sentinel -> must be returned untouched
     tiny = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
     assert _widen_if_underparallel(tiny, "vec_id") is tiny
+
+
+def test_lsh_plane_weights_constant_folded(spark, sf_dir):
+    """r14 opt pin: the hyperplane weights of the LSH faces are plan
+    literals (they depend only on plane/dim indices) — no md5 may
+    appear in the physical plan, where the expression form re-derived
+    it per (row, plane, dim) and made dedup_embedding_cosine the
+    slowest query in the registry. The folded literals are
+    pytest-pinned bit-identical to the expression form below."""
+    for name in ("dedup_embedding_cosine", "ann_lsh_buckets"):
+        p = plan(spark, name, sf_dir)
+        assert "md5" not in p, name
+    # literal <-> expression equivalence on real data: same buckets
+    from flink_1_11_2_with_comments_spark.pipeline.similarity import (
+        _bucket_expr, _bucket_expr_folded)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select("vec_id", _bucket_expr("embedding", 8, offset=8)
+                   .alias("b")).collect()
+    b = emb.select("vec_id", _bucket_expr_folded("embedding", 8, 64,
+                                                 offset=8)
+                   .alias("b")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
