@@ -122,6 +122,10 @@ _PRIORITY: tuple[str, ...] = (
     # deferred entry stays >= r06).
     "dedup_embedding_cosine",
     "ann_lsh_buckets",
+    # (a7) corpus_source_overlap: guarded widen before the single-task
+    # shingle pass (4.9 -> 1.2s; slot from one more (d) r6 row,
+    # text_repetition_ngrams → r15).
+    "corpus_source_overlap",
     # (c) the oldest union rows: the ten r4 entries explicitly
     # deferred from the r13 window (verdict r13 ask #3 — after this
     # round nothing is older than r06).
@@ -143,7 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_substring_spans", "events_winsorize",
     "events_winsorize_approx", "heavy_hitters", "join_salted_skew",
     "match_recognize_or_define", "multimodal_decode",
-    "text_repetition_ngrams",
 )
 
 

@@ -2663,7 +2663,13 @@ def corpus_dsir_weights(spark, sf_dir):
 )
 def corpus_source_overlap(spark, sf_dir):
     from ..pipeline.dedup import shingles
-    d = t(spark, sf_dir, "documents")
+    from ..pipeline.pca import _widen_if_underparallel
+    # the 4-gram shingle expression costs ~1ms/doc of JVM time, and a
+    # bench-scale documents table is ONE byte-sized scan split — the
+    # whole shingle pass ran single-threaded (measured 4.9 -> 1.2s
+    # from this guarded widen; at scale the scan is already wide and
+    # the plan is untouched — same guard as the pca Gram widen).
+    d = _widen_if_underparallel(t(spark, sf_dir, "documents"), "doc_id")
     sh = (d.select("source", F.explode(shingles("text", 4)).alias("g"))
           .distinct())
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
