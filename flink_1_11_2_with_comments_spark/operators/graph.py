@@ -20,6 +20,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._sizing import _UNKNOWN_STATS, est_bytes
+
 DEC = "decimal(38,10)"
 
 
@@ -166,12 +168,11 @@ def connected_components_delta(edges: DataFrame,
     # .rdd.getNumPartitions() would materialize AQE stages) and
     # scales with the data: ~128 MB of edges per loop partition, so
     # a 100 TB edge list still runs thousands wide.
-    est_bytes = int(edges._jdf.queryExecution().optimizedPlan()
-                    .stats().sizeInBytes())
+    est = est_bytes(edges)
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    if est_bytes < (1 << 50):
-        n_part = max(1, min(2 * est_bytes // (128 << 20) + 1, 200_000))
+    if est < _UNKNOWN_STATS:
+        n_part = max(1, min(2 * est // (128 << 20) + 1, 200_000))
         und = und.repartition(n_part, "src")
     else:
         # stats unknown (RDD-backed / checkpointed input reports the

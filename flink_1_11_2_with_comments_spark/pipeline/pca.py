@@ -31,38 +31,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# the shared sizing guards now live in _sizing (one definition, one
+# unknown-stats sentinel — the r14 advisor flagged three hand-copied
+# variants of this guard); these aliases keep the established import
+# surface (`from ..pipeline.pca import _widen_if_underparallel`)
+# working for the query faces and tests that grew around it.
+from .._sizing import _UNKNOWN_STATS  # noqa: F401  (re-export)
+from .._sizing import widen_if_underparallel as _widen_if_underparallel
+
 DEC = "decimal(30,14)"
-
-# optimizer size estimates at or above this are the unknown-stats
-# sentinel (defaultSizeInBytes), not a real measurement — same guard
-# as operators/graph's loop-width derivation
-_UNKNOWN_STATS = 1 << 50
-
-
-def _widen_if_underparallel(df: DataFrame, key: str) -> DataFrame:
-    """The Gram pass fans every input row out D^2x, so byte-based scan
-    partitioning undersizes its parallelism by that factor: at bench
-    scale the whole embeddings table is ONE 128 MB-rule scan split and
-    the 8M-cell outer-product explode runs single-threaded (measured
-    3.9s -> 0.7s at sf0.1 from this repartition). Widen ONLY when the
-    optimizer's size estimate says the scan underfills the cluster
-    (est < cores x maxPartitionBytes, i.e. the shuffle this adds is at
-    most one scan-round of small input); at real scale the scan is
-    already thousands of partitions wide and the map-only zero-shuffle
-    shape is preserved untouched. Unknown stats (RDD-backed plans
-    report the defaultSizeInBytes sentinel) leave the plan alone."""
-    spark = df.sparkSession
-    try:
-        est = (df._jdf.queryExecution().optimizedPlan().stats()
-               .sizeInBytes())
-    except Exception:
-        return df
-    if est >= _UNKNOWN_STATS:
-        return df
-    cores = spark.sparkContext.defaultParallelism
-    if est >= cores * (128 << 20):  # one default scan split per core
-        return df
-    return df.repartition(cores, F.col(key))
 
 
 def _dsum12(col):

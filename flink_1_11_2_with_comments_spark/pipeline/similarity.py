@@ -168,9 +168,11 @@ def _bucket_expr_folded(vec_col: str, n_planes: int, dims: int,
     _plane_weights). `dims` must be >= the true vector length: the
     transform only visits real elements, so shorter vectors are fine,
     but a LONGER vector would index past the literal (NULL weight →
-    NULL plane dot → bit 0) — callers pass the fixture/deployment
-    dimension. The decimal accumulation is unchanged (exact,
-    order-independent, oracle-identical)."""
+    NULL plane dot → bit 0) and the bucket would silently diverge
+    from the expression form — so the expression FAILS LOUDLY on any
+    row whose vector exceeds `dims` (assert_true is a row-local
+    comparison, no extra pass, no shuffle). The decimal accumulation
+    is unchanged (exact, order-independent, oracle-identical)."""
     ws = _plane_weights(n_planes, dims, offset)
 
     def plane_dot(j: int) -> Column:
@@ -182,7 +184,14 @@ def _bucket_expr_folded(vec_col: str, n_planes: int, dims: int,
 
     bits = [F.when(plane_dot(j) > 0, F.lit(1 << j).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint")) for j in range(n_planes)]
-    return functools.reduce(operator.add, bits)
+    key = functools.reduce(operator.add, bits)
+    ok = F.assert_true(
+        F.size(F.col(vec_col)) <= F.lit(dims),
+        F.concat(F.lit(f"lsh dims={dims} shorter than embedding length "),
+                 F.size(F.col(vec_col)).cast("string")))
+    # assert_true is NULL on success; the when() forces it to evaluate
+    # before the bucket key is produced
+    return F.when(ok.isNull(), key)
 
 
 def lsh_buckets(embeddings: DataFrame, id_col: str, vec_col: str,
@@ -226,7 +235,7 @@ def cosine_dedup_bucketed(embeddings: DataFrame, id_col: str, vec_col: str,
     tests/test_pipeline.py; SCALE.md records the numbers).
     `cosine_pairs` remains the exact small-input verifier.
     """
-    from .pca import _UNKNOWN_STATS, _widen_if_underparallel
+    from .._sizing import is_provably_small, widen_if_underparallel
     buckets = F.array(*[
         (_bucket_expr_folded(vec_col, n_planes, dims, offset=t * n_planes)
          if dims else _bucket_expr(vec_col, n_planes, offset=t * n_planes))
@@ -238,15 +247,15 @@ def cosine_dedup_bucketed(embeddings: DataFrame, id_col: str, vec_col: str,
     # corpus is provably small (same optimizer-stats guard) so they
     # are evaluated ONCE. At 100 TB neither fires: the scan is wide
     # already and a corpus-sized persist would be worse than the
-    # map-only recompute on each branch.
-    try:
-        est = (embeddings._jdf.queryExecution().optimizedPlan().stats()
-               .sizeInBytes())
-    except Exception:
-        est = _UNKNOWN_STATS
-    cores = embeddings.sparkSession.sparkContext.defaultParallelism
-    small = est < _UNKNOWN_STATS and est < cores * (128 << 20)
-    sigs = _widen_if_underparallel(embeddings, id_col).select(
+    # map-only recompute on each branch. The persist is deliberately
+    # left for the session's cache manager to release (LRU under
+    # memory pressure, or the caller's clearCache between measured
+    # queries — the bench/driver harness does): the function returns
+    # a LAZY frame, so there is no in-function point after the action
+    # where an eager unpersist would be safe, and the guard bounds
+    # the cache at cores x 128 MB of provably-small input.
+    small = is_provably_small(embeddings)
+    sigs = widen_if_underparallel(embeddings, id_col).select(
         F.col(id_col), F.col(vec_col),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)).cast("double"))
         .alias("_norm"),

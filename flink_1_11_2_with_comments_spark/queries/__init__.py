@@ -40,114 +40,76 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (`python -m tests.query_manifest`, which refuses to re-hash
 # un-windowed queries).
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-14 WINDOW (the driver checks the first 50 entries).
-    # (a) queries whose transitive source changed (or is planned to
-    # change) this round — the exact changed-set comes from the
-    # manifest diff, not memory:
-    # graph_k_core: co-purchase pair-build restructured (two-phase
-    # partial distinct before the global pair dedup — the r13
-    # verdict's #1); tpcds_net_after_returns: lineitem pre-aggregated
-    # to order grain before the orders join (ratio 2.87 two rounds);
-    # multimodal_jpeg_check: restart-marker (DRI/RSTn) + odd-dimension
-    # 4:2:0 decode support lands in pipeline/jpeg.py; mjpeg_frames:
-    # avi_parse fps now honors the dwRate/dwScale encoding (advisor
-    # r13) and shares the jpeg decoder.
-    "graph_k_core",
-    "tpcds_net_after_returns",
-    "multimodal_jpeg_check",
-    "multimodal_mjpeg_frames",
-    # (b) NEW round-14 queries — appended as each lands so nothing
-    # ships never-driver-checked. (dedup_audio_fingerprint took the
-    # window slot of tpcds_two_metric_rank and dedup_video_fingerprint
-    # the slot of tpcds_subsequent_period — both defer to r15 with
-    # the other three r6 rows — new faces outrank stale-but-unchanged
-    # re-verifications, and every deferred row stays >= r06.)
-    "streaming_iterate_chain_walk",   # NEW: join-in-loop-body iterate
-    "dedup_image_phash",              # NEW: DCT-pHash image dedup
-    "dedup_audio_fingerprint",        # NEW: constellation audio dedup
-    "dedup_video_fingerprint",        # NEW: frame-hash video dedup
-    "multimodal_flac_check",          # NEW: lossless FLAC roundtrip
-    # (multimodal_flac_check took the slot of
-    # tpcds_sold_returned_rebought, which defers to r15 with the
-    # other r6 rows)
-    # (a2) optimization-round plan changes (r14 opt pass): the two
-    # TPC-DS faces whose shared first-stage aggregate is now persisted
-    # (ReuseExchange provably does not fire across their branches),
-    # and the three sketch faces whose key-domain-sized distinct
-    # tables (hours / per-type user sets) are persisted for their
-    # multiple consumers. Each took the slot of one (d) r6 row —
-    # tpcds_moving_avg_deviation, tpcds_promo_share,
-    # tpcds_regional_growth, tpcds_return_window_gap,
-    # tpcds_returns_adjusted_spend defer to r15 (all stay >= r06).
-    "tpcds_dual_correlated_spend",
-    "tpcds_consecutive_share_growth",
-    "events_kmv_intersection",
-    "events_kmv_distinct_union",
-    "events_hll_trailing_distinct",
-    # (a3) headline optimizations this round: scale-adaptive loop
-    # width for the CC delta iteration; one-window exact dedup in the
-    # end-to-end pipeline; map-only MinHash banding + bucket-local
-    # candidates + array-intersect verify in dedup_minhash_lsh.
-    # Slots from three more deferred (d) r6 rows
-    # (tpcds_latency_band_matrix, tpcds_monthly_variance,
-    # tpcds_frequent_buyers → r15).
+    # ROUND-15 WINDOW (the driver checks the first 50 entries).
+    # (a) queries whose plan changed in this optimization round —
+    # the guarded single-split-scan widens (corpus_contamination
+    # 4.28->1.15s, boilerplate_ngrams 3.75->0.66s,
+    # corpus_bigram_logprob 2.52->0.49s, all best-of-3 sf0.1, rows
+    # identical) and the faces examined/touched for the r15 asks:
+    "corpus_contamination",
+    "boilerplate_ngrams",
+    "corpus_bigram_logprob",
+    "graph_hits",
+    "dedup_simhash_pairs",
+    "streaming_iterate_halving",
+    # (a2) queries flagged by the shared-sizing refactor (the
+    # optimizer-stats guard now lives in _sizing.py — one definition,
+    # int()-wrapped, unknown-sentinel-guarded; plans unchanged, but
+    # the manifest hash is transitive so they re-verify) and by the
+    # LSH dims-overflow assert (fails loudly when an embedding is
+    # longer than the folded plane matrix instead of silently
+    # zeroing the bucket bit):
     "graph_connected_components",
     "pipeline_end_to_end",
-    "dedup_minhash_lsh",
-    # (a4) second opt pass this round: tpch_q21 runs both aggregation
-    # levels off ONE l_orderkey exchange; the three evictor faces
-    # group by the window struct so the aggregate reuses the evictor
-    # window's (keys, w) partitioning (one events shuffle, not two).
-    # Slots from four more deferred (d) r6 rows (tpcds_channel_ratio,
-    # tpcds_cumulative_channel_join, tpcds_disjunctive_bands,
-    # tpcds_excess_discount → r15; every deferred entry stays >= r06).
-    "tpch_q21",
-    "evictor_count_window",
-    "evictor_time_window",
-    "evictor_delta_window",
-    # (a5) PCA Gram pass widened when the scan underfills the cluster
-    # (the D^2 outer-product fanout ran single-threaded off one
-    # byte-sized scan split; pipeline/pca.py _widen_if_underparallel).
-    # Slots from the last two (d) r6 rows (tpcds_channel_growth_gate,
-    # tpcds_channel_overlap → r15; every deferred entry stays >= r06).
+    "corpus_source_overlap",
     "embedding_pca_covariance",
     "embedding_pca_project_top1",
-    # (a6) hyperplane-LSH plane weights constant-folded to plan
-    # literals (they depend only on plane/dim indices; the expression
-    # form re-derived the md5 per row x plane x dim, making
-    # dedup_embedding_cosine the slowest registry query at 45-57s —
-    # now 2.8s, rows bit-identical) + smallness-guarded widen/persist
-    # in pipeline/similarity.py. Slots from the last two (d) r6 rows
-    # (tpcds_am_pm_ratio, tpcds_channel_equal_share → r15; every
-    # deferred entry stays >= r06).
     "dedup_embedding_cosine",
     "ann_lsh_buckets",
-    # (a7) corpus_source_overlap: guarded widen before the single-task
-    # shingle pass (4.9 -> 1.2s; slot from one more (d) r6 row,
-    # text_repetition_ngrams → r15).
-    "corpus_source_overlap",
-    # (c) the oldest union rows: the ten r4 entries explicitly
-    # deferred from the r13 window (verdict r13 ask #3 — after this
-    # round nothing is older than r06).
-    "corpus_sample",
-    "match_recognize_alternation", "match_recognize_permute",
-    "match_recognize_reluctant", "match_recognize_skip_to_first",
-    "text_redact", "tpcds_channel_union",
-    "tpcds_line_count_band", "tpcds_multi_band_count",
-    "tpcds_period_over_period",
-    # (d) then the round-6 cohort, stalest-first, filling the window
-    # (37 rows last checked r06; the final four —
-    # tpcds_unreturned_channel_ratio, tpcds_wide_join_growth,
-    # tpcds_yearly_brand_delta, tpcds_subsequent_period — defer to
-    # r15 to hold the new-face slots in (b); every deferred entry
-    # stays >= r06).
-    "ann_pq_adc_topk", "ann_pq_encode", "asof_join_batch",
-    "corpus_k_anonymity", "corpus_mixture_weights",
-    "corpus_pack_sequences", "corpus_train_val_test_split",
-    "dedup_exact_substring_spans", "events_winsorize",
-    "events_winsorize_approx", "heavy_hitters", "join_salted_skew",
-    "match_recognize_or_define", "multimodal_decode",
+    # (b) rotation debt: the ENTIRE remaining r6 cohort (23 rows,
+    # last driver-checked in round 6 — includes the 11 rows the r14
+    # verdict names plus the 12 deferred alongside them). After this
+    # window nothing in the registry is older than r07.
+    "text_repetition_ngrams",
+    "tpcds_am_pm_ratio",
+    "tpcds_channel_equal_share",
+    "tpcds_channel_growth_gate",
+    "tpcds_channel_overlap",
+    "tpcds_channel_ratio",
+    "tpcds_cumulative_channel_join",
+    "tpcds_disjunctive_bands",
+    "tpcds_excess_discount",
+    "tpcds_frequent_buyers",
+    "tpcds_latency_band_matrix",
+    "tpcds_monthly_variance",
+    "tpcds_moving_avg_deviation",
+    "tpcds_promo_share",
+    "tpcds_regional_growth",
+    "tpcds_return_window_gap",
+    "tpcds_returns_adjusted_spend",
+    "tpcds_sold_returned_rebought",
+    "tpcds_subsequent_period",
+    "tpcds_two_metric_rank",
+    "tpcds_unreturned_channel_ratio",
+    "tpcds_wide_join_growth",
+    "tpcds_yearly_brand_delta",
+    # (c) the stalest r07 rows, alphabetical, filling the window to 50
+    "corpus_bpe_pair_counts",
+    "corpus_dsir_weights",
+    "corpus_lang_cap_sample",
+    "corpus_length_quantiles",
+    "corpus_quality_weighted_sample",
+    "corpus_stratified_split",
+    "dedup_semdedup",
+    "dedup_url_canonical",
+    "embedding_quantize_int8",
+    "embedding_standardize",
+    "events_rate_anomaly",
+    "graph_adamic_adar",
+    "graph_jaccard_index",
+    "graph_jaccard_index_salted",
 )
+
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

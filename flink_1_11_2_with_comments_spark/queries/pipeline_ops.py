@@ -935,14 +935,9 @@ def pipeline_end_to_end(spark, sf_dir):
     # small enough that the extra shuffle is trivially cheap (same
     # optimizer-stats guard as the CC loop width / pca Gram widen);
     # at 100 TB the guard leaves the one-text-shuffle plan untouched.
-    try:
-        est = (d._jdf.queryExecution().optimizedPlan().stats()
-               .sizeInBytes())
-    except Exception:
-        est = 1 << 50
-    cores = spark.sparkContext.defaultParallelism
-    if est < (1 << 50) and est < cores * (128 << 20):
-        kept = kept.repartition(cores)
+    from .._sizing import is_provably_small
+    if is_provably_small(d):
+        kept = kept.repartition(spark.sparkContext.defaultParallelism)
     q = quality_features("text")
     filtered = kept.where(q["quality_ok"])
     lang = filtered.select(
@@ -1114,8 +1109,14 @@ def text_entropy(spark, sf_dir):
         "-> broadcast-join -> per-doc count.",
 )
 def corpus_contamination(spark, sf_dir):
+    from .._sizing import widen_if_underparallel
     from ..pipeline.dedup import shingles
-    d = t(spark, sf_dir, "documents")
+    # same single-split-scan pathology as corpus_source_overlap: the
+    # 3-gram shingle pass costs ~1ms/doc of JVM time and a bench-scale
+    # documents table is ONE byte-sized scan split, so it ran
+    # single-threaded; guarded widen (measured 4.3 -> ~1s at sf0.1).
+    # At scale the scan is already wide and the plan is untouched.
+    d = widen_if_underparallel(t(spark, sf_dir, "documents"), "doc_id")
     sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("g"))
     bench = (sh.where(F.col("doc_id") < 50).select("g").distinct()
              .withColumnRenamed("g", "bg"))
@@ -1149,8 +1150,11 @@ def corpus_contamination(spark, sf_dir):
         "so the shuffle carries (shingle, partial count), not rows.",
 )
 def boilerplate_ngrams(spark, sf_dir):
+    from .._sizing import widen_if_underparallel
     from ..pipeline.dedup import shingles
-    d = t(spark, sf_dir, "documents")
+    # guarded widen before the shingle explode — the single-split-scan
+    # fix (see corpus_contamination / corpus_source_overlap)
+    d = widen_if_underparallel(t(spark, sf_dir, "documents"), "doc_id")
     sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("g"))
     return (sh.groupBy(F.col("g").alias("shingle"))
             .agg(F.count("*").alias("df"))
@@ -1433,8 +1437,13 @@ def corpus_tfidf_topterms(spark, sf_dir):
         "per-doc mean is order-independent and engine-exact.",
 )
 def corpus_bigram_logprob(spark, sf_dir):
+    from .._sizing import widen_if_underparallel
     from ..pipeline.text import ngrams
-    d = t(spark, sf_dir, "documents")
+    # guarded widen before the bigram explode: the tokenize+ngram
+    # expression ran single-threaded off the one byte-sized scan split
+    # (the window exchanges downstream re-shuffle anyway, so the only
+    # plan change at bench scale is the added small exchange)
+    d = widen_if_underparallel(t(spark, sf_dir, "documents"), "doc_id")
     bg = (d.select("doc_id", F.explode(ngrams("text", 2)).alias("bigram"))
           .withColumn("w1", F.split("bigram", " ")[0]))
     scored = bg.select(
@@ -2662,14 +2671,14 @@ def corpus_dsir_weights(spark, sf_dir):
         "per shingle for 20 sources, output is |sources|^2 rows.",
 )
 def corpus_source_overlap(spark, sf_dir):
+    from .._sizing import widen_if_underparallel
     from ..pipeline.dedup import shingles
-    from ..pipeline.pca import _widen_if_underparallel
     # the 4-gram shingle expression costs ~1ms/doc of JVM time, and a
     # bench-scale documents table is ONE byte-sized scan split — the
     # whole shingle pass ran single-threaded (measured 4.9 -> 1.2s
     # from this guarded widen; at scale the scan is already wide and
     # the plan is untouched — same guard as the pca Gram widen).
-    d = _widen_if_underparallel(t(spark, sf_dir, "documents"), "doc_id")
+    d = widen_if_underparallel(t(spark, sf_dir, "documents"), "doc_id")
     sh = (d.select("source", F.explode(shingles("text", 4)).alias("g"))
           .distinct())
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))

@@ -1126,8 +1126,8 @@ def test_q21_both_agg_levels_share_one_exchange(spark, sf_dir):
         ln for ln in p.splitlines()
         if "hashpartitioning(" in ln and "l_suppkey" in ln]
     assert not pair_exchanges, pair_exchanges
-    # exactly two data shuffles total: the loop repartition + the
-    # final s_name aggregate
+    # exactly two data shuffles total: the l_orderkey repartition +
+    # the final s_name aggregate
     assert sum("hashpartitioning(" in ln for ln in p.splitlines()
                if ln.strip().startswith("Arguments:")) == 2, p
 
@@ -1185,3 +1185,50 @@ def test_lsh_plane_weights_constant_folded(spark, sf_dir):
                                                  offset=8)
                    .alias("b")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_folded_dims_overflow_fails_loudly(spark):
+    """r15 pin (r14 advisor ask): a vector LONGER than the folded
+    plane matrix used to silently collapse the out-of-range bits to 0
+    (element_at past the literal -> NULL weight -> NULL plane dot);
+    the folded expression now assert_true's size(vec) <= dims so the
+    divergence is an error, not a wrong bucket."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from flink_1_11_2_with_comments_spark.pipeline.similarity import (
+        _bucket_expr_folded)
+    ok = spark.createDataFrame([(1, [0.1] * 4)],
+                               "vec_id long, embedding array<double>")
+    # shorter-or-equal vectors are fine (transform visits real elements)
+    assert ok.select(_bucket_expr_folded("embedding", 4, 4)
+                     .alias("b")).collect()[0][0] is not None
+    too_long = spark.createDataFrame([(1, [0.1] * 5)],
+                                     "vec_id long, embedding array<double>")
+    with pytest.raises(SparkRuntimeException, match="lsh dims=4"):
+        too_long.select(_bucket_expr_folded("embedding", 4, 4)
+                        .alias("b")).collect()
+
+
+def test_sizing_guard_single_definition(spark, sf_dir):
+    """r15 pin (r14 advisor ask): the optimizer-stats smallness guard
+    has ONE definition (_sizing.py) — pca/similarity/graph/
+    pipeline_ops all route through it — and the keyless widen
+    round-robins a provably-small input to core width while leaving
+    unknown-stats inputs untouched."""
+    from flink_1_11_2_with_comments_spark._sizing import (
+        _UNKNOWN_STATS, est_bytes, is_provably_small,
+        widen_if_underparallel)
+    from flink_1_11_2_with_comments_spark.pipeline import pca
+    assert pca._widen_if_underparallel is widen_if_underparallel
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert est_bytes(emb) < _UNKNOWN_STATS
+    assert is_provably_small(emb)
+    widened = widen_if_underparallel(emb)  # keyless round-robin form
+    assert ("REPARTITION_BY_NUM" in widened._jdf.queryExecution()
+            .toString())
+    # RDD-backed plans report the unknown sentinel -> untouched
+    tiny = spark.createDataFrame([(1,)], "vec_id long")
+    assert est_bytes(tiny) == _UNKNOWN_STATS
+    assert not is_provably_small(tiny)
+    assert widen_if_underparallel(tiny) is tiny
