@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_hits",
     "dedup_simhash_pairs",
     "streaming_iterate_halving",
+    "streaming_iterate_chain_walk",  # shares the rewritten iterate_stream
     # (a2) queries flagged by the shared-sizing refactor (the
     # optimizer-stats guard now lives in _sizing.py — one definition,
     # int()-wrapped, unknown-sentinel-guarded; plans unchanged, but
@@ -107,7 +108,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_rate_anomaly",
     "graph_adamic_adar",
     "graph_jaccard_index",
-    "graph_jaccard_index_salted",
 )
 
 
