@@ -109,9 +109,21 @@ def power_top1(cov_full: DataFrame, rounds: int = 8) -> DataFrame:
     never replays rounds 1..R-1. Each iterate rounds to 12 dp: the
     iteration is exactly reproducible on any cluster and in any SQL
     engine that unrolls the same rounds.
+
+    Loop parallelism derives from the MATRIX's size, not the session
+    shuffle width (the CC/HITS loop-width discipline, guide §2.2):
+    the iteration never touches the corpus again, so its natural
+    width is D^2-rows' worth of partitions — 1 locally, wider only
+    for very high-dimensional matrices. Measured before the
+    checkpoint (the checkpointed RDD reports the unknown sentinel).
     """
+    from .._sizing import _UNKNOWN_STATS, est_bytes
     from ..operators.graph import _superstep
 
+    est = est_bytes(cov_full)
+    if est < _UNKNOWN_STATS:
+        n_part = max(1, min(2 * est // (128 << 20) + 1, 200_000))
+        cov_full = cov_full.repartition(n_part, "j")
     covf = _superstep(cov_full)
     dims = covf.select("i").distinct()
     d1 = dims.agg(F.count("*").alias("d"))
