@@ -70,10 +70,21 @@ def pq_encode(embeddings: DataFrame, id_col: str, vec_col: str,
     Codebook entries are addressed with LITERAL element_at indices —
     several parallel higher-order transforms over the same array in
     one projection alias their lambda variables and come back wrong
-    (see pq_adc_topk), and K entries are few anyway."""
+    (see pq_adc_topk), and K entries are few anyway.
+
+    The M x K block-distance folds are INTERPRETED (higher-order
+    decimal aggregates never reach codegen), so the encode pass is
+    CPU-bound far beyond what its bytes suggest — and a bench-scale
+    embeddings table is ONE scan split, so it ran single-threaded.
+    Guarded widen, same as the LSH/PCA faces: core-width repartition
+    only when the optimizer KNOWS the input is small; at 100 TB the
+    scan is already wide and encode keeps its zero-shuffle map-only
+    shape."""
+    from .._sizing import widen_if_underparallel
     if book is None:
         book = _codebook(embeddings, id_col, vec_col, n_codes)
-    out = embeddings.crossJoin(F.broadcast(book))
+    out = widen_if_underparallel(embeddings, id_col) \
+        .crossJoin(F.broadcast(book))
     cols = [F.col(id_col)]
     for m in range(n_blocks):
         sub = F.slice(F.col(vec_col), m * block_dim + 1, block_dim)

@@ -67,6 +67,10 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pca_project_top1",
     "dedup_embedding_cosine",
     "ann_lsh_buckets",
+    # (a3) the PQ faces: guarded widen before the interpreted
+    # block-distance folds in pq_encode (same single-split-scan class)
+    "ann_pq_encode",
+    "ann_pq_adc_topk",
     # (b) rotation debt: the ENTIRE remaining r6 cohort (23 rows,
     # last driver-checked in round 6 — includes the 11 rows the r14
     # verdict names plus the 12 deferred alongside them). After this
@@ -106,8 +110,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "embedding_standardize",
     "events_rate_anomaly",
-    "graph_adamic_adar",
-    "graph_jaccard_index",
 )
 
 
