@@ -65,8 +65,17 @@ def _fold_assign(embeddings: DataFrame, cents: DataFrame, id_col: str,
     """Map-only argmin of squared-L2 against a (cell, cvec, cn2)
     centroid set (see ivf_assign docstring). `carry` keeps extra
     columns (e.g. the vector and its norm) alongside the cell so
-    downstream consumers need no join back to the corpus."""
-    e = _with_sq_norm(embeddings, id_col, vec_col)
+    downstream consumers need no join back to the corpus.
+
+    The per-row fold (n_cells exact-decimal dot products) is
+    INTERPRETED — higher-order aggregates never reach codegen — so
+    the pass is CPU-bound far beyond its bytes, and a bench-scale
+    embeddings table is ONE scan split: guarded core-width widen,
+    same as the PQ/LSH/PCA faces. At 100 TB the guard leaves the
+    zero-shuffle map-only assignment untouched."""
+    from .._sizing import widen_if_underparallel
+    e = _with_sq_norm(widen_if_underparallel(embeddings, id_col),
+                      id_col, vec_col)
     carr = cents.agg(F.sort_array(F.collect_list(
         F.struct("cell", "cvec", "cn2"))).alias("cents"))
 

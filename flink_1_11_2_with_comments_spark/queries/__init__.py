@@ -67,10 +67,16 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pca_project_top1",
     "dedup_embedding_cosine",
     "ann_lsh_buckets",
-    # (a3) the PQ faces: guarded widen before the interpreted
-    # block-distance folds in pq_encode (same single-split-scan class)
+    # (a3) the PQ and IVF faces: guarded widen before the interpreted
+    # block-distance folds in pq_encode and the centroid argmin fold
+    # in ivf._fold_assign (same single-split-scan class;
+    # ann_ivf_topk 5.08 -> 1.32s, dedup_semdedup 2.47 -> 0.65s —
+    # semdedup sits in block (c) below)
     "ann_pq_encode",
     "ann_pq_adc_topk",
+    "ann_ivf_topk",
+    "ann_ivf_assign",
+    "ann_ivf_lloyd",
     # (b) rotation debt: the ENTIRE remaining r6 cohort (23 rows,
     # last driver-checked in round 6 — includes the 11 rows the r14
     # verdict names plus the 12 deferred alongside them). After this
@@ -107,9 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_stratified_split",
     "dedup_semdedup",
     "dedup_url_canonical",
-    "embedding_quantize_int8",
-    "embedding_standardize",
-    "events_rate_anomaly",
 )
 
 
