@@ -149,17 +149,26 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
 
 def test_ivf_assign_corpus_is_map_only(spark, sf_dir):
-    """IVF cell assignment must not shuffle the corpus: the only
-    exchanges are on the 16-row centroid side (collect_list agg +
-    broadcast). The corpus branch is scan → project(fold) only."""
+    """IVF cell assignment must not shuffle the corpus AT SCALE: the
+    only exchanges are the 16-row centroid side (collect_list agg +
+    broadcast) plus, on a PROVABLY-SMALL input only, the r15 guarded
+    core-width widen before the interpreted argmin fold (an
+    AQE-exempt REPARTITION_BY_NUM — one scan-round of small input).
+    The unknown-stats half of the guard is pinned by
+    test_sizing_guard_single_definition: at 100 TB the corpus branch
+    stays scan → project(fold) with no exchange."""
     p = plan(spark, "ann_ivf_assign", sf_dir)
     # split at the first node-detail header — the first node may be an
     # InMemoryTableScan when another test cached the table
     body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
     # centroid fold: ≤2 tiny exchanges (16-row agg + broadcast);
-    # corpus: zero — scan feeds the broadcast join directly
-    assert body.count("Exchange") <= 2, body
+    # corpus: the guarded widen only
+    assert body.count("Exchange") <= 3, body
     assert "BroadcastNestedLoopJoin" in body, body
+    # the one corpus-side exchange must be the explicit guarded widen,
+    # never a keyed shuffle of the corpus for the join/fold
+    widens = [ln for ln in p.splitlines() if "REPARTITION_BY_NUM" in ln]
+    assert len(widens) == 1, p
 
 
 def test_lsh_bucket_assignment_no_shuffle(spark, sf_dir):
@@ -325,20 +334,27 @@ def test_chunking_no_shuffle(spark, sf_dir):
 def test_pq_corpus_never_shuffles(spark, sf_dir):
     """PQ encode: the corpus side is scan → broadcast-join → fold
     projections — the only exchanges aggregate/broadcast the tiny
-    codebook (≤2); ADC adds the 1-row query table (broadcast) but
-    still no corpus shuffle before the final top-k."""
+    codebook (≤2) plus, on a PROVABLY-SMALL input only, the r15
+    guarded core-width widen before the interpreted block folds (an
+    AQE-exempt REPARTITION_BY_NUM; at 100 TB the guard leaves the
+    zero-shuffle map-only encode untouched — unknown-stats half
+    pinned by test_sizing_guard_single_definition). ADC adds the
+    1-row query table (broadcast) but still no KEYED corpus shuffle
+    before the final top-k."""
     p = plan(spark, "ann_pq_encode", sf_dir)
     body = p.split("== Physical Plan ==")[1].split("\n(1) ")[0]
-    assert body.count("Exchange") <= 2, body
+    assert body.count("Exchange") <= 3, body
     assert "BroadcastNestedLoopJoin" in body
     assert "BatchEvalPython" not in p
+    # the one corpus-side exchange must be the explicit guarded widen
+    assert sum("REPARTITION_BY_NUM" in ln for ln in p.splitlines()) == 1, p
     p2 = plan(spark, "ann_pq_adc_topk", sf_dir)
     assert "TakeOrderedAndProject" in p2, "top-k must not global-sort"
     assert "BatchEvalPython" not in p2
-    # codebook agg + its broadcast, qtab broadcast, top-k partial:
-    # a corpus-side shuffle would push this past 5
+    # codebook agg + its broadcast, qtab broadcast, top-k partial,
+    # + the guarded widen: a keyed corpus shuffle would push past 6
     body2 = p2.split("== Physical Plan ==")[1].split("\n(1) ")[0]
-    assert body2.count("Exchange") <= 5, body2
+    assert body2.count("Exchange") <= 6, body2
 
 
 # Queries whose unpartitioned Window is provably bounded: both run
